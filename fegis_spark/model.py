@@ -1,0 +1,99 @@
+"""Canonical data model + testdata loaders.
+
+The reference stores one *memory point* per tool invocation in Qdrant
+(payload assembled at reference fegis/storage.py:173-191). Spark mapping:
+one columnar DataFrame with a fixed StructType (SURVEY.md §1.1). The
+driver's deterministic test tables (TESTDATA.md) are the input surface
+for correctness checks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Driver-generated tables, one parquet file each (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Canonical memories schema — Spark mapping of the reference's Qdrant
+#: payload (reference fegis/storage.py:173-191, SURVEY.md §1.1).
+MEMORIES_SCHEMA = T.StructType(
+    [
+        T.StructField("memory_id", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("context", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("tool", T.StringType(), False),
+        T.StructField("session_id", T.StringType(), False),
+        T.StructField("sequence_order", T.IntegerType(), False),
+        T.StructField("timestamp", T.TimestampType(), False),
+        T.StructField("preceding_memory_id", T.StringType(), True),
+        T.StructField("parameters", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("frames", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("agent_id", T.StringType(), True),
+                    T.StructField("schema_version", T.StringType(), True),
+                    T.StructField("fegis_version", T.StringType(), True),
+                    T.StructField("archetype_title", T.StringType(), True),
+                    T.StructField("archetype_version", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan; Catalyst handles pushdown + pruning.
+
+    ``events.ts`` is written as Parquet TIMESTAMP(NANOS) which Spark has
+    no native type for — read it as nanos-since-epoch long and floor-
+    divide to microseconds (same truncation DuckDB applies casting
+    TIMESTAMP_NS → TIMESTAMP). Emitted as TIMESTAMP_NTZ to match the
+    other tables' naive timestamps.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") in ("bigint", "long"):
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql paths."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

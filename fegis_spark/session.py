@@ -1,0 +1,44 @@
+"""Tuned SparkSession factory for local runs (tests + bench).
+
+The driver supplies its own session for verify; this factory is only for
+our tests and bench.py. Settings chosen for a 100 TB posture scaled to
+local[N]: AQE on (runtime coalesce + skew-join), shuffle partitions sized
+to cores (not the 200 default), Arrow enabled for the Pandas-UDF paths,
+and UTC session time so results compare byte-for-byte with the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "fegis_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_for_oracle(spark: SparkSession) -> SparkSession:
+    """Pin the settings that affect value-level comparability with DuckDB.
+
+    Safe to call on a driver-provided session: only session-level confs.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
