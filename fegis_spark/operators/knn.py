@@ -1,0 +1,174 @@
+"""KNN similarity join + ANN scale paths (SURVEY.md §2.3 K8, [EXT]).
+
+Three tiers, by corpus x query scale:
+
+1. ``knn_join``       — exact: broadcast the (small) query side, cross
+   join, per-query top-k via window. Correctness tier and the right
+   plan whenever |queries| x dim fits in a broadcast (≲100 MB):
+   corpus never shuffles, scores stream partition-local, the only
+   shuffle is the final top-k window on query_id.
+2. ``knn_join_lsh``   — MLlib BucketedRandomProjectionLSH
+   approxSimilarityJoin: candidate pairs only from colliding hash
+   buckets; scales to corpus x corpus at 100 TB.
+3. ``ann_ivf``        — inverted-file ANN: k-means-lite centroids
+   (deterministic seed), corpus partitioned by nearest centroid,
+   queries probe nprobe nearest lists — the classic IVF-Flat layout
+   expressed relationally (centroid assignment = broadcast join +
+   argmin; probe = semi-join on centroid id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fegis_spark.functions.vector import cosine
+
+
+def knn_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact batch KNN: every query row against the full corpus.
+
+    Output: (query_id, corpus_id, score, rank<=k). Deterministic: ties
+    break on corpus id ascending.
+    """
+    q = queries_df.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus_df.select(
+        F.col(corpus_id).alias("corpus_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("score", cosine(F.col("__qv"), F.col("__cv")))
+        .drop("__qv", "__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_lsh(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 3,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    max_distance: float = 10.0,
+) -> DataFrame:
+    """Approximate KNN via random-projection LSH (Euclidean proxy for
+    cosine on normalized vectors). Candidate generation is a bucket
+    equi-join — no cross product. Rows-only correctness (approximate
+    by construction)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    q = queries_df.select(
+        F.col(query_id).alias("query_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    c = corpus_df.select(
+        F.col(corpus_id).alias("corpus_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(c)
+    pairs = model.approxSimilarityJoin(c, q, max_distance, distCol="dist")
+    w = Window.partitionBy("datasetB.query_id").orderBy(
+        F.asc("dist"), F.col("datasetA.corpus_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("datasetB.query_id").alias("query_id"),
+            F.col("datasetA.corpus_id").alias("corpus_id"),
+            F.col("dist"),
+            F.col("rank"),
+        )
+    )
+
+
+def ann_ivf(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 3,
+) -> DataFrame:
+    """IVF-Flat ANN, relationally: train centroids (sampled k-means,
+    deterministic), assign corpus rows to nearest list (one broadcast
+    join at build time — at scale this is the partition/bucket layout
+    written once), then each query scans only its n_probe nearest
+    lists. Recall < 1 by design → rows-only correctness tier."""
+    import numpy as np
+
+    sample = (
+        corpus_df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.crc32(F.col("v").cast("string")))  # deterministic pseudo-shuffle
+        .limit(max(n_lists * 32, 512))
+        .collect()
+    )
+    X = np.array([r.v for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(42)
+    cent = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(kmeans_iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cent)):
+            pts = X[assign == j]
+            if len(pts):
+                cent[j] = pts.mean(0)
+
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
+    spark = corpus_df.sparkSession
+    cent_df = spark.createDataFrame(cent_rows, "list_id int, centroid array<double>")
+
+    def nearest_lists(df: DataFrame, id_alias: str, n_keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent_df)).withColumn(
+            "__sim", cosine(F.col(vec_col), F.col("centroid"))
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.desc("__sim"), F.col("list_id"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_keep)
+            .drop("centroid", "__sim", "__r")
+        )
+
+    corpus_assigned = nearest_lists(
+        corpus_df.select(corpus_id, vec_col), corpus_id, 1
+    )
+    query_probes = nearest_lists(
+        queries_df.select(query_id, vec_col), query_id, n_probe
+    ).select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"), "list_id")
+
+    cand = corpus_assigned.join(query_probes, "list_id").withColumn(
+        "score", cosine(F.col(vec_col), F.col("__qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(corpus_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(corpus_id).alias("corpus_id"), "score", "rank")
+    )

@@ -1,1 +1,160 @@
-"""Catalog queries — filled in incrementally."""
+"""Vector search catalog queries (SURVEY.md §2.3, K1-K8, F12, X1).
+
+Query vector = the stored embedding of vec_id 0 (deterministic; the
+reference embeds the query string — here the oracle needs the same
+bytes on both engines, so we use a stored vector). Scores are computed
+dot/(na*nb) in float64 with sequential folds on both engines and
+rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fegis_spark.catalog import register
+from fegis_spark.model import load_table
+from fegis_spark.operators.knn import ann_ivf, knn_join
+from fegis_spark.plans.search import basic_search, by_id_search, filtered_search
+
+# DuckDB: explicit sequential-fold cosine (list_cosine_similarity's
+# internal op order is unspecified — spell it out so both engines fold
+# identically in float64).
+_COS = """
+      list_aggregate(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])),
+                                    p -> p[1] * p[2]), 'sum')
+      / (sqrt(list_aggregate(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x*x), 'sum'))
+         * sqrt(list_aggregate(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x*x), 'sum')))
+"""
+
+
+def _query_vec(spark, sf_dir, vec_id: int = 0):
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return [float(x) for x in row.embedding]
+
+
+@register(
+    "knn_basic",
+    oracle=f"""
+    SELECT a.vec_id, round({_COS}, 6) AS score
+    FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY {_COS} DESC, a.vec_id
+    LIMIT 10
+    """,
+    covers=("K1", "K4", "O2", "O3", "X2"),
+    bench=True,
+)
+def knn_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 basic semantic search: exact cosine top-10. orderBy+limit
+    fuses to TakeOrderedAndProject (per-partition heap, no global
+    sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = basic_search(emb, "embedding", _query_vec(spark, sf_dir), k=10)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "knn_filtered",
+    oracle=f"""
+    SELECT a.vec_id, a.label, round({_COS}, 6) AS score
+    FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE a.label IN (2, 7)
+    ORDER BY {_COS} DESC, a.vec_id
+    LIMIT 5
+    """,
+    covers=("K2", "F7", "X1"),
+)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 filtered search: predicate BEFORE scoring/top-k (the
+    reference's filtered-ANN contract, X1) — a different result set
+    than filter-after-top-k, which is the point."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = filtered_search(
+        emb,
+        "embedding",
+        _query_vec(spark, sf_dir),
+        filters=[{"field": "label", "operator": "any_of", "value": [2, 7]}],
+        k=5,
+        valid_fields={"label", "vec_id"},
+        timestamp_fields=set(),
+    )
+    return out.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+@register(
+    "by_id_lookup",
+    oracle="""
+    SELECT vec_id, label, 1.0 AS score
+    FROM embeddings WHERE vec_id = 42
+    """,
+    covers=("K3", "S5"),
+)
+def by_id_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: primary-key retrieve wrapped as ScoredPoint with score 1.0
+    (reference strategies.py:294-320); parquet min/max pruning serves
+    as the index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return by_id_search(emb, "vec_id", 42).select("vec_id", "label", "score")
+
+
+@register(
+    "score_threshold_after_topk",
+    oracle=f"""
+    SELECT vec_id, score FROM (
+      SELECT a.vec_id, round({_COS}, 6) AS score
+      FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      ORDER BY {_COS} DESC, a.vec_id
+      LIMIT 50
+    ) WHERE score >= 0.4
+    """,
+    covers=("F12", "X8"),
+)
+def score_threshold_after_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: the 0.4 default threshold applies AFTER ranking+limit
+    (handler.py:52-59) — threshold-then-limit would admit lower-ranked
+    rows; order of operations is the semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = basic_search(
+        emb, "embedding", _query_vec(spark, sf_dir), k=50, score_threshold=0.4
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "knn_join_batch",
+    oracle=f"""
+    SELECT query_id, corpus_id, score, rank FROM (
+      SELECT q.vec_id AS query_id, a.vec_id AS corpus_id,
+             round({_COS}, 6) AS score,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, a.vec_id) AS rank
+      FROM embeddings a CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+    ) WHERE rank <= 3
+    """,
+    covers=("K8",),
+    bench=True,
+)
+def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 [EXT]: batch KNN similarity join — 5 query vectors vs the
+    corpus, top-3 each. Query side broadcast: corpus never shuffles;
+    the only shuffle is the per-query top-k window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_join(
+        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "vec_id", "embedding", k=3
+    )
+    return out.select("query_id", "corpus_id", F.round("score", 6).alias("score"), "rank")
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=None,  # approximate by construction (recall < 1) — rows-only
+    covers=("K1-approx", "[EXT]-ann"),
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] IVF-Flat ANN scale path: centroid lists + n_probe probing.
+    At 100 TB the list assignment is the storage partitioning and each
+    query touches n_probe/n_lists of the data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "vec_id", "embedding", k=3
+    )
