@@ -87,6 +87,7 @@ def _load_all() -> None:
         lineage_q,
         search_q,
         text_q,
+        textstats_q,
         vector_q,
     )
 

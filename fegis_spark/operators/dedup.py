@@ -1,0 +1,296 @@
+"""Deduplication operators for training-data pipelines ([EXT], K9).
+
+Five tiers, all expressed as declarative plans (no Python in the hot
+path; every hash is JVM-side xxhash64/md5):
+
+* exact        — md5 over normalized text; one shuffle on the hash.
+* minhash_lsh  — shingle → k minhashes → b bands; candidate pairs come
+  from band-bucket equi-joins (never a cross product), then exact
+  shingle-Jaccard verification on candidates only. The standard
+  near-dup layout at 100 TB: shuffle volume = |bands| rows/doc.
+* simhash      — 64-bit sign-aggregated token-hash fingerprint;
+  near-dups = equal 16-bit band + hamming<=threshold on candidates.
+* ngram_jaccard — exact pairwise Jaccard inside small blocks
+  (lang, source) — the brute-force verifier, oracle-checkable.
+* embedding near-dup — cosine >= threshold pairs; brute force within
+  blocks here, LSH (operators/knn.py) at scale.
+
+Determinism: all hashes are seeded constants; candidate pairs are
+ordered (a < b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fegis_spark.functions.vector import cosine
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def tokens(col: Column) -> Column:
+    """Lowercase word tokens (alnum runs)."""
+    return F.filter(
+        F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def token_ngrams(tok: Column, n: int = 3) -> Column:
+    """Distinct token n-grams (shingles) as strings. Empty when the
+    document has fewer than n tokens (guarded: Spark's sequence()
+    DESCENDS when start > stop, which would fabricate bogus grams)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+    )
+    return F.when(F.size(tok) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """K9 exact tier: group by md5(normalized text); keeper = min id.
+
+    Output: one row per distinct content (keeper_id, n_copies, hash).
+    """
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """k seeded xxhash64 minima over the shingle set → array<long>."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles, lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"#{i}")))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """K9 MinHash+LSH near-dup pairs.
+
+    Plan: shingle → signature → explode into `bands` band-hashes →
+    self-join on (band, band_hash) → distinct candidate pairs → exact
+    Jaccard on the candidates only. Every join is an equi-join; the
+    band explode multiplies rows by `bands`, not by |corpus|.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("doc"), token_ngrams(tokens(F.col(text_col)), ngram).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = base.withColumn("mh", minhash_signature(F.col("sh"), num_hashes))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", *[F.col("mh")[b * rows_per_band + r].cast("string")
+                                   for r in range(rows_per_band)])
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .distinct()
+    )
+    sh = base.select(F.col("doc"), F.col("sh"))
+    verified = (
+        cand.join(sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash64(tok: Column) -> Column:
+    """64-bit SimHash: per-bit sign of summed token-hash bits.
+
+    aggregate(tokens) builds 64 counters via zip_with (+1/-1 per bit of
+    xxhash64(token)), then folds the sign vector into one long. Pure
+    Column expressions — whole-stage codegen, no UDF."""
+    counters = F.aggregate(
+        tok,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.shiftright(F.xxhash64(t), b).bitwiseAND(1) * 2 - 1).cast("long")
+                    for b in range(64)
+                ]
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    # disjoint bit contributions — sum == OR
+    return sum(
+        [
+            F.when(counters[b] > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(64)
+        ],
+        F.lit(0).cast("long"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """K9 SimHash near-dup: block on equal 16-bit band (4 bands — any
+    pair within hamming<=3 of 64 bits shares >=1 exact band by
+    pigeonhole; wider distances trade recall), verify hamming via
+    bit_count(xor)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), simhash64(tokens(F.col(text_col))).alias("sim")
+    )
+    bands = sh.select(
+        "doc",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sim"), 16 * b)
+                        .bitwiseAND(0xFFFF)
+                        .alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "sim", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("a"),
+            F.col("r.doc").alias("b"),
+            F.col("l.sim").alias("sim_a"),
+            F.col("r.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    ngram: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """K9 exact n-gram Jaccard within blocks: explode distinct shingles,
+    equi-join on (block, shingle), count intersections, Jaccard from
+    the inclusion-exclusion sizes. Fully oracle-checkable; the blocked
+    self-join is quadratic only within a block."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        *[F.col(c) for c in block_cols],
+        token_ngrams(tokens(F.col(text_col)), ngram).alias("sh"),
+    ).withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
+    ex = base.select("doc", *block_cols, "n_sh", F.explode("sh").alias("g"))
+    l, r = ex.alias("l"), ex.alias("r")
+    join_cond = (F.col("l.g") == F.col("r.g")) & (F.col("l.doc") < F.col("r.doc"))
+    for c in block_cols:
+        join_cond = join_cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    inter = (
+        l.join(r, join_cond)
+        .groupBy(
+            F.col("l.doc").alias("a"),
+            F.col("r.doc").alias("b"),
+            F.col("l.n_sh").alias("na"),
+            F.col("r.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """K9 embedding-cosine near-dup pairs (a<b, cosine>=t). Brute-force
+    within blocks; at corpus scale swap candidate generation for
+    knn.knn_join_lsh and keep this as the verifier."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    l, r = base.alias("l"), base.alias("r")
+    cond = F.col("l.id") < F.col("r.id")
+    if block_col:
+        cond = cond & (F.col("l.blk") == F.col("r.blk"))
+    return (
+        l.join(r, cond)
+        .withColumn("score", cosine(F.col("l.v"), F.col("r.v")))
+        .filter(F.col("score") >= threshold)
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.round("score", 6).alias("score"),
+        )
+    )

@@ -1,0 +1,168 @@
+"""Text-analysis operators for training-data pipelines ([EXT]).
+
+Language ID, quality scoring, token counting, and document
+fingerprinting — all as portable Column expressions (the same
+arithmetic is restated in the DuckDB oracles, so every operator here
+is hash-checkable; occurrence counts use length-difference instead of
+engine-specific regex counters).
+
+Scale: each operator is a per-row projection — no shuffle at all; they
+pipeline inside one whole-stage-codegen span over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+
+#: language marker terms (space-padded word match for latin scripts,
+#: raw substring for CJK). Deliberately tiny — a heuristic, not a model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " is "],
+    "fr": [" le ", " la ", " les ", " et ", " une "],
+    "es": [" el ", " los ", " las ", " una ", " y "],
+    "de": [" der ", " die ", " und ", " ist "],
+    "zh": ["的", "是", "在"],
+}
+
+#: fixed precedence for score ties (alphabetical = deterministic)
+LANG_ORDER = sorted(LANG_MARKERS)
+
+STOPWORDS = ["the", "and", "of", "a", "to", "in", "is", "it"]
+
+
+def occurrences(haystack: Column, needle: str) -> Column:
+    """Substring occurrence count via length difference — identical
+    semantics in Spark and DuckDB (no regex dialect involved)."""
+    n = len(needle)
+    return (F.length(haystack) - F.length(F.replace(haystack, F.lit(needle)))) / n
+
+
+def occurrences_sql(haystack: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return f"(length({haystack}) - length(replace({haystack}, '{n}', ''))) / {len(needle)}"
+
+
+def padded(col: Column) -> Column:
+    """' ' || collapsed-lower text || ' ' — gives word-ish boundaries
+    for the space-padded markers."""
+    return F.concat(
+        F.lit(" "), F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), F.lit(" ")
+    )
+
+
+PADDED_SQL = "' ' || lower(trim(regexp_replace({c}, '\\s+', ' ', 'g'))) || ' '"
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    p = padded(col)
+    return {
+        lang: sum(
+            [occurrences(p, m) for m in markers], F.lit(0).cast("double")
+        ).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language = argmax marker-occurrence score; ties and
+    all-zero fall back to first language in alphabetical order whose
+    score equals the max ('de' before 'en' ...)."""
+    scores = lang_scores(col)
+    mx = F.greatest(*scores.values())
+    out: Column = F.lit(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1]):
+        out = F.when(scores[lang] == mx, F.lit(lang)).otherwise(out)
+    return out
+
+
+def lang_id_sql(c: str) -> str:
+    """The exact same argmax restated for DuckDB (generated from the
+    same marker table — cannot drift)."""
+    p = PADDED_SQL.format(c=c)
+    score = {
+        lang: "(" + " + ".join(occurrences_sql(p, m) for m in markers) + ")"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    mx = "greatest(" + ", ".join(score[lang] for lang in LANG_ORDER) + ")"
+    expr = f"'{LANG_ORDER[-1]}'"
+    for lang in reversed(LANG_ORDER[:-1]):
+        expr = f"CASE WHEN {score[lang]} = {mx} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+TOKEN_COUNT_WS_SQL = (
+    "CASE WHEN trim({c}) = '' THEN 0 ELSE len(string_split_regex(trim({c}), '\\s+')) END"
+)
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    """BPE-ish sub-word count: alnum runs + each non-space symbol counts
+    one (the classic pre-tokenizer regex \\w+|[^\\w\\s], ASCII classes
+    in both engines)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+TOKEN_COUNT_BPE_SQL = "len(regexp_extract_all({c}, '\\w+|[^\\w\\s]'))"
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]:
+    0.4·length_ok + 0.3·(1-punct_ratio·5 clamped) + 0.3·stopword presence.
+    Deterministic double arithmetic, mirrored in SQL by quality_score_sql."""
+    n_chars = F.length(col)
+    n_tok = token_count_ws(col).cast("double")
+    punct = (
+        F.length(col) - F.length(F.regexp_replace(col, r"[.,!?;:]", ""))
+    ).cast("double")
+    p = padded(col)
+    stop_hits = sum(
+        [occurrences(p, f" {s} ") for s in STOPWORDS], F.lit(0).cast("double")
+    )
+    length_ok = F.when((n_chars >= 100) & (n_chars <= 10000), 1.0).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5)
+    stop_term = F.when(n_tok > 0, F.least(F.lit(1.0), stop_hits / n_tok * 4)).otherwise(
+        F.lit(0.0)
+    )
+    return F.round(0.4 * length_ok + 0.3 * punct_term + 0.3 * stop_term, 6)
+
+
+def quality_score_sql(c: str) -> str:
+    p = PADDED_SQL.format(c=c)
+    stop_hits = " + ".join(occurrences_sql(p, f" {s} ") for s in STOPWORDS)
+    n_tok = TOKEN_COUNT_WS_SQL.format(c=c)
+    return f"""round(
+      0.4 * (CASE WHEN length({c}) BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.0 END)
+      + 0.3 * greatest(0.0, 1.0 - (CASE WHEN length({c}) > 0
+          THEN (length({c}) - length(regexp_replace({c}, '[.,!?;:]', '', 'g')))::DOUBLE / length({c})
+          ELSE 0.0 END) * 5)
+      + 0.3 * (CASE WHEN ({n_tok}) > 0
+          THEN least(1.0, ({stop_hits})::DOUBLE / ({n_tok}) * 4)
+          ELSE 0.0 END), 6)"""
+
+
+def fingerprint(col: Column) -> Column:
+    """Polynomial rolling hash over codepoints, mod 1e9+7 — an
+    order-sensitive document fingerprint computable identically in any
+    engine with a fold (unlike xxhash/md5-of-text it also supports
+    windowed substring hashing at ingest)."""
+    codes = F.transform(F.split(col, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % MOD
+    )
+
+
+FINGERPRINT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({c}, ''), ch -> CAST(ord(ch) AS BIGINT))), "
+    f"(acc, x) -> (acc * 31 + x) % {MOD})"
+)

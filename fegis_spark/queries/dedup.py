@@ -1,1 +1,125 @@
-"""Catalog queries — filled in incrementally."""
+"""Dedup catalog queries ([EXT] K9 — SURVEY.md §2.3). Thresholds are
+tuned to the driver corpus (probed: max block Jaccard ≈ 0.97, max
+pairwise cosine ≈ 0.51) so results are non-trivial at sf0.01."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fegis_spark.catalog import register
+from fegis_spark.model import load_table
+from fegis_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT content_hash, keeper_id, n_copies FROM (
+      SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+             min(doc_id) AS keeper_id, count(*) AS n_copies
+      FROM documents GROUP BY 1
+    )
+    """,
+    covers=("K9-exact",),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 exact dedup: md5 over normalized text (portable hash), one
+    shuffle, keeper = min doc_id."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id AS doc, lang, source,
+             list_distinct(list_transform(range(0, len(tok)-2),
+                           i -> array_to_string(list_slice(tok, i+1, i+3), ' '))) AS sh
+      FROM (SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '') AS tok
+            FROM documents)
+      WHERE len(tok) >= 3
+    ), ex AS (SELECT doc, lang, source, len(sh) AS n_sh, unnest(sh) AS g FROM base)
+    SELECT a, b, round(jaccard, 6) AS jaccard FROM (
+      SELECT l.doc AS a, r.doc AS b,
+             count(*)::DOUBLE / (l.n_sh + r.n_sh - count(*)) AS jaccard
+      FROM ex l JOIN ex r
+        ON l.g = r.g AND l.doc < r.doc AND l.lang = r.lang AND l.source = r.source
+      GROUP BY l.doc, r.doc, l.n_sh, r.n_sh
+    ) WHERE jaccard >= 0.1
+    """,
+    covers=("K9-jaccard",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 exact n-gram Jaccard within (lang, source) blocks — the
+    oracle-checkable verifier the LSH tiers reduce to."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        ["lang", "source"],
+        ngram=3,
+        threshold=0.1,
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 minhashes are engine-specific — rows-only;
+    # the pairs it emits are exactly verified by shingle Jaccard >= 0.5
+    covers=("K9-minhash",),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 MinHash+LSH: banded candidate generation (16 hashes, 4
+    bands), exact-Jaccard verification of candidates only."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=4,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based fingerprint — rows-only
+    covers=("K9-simhash",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 SimHash-64: banded blocking + bit_count hamming verify."""
+    return simhash_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a, b, round(score, 6) AS score FROM (
+      SELECT l.vec_id AS a, r.vec_id AS b,
+             list_aggregate(list_transform(list_zip(l.v, r.v), p -> p[1]*p[2]), 'sum')
+             / (sqrt(list_aggregate(list_transform(l.v, x -> x*x), 'sum'))
+                * sqrt(list_aggregate(list_transform(r.v, x -> x*x), 'sum'))) AS score
+      FROM e l JOIN e r ON l.vec_id < r.vec_id
+    ) WHERE score >= 0.35
+    """,
+    covers=("K9-embedding",),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 embedding near-dup: cosine >= 0.35 pairs (brute force at this
+    corpus; LSH candidates at scale)."""
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
+    )

@@ -1,1 +1,241 @@
-"""Catalog queries — filled in incrementally."""
+"""Join / window / set-op catalog queries (SURVEY.md §2.5, §2.6, §2.9).
+
+The reference needs only the lineage self-join (J1, covered in
+lineage_q); everything here is the built-in relational surface a user
+of the extended engine gets, each shaped for scale: dims broadcast,
+facts shuffle once on their join key, top-k per group uses windows
+(no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fegis_spark.catalog import register
+from fegis_spark.model import load_table
+from fegis_spark.queries.aggregates import dsum
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+    covers=("§2.6-joins", "J1-general"),
+    bench=True,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact-to-fact sort-merge on orderkey, then
+    broadcast-hash for customer/nation/region (each orders of magnitude
+    below the broadcast threshold even at sf100 — dims scale slower
+    than facts). Catalyst reorders the dim filters below the joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    dims = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rnk <= 3
+    """,
+    covers=("§2.5-topk", "K8-pattern"),
+)
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: the same window pattern the KNN join uses —
+    partition-local heap, single shuffle on the group key."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "semi_anti_join",
+    oracle="""
+    SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    covers=("§2.6-semi", "§2.6-anti", "§2.9-union"),
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS) + left_anti (NOT EXISTS) + union — the
+    existence joins never materialize the probe side's payload."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_o = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("with_orders").alias("kind"), "n")
+    )
+    without_o = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("without_orders").alias("kind"), "n")
+    )
+    return with_o.unionAll(without_o)
+
+
+@register(
+    "range_join_ship_window",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(*) AS n_shipped_30d
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey
+    """,
+    covers=("§2.6-range",),
+)
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: equi-key + interval predicate. The equi key keeps it
+    a hash/sort-merge join (the range is a post-join filter) — the
+    100 TB-safe form of an interval join; a pure range join would need
+    bucketized keys."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < F.date_add(orders.o_orderdate.cast("date"), 30).cast("timestamp_ntz"))
+    )
+    return (
+        orders.join(li, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_shipped_30d"))
+    )
+
+
+@register(
+    "nation_set_ops",
+    oracle="""
+    SELECT 'both' AS kind, n_nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'customer_only' AS kind, n_nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    """,
+    covers=("§2.9-intersect", "§2.9-except", "§2.9-union"),
+)
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over nation keys."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    ).distinct()
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    ).distinct()
+    both = cust.intersect(supp).select(F.lit("both").alias("kind"), "n_nationkey")
+    conly = cust.exceptAll(supp).select(
+        F.lit("customer_only").alias("kind"), "n_nationkey"
+    )
+    return both.unionAll(conly)
+
+
+@register(
+    "moving_avg_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum
+    FROM events
+    """,
+    covers=("§2.5-frames",),
+)
+def moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: 4-row moving average + running decimal sum per
+    session. The 4-row avg sums at most 4 doubles in deterministic
+    frame order → identical IEEE result on both engines; the unbounded
+    running sum goes through decimal."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w.rowsBetween(-3, 0)), 6).alias("mavg"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_sum"),
+    )
+
+
+@register(
+    "event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup
+    FROM events GROUP BY user_id
+    """,
+    covers=("§2.4-pivot",),
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit values (never let pivot infer values at
+    scale — that's an extra distinct pass over 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "error", "signup"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )

@@ -1,0 +1,89 @@
+"""Text-analysis catalog queries ([EXT]): lang-id, quality, token
+counts, fingerprints over `documents`. Every oracle is generated from
+the same constant tables as the Column expressions (operators/
+text_analysis.py) so the two sides cannot drift."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fegis_spark.catalog import register
+from fegis_spark.model import load_table
+from fegis_spark.operators.text_analysis import (
+    FINGERPRINT_SQL,
+    TOKEN_COUNT_BPE_SQL,
+    TOKEN_COUNT_WS_SQL,
+    fingerprint,
+    lang_id,
+    lang_id_sql,
+    quality_score,
+    quality_score_sql,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, {lang_id_sql('text')} AS predicted_lang
+    FROM documents
+    """,
+    covers=("[EXT]-langid",),
+    bench=True,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] n-gram/marker language ID — pure projection, zero shuffle;
+    the stored lang column rides along so accuracy is inspectable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("predicted_lang"))
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           {TOKEN_COUNT_WS_SQL.format(c='text')} AS n_tokens_ws,
+           {TOKEN_COUNT_BPE_SQL.format(c='text')} AS n_tokens_bpe
+    FROM documents
+    """,
+    covers=("[EXT]-tokens",),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] whitespace + BPE-ish pre-tokenizer counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        token_count_bpe_ish(F.col("text")).cast("int").alias("n_tokens_bpe"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, {quality_score_sql('text')} AS quality
+    FROM documents
+    """,
+    covers=("[EXT]-quality",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] composite quality heuristic (length window, punctuation
+    density, stopword presence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {FINGERPRINT_SQL.format(c='text')} AS fp
+    FROM documents
+    """,
+    covers=("[EXT]-fingerprint",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] polynomial rolling-hash fingerprint over codepoints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
