@@ -86,6 +86,7 @@ def _load_all() -> None:
         joins,
         lineage_q,
         search_q,
+        stream_q,
         text_q,
         textstats_q,
         vector_q,

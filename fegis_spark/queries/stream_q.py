@@ -1,0 +1,152 @@
+"""Sessionization + ingest-pipeline catalog queries (SURVEY.md §2.10,
+§3.1). The batch gaps-and-islands form is oracle-checkable; the
+structured-streaming twin (same semantics on complete data) is
+exercised in tests/test_streaming.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fegis_spark.catalog import register
+from fegis_spark.ingest import ingest_batch
+from fegis_spark.model import load_table
+from fegis_spark.streaming.sessionize import session_stats_batch
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), brk AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_brk
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM brk
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    covers=("§2.10-sessionize", "A2-analog"),
+    bench=True,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] batch sessionization (30-min gap): lag + running sum of
+    breaks — one shuffle on user_id; same result session_window gives
+    a complete stream."""
+    ev = load_table(spark, sf_dir, "events")
+    # deterministic total order under ties: add event_id to the window sort
+    from pyspark.sql import Window
+
+    from fegis_spark.streaming.sessionize import sessionize_batch
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_brk = (
+        prev.isNull()
+        | (
+            (F.col("ts").cast("timestamp").cast("long") - prev.cast("timestamp").cast("long"))
+            > 1800
+        )
+    ).cast("int")
+    sess = ev.withColumn("__brk", is_brk).withColumn(
+        "session_seq",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        (
+            F.max(F.col("ts").cast("timestamp")).cast("long")
+            - F.min(F.col("ts").cast("timestamp")).cast("long")
+        ).alias("duration_s"),
+    )
+
+
+@register(
+    "ingest_pipeline",
+    oracle="""
+    WITH calls AS (
+      SELECT event_type AS tool, CAST(user_id AS VARCHAR) AS session_id,
+             CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events
+    ), seq AS (
+      SELECT tool, session_id, ts,
+             row_number() OVER (PARTITION BY session_id ORDER BY ts, event_id) AS sequence_order
+      FROM calls
+    )
+    SELECT
+      substr(md5(session_id || '#' || sequence_order), 1, 8) || '-' ||
+      substr(md5(session_id || '#' || sequence_order), 9, 4) || '-' ||
+      substr(md5(session_id || '#' || sequence_order), 13, 4) || '-' ||
+      substr(md5(session_id || '#' || sequence_order), 17, 4) || '-' ||
+      substr(md5(session_id || '#' || sequence_order), 21, 12) AS memory_id,
+      tool || ' Invocation' AS title,
+      tool, session_id, sequence_order,
+      CASE WHEN sequence_order > 1 THEN
+        substr(md5(session_id || '#' || (sequence_order - 1)), 1, 8) || '-' ||
+        substr(md5(session_id || '#' || (sequence_order - 1)), 9, 4) || '-' ||
+        substr(md5(session_id || '#' || (sequence_order - 1)), 13, 4) || '-' ||
+        substr(md5(session_id || '#' || (sequence_order - 1)), 17, 4) || '-' ||
+        substr(md5(session_id || '#' || (sequence_order - 1)), 21, 12)
+      END AS preceding_memory_id,
+      ts AS timestamp
+    FROM seq
+    """,
+    covers=("§3.1-ingest", "A2", "T6", "T8", "P7"),
+)
+def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 batch ingest over events-as-tool-calls: argument
+    partitioning, default titles, one-window sequencing, deterministic
+    uuid-layout ids. Embedding column excluded here (checked rows-only
+    in ingest_embeddings — float vectors don't hash portably)."""
+    ev = load_table(spark, sf_dir, "events")
+    calls = ev.select(
+        F.col("event_type").alias("tool"),
+        F.col("user_id").cast("string").alias("session_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.create_map(F.lit("payload"), F.col("props")).alias("arguments"),
+    )
+    mem = ingest_batch(calls, order_cols=["ts", "event_id"])
+    return mem.select(
+        "memory_id",
+        "title",
+        "tool",
+        "session_id",
+        "sequence_order",
+        "preceding_memory_id",
+        "timestamp",
+    )
+
+
+@register(
+    "ingest_embeddings",
+    oracle=None,  # feature-hash embedding is engine-specific — rows-only
+    covers=("§2.11-embed", "S4"),
+)
+def ingest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11: the full ingest pipeline including the Arrow-batched
+    embedding pandas_udf (deterministic feature-hash stand-in for the
+    reference's fastembed ONNX model)."""
+    ev = load_table(spark, sf_dir, "documents")
+    calls = ev.select(
+        F.lit("DocIngest").alias("tool"),
+        F.col("source").alias("session_id"),
+        # synthesize a monotone arrival order from doc_id
+        F.timestamp_micros(F.col("doc_id") * 1000000).cast("timestamp_ntz").alias("ts"),
+        F.create_map(F.lit("Content"), F.col("text")).alias("arguments"),
+    )
+    mem = ingest_batch(calls)
+    return mem.select("memory_id", "tool", "session_id", "sequence_order", "embedding")

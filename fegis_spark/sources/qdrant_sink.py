@@ -1,0 +1,152 @@
+"""Batch vector indexing to Qdrant (SURVEY.md §2.1 S2-S4) — the
+driver-declared spark_approach.
+
+The reference upserts one point per tool call over gRPC
+(fegis/storage.py:194-199) after a per-call lineage read
+(storage.py:113-143). The batch sink inverts that: memories are
+computed wholly in Spark (ingest.py), then bulk-indexed per partition
+with bounded batches — executors connect directly (no driver
+collect), so indexing throughput scales with the cluster.
+
+Import-gated: qdrant-client is not in this container. Everything that
+does NOT need the client (collection spec, payload construction,
+batching) is a pure function and unit-tested; only `upsert_partition`
+touches the network.
+
+DDL parity (reference storage.py:56-111): collection create-if-absent
+with cosine vector params; payload indexes TEXT(title, context),
+KEYWORD(tool, session_id, memory_id, preceding_memory_id +
+4 meta.* fields), INTEGER(sequence_order), DATETIME(timestamp).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, Row
+
+DEFAULT_BATCH_SIZE = 256
+
+#: field → index kind (reference storage.py:73-86)
+PAYLOAD_INDEXES: dict[str, str] = {
+    "title": "text",
+    "context": "text",
+    "tool": "keyword",
+    "session_id": "keyword",
+    "memory_id": "keyword",
+    "preceding_memory_id": "keyword",
+    "sequence_order": "integer",
+    "timestamp": "datetime",
+    "meta.agent_id": "keyword",
+    "meta.archetype_title": "keyword",
+    "meta.archetype_version": "keyword",
+    "meta.schema_version": "keyword",
+}
+
+
+def row_to_point(row: Row) -> dict[str, Any]:
+    """Memory row → Qdrant point dict (id, vector, payload) — pure
+    function of the row (reference payload assembly storage.py:173-191)."""
+    d = row.asDict(recursive=True)
+    vector = d.pop("embedding", None)
+    payload = {k: v for k, v in d.items() if v is not None}
+    ts = payload.get("timestamp")
+    if ts is not None and hasattr(ts, "isoformat"):
+        payload["timestamp"] = ts.isoformat()
+    return {"id": d["memory_id"], "vector": vector, "payload": payload}
+
+
+def batched(rows: Iterable[Row], size: int = DEFAULT_BATCH_SIZE) -> Iterator[list[dict]]:
+    """Bounded upsert batches (keeps executor memory flat regardless of
+    partition size)."""
+    buf: list[dict] = []
+    for r in rows:
+        buf.append(row_to_point(r))
+        if len(buf) >= size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def ensure_collection(client: Any, collection: str, dim: int, distance: str = "Cosine") -> None:
+    """Idempotent DDL: create-if-absent + payload indexes (S2, S3)."""
+    from qdrant_client import models  # noqa: PLC0415 — import-gated
+
+    existing = {c.name for c in client.get_collections().collections}
+    if collection not in existing:
+        client.create_collection(
+            collection_name=collection,
+            vectors_config=models.VectorParams(
+                size=dim, distance=getattr(models.Distance, distance.upper(), distance)
+            ),
+        )
+    kind_map = {
+        "text": models.PayloadSchemaType.TEXT,
+        "keyword": models.PayloadSchemaType.KEYWORD,
+        "integer": models.PayloadSchemaType.INTEGER,
+        "datetime": models.PayloadSchemaType.DATETIME,
+    }
+    for field, kind in PAYLOAD_INDEXES.items():
+        try:
+            client.create_payload_index(
+                collection_name=collection,
+                field_name=field,
+                field_schema=kind_map[kind],
+            )
+        except Exception:  # noqa: BLE001 — index already exists
+            pass
+
+
+def upsert_partition(
+    rows: Iterable[Row],
+    collection: str,
+    url: str,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    prefer_grpc: bool = True,
+) -> Iterator[int]:
+    """foreachPartition body: one client per partition (per executor
+    task), bounded batches, gRPC preferred (reference config.py:52-53).
+    Yields per-batch counts so mapPartitions can surface totals."""
+    from qdrant_client import QdrantClient, models  # noqa: PLC0415
+
+    client = QdrantClient(url=url, prefer_grpc=prefer_grpc)
+    try:
+        for batch in batched(rows, batch_size):
+            client.upsert(
+                collection_name=collection,
+                points=[
+                    models.PointStruct(
+                        id=p["id"], vector=p["vector"], payload=p["payload"]
+                    )
+                    for p in batch
+                ],
+            )
+            yield len(batch)
+    finally:
+        client.close()
+
+
+def index_to_qdrant(
+    df: DataFrame,
+    collection: str,
+    url: str,
+    dim: int,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> int:
+    """The batch indexing job: DDL once on the driver, then partition-
+    parallel bulk upsert. Returns rows indexed.
+
+    Partition sizing: aim for ~50-200k rows per partition so each task
+    holds one bounded batch in flight; repartition upstream if the
+    ingest produced skewed partitions.
+    """
+    from qdrant_client import QdrantClient  # noqa: PLC0415
+
+    ensure_collection(QdrantClient(url=url), collection, dim)
+    counts = df.rdd.mapPartitions(
+        lambda rows: upsert_partition(rows, collection, url, batch_size)
+    )
+    return int(math.fsum(counts.collect()) if counts is not None else 0)

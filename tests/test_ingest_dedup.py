@@ -1,0 +1,119 @@
+"""Ingest-pipeline invariants + dedup-operator behavior on planted
+fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fegis_spark.ingest import ingest_batch
+from fegis_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    token_ngrams,
+    tokens,
+)
+
+
+def _calls(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for s in ("sa", "sb"):
+        for i in range(4):
+            rows.append(
+                (
+                    "ToolX",
+                    s,
+                    t0 + dt.timedelta(minutes=i),
+                    {
+                        "Title": f"T{i}" if i % 2 else None,
+                        "Content": f"content {s} {i}",
+                        "Context": "c",
+                        "extra_frame": "v",
+                    },
+                )
+            )
+    return spark.createDataFrame(
+        rows, "tool string, session_id string, ts timestamp_ntz, arguments map<string,string>"
+    )
+
+
+def test_ingest_invariants(spark):
+    mem = ingest_batch(_calls(spark)).cache()
+    rows = mem.orderBy("session_id", "sequence_order").collect()
+    # FIXTURES.md invariants: contiguous 1-based sequence, lag-linked ids
+    by_session: dict[str, list] = {}
+    for r in rows:
+        by_session.setdefault(r.session_id, []).append(r)
+    for sess in by_session.values():
+        assert [r.sequence_order for r in sess] == list(range(1, len(sess) + 1))
+        assert sess[0].preceding_memory_id is None
+        for prev, cur in zip(sess, sess[1:]):
+            assert cur.preceding_memory_id == prev.memory_id
+    # T8 default title
+    assert rows[0].title == "ToolX Invocation"  # i=0 had no Title
+    assert rows[1].title == "T1"
+    # T9/P7: standard keys stripped from parameters; frames keep extras
+    assert all("Title" not in (r.parameters or {}) for r in rows)
+    assert all("extra_frame" in (r.frames or {}) for r in rows)
+    # embedding: deterministic unit vector
+    import numpy as np
+
+    v = np.array(rows[0].embedding)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_ingest_deterministic_rerun(spark):
+    a = ingest_batch(_calls(spark)).select("memory_id").orderBy("memory_id").collect()
+    b = ingest_batch(_calls(spark)).select("memory_id").orderBy("memory_id").collect()
+    assert a == b
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup
+    (4, "completely different text about spark query engines and columnar formats"),
+    (5, "ab"),  # sub-3-token doc
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id").collect()
+    counts = {r.keeper_id: r.n_copies for r in out}
+    assert counts[1] == 2  # docs 1+2 collapse
+    assert len(out) == 4
+
+
+def test_minhash_finds_planted_pair(spark):
+    pairs = {(r.a, r.b) for r in minhash_lsh_pairs(
+        _docs(spark), "text", "doc_id", jaccard_threshold=0.5
+    ).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_finds_planted_pair(spark):
+    pairs = {(r.a, r.b) for r in simhash_pairs(_docs(spark), "text", "doc_id", 8).collect()}
+    assert (1, 2) in pairs
+
+
+def test_ngram_jaccard_blocked(spark):
+    docs = _docs(spark).withColumn("blk", F.lit("x"))
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", ["blk"], threshold=0.5)
+    got = {(r.a, r.b): r.jaccard for r in out.collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.5 <= got[(1, 3)] < 1.0
+
+
+def test_token_ngrams_short_doc(spark):
+    df = spark.createDataFrame([("one two",)], "text string")
+    row = df.select(token_ngrams(tokens(F.col("text")), 3).alias("g")).first()
+    assert row.g == []

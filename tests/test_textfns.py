@@ -1,0 +1,71 @@
+"""Text-function parity tests: the Column expressions must agree with a
+direct Python port of the reference implementation
+(fegis/search/formatters.py:172-218) over adversarial inputs."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from fegis_spark.functions.textfns import content_preview, extract_summary
+
+
+def ref_extract_summary(content: str, max_sentences: int = 1) -> str:
+    if not content:
+        return ""
+    sentences = re.split(r"[.!?]+", content)
+    sentences = [s.strip() for s in sentences if s.strip()]
+    if not sentences:
+        if len(content) <= 100:
+            return content
+        return content[:97] + "..."
+    summary = ". ".join(sentences[:max_sentences])
+    if summary and summary[-1] not in ".!?":
+        summary += "."
+    return summary
+
+
+def ref_content_preview(content: str, max_length: int = 150) -> str:
+    if not content:
+        return ""
+    cleaned = " ".join(content.split())
+    if len(cleaned) <= max_length:
+        return cleaned
+    preview = ref_extract_summary(cleaned, max_sentences=2)
+    if len(preview) <= max_length:
+        return preview
+    return preview[: max_length - 3] + "..."
+
+
+CASES = [
+    "",
+    "short",
+    "Tiny. Sentences! Here?",
+    "   lots   of \t whitespace \n everywhere   ",
+    "One long sentence " + "x" * 200,
+    ("A first sentence that is quite long and wordy. A second one too! "
+     "And a third that should be cut off entirely? Plus a fourth."),
+    "!!!???...",
+    "!" * 120,
+    "No terminal punctuation at all just words " * 5,
+    "Ends mid",
+    "Multi.  spaced.   sentences.  " * 10,
+    "Ünïcödé sentences. Ære you sure? Daß ist gut!",
+]
+
+
+@pytest.mark.parametrize("n", [1, 2])
+def test_extract_summary_parity(spark, n):
+    df = spark.createDataFrame([(c,) for c in CASES], "content string")
+    got = [r.s for r in df.select(extract_summary(F.col("content"), n).alias("s")).collect()]
+    want = [ref_extract_summary(c, n) for c in CASES]
+    assert got == want
+
+
+def test_content_preview_parity(spark):
+    df = spark.createDataFrame([(c,) for c in CASES], "content string")
+    got = [r.s for r in df.select(content_preview(F.col("content")).alias("s")).collect()]
+    want = [ref_content_preview(c) for c in CASES]
+    assert got == want
