@@ -52,6 +52,27 @@ def token_ngrams(tok: Column, n: int = 3) -> Column:
     )
 
 
+def with_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, out: str = "sh"
+) -> DataFrame:
+    """(id, distinct token n-grams) via pyspark.ml.feature.NGram.
+
+    NGram is Scala-implemented and ~15x faster than the equivalent
+    higher-order transform/slice/concat expression chain (HOFs are
+    interpreted per element, not codegen'd — measured 5.7s vs 0.36s on
+    5k docs). Use this on every data path; token_ngrams (Column form)
+    stays for composability in small expressions."""
+    from pyspark.ml.feature import NGram
+
+    base = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("tok"))
+    ng = NGram(n=n, inputCol="tok", outputCol="__sh")
+    return (
+        ng.transform(base)
+        .select("doc", F.array_distinct("__sh").alias(out))
+        .filter(F.size(out) > 0)
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """K9 exact tier: group by md5(normalized text); keeper = min id.
 
@@ -87,6 +108,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     ngram: int = 3,
     jaccard_threshold: float = 0.5,
+    cache_intermediate: bool = True,
 ) -> DataFrame:
     """K9 MinHash+LSH near-dup pairs.
 
@@ -94,17 +116,33 @@ def minhash_lsh_pairs(
     self-join on (band, band_hash) → distinct candidate pairs → exact
     Jaccard on the candidates only. Every join is an equi-join; the
     band explode multiplies rows by `bands`, not by |corpus|.
+
+    cache_intermediate persists the shingle table, which the plan uses
+    three times (signature + both sides of candidate verification) —
+    at warehouse scale you would materialize signatures to a table
+    instead; MEMORY_AND_DISK is the single-job analog.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("doc"), token_ngrams(tokens(F.col(text_col)), ngram).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = base.withColumn("mh", minhash_signature(F.col("sh"), num_hashes))
+    base = with_shingles(df, text_col, id_col, ngram)
+    if cache_intermediate:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # signature via explode + 16 codegen'd xxhash64 columns + min-agg:
+    # stays in whole-stage codegen end-to-end (the higher-order
+    # transform/array_min form is interpreted and ~10x slower)
+    ex = base.select("doc", F.explode("sh").alias("g"))
+    sig = ex.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.col("g"), F.lit(f"#{i}")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
             F.xxhash64(
-                F.concat_ws(",", *[F.col("mh")[b * rows_per_band + r].cast("string")
+                F.concat_ws(",", *[F.col(f"mh{b * rows_per_band + r}").cast("string")
                                    for r in range(rows_per_band)])
             ).alias("bh"),
         )
@@ -182,9 +220,29 @@ def simhash_pairs(
     pair within hamming<=3 of 64 bits shares >=1 exact band by
     pigeonhole; wider distances trade recall), verify hamming via
     bit_count(xor)."""
-    sh = df.select(
-        F.col(id_col).alias("doc"), simhash64(tokens(F.col(text_col))).alias("sim")
+    # explode + 64 codegen'd bit-counter aggregates (the HOF fold form
+    # simhash64() is kept for expression composability but is
+    # interpreted — this form stays in whole-stage codegen)
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
     )
+    h = F.xxhash64("t")
+    counters = ex.groupBy("doc").agg(
+        *[
+            F.sum((F.shiftright(h, b).bitwiseAND(1) * 2 - 1).cast("long")).alias(f"c{b}")
+            for b in range(64)
+        ]
+    )
+    sim = sum(
+        [
+            F.when(F.col(f"c{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(64)
+        ],
+        F.lit(0).cast("long"),
+    )
+    sh = counters.select("doc", sim.alias("sim"))
     bands = sh.select(
         "doc",
         "sim",
@@ -237,11 +295,20 @@ def ngram_jaccard_pairs(
     equi-join on (block, shingle), count intersections, Jaccard from
     the inclusion-exclusion sizes. Fully oracle-checkable; the blocked
     self-join is quadratic only within a block."""
-    base = df.select(
+    from pyspark.ml.feature import NGram
+
+    base0 = df.select(
         F.col(id_col).alias("doc"),
         *[F.col(c) for c in block_cols],
-        token_ngrams(tokens(F.col(text_col)), ngram).alias("sh"),
-    ).withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
+        tokens(F.col(text_col)).alias("tok"),
+    )
+    base = (
+        NGram(n=ngram, inputCol="tok", outputCol="__sh")
+        .transform(base0)
+        .select("doc", *block_cols, F.array_distinct("__sh").alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+    )
     ex = base.select("doc", *block_cols, "n_sh", F.explode("sh").alias("g"))
     l, r = ex.alias("l"), ex.alias("r")
     join_cond = (F.col("l.g") == F.col("r.g")) & (F.col("l.doc") < F.col("r.doc"))
