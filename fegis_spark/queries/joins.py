@@ -239,3 +239,81 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, kinds)
     )
+
+
+@register(
+    "asof_join_orders",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_totalprice, o_orderkey FROM (
+        SELECT o_custkey, o_orderdate, o_totalprice, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ), l AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    )
+    SELECT l.event_id, l.user_id,
+           r.o_totalprice AS asof_o_totalprice,
+           r.o_orderkey AS asof_o_orderkey
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.o_custkey AND l.ts >= r.o_orderdate
+    """,
+    covers=("§2.6-asof",),
+)
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] backward as-of join: for every event, the customer's most
+    recent order at-or-before the event time — union+window form (one
+    shuffle, no range join); DuckDB's native ASOF JOIN is the
+    independent oracle."""
+    from fegis_spark.operators.asof import asof_join_union
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice", "o_orderkey"
+    )
+    out = asof_join_union(
+        ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload=["o_totalprice", "o_orderkey"], right_key="o_custkey",
+    )
+    return out.select("event_id", "user_id", "asof_o_totalprice", "asof_o_orderkey")
+
+
+@register(
+    "quantiles_by_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           MIN(value) AS min_v, MAX(value) AS max_v
+    FROM events GROUP BY event_type
+    """,
+    covers=("§2.4-quantile",),
+)
+def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont); the approx path (percentile_approx / KLL) is in
+    approx_quantiles_rowsonly."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+@register(
+    "approx_quantiles",
+    oracle=None,  # sketch-based (GK/KLL) — engine-specific, rows-only
+    covers=("§2.4-approx-quantile",),
+)
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — the sketch the exact form trades against at
+    100 TB (single pass, mergeable, bounded memory)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+    )
