@@ -10,7 +10,7 @@ past 38 and silently falls back to DOUBLE; Spark clips scale).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fegis_spark.catalog import register
@@ -155,4 +155,154 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+           round((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1), 6) AS variance
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    covers=("§2.4-stats",),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance from decimal-exact moment sums (sum, sum-of-squares) —
+    the order-independent form of stddev/var; the built-in var_samp is
+    a float accumulation whose partition order would flap the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s1 = dsum("l_quantity")
+    s2 = dsum(F.col("l_quantity") * F.col("l_quantity"))
+    n = F.count("*")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        F.round((s2 - s1 * s1 / n) / (n - 1), 6).alias("variance"),
+    )
+
+
+@register(
+    "word_count_top20",
+    oracle=r"""
+    SELECT tok, n, rnk FROM (
+      SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM (
+        SELECT tok, COUNT(*) AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ) GROUP BY tok
+      )
+    ) WHERE rnk <= 20
+    """,
+    covers=("§2.8-explode", "[EXT]-text-stats"),
+)
+def word_count_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical explode → groupBy → top-k: corpus vocabulary head.
+    Partial aggregation makes the shuffle |vocab|-sized, not |tokens|."""
+    from fegis_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.col("tok"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 20)
+
+
+@register(
+    "rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+           lead(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS next_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC)
+    QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) <= 50
+    """,
+    covers=("§2.5-rank", "§2.5-ntile", "§2.5-lead"),
+)
+def rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile/lead in one pass (top-50 per priority).
+    rank ties on exact price (decimal-cast so both engines tie
+    identically); ntile/lead orders carry the key tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc()
+    )
+    w_tb = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w_price).alias("rnk"),
+            F.dense_rank().over(w_price).alias("drnk"),
+            F.ntile(4).over(w_tb).alias("quartile"),
+            F.lead("o_orderkey").over(w_tb).alias("next_key"),
+            F.row_number().over(w_tb).alias("__rn"),
+        )
+        .filter(F.col("__rn") <= 50)
+        .drop("__rn")
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+    """,
+    covers=("§2.4-grouping-sets",),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (Catalyst expands to one
+    shuffle, same as rollup/cube)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@register(
+    "argmax_maxby",
+    oracle="""
+    SELECT event_type,
+           arg_max(event_id, event_id) AS last_event_id,
+           arg_max(user_id, event_id) AS last_user_id,
+           MAX(event_id) AS max_event_id
+    FROM events GROUP BY event_type
+    """,
+    covers=("A1", "S6"),
+)
+def argmax_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 in its aggregation form: max_by with a UNIQUE order key
+    (event_id) — partial aggregation, the cheapest argmax at scale
+    (the window form is latest_event_per_user)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", "event_id").alias("last_event_id"),
+        F.max_by("user_id", "event_id").alias("last_user_id"),
+        F.max("event_id").alias("max_event_id"),
     )

@@ -158,3 +158,35 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(
         emb, emb.filter(F.col("vec_id") < 3), "vec_id", "vec_id", "embedding", k=3
     )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    SELECT label, dim,
+           round(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6) AS centroid_x,
+           COUNT(*) AS n
+    FROM (
+      SELECT label, CAST(r.range AS INT) AS dim,
+             CAST(embedding[CAST(r.range AS INT)] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 9) r
+    )
+    GROUP BY label, dim
+    """,
+    covers=("[EXT]-centroids", "§2.8-explode"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-class embedding centroids (first 8 dims checked):
+    posexplode → decimal-exact mean per (label, dim). The building
+    block for class prototypes / IVF list training at scale — shuffle
+    is |labels|x|dims| after partial agg, independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x")
+    ).withColumn("dim", F.col("d0") + 1).filter(F.col("dim") <= 8)
+    return ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(38,10)")).cast("double") / F.count("*"), 6
+        ).alias("centroid_x"),
+        F.count("*").alias("n"),
+    )

@@ -121,3 +121,41 @@ def tumbling_counts_stream(
 def stream_to_memory_sink(df: DataFrame, name: str) -> DataStreamWriter:
     """Test harness sink: in-memory table, complete/append per query."""
     return df.writeStream.format("memory").queryName(name).outputMode("append")
+
+
+def assign_sequence_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    extra_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """The reference's per-session monotone sequence counter
+    (storage.py:132-139) as a true stateful streaming operator:
+    applyInPandasWithState keeps one integer of state per session and
+    numbers arrivals across micro-batches. Within a batch, rows are
+    ordered by (ts, extra_cols) for determinism.
+
+    State size: O(sessions) x one int — bounded; pair with a timeout in
+    production to expire dead sessions.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cols = [user_col, ts_col, *extra_cols]
+    out_schema = ", ".join(
+        f"{c} {t}" for c, t in events.dtypes if c in cols
+    ) + ", sequence_order int"
+    state_schema = "n int"
+
+    def fn(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf[cols].sort_values([ts_col, *extra_cols], kind="mergesort")
+            seq = list(range(n + 1, n + 1 + len(pdf)))
+            n += len(pdf)
+            yield pdf.assign(sequence_order=pd.array(seq, dtype="int32"))
+        state.update((n,))
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -110,3 +110,33 @@ def test_tumbling_counts_match_batch(spark, events_stream):
     assert got
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_stateful_sequence_numbering(spark, events_stream):
+    from fegis_spark.streaming.sessionize import assign_sequence_stream
+
+    sdf, batch = events_stream
+    seq = assign_sequence_stream(_normalize_stream_events(sdf))
+    q = (
+        seq.writeStream.format("memory")
+        .queryName("seq_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.event_id): r.sequence_order
+        for r in spark.sql("SELECT * FROM seq_out").collect()
+    }
+    # must equal the batch window numbering (same ts+event_id order)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.event_id): r.sequence_order
+        for r in batch.withColumn("sequence_order", F.row_number().over(w)).collect()
+    }
+    assert got == want
