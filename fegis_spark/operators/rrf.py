@@ -52,8 +52,8 @@ def rrf_fuse(
     w_d = Window.orderBy(F.desc("dense"), F.col("id"))
     w_l = Window.orderBy(F.desc("lex"), F.col("id"))
     fused = (
-        scored.withColumn("r_dense", F.row_number().over(w_d))
-        .withColumn("r_lex", F.row_number().over(w_l))
+        scored.withColumn("r_dense", F.row_number().over(w_d).cast("bigint"))
+        .withColumn("r_lex", F.row_number().over(w_l).cast("bigint"))
         .withColumn(
             "rrf",
             F.round(

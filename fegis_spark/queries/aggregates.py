@@ -216,7 +216,9 @@ def word_count_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     w = Window.orderBy(F.desc("n"), F.col("tok"))
-    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 20)
+    return counts.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= 20
+    )
 
 
 @register(
@@ -248,9 +250,9 @@ def rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_orderkey",
             "o_orderpriority",
-            F.rank().over(w_price).alias("rnk"),
-            F.dense_rank().over(w_price).alias("drnk"),
-            F.ntile(4).over(w_tb).alias("quartile"),
+            F.rank().over(w_price).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w_price).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w_tb).cast("bigint").alias("quartile"),
             F.lead("o_orderkey").over(w_tb).alias("next_key"),
             F.row_number().over(w_tb).alias("__rn"),
         )

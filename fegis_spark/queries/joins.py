@@ -85,7 +85,7 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
         .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
     )

@@ -58,9 +58,9 @@ def sequence_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of the reference's per-call read-modify-write (storage.py:132-139)."""
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.withColumn("sequence_order", F.row_number().over(w)).select(
-        "event_id", "user_id", "sequence_order"
-    )
+    return events.withColumn(
+        "sequence_order", F.row_number().over(w).cast("bigint")
+    ).select("event_id", "user_id", "sequence_order")
 
 
 @register(

@@ -27,8 +27,8 @@ from fegis_spark.streaming.sessionize import session_stats_batch
       FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, event_id, ts,
-             SUM(is_brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             CAST(SUM(is_brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       FROM brk
     )
     SELECT user_id, session_seq,
@@ -93,7 +93,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       substr(md5(session_id || '#' || sequence_order), 17, 4) || '-' ||
       substr(md5(session_id || '#' || sequence_order), 21, 12) AS memory_id,
       tool || ' Invocation' AS title,
-      tool, session_id, sequence_order,
+      tool, session_id, CAST(sequence_order AS BIGINT) AS sequence_order,
       CASE WHEN sequence_order > 1 THEN
         substr(md5(session_id || '#' || (sequence_order - 1)), 1, 8) || '-' ||
         substr(md5(session_id || '#' || (sequence_order - 1)), 9, 4) || '-' ||
@@ -125,7 +125,7 @@ def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "title",
         "tool",
         "session_id",
-        "sequence_order",
+        F.col("sequence_order").cast("bigint").alias("sequence_order"),
         "preceding_memory_id",
         "timestamp",
     )

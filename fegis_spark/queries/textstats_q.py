@@ -55,8 +55,8 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        token_count_ws(F.col("text")).alias("n_tokens_ws"),
-        token_count_bpe_ish(F.col("text")).cast("int").alias("n_tokens_bpe"),
+        token_count_ws(F.col("text")).cast("bigint").alias("n_tokens_ws"),
+        token_count_bpe_ish(F.col("text")).cast("bigint").alias("n_tokens_bpe"),
     )
 
 

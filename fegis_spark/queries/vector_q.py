@@ -85,7 +85,7 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "by_id_lookup",
     oracle="""
-    SELECT vec_id, label, 1.0 AS score
+    SELECT vec_id, label, CAST(1.0 AS DOUBLE) AS score
     FROM embeddings WHERE vec_id = 42
     """,
     covers=("K3", "S5"),
@@ -142,7 +142,10 @@ def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn_join(
         emb.filter(F.col("vec_id") < 5), emb, "vec_id", "vec_id", "embedding", k=3
     )
-    return out.select("query_id", "corpus_id", F.round("score", 6).alias("score"), "rank")
+    return out.select(
+        "query_id", "corpus_id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 @register(
