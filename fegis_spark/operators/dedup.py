@@ -361,3 +361,47 @@ def embedding_neardup_pairs(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame, a: str = "a", b: str = "b", max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation over near-dup pair edges → (node, component)
+    where component = min node id reachable. The keeper-selection step
+    after pair generation: one keeper (the component label) survives per
+    duplicate cluster.
+
+    Iterates join+min until fixpoint (O(graph diameter) rounds — near-
+    dup clusters are shallow, typically 2-4). At billion-edge scale swap
+    the loop body for the large-star/small-star algorithm; the driver
+    loop with one scalar convergence check per round is the same shape.
+    """
+    und = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    labels = (
+        und.select(F.col("src").alias("n"))
+        .distinct()
+        .withColumn("lbl", F.col("n"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und.src == labels.n)
+            .groupBy(F.col("dst").alias("n"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        merged = (
+            labels.join(neigh, "n", "left")
+            .select(
+                "n",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                "lbl",
+            )
+        )
+        changed = merged.filter(F.col("new_lbl") != F.col("lbl")).limit(1).count()
+        labels = merged.select("n", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("node"), F.col("lbl").alias("component"))

@@ -123,3 +123,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
     )
+
+
+_EDGES_SQL = r"""
+    WITH base AS (
+      SELECT doc_id AS doc, lang, source,
+             list_distinct(list_transform(range(0, len(tok)-2),
+                           i -> array_to_string(list_slice(tok, i+1, i+3), ' '))) AS sh
+      FROM (SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '') AS tok
+            FROM documents)
+      WHERE len(tok) >= 3
+    ), ex AS (SELECT doc, lang, source, len(sh) AS n_sh, unnest(sh) AS g FROM base),
+    edges AS (
+      SELECT a, b FROM (
+        SELECT l.doc AS a, r.doc AS b,
+               count(*)::DOUBLE / (l.n_sh + r.n_sh - count(*)) AS jaccard
+        FROM ex l JOIN ex r
+          ON l.g = r.g AND l.doc < r.doc AND l.lang = r.lang AND l.source = r.source
+        GROUP BY l.doc, r.doc, l.n_sh, r.n_sh
+      ) WHERE jaccard >= 0.1
+    )
+"""
+
+
+@register(
+    "dedup_components",
+    oracle="WITH RECURSIVE "
+    + _EDGES_SQL.strip().removeprefix("WITH ")
+    + """,
+    nodes AS (SELECT a AS n FROM edges UNION SELECT b FROM edges),
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    cc(n, lbl) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT u.b, cc.lbl FROM cc JOIN und u ON cc.n = u.a WHERE cc.lbl < u.b
+    )
+    SELECT n AS node, MIN(lbl) AS component FROM cc GROUP BY n
+    """,
+    covers=("K9-components",),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 keeper selection: connected components over the (oracle-
+    stable) n-gram-Jaccard pair graph — min-id label propagation vs a
+    DuckDB recursive CTE."""
+    from fegis_spark.operators.dedup import connected_components
+
+    edges = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        ["lang", "source"],
+        ngram=3,
+        threshold=0.1,
+    )
+    return connected_components(edges)

@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the scale posture (pushdown,
+broadcast, top-k fusion, column pruning) must survive refactors."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from fegis_spark.catalog import catalog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return catalog()
+
+
+def formatted_plan(spark, cat, name: str) -> str:
+    df = cat[name].builder(spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, cat):
+    p = formatted_plan(spark, cat, "filter_conjunction")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed, p
+    line = pushed[0]
+    # equality, range, and in-set predicates all pushed into parquet
+    assert "EqualTo(event_type,click)" in line
+    assert "GreaterThanOrEqual(value,10" in line
+    assert "In(user_id" in line
+
+
+def test_scan_prunes_columns(spark, cat):
+    p = formatted_plan(spark, cat, "latest_event_per_user")
+    reads = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert reads and "props" not in reads[0], reads
+
+
+def test_star_join_broadcasts_dims(spark, cat):
+    p = formatted_plan(spark, cat, "revenue_by_nation")
+    assert "BroadcastHashJoin" in p
+
+
+def test_knn_topk_fuses(spark, cat):
+    p = formatted_plan(spark, cat, "knn_basic")
+    assert "TakeOrderedAndProject" in p  # no global sort for top-k
+
+
+def test_knn_join_broadcasts_queries(spark, cat):
+    p = formatted_plan(spark, cat, "knn_join_batch")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_by_id_pushes_key(spark, cat):
+    p = formatted_plan(spark, cat, "by_id_lookup")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "EqualTo(vec_id,42)" in pushed[0]
