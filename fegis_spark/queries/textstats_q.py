@@ -87,3 +87,58 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] polynomial rolling-hash fingerprint over codepoints."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars,
+             {quality_score_sql('text')} AS quality,
+             {lang_id_sql('text')} AS predicted_lang,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored
+      WHERE quality >= 0.5 AND predicted_lang = lang
+    ), deduped AS (
+      SELECT content_hash, min(doc_id) AS doc_id FROM kept GROUP BY content_hash
+    )
+    SELECT k.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(k.n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars,
+           round(CAST(SUM(CAST(k.quality AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+    FROM deduped d JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY k.lang
+    """,
+    covers=("[EXT]-curation", "K9-exact", "[EXT]-langid", "[EXT]-quality"),
+    bench=True,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the end-to-end training-data curation flagship: quality
+    gate → lang-consistency gate → exact dedup → per-language corpus
+    stats. One scan, one dedup shuffle, one stats shuffle — the whole
+    pipeline is three codegen stages at any scale."""
+    from fegis_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+        F.md5(normalize_text(F.col("text"))).alias("content_hash"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("predicted_lang") == F.col("lang"))
+    )
+    deduped = kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    joined = deduped.join(kept, ["doc_id", "content_hash"])
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double").alias("total_chars"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(38,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_quality"),
+    )

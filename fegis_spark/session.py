@@ -36,9 +36,18 @@ def get_spark(app_name: str = "fegis_spark") -> SparkSession:
 
 
 def configure_for_oracle(spark: SparkSession) -> SparkSession:
-    """Pin the settings that affect value-level comparability with DuckDB.
+    """Pin the settings that affect value-level comparability with DuckDB
+    plus the runtime-settable perf confs (a driver-provided session may
+    carry the 200-partition default, wrong for these data sizes).
 
     Safe to call on a driver-provided session: only session-level confs.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001
+        cores = 32
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(int(cores), 8)))
     return spark
