@@ -1,0 +1,174 @@
+"""Training-data pipeline catalog queries ([EXT]): deterministic
+splits, token-budget packing, stratified sampling over `documents`.
+
+These are the corpus-management ops a 100 TB pretraining pipeline runs
+after curation (see curation_pipeline in textstats_q.py). All are
+hash- or window-deterministic so the DuckDB oracle hash-matches:
+
+* splits use an md5-derived bucket, NOT Spark's `hash()`/`rand()`
+  (engine-specific / nondeterministic) — the same document lands in
+  the same split on any engine, any cluster size, forever;
+* packing uses a per-language running token total, so the assignment
+  is a narrow window over (lang, doc_id) — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fegis_spark.catalog import register
+from fegis_spark.model import load_table
+
+#: Spark-side md5 bucket in [0, 100): deterministic, uniform-ish, and
+#: reproducible in any engine with md5 (DuckDB form below).
+def _hash_bucket(col: F.Column, buckets: int = 100) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+
+
+def _hash_bucket_sql(col: str, buckets: int = 100) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % {buckets}"
+    )
+
+
+_SPLIT_CASE = "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT doc_id, lang, n_chars,
+             {_hash_bucket_sql('doc_id')} AS bucket
+      FROM documents
+    )
+    SELECT {_SPLIT_CASE} AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars
+    FROM bucketed
+    GROUP BY 1, 2
+    """,
+    covers=("[EXT]-split",),
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] deterministic 80/10/10 train/val/test split by md5 hash
+    bucket of doc_id. A pure projection + one aggregation shuffle; the
+    per-row split assignment is stable across engines and cluster
+    sizes (no rand(), no row ordering dependence), which is what makes
+    incremental re-runs and cross-system audits possible at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        _hash_bucket(F.col("doc_id")).alias("bucket"),
+    )
+    split = F.when(F.col("bucket") < 80, "train").when(
+        F.col("bucket") < 90, "val"
+    ).otherwise("test")
+    return (
+        bucketed.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double").alias("total_chars"),
+        )
+    )
+
+
+#: chars per pack — stand-in for a token budget (documents carry
+#: n_chars; swap in a token-count column for real corpora).
+PACK_BUDGET = 16_384
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH packed AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(floor(
+               COALESCE(SUM(n_chars) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {PACK_BUDGET}.0
+             ) AS BIGINT) AS pack_id
+      FROM documents
+    )
+    SELECT lang, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS pack_chars
+    FROM packed
+    GROUP BY lang, pack_id
+    """,
+    covers=("[EXT]-packing",),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] token-budget sequence packing: documents are streamed in
+    (lang, doc_id) order and assigned to the pack their running char
+    total lands in — the standard greedy pre-tokenization packing for
+    context-window filling. One window shuffle partitioned by lang
+    (narrow per-language state, no global sort), one agg shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.floor(
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / float(PACK_BUDGET)
+        ).alias("pack_id"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double").alias("pack_chars"),
+    )
+
+
+#: per-language keep-rate (percent of hash space), e.g. downsample the
+#: dominant language, keep the rest whole — the usual corpus-balancing
+#: move before training.
+SAMPLE_RATES = {"en": 25, "zh": 50, "de": 100, "fr": 100, "es": 100}
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT doc_id, lang,
+             {_hash_bucket_sql('doc_id')} AS bucket
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept
+    FROM bucketed
+    WHERE bucket < CASE lang
+      WHEN 'en' THEN 25 WHEN 'zh' THEN 50 ELSE 100 END
+    GROUP BY lang
+    """,
+    covers=("[EXT]-sample",),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] deterministic stratified sampling by language: keep a doc
+    iff its md5 bucket falls under the language's keep-rate. Unlike
+    df.sampleBy (seeded RNG, partition-order dependent), the kept set
+    is a pure function of doc_id — re-runs, retries, and other engines
+    agree row-for-row. Filter + one agg shuffle; the filter prunes
+    before any shuffle so the downsampled language never moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in SAMPLE_RATES.items()],
+        F.lit(100),
+    )
+    kept = docs.select("doc_id", "lang", _hash_bucket(F.col("doc_id")).alias("bucket")).filter(
+        F.col("bucket") < rate
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))

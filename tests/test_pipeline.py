@@ -1,0 +1,67 @@
+"""Invariant tests for the training-data pipeline queries
+(queries/pipeline_q.py): deterministic splits, packing budget,
+stratified sample monotonicity. The value-level oracle parity is
+covered by tools/check_correctness.py; these check the semantic
+properties the oracle can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fegis_spark.queries.pipeline_q import (
+    PACK_BUDGET,
+    SAMPLE_RATES,
+    pack_sequences,
+    stratified_sample,
+    train_test_split,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_split_covers_all_docs_and_is_roughly_80_10_10(spark):
+    rows = train_test_split(spark, SF_DIR).collect()
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    total = sum(by_split.values())
+    assert total == spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert set(by_split) == {"train", "val", "test"}
+    # md5 buckets are uniform-ish; at n=500 allow wide tolerance
+    assert 0.70 <= by_split["train"] / total <= 0.90
+
+
+def test_split_is_deterministic_across_runs(spark):
+    a = {(r.split, r.lang): r.n_docs for r in train_test_split(spark, SF_DIR).collect()}
+    b = {(r.split, r.lang): r.n_docs for r in train_test_split(spark, SF_DIR).collect()}
+    assert a == b
+
+
+def test_pack_chars_within_budget_plus_one_doc(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    max_doc = docs.agg(F.max("n_chars")).collect()[0][0]
+    for r in pack_sequences(spark, SF_DIR).collect():
+        # greedy cumsum packing: a pack exceeds the budget by at most
+        # the document that crossed the boundary
+        assert r.pack_chars <= PACK_BUDGET + max_doc
+
+
+def test_pack_ids_contiguous_from_zero_per_lang(spark):
+    rows = pack_sequences(spark, SF_DIR).collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.pack_id)
+    for lang, ids in by_lang.items():
+        assert sorted(ids) == list(range(len(ids))), lang
+
+
+def test_stratified_sample_subset_and_rates(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r.lang: r.n_kept for r in stratified_sample(spark, SF_DIR).collect()}
+    for lang, n_kept in kept.items():
+        assert n_kept <= totals[lang]
+        if SAMPLE_RATES.get(lang, 100) == 100:
+            assert n_kept == totals[lang], lang
+        else:
+            assert n_kept < totals[lang], lang
