@@ -193,3 +193,59 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_x"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "ann_lsh_join",
+    oracle=None,  # LSH candidate generation is approximate — rows-only
+    covers=("K1-approx", "[EXT]-ann"),
+)
+def ann_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] second ANN scale path: random-projection LSH similarity
+    join (MLlib BucketedRandomProjectionLSH). Candidates come from a
+    bucket equi-join — no cross product, so corpus and query sides
+    both scale out; the trade against IVF (ann_ivf_probe) is no
+    centroid training and per-table hash layout instead of a
+    partition-pruning list layout."""
+    from fegis_spark.operators.knn import knn_join_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join_lsh(
+        emb.filter(F.col("vec_id") < 3), emb, "vec_id", "vec_id", "embedding", k=3
+    )
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=None,  # measures the approximate path against exact — rows-only
+    covers=("K1-approx", "[EXT]-ann"),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] recall@3 of the IVF path against exact brute-force KNN,
+    per query — the acceptance metric a production ANN rollout gates
+    on. Both sides are deterministic (seeded k-means, total-order
+    tiebreaks), so the measured recall is stable run-to-run."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=3).select(
+        "query_id", "corpus_id"
+    )
+    approx = ann_ivf(emb, queries, "vec_id", "vec_id", "embedding", k=3).select(
+        "query_id", F.col("corpus_id").alias("approx_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.corpus_id == approx.approx_id),
+        "left_semi",
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall_at_3"),
+        )
+    )

@@ -1,0 +1,49 @@
+"""Sharded corpus export ([EXT], SURVEY.md §2.12): the hand-off from
+the curation engine to training — bounded-size shards, optional
+partition layout, parquet or jsonl.
+
+Reference parity: fegis has no batch export (its sink is the per-call
+Qdrant upsert, storage.py:194-199); this is part of the
+training-pipeline surface mandated by BASELINE.json's north star.
+
+Scale notes:
+* shard size is bounded with maxRecordsPerFile — one writer task can
+  emit many shards, so no repartition-to-N-files global shuffle is
+  needed and AQE-coalesced input partitioning is preserved;
+* partition_by columns become directory partitions (hive layout) —
+  the downstream reader prunes on them for free;
+* jsonl (spark's `json` source) is newline-delimited JSON, the
+  interchange format most training stacks ingest directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 100_000,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """Write `df` as bounded-size shards under `path`.
+
+    fmt: "parquet" (columnar, default) or "jsonl" (newline-delimited
+    JSON). Shards never exceed max_records_per_file rows; files land
+    as part-*.{parquet,json[.gz]} under path (or partition dirs).
+    """
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"unsupported export format: {fmt!r}")
+    writer = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "parquet":
+        writer.parquet(path)
+    else:
+        writer.json(path)

@@ -65,3 +65,38 @@ def test_stratified_sample_subset_and_rates(spark):
             assert n_kept == totals[lang], lang
         else:
             assert n_kept < totals[lang], lang
+
+
+def test_write_shards_bounds_and_partitions(spark, tmp_path):
+    import glob
+
+    from fegis_spark.sources.export import write_shards
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "shards")
+    write_shards(docs, out, fmt="parquet", partition_by=["lang"], max_records_per_file=50)
+    files = glob.glob(f"{out}/lang=*/part-*.parquet")
+    assert files, "no shard files written"
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    for f in files:
+        assert spark.read.parquet(f).count() <= 50
+    # partition column round-trips through the hive layout
+    assert set(r.lang for r in back.select("lang").distinct().collect()) == set(
+        r.lang for r in docs.select("lang").distinct().collect()
+    )
+
+
+def test_write_shards_jsonl(spark, tmp_path):
+    import glob
+
+    from fegis_spark.sources.export import write_shards
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "jsonl")
+    write_shards(docs, out, fmt="jsonl", max_records_per_file=200)
+    assert glob.glob(f"{out}/part-*.json")
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
