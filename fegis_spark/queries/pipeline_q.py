@@ -172,3 +172,114 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket") < rate
     )
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+#: chunking geometry: 500-char windows every 400 chars (100 overlap).
+CHUNK_SIZE, CHUNK_STRIDE = 500, 400
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    SELECT doc_id,
+           (off - 1) // {CHUNK_STRIDE} AS chunk_idx,
+           length(substr(text, CAST(off AS INT), {CHUNK_SIZE})) AS chunk_chars,
+           md5(substr(text, CAST(off AS INT), {CHUNK_SIZE})) AS chunk_hash
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(1, CAST(n_chars AS INT), {CHUNK_STRIDE})) AS off
+      FROM documents
+    )
+    """,
+    covers=("[EXT]-chunking", "§2.8-explode"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] overlapping-window document chunking (500-char windows,
+    100-char overlap) — the pre-embedding step for RAG / context-window
+    prep. explode(sequence(...)) is a narrow per-row fan-out: no
+    shuffle at all, and the chunk count per task stays proportional to
+    its input bytes. Chunks are reported as (len, md5) so the result
+    stays small while still value-checking the exact chunk bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_chars").cast("int"), F.lit(CHUNK_STRIDE))
+        ).alias("off"),
+    )
+    chunk = F.expr(f"substring(text, off, {CHUNK_SIZE})")
+    return ex.select(
+        "doc_id",
+        F.floor((F.col("off") - 1) / CHUNK_STRIDE).alias("chunk_idx"),
+        F.length(chunk).cast("bigint").alias("chunk_chars"),
+        F.md5(chunk).alias("chunk_hash"),
+    )
+
+
+#: contamination geometry: 8-token grams, report eval docs with >= 20%
+#: of their grams present in a train doc.
+CONTAM_NGRAM, CONTAM_THRESHOLD = 8, 0.2
+#: deterministic eval holdout: every 53rd doc plays the benchmark set.
+EVAL_MOD = 53
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(0, len(tok)-{CONTAM_NGRAM - 1}),
+                           i -> array_to_string(list_slice(tok, i+1, i+{CONTAM_NGRAM}), ' '))) AS sh
+      FROM (SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '') AS tok
+            FROM documents)
+      WHERE len(tok) >= {CONTAM_NGRAM}
+    ),
+    ev AS (SELECT doc, len(sh) AS n_grams, unnest(sh) AS g FROM base WHERE doc % {EVAL_MOD} = 0),
+    tr AS (SELECT doc, unnest(sh) AS g FROM base WHERE doc % {EVAL_MOD} <> 0)
+    SELECT train_doc, eval_doc, n_shared, contamination FROM (
+      SELECT tr.doc AS train_doc, ev.doc AS eval_doc,
+             count(*) AS n_shared,
+             round(count(*)::DOUBLE / ev.n_grams, 6) AS contamination
+      FROM tr JOIN ev ON tr.g = ev.g
+      GROUP BY tr.doc, ev.doc, ev.n_grams
+    ) WHERE contamination >= {CONTAM_THRESHOLD}
+    """,
+    covers=("[EXT]-contamination",),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] benchmark-contamination detection: which training docs
+    contain >=20% of an eval doc's 8-token-grams. The eval side (a
+    deterministic 1-in-{EVAL_MOD} holdout standing in for a benchmark
+    suite) is tiny, so its exploded gram table is broadcast — the
+    train corpus streams through map-side, no corpus shuffle; the only
+    exchange is the per-(train,eval) count aggregation, bounded by
+    matching pairs, not corpus size."""
+    from fegis_spark.operators.dedup import with_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs, "text", "doc_id", n=CONTAM_NGRAM)
+    ev = (
+        sh.filter(F.col("doc") % EVAL_MOD == 0)
+        .select("doc", F.size("sh").alias("n_grams"), F.explode("sh").alias("g"))
+    )
+    tr = sh.filter(F.col("doc") % EVAL_MOD != 0).select(
+        "doc", F.explode("sh").alias("g")
+    )
+    joined = tr.alias("tr").join(
+        F.broadcast(ev.alias("ev")), F.col("tr.g") == F.col("ev.g")
+    )
+    return (
+        joined.groupBy(
+            F.col("tr.doc").alias("train_doc"),
+            F.col("ev.doc").alias("eval_doc"),
+            F.col("ev.n_grams").alias("n_grams"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .withColumn(
+            "contamination", F.round(F.col("n_shared") / F.col("n_grams"), 6)
+        )
+        .filter(F.col("contamination") >= CONTAM_THRESHOLD)
+        .select("train_doc", "eval_doc", "n_shared", "contamination")
+    )
