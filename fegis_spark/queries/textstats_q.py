@@ -154,3 +154,46 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality"),
         )
     )
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(0, len(tok)-7),
+                           i -> array_to_string(list_slice(tok, i+1, i+8), ' '))) AS sh
+      FROM (SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '') AS tok
+            FROM documents)
+      WHERE len(tok) >= 8
+    )
+    SELECT g, n_docs FROM (
+      SELECT g, count(*) AS n_docs
+      FROM (SELECT doc, unnest(sh) AS g FROM base)
+      GROUP BY g
+    ) WHERE n_docs >= 3
+    ORDER BY n_docs DESC, g
+    LIMIT 20
+    """,
+    covers=("[EXT]-boilerplate", "[EXT]-text-stats"),
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] boilerplate detection: the 8-token-grams repeated across
+    the most documents (headers, footers, licence blurbs — the strings
+    a curation pass strips corpus-wide). Shingles are distinct per doc
+    so the count is docs-containing, not occurrences. One partial+final
+    agg on the gram, then TakeOrderedAndProject for the top-20 — the
+    full gram table never sorts."""
+    from fegis_spark.operators.dedup import with_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs, "text", "doc_id", n=8)
+    return (
+        sh.select(F.explode("sh").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), F.asc("g"))
+        .limit(20)
+    )

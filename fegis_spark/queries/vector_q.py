@@ -249,3 +249,50 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_3"),
         )
     )
+
+
+@register(
+    "quantize_embeddings",
+    oracle="""
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           list_aggregate(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)), 'sum') AS qsum,
+           list_min(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT))) AS qmin,
+           list_max(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT))) AS qmax
+    FROM (
+      SELECT vec_id, v,
+             CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END AS scale
+      FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
+        FROM embeddings
+      )
+    )
+    """,
+    covers=("[EXT]-quantize",),
+)
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] symmetric int8 quantization per vector (scale = 127/max
+    |x|, q = floor(x*scale + 0.5)) — the storage/bandwidth move that
+    makes 100 TB of embeddings 4x smaller before ANN indexing. Pure
+    projection over higher-order fold expressions: zero shuffle, and
+    the rounding formula is spelled out so any engine reproduces the
+    exact bytes (checked here via qsum/qmin/qmax, not a sample)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    base = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.when(m == 0, F.lit(0.0)).otherwise(F.lit(127.0) / m).alias("scale"),
+    )
+    q = F.transform(
+        F.col("v"), lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("long")
+    )
+    return base.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("qsum"),
+        F.array_min(q).alias("qmin"),
+        F.array_max(q).alias("qmax"),
+    )

@@ -62,3 +62,26 @@ def test_by_id_pushes_key(spark, cat):
     p = formatted_plan(spark, cat, "by_id_lookup")
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert pushed and "EqualTo(vec_id,42)" in pushed[0]
+
+
+def test_chunking_is_shuffle_free(spark, cat):
+    p = formatted_plan(spark, cat, "chunk_documents")
+    assert "Exchange" not in p, p
+
+
+def test_contamination_broadcasts_eval_grams(spark, cat):
+    p = formatted_plan(spark, cat, "contamination_check")
+    assert "BroadcastHashJoin" in p
+    # the train corpus must stream map-side: no SortMergeJoin anywhere
+    assert "SortMergeJoin" not in p
+
+
+def test_packing_reuses_window_partitioning(spark, cat):
+    # the groupBy(lang, pack_id) after the per-lang window must not
+    # re-exchange: hashpartitioning(lang) already co-locates the groups
+    p = formatted_plan(spark, cat, "pack_sequences")
+    import re
+
+    # formatted explain prints each node in the tree AND a detail
+    # section — count detail headers like "(4) Exchange"
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
