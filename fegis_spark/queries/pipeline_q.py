@@ -55,6 +55,7 @@ _SPLIT_CASE = "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' EL
     GROUP BY 1, 2
     """,
     covers=("[EXT]-split",),
+    bench=True,
 )
 def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] deterministic 80/10/10 train/val/test split by md5 hash
@@ -247,6 +248,7 @@ EVAL_MOD = 53
     ) WHERE contamination >= {CONTAM_THRESHOLD}
     """,
     covers=("[EXT]-contamination",),
+    bench=True,
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] benchmark-contamination detection: which training docs
