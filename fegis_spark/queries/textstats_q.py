@@ -197,3 +197,48 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("g"))
         .limit(20)
     )
+
+
+@register(
+    "doc_repetition",
+    oracle="""
+    SELECT doc_id, n_grams, n_distinct,
+           round(1.0 - n_distinct / CAST(n_grams AS DOUBLE), 6) AS repetition
+    FROM (
+      SELECT doc_id,
+             len(tok) - 2 AS n_grams,
+             len(list_distinct(list_transform(range(0, len(tok)-2),
+                 i -> array_to_string(list_slice(tok, i+1, i+3), ' ')))) AS n_distinct
+      FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '') AS tok
+            FROM documents)
+      WHERE len(tok) >= 3
+    )
+    """,
+    covers=("[EXT]-repetition", "[EXT]-quality"),
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] intra-document repetition ratio (Gopher-rule style):
+    1 - distinct/total token 3-grams. High values flag looping or
+    boilerplate-stuffed docs that survive inter-doc dedup. Per-row
+    projection through the Scala NGram transformer — no shuffle."""
+    from pyspark.ml.feature import NGram
+
+    from fegis_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    ng = NGram(n=3, inputCol="tok", outputCol="g")
+    out = (
+        ng.transform(base)
+        .filter(F.size("tok") >= 3)
+        .select(
+            "doc_id",
+            (F.size("tok") - 2).cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct("g")).cast("bigint").alias("n_distinct"),
+        )
+    )
+    return out.withColumn(
+        "repetition",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_grams").cast("double"), 6),
+    )
