@@ -16,7 +16,7 @@ These encode the 100 TB playbook as reusable operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -69,3 +69,58 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def pack_greedy_sharded(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    shards: int = 16,
+) -> DataFrame:
+    """Hierarchical token-budget packing — the parallel form of the
+    per-key greedy cumsum pack (queries/pipeline_q.py:pack_sequences),
+    which at 100 TB would serialize each key's running sum through one
+    task (SCALE.md "Skew").
+
+    Phase 1: rows hash into `shards` sub-streams per key; each shard
+    runs the greedy pack independently (windows over (key, shard) —
+    `shards`× the parallelism). Phase 2: per-(key, shard) pack counts
+    (tiny: one row per shard) get prefix-summed per key and broadcast
+    back, renumbering local packs into a globally unique, contiguous
+    pack_id per key.
+
+    Same invariants as the sequential form — pack weight ≤ budget +
+    one overflowing row, ids contiguous from 0 per key — but pack
+    *membership* differs (documented trade for parallelism).
+
+    Returns df + [shard, local_pack, pack_id].
+    """
+    shard = F.pmod(F.xxhash64(F.col(order_col).cast("string")), F.lit(shards))
+    base = df.withColumn("shard", shard)
+    w = (
+        Window.partitionBy(*key_cols, "shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "local_pack",
+        F.floor(
+            F.coalesce(F.sum(weight_col).over(w), F.lit(0)) / float(budget)
+        ).cast("long"),
+    )
+    counts = local.groupBy(*key_cols, "shard").agg(
+        (F.max("local_pack") + 1).alias("n_packs")
+    )
+    woff = (
+        Window.partitionBy(*key_cols)
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "pack_base", F.coalesce(F.sum("n_packs").over(woff), F.lit(0)).cast("long")
+    ).select(*key_cols, "shard", "pack_base")
+    return local.join(F.broadcast(offsets), [*key_cols, "shard"]).withColumn(
+        "pack_id", F.col("pack_base") + F.col("local_pack")
+    )

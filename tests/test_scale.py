@@ -47,3 +47,42 @@ def test_bucketed_write_no_shuffle_join(spark):
     import shutil
 
     shutil.rmtree("spark-warehouse/ev_bucketed", ignore_errors=True)
+
+
+def test_sharded_packing_invariants(spark):
+    from fegis_spark.operators.scale import pack_greedy_sharded
+
+    docs = load_table(spark, SF_DIR, "documents")
+    budget = 16_384
+    out = pack_greedy_sharded(
+        docs, ["lang"], "doc_id", "n_chars", budget=budget, shards=4
+    )
+    # every doc packed exactly once
+    assert out.count() == docs.count()
+    max_doc = docs.agg(F.max("n_chars")).collect()[0][0]
+    rows = (
+        out.groupBy("lang", "pack_id")
+        .agg(F.sum("n_chars").alias("w"))
+        .collect()
+    )
+    for r in rows:
+        # greedy bound: budget + the row that crossed the boundary
+        assert r.w <= budget + max_doc, (r.lang, r.pack_id, r.w)
+    # pack ids contiguous from 0 per lang
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.pack_id)
+    for lang, ids in by_lang.items():
+        assert sorted(ids) == list(range(len(ids))), lang
+    # deterministic across runs
+    a = {(r.lang, r.pack_id): r.w for r in rows}
+    b = {
+        (r.lang, r.pack_id): r.w
+        for r in pack_greedy_sharded(
+            docs, ["lang"], "doc_id", "n_chars", budget=budget, shards=4
+        )
+        .groupBy("lang", "pack_id")
+        .agg(F.sum("n_chars").alias("w"))
+        .collect()
+    }
+    assert a == b

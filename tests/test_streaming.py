@@ -140,3 +140,26 @@ def test_stateful_sequence_numbering(spark, events_stream):
         for r in batch.withColumn("sequence_order", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, events_stream):
+    from fegis_spark.streaming.dedup import dedup_stream
+
+    sdf, batch = events_stream
+    dd = dedup_stream(_normalize_stream_events(sdf), "props", "ts", delay="10 minutes")
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT count(*) AS n FROM dedup_sink").collect()[0].n
+    from fegis_spark.operators.dedup import normalize_text as nt
+    from pyspark.sql import functions as FF
+
+    exp = batch.select(FF.md5(nt(FF.col("props"))).alias("h")).distinct().count()
+    assert got == exp
