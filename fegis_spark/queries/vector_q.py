@@ -296,3 +296,25 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(q).alias("qmin"),
         F.array_max(q).alias("qmax"),
     )
+
+
+@register(
+    "knn_top100",
+    oracle=f"""
+    SELECT a.vec_id, round({_COS}, 6) AS score
+    FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY {_COS} DESC, a.vec_id
+    LIMIT 100
+    """,
+    covers=("K1", "K4", "X2"),
+    bench=True,
+)
+def knn_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K4 at the reference's k ceiling (limit<=100,
+    search_tool_schema.json:12-18) — BASELINE.md's measurement plan
+    records KNN at k=3 (default) and k=100 (max). Same
+    TakeOrderedAndProject plan as knn_basic: per-partition heaps of
+    100, no global sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = basic_search(emb, "embedding", _query_vec(spark, sf_dir), k=100)
+    return out.select("vec_id", F.round("score", 6).alias("score"))

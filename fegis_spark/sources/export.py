@@ -47,3 +47,22 @@ def write_shards(
         writer.parquet(path)
     else:
         writer.json(path)
+
+
+def read_corpus(
+    spark,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+):
+    """Read a corpus directory written by write_shards (or any
+    compatible layout). For jsonl, pass an explicit DDL schema string
+    whenever one is known — schema inference is an extra full pass
+    over 100 TB; an explicit schema makes the scan single-pass and
+    pins column types against drifting inference."""
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"unsupported corpus format: {fmt!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path) if fmt == "parquet" else reader.json(path)

@@ -100,3 +100,18 @@ def test_write_shards_jsonl(spark, tmp_path):
     assert glob.glob(f"{out}/part-*.json")
     back = spark.read.json(out)
     assert back.count() == docs.count()
+
+
+def test_corpus_roundtrip_jsonl_with_schema(spark, tmp_path):
+    from fegis_spark.sources.export import read_corpus, write_shards
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "corpus")
+    write_shards(docs, out, fmt="jsonl", max_records_per_file=100)
+    back = read_corpus(spark, out, fmt="jsonl", schema="doc_id long, lang string, n_chars long")
+    assert back.schema == docs.schema
+    assert sorted(r.doc_id for r in back.collect()) == sorted(
+        r.doc_id for r in docs.collect()
+    )
