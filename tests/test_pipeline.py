@@ -115,3 +115,23 @@ def test_corpus_roundtrip_jsonl_with_schema(spark, tmp_path):
     assert sorted(r.doc_id for r in back.collect()) == sorted(
         r.doc_id for r in docs.collect()
     )
+
+
+def test_split_assignment_stable_across_scale_factors(spark):
+    # the hash split must be a pure function of doc_id: growing the
+    # corpus (sf0.001 -> sf0.01) cannot move any shared doc between
+    # splits — the property that makes incremental re-splits safe
+    from fegis_spark.queries.pipeline_q import _hash_bucket
+
+    def assignment(sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", _hash_bucket(F.col("doc_id")).alias("bucket")
+        )
+        return {r.doc_id: r.bucket for r in df.collect()}
+
+    small = assignment("/root/testdata/sf0.001")
+    big = assignment("/root/testdata/sf0.01")
+    shared = set(small) & set(big)
+    assert shared, "scale factors share no doc_ids — test assumption broken"
+    for d in shared:
+        assert small[d] == big[d], d
