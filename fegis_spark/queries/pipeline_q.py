@@ -285,3 +285,48 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("contamination") >= CONTAM_THRESHOLD)
         .select("train_doc", "eval_doc", "n_shared", "contamination")
     )
+
+
+#: epoch size for the mixture plan (docs drawn per training epoch).
+EPOCH_DOCS = 10_000
+
+
+@register(
+    "mixture_plan",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(round(sqrt(COUNT(*)), 6) AS DECIMAL(38,6)) AS w
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT CAST(SUM(w) AS DOUBLE) AS total_w FROM cells
+    )
+    SELECT lang, source, n_docs,
+           round(CAST(w AS DOUBLE) / total_w, 6) AS target_frac,
+           CAST(floor(CAST(w AS DOUBLE) / total_w * {EPOCH_DOCS}) AS BIGINT) AS docs_per_epoch
+    FROM cells, tot
+    """,
+    covers=("[EXT]-mixture", "§2.4-agg"),
+)
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] corpus-mixture planning: per (lang, source) domain, the
+    epoch sampling quota under sqrt (temperature-2) re-weighting — the
+    standard move that keeps dominant domains from drowning the mix.
+    One agg shuffle down to |domains| rows; the grand total rides a
+    broadcast cross join of a 1-row aggregate. Weights are rounded
+    then decimal-summed so the total (and every floor() boundary) is
+    identical on any engine and any partition order."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sqrt(F.count("*")), 6).cast("decimal(38,6)").alias("w"),
+    )
+    tot = cells.agg(F.sum("w").cast("double").alias("total_w"))
+    frac = F.col("w").cast("double") / F.col("total_w")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round(frac, 6).alias("target_frac"),
+        F.floor(frac * EPOCH_DOCS).cast("bigint").alias("docs_per_epoch"),
+    )
