@@ -97,7 +97,15 @@ def pack_greedy_sharded(
 
     Returns df + [shard, local_pack, pack_id].
     """
-    shard = F.pmod(F.xxhash64(F.col(order_col).cast("string")), F.lit(shards))
+    # portable md5 shard (same recipe as the split/sample buckets) so
+    # the whole hierarchical pack is reproducible on any engine —
+    # which is also what lets the catalog query oracle-check it
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(order_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % shards
+    )
     base = df.withColumn("shard", shard)
     w = (
         Window.partitionBy(*key_cols, "shard")

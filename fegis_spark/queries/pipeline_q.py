@@ -330,3 +330,56 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("target_frac"),
         F.floor(frac * EPOCH_DOCS).cast("bigint").alias("docs_per_epoch"),
     )
+
+
+@register(
+    "pack_sequences_sharded",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang, doc_id, n_chars,
+             {_hash_bucket_sql('doc_id', 4)} AS shard
+      FROM documents
+    ), l AS (
+      SELECT *, CAST(floor(
+               COALESCE(SUM(n_chars) OVER (
+                 PARTITION BY lang, shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {PACK_BUDGET}.0
+             ) AS BIGINT) AS local_pack
+      FROM s
+    ), c AS (
+      SELECT lang, shard, max(local_pack) + 1 AS n_packs FROM l GROUP BY lang, shard
+    ), o AS (
+      SELECT lang, shard,
+             COALESCE(SUM(n_packs) OVER (
+               PARTITION BY lang ORDER BY shard
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS pack_base
+      FROM c
+    )
+    SELECT l.lang, o.pack_base + l.local_pack AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(l.n_chars AS DECIMAL(38,6))) AS DOUBLE) AS pack_chars
+    FROM l JOIN o ON l.lang = o.lang AND l.shard = o.shard
+    GROUP BY 1, 2
+    """,
+    covers=("[EXT]-packing", "[EXT]-packing-sharded"),
+)
+def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the parallel form of pack_sequences: greedy packing runs
+    independently per (lang, md5-shard) sub-stream — 4 shards here,
+    hundreds at 100 TB — and a broadcast prefix-sum over per-shard
+    pack counts renumbers local packs into contiguous global ids.
+    This is the skew fix promised in SCALE.md, oracle-checked
+    end-to-end because the shard assignment uses the portable md5
+    bucket rather than an engine hash."""
+    from fegis_spark.operators.scale import pack_greedy_sharded
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    packed = pack_greedy_sharded(
+        docs, ["lang"], "doc_id", "n_chars", budget=PACK_BUDGET, shards=4
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double").alias("pack_chars"),
+    )
