@@ -108,3 +108,53 @@ def search_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         timestamp_fields=set(),
     )
     return out.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+@register(
+    "rrf_hybrid_pooled",
+    oracle=f"""
+    WITH scored AS (
+      SELECT d.doc_id AS id,
+             {_COS} AS dense,
+             {_lex_sql('d.text')}::DOUBLE AS lex
+      FROM documents d
+      JOIN embeddings a ON a.vec_id = d.doc_id
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ), dp AS (
+      SELECT id, row_number() OVER (ORDER BY dense DESC, id) AS r_dense
+      FROM scored ORDER BY dense DESC, id LIMIT 100
+    ), lp AS (
+      SELECT id, row_number() OVER (ORDER BY lex DESC, id) AS r_lex
+      FROM scored ORDER BY lex DESC, id LIMIT 100
+    ), fused AS (
+      SELECT COALESCE(dp.id, lp.id) AS id, dp.r_dense, lp.r_lex,
+             round(COALESCE(1.0/(60 + dp.r_dense), 0) + COALESCE(1.0/(60 + lp.r_lex), 0), 6) AS rrf
+      FROM dp FULL OUTER JOIN lp ON dp.id = lp.id
+    )
+    SELECT id, r_dense, r_lex, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10
+    """,
+    covers=("K5", "K6", "X2"),
+)
+def rrf_hybrid_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 hybrid at scale: candidate pools (top-100 per modality via
+    TakeOrderedAndProject) are ranked and fused instead of the whole
+    corpus — the form whose corpus-size cost is two scans and two
+    constant-size heaps. Pool-absent docs contribute 0 for that
+    modality, the standard candidate-pool RRF convention."""
+    from fegis_spark.operators.rrf import rrf_fuse_pooled
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    return rrf_fuse_pooled(
+        joined,
+        "doc_id",
+        "embedding",
+        "text",
+        _query_vec(spark, sf_dir),
+        _TERMS,
+        k=10,
+        pool=100,
+    )
