@@ -362,3 +362,51 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_clicked_after")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_after")))
     )
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean,
+             sqrt(greatest(
+               (CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+                - CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+               / (COUNT(*) - 1), 0)) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           s.n AS n_events,
+           COUNT(*) FILTER (WHERE abs((e.value - s.mean) / s.sd) > 3.0) AS n_outliers
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE s.sd > 0
+    GROUP BY e.event_type, s.n
+    """,
+    covers=("[EXT]-anomaly", "§2.4-stats"),
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] z-score anomaly counts per event_type: per-group moments
+    from decimal-exact sums (order-independent, unlike the float
+    var_samp accumulator), broadcast back to the stream, |z| > 3
+    flagged. The stats table is |event_types| rows — the second pass
+    is a broadcast join, so corpus-size work is two scans and two
+    partial aggs; the same shape monitors feature drift in a training
+    pipeline."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    n = F.count("*")
+    s1 = F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")).cast("double")
+    stats = ev.groupBy("event_type").agg(
+        n.alias("n"),
+        (s1 / n).alias("mean"),
+        F.sqrt(F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))).alias("sd"),
+    )
+    z = F.abs((F.col("value") - F.col("mean")) / F.col("sd"))
+    return (
+        ev.join(F.broadcast(stats.filter(F.col("sd") > 0)), "event_type")
+        .groupBy("event_type", F.col("n").alias("n_events"))
+        .agg(F.count_if(z > 3.0).alias("n_outliers"))
+    )
