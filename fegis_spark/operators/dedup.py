@@ -371,6 +371,20 @@ def embedding_neardup_pairs(
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Unpersist the RDD backing a localCheckpoint'ed DataFrame.
+
+    DataFrame.unpersist() only uncaches CacheManager entries, not
+    checkpoint RDDs, so iterative algorithms would otherwise hold every
+    round's blocks until session end. Only call this after every
+    downstream consumer has been materialized — a locally-checkpointed
+    RDD has no lineage and cannot be recomputed once dropped."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # private API; best-effort cleanup only
+        pass
+
+
 def connected_components(
     edges: DataFrame, a: str = "a", b: str = "b", max_iter: int = 20
 ) -> DataFrame:
@@ -380,18 +394,34 @@ def connected_components(
     duplicate cluster.
 
     Iterates join+min until fixpoint (O(graph diameter) rounds — near-
-    dup clusters are shallow, typically 2-4). At billion-edge scale swap
-    the loop body for the large-star/small-star algorithm; the driver
-    loop with one scalar convergence check per round is the same shape.
+    dup clusters are shallow, typically 2-4). Each round materializes
+    through localCheckpoint(eager=True): the convergence check reads the
+    cached blocks instead of re-running the join, the logical plan stays
+    O(1) deep across rounds (no exponential lineage growth), and round
+    i-1's blocks are freed as soon as round i is materialized. At
+    billion-edge scale swap the loop body for large-star/small-star; the
+    checkpoint-per-round driver loop is the same shape.
+
+    Warns (RuntimeWarning) if max_iter is exhausted before fixpoint —
+    the returned labels are then only partially propagated and must not
+    be mistaken for final components.
     """
-    und = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
-        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    import warnings
+
+    from pyspark import StorageLevel
+
+    und = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         und.select(F.col("src").alias("n"))
         .distinct()
         .withColumn("lbl", F.col("n"))
     )
+    prev = None
+    converged = False
     for _ in range(max_iter):
         neigh = (
             und.join(labels, und.src == labels.n)
@@ -407,9 +437,23 @@ def connected_components(
                 ),
                 "lbl",
             )
+            .localCheckpoint(eager=True)
         )
         changed = merged.filter(F.col("new_lbl") != F.col("lbl")).limit(1).count()
+        if prev is not None:
+            _free_local_checkpoint(prev)
+        prev = merged
         labels = merged.select("n", F.col("new_lbl").alias("lbl"))
         if changed == 0:
+            converged = True
             break
+    und.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components exhausted max_iter={max_iter} before "
+            "fixpoint; returned labels are partially propagated, not final "
+            "components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("component"))

@@ -117,3 +117,57 @@ def test_token_ngrams_short_doc(spark):
     df = spark.createDataFrame([("one two",)], "text string")
     row = df.select(token_ngrams(tokens(F.col("text")), 3).alias("g")).first()
     assert row.g == []
+
+
+def _chain_edges(spark, n):
+    """Path graph 0-1-2-...-n: worst case for min-label propagation
+    (needs ~n rounds), so it exercises many checkpointed iterations."""
+    return spark.createDataFrame([(i, i + 1) for i in range(n)], "a long, b long")
+
+
+def test_connected_components_chain_converges(spark):
+    from fegis_spark.operators.dedup import connected_components
+
+    out = connected_components(_chain_edges(spark, 12), max_iter=20)
+    rows = out.collect()
+    assert {r.node for r in rows} == set(range(13))
+    assert all(r.component == 0 for r in rows)
+
+
+def test_connected_components_plan_depth_bounded(spark):
+    """localCheckpoint per round must keep the final plan O(1) deep —
+    a scan of the last checkpoint RDD, not 12 nested joins."""
+    from fegis_spark.operators.dedup import connected_components
+
+    out = connected_components(_chain_edges(spark, 12), max_iter=20)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+    assert len(plan.splitlines()) < 10, plan
+
+
+def test_connected_components_frees_intermediate_storage(spark):
+    """Only the final round's checkpoint may remain persisted; every
+    predecessor round and the edge table must be unpersisted."""
+    from fegis_spark.operators.dedup import connected_components
+
+    jsc = spark._jsc
+    before = jsc.getPersistentRDDs().size()
+    connected_components(_chain_edges(spark, 12), max_iter=20)
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (before, after)
+
+
+def test_connected_components_warns_on_iteration_exhaustion(spark):
+    import warnings
+
+    from fegis_spark.operators.dedup import connected_components
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components(_chain_edges(spark, 12), max_iter=2)
+        out.collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "max_iter" in str(w.message)
+        for w in caught
+    )
