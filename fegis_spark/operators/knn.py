@@ -106,6 +106,35 @@ def knn_join_lsh(
     )
 
 
+def ivf_training_sample(
+    corpus_df: DataFrame, corpus_id: str, vec_col: str, target: int
+) -> DataFrame:
+    """Deterministic bounded centroid-training sample with no global
+    ordering: md5-bucket the row *id* (never the vector — no full-corpus
+    vector-to-string cast) and keep hashes under a cutoff sized from a
+    cheap count so the expected yield is ~1.2x target. The plan is
+    scan + filter — no Sort/TakeOrdered over the corpus (pinned in
+    tests/test_plans.py); the caller trims to exactly `target` rows
+    driver-side by (hash, id), which is total-ordered and bounded.
+    """
+    n = corpus_df.select(corpus_id).count()
+    frac = min(1.0, (1.2 * target) / max(n, 1))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ivf-sample:"), F.col(corpus_id).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return corpus_df.select(
+        F.col(corpus_id).cast("string").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        h.alias("__h"),
+    ).filter(F.col("__h") <= int(frac * 0xFFFFFFFF))
+
+
 def ann_ivf(
     corpus_df: DataFrame,
     queries_df: DataFrame,
@@ -124,13 +153,10 @@ def ann_ivf(
     lists. Recall < 1 by design → rows-only correctness tier."""
     import numpy as np
 
-    sample = (
-        corpus_df.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.crc32(F.col("v").cast("string")))  # deterministic pseudo-shuffle
-        .limit(max(n_lists * 32, 512))
-        .collect()
-    )
-    X = np.array([r.v for r in sample], dtype=np.float64)
+    target = max(n_lists * 32, 512)
+    sample = ivf_training_sample(corpus_df, corpus_id, vec_col, target).collect()
+    sample.sort(key=lambda r: (r["__h"], r["__id"]))  # bounded driver-side trim
+    X = np.array([r["v"] for r in sample[:target]], dtype=np.float64)
     rng = np.random.default_rng(42)
     cent = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
     for _ in range(kmeans_iters):

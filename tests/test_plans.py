@@ -85,3 +85,24 @@ def test_packing_reuses_window_partitioning(spark, cat):
     # formatted explain prints each node in the tree AND a detail
     # section — count detail headers like "(4) Exchange"
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_ivf_sample_has_no_corpus_ordering(spark):
+    # centroid training sample = scan + md5-bucket filter; a global
+    # Sort/TakeOrdered over the corpus here would be a 100 TB scan-sort
+    # just to draw ~512 rows
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from fegis_spark.model import load_table
+    from fegis_spark.operators.knn import ivf_training_sample
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = ivf_training_sample(emb, "vec_id", "embedding", 512)
+    buf = _io.StringIO()
+    with _rs(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "Sort" not in p, p
+    assert "TakeOrdered" not in p, p
+    assert "Exchange" not in p, p
