@@ -4,19 +4,28 @@ The reference only *documents* hybrid RRF (qdrant-client rank-fuses
 and overwrites scores — fegis/search/handler.py:52 comment); here it
 is implemented explicitly: dense rank (cosine) + lexical rank (term
 occurrence count), fused as 1/(K+r_dense) + 1/(K+r_lex) with the
-canonical K=60. Ranks come from row_number windows with id tiebreaks,
-so the fusion is fully deterministic and oracle-checkable.
+canonical K=60. Ranks have id tiebreaks, so the fusion is fully
+deterministic and oracle-checkable.
+
+Neither form plans a WindowExec: ``rrf_fuse`` keeps corpus-wide-rank
+semantics by ranking only a provably-sufficient candidate pool
+(TakeOrdered pools + broadcast count-joins for exact global ranks);
+``rrf_fuse_pooled`` ranks inside constant-size pools via the
+window-free ranked_topk. An unpartitioned ``row_number`` window over
+the corpus — the naive spelling — funnels every row through one task
+and is exactly what these plans exist to avoid.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fegis_spark.functions.vector import cosine, lit_vector
 from fegis_spark.operators.text_analysis import occurrences, padded
+from fegis_spark.operators.topk import ranked_topk
 
 RRF_K = 60
 
@@ -37,23 +46,60 @@ def rrf_fuse(
     query_terms: Sequence[str],
     k: int = 10,
     rrf_k: int = RRF_K,
+    pool: int | None = None,
 ) -> DataFrame:
-    """Hybrid search: dense + lexical ranks → RRF score → top-k.
+    """Hybrid search with corpus-wide rank semantics — r_dense/r_lex are
+    each doc's rank over the FULL corpus — via a bounded-candidate plan.
 
-    Both rank windows are global (unpartitioned) — correct for a
-    search result set; at scale the input should already be a
-    candidate pool (top-N per modality), not the full corpus.
+    Exactness: a non-candidate doc has both ranks > pool, so its fused
+    score is at most 2/(rrf_k+pool+1), while the dense-top r docs each
+    score at least 1/(rrf_k+r); 1/(rrf_k+r) > 2/(rrf_k+pool+1) holds
+    for all r < (pool+1-rrf_k)/2, so with pool >= 2k + rrf_k + 1 at
+    least k candidates beat every non-candidate and the global top-k
+    lies inside the candidate union. Ranks themselves are exact by
+    construction (count of rows strictly ahead, same (value desc, id)
+    total order as row_number).
+
+    Plan: two TakeOrderedAndProject pools (per-partition heaps), then
+    two broadcast theta-count-joins of the corpus against the <=2*pool
+    candidates — no WindowExec, no global sort, the corpus never
+    shuffles (the count aggregate is map-side combined down to <=2*pool
+    rows).
     """
+    if pool is None:
+        pool = max(100, 2 * k + rrf_k + 1)
     scored = df.select(
         F.col(id_col).alias("id"),
         cosine(F.col(vec_col), lit_vector(query_vec)).alias("dense"),
         lexical_score(F.col(text_col), query_terms).alias("lex"),
     )
-    w_d = Window.orderBy(F.desc("dense"), F.col("id"))
-    w_l = Window.orderBy(F.desc("lex"), F.col("id"))
+    dc = scored.orderBy(F.desc("dense"), F.col("id")).limit(pool)
+    lc = scored.orderBy(F.desc("lex"), F.col("id")).limit(pool)
+    # pools carry identical full rows for the same id, so distinct()
+    # on the whole row dedupes the union
+    cand = dc.union(lc).distinct()
+
+    def global_rank(val: str, rank_name: str) -> DataFrame:
+        s, c = scored.alias("s"), cand.alias("c")
+        ahead = (F.col(f"s.{val}") > F.col(f"c.{val}")) | (
+            (F.col(f"s.{val}") == F.col(f"c.{val}")) & (F.col("s.id") < F.col("c.id"))
+        )
+        return (
+            s.join(F.broadcast(c), ahead)
+            .groupBy(F.col("c.id").alias("id"))
+            .agg((F.count("*") + 1).cast("bigint").alias(rank_name))
+        )
+
     fused = (
-        scored.withColumn("r_dense", F.row_number().over(w_d).cast("bigint"))
-        .withColumn("r_lex", F.row_number().over(w_l).cast("bigint"))
+        cand.select("id")
+        .join(global_rank("dense", "r_dense"), "id", "left")
+        .join(global_rank("lex", "r_lex"), "id", "left")
+        .select(
+            "id",
+            # absent from the count-join = zero rows ahead = rank 1
+            F.coalesce("r_dense", F.lit(1)).cast("bigint").alias("r_dense"),
+            F.coalesce("r_lex", F.lit(1)).cast("bigint").alias("r_lex"),
+        )
         .withColumn(
             "rrf",
             F.round(
@@ -79,42 +125,32 @@ def rrf_fuse_pooled(
 ) -> DataFrame:
     """Scale-path hybrid search: top-`pool` per modality first (each a
     TakeOrderedAndProject over the corpus — per-partition heaps, no
-    global sort), then rank + fuse inside the constant-size pools.
+    global sort), then rank inside the constant-size pools via the
+    window-free ranked_topk and fuse.
 
     A doc's rank within its top-`pool` equals its global rank, so for
     docs present in a pool the RRF contribution is identical to the
     all-corpus form (rrf_fuse); a doc absent from a modality's pool
     contributes 0 for that modality (the standard candidate-pool RRF
-    convention). Corpus-size work is two scans + two top-k heaps; the
-    windows and the join touch only 2×pool rows."""
+    convention). Corpus-size work is two scans + two top-k heaps."""
     scored = df.select(
         F.col(id_col).alias("id"),
         cosine(F.col(vec_col), lit_vector(query_vec)).alias("dense"),
         lexical_score(F.col(text_col), query_terms).alias("lex"),
     )
-    w_d = Window.orderBy(F.desc("dense"), F.col("id"))
-    w_l = Window.orderBy(F.desc("lex"), F.col("id"))
-    dpool = (
-        scored.select("id", "dense")
-        .orderBy(F.desc("dense"), F.col("id"))
-        .limit(pool)
-        .withColumn("r_dense", F.row_number().over(w_d).cast("bigint"))
-        .select("id", "r_dense")
-    )
-    lpool = (
-        scored.select("id", "lex")
-        .orderBy(F.desc("lex"), F.col("id"))
-        .limit(pool)
-        .withColumn("r_lex", F.row_number().over(w_l).cast("bigint"))
-        .select("id", "r_lex")
-    )
-    fused = dpool.join(lpool, "id", "full_outer").withColumn(
-        "rrf",
-        F.round(
-            F.coalesce(1.0 / (rrf_k + F.col("r_dense")), F.lit(0.0))
-            + F.coalesce(1.0 / (rrf_k + F.col("r_lex")), F.lit(0.0)),
-            6,
-        ),
+    dpool = ranked_topk(scored.select("id", "dense"), "dense", "id", pool, "r_dense")
+    lpool = ranked_topk(scored.select("id", "lex"), "lex", "id", pool, "r_lex")
+    fused = (
+        dpool.select("id", "r_dense")
+        .join(lpool.select("id", "r_lex"), "id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (rrf_k + F.col("r_dense")), F.lit(0.0))
+                + F.coalesce(1.0 / (rrf_k + F.col("r_lex")), F.lit(0.0)),
+                6,
+            ),
+        )
     )
     return fused.orderBy(F.desc("rrf"), F.col("id")).limit(k).select(
         "id", "r_dense", "r_lex", "rrf"

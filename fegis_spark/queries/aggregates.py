@@ -206,8 +206,11 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def word_count_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical explode → groupBy → top-k: corpus vocabulary head.
-    Partial aggregation makes the shuffle |vocab|-sized, not |tokens|."""
+    Partial aggregation makes the shuffle |vocab|-sized, not |tokens|;
+    ranked_topk keeps the ranking window-free (an unpartitioned
+    row_number window would funnel the whole vocab through one task)."""
     from fegis_spark.operators.dedup import tokens
+    from fegis_spark.operators.topk import ranked_topk
 
     docs = load_table(spark, sf_dir, "documents")
     counts = (
@@ -215,10 +218,7 @@ def word_count_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.col("tok"))
-    return counts.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
-        F.col("rnk") <= 20
-    )
+    return ranked_topk(counts, "n", "tok", 20, "rnk").select("tok", "n", "rnk")
 
 
 @register(

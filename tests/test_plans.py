@@ -106,3 +106,11 @@ def test_ivf_sample_has_no_corpus_ordering(spark):
     assert "Sort" not in p, p
     assert "TakeOrdered" not in p, p
     assert "Exchange" not in p, p
+
+
+def test_hybrid_and_topk_plans_have_no_window(spark, cat):
+    # unpartitioned row_number windows funnel the corpus (or vocab)
+    # through a single task; these queries must stay window-free
+    for q in ("rrf_hybrid_search", "rrf_hybrid_pooled", "word_count_top20"):
+        p = formatted_plan(spark, cat, q)
+        assert "Window" not in p, (q, p)

@@ -93,3 +93,79 @@ def test_zero_norm_guard(spark):
     out = basic_search(df, "embedding", Q, k=2).collect()
     scores = {r.vec_id: r.score for r in out}
     assert scores[0] == 0.0 and scores[1] == 1.0
+
+
+def test_ranked_topk_matches_row_number(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fegis_spark.operators.topk import ranked_topk
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 11)) for i in range(50)], "id long, v double"
+    )
+    got = {
+        (r.id, r.v, r.rank)
+        for r in ranked_topk(df, "v", "id", 7).collect()
+    }
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("v"), F.col("id"))
+    want = {
+        (r.id, r.v, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 7)
+        .collect()
+    }
+    assert got == want
+
+
+def test_rrf_fuse_matches_corpus_wide_windows(spark):
+    """The bounded-candidate rrf_fuse must reproduce the naive
+    corpus-wide windowed fusion exactly (ranks and scores)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fegis_spark.operators.rrf import RRF_K, lexical_score, rrf_fuse
+    from fegis_spark.functions.vector import cosine, lit_vector
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)],
+         " ".join(rnd.choice(["data", "model", "system", "noise", "filler"])
+                  for _ in range(12)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>, text string")
+    qv = rows[0][1]
+    terms = ["data", "model", "system"]
+
+    got = [tuple(r) for r in rrf_fuse(df, "id", "embedding", "text", qv, terms, k=10).collect()]
+
+    scored = df.select(
+        F.col("id"),
+        cosine(F.col("embedding"), lit_vector(qv)).alias("dense"),
+        lexical_score(F.col("text"), terms).alias("lex"),
+    )
+    w0 = Window.partitionBy(F.lit(0))
+    naive = (
+        scored.withColumn(
+            "r_dense",
+            F.row_number().over(w0.orderBy(F.desc("dense"), F.col("id"))).cast("bigint"),
+        )
+        .withColumn(
+            "r_lex",
+            F.row_number().over(w0.orderBy(F.desc("lex"), F.col("id"))).cast("bigint"),
+        )
+        .withColumn(
+            "rrf",
+            F.round(
+                1.0 / (RRF_K + F.col("r_dense")) + 1.0 / (RRF_K + F.col("r_lex")), 6
+            ),
+        )
+        .orderBy(F.desc("rrf"), F.col("id"))
+        .limit(10)
+        .select("id", "r_dense", "r_lex", "rrf")
+    )
+    want = [tuple(r) for r in naive.collect()]
+    assert got == want
