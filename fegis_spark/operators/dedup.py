@@ -32,10 +32,21 @@ def normalize_text(col: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+# Unsegmented scripts (no whitespace word boundaries): each codepoint
+# becomes its own token, so token n-grams degrade to codepoint n-grams
+# — the standard CJK dedup unit. Java spells Unicode scripts \p{IsXxx};
+# the DuckDB oracle mirror (queries/sqlfrag.py) uses RE2's \p{Xxx}.
+_CJK_JAVA = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}]"
+
+
 def tokens(col: Column) -> Column:
-    """Lowercase word tokens (alnum runs)."""
+    """Unicode-aware lowercase tokens: runs of letters/digits
+    (\\p{L}\\p{N}, not just ASCII), with CJK codepoints first split out
+    as single-char tokens so unsegmented scripts aren't silently
+    invisible to the minhash/simhash/jaccard/contamination family."""
+    spaced = F.regexp_replace(F.lower(col), "(" + _CJK_JAVA + ")", " $1 ")
     return F.filter(
-        F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+        F.split(spaced, r"[^\p{L}\p{N}]+"), lambda t: t != F.lit("")
     )
 
 

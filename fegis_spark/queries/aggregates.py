@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from fegis_spark.catalog import register
 from fegis_spark.model import load_table
+from fegis_spark.queries.sqlfrag import duck_tokens
 
 DEC = "decimal(38,6)"
 
@@ -191,12 +192,11 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "word_count_top20",
-    oracle=r"""
+    oracle=rf"""
     SELECT tok, n, rnk FROM (
       SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM (
         SELECT tok, COUNT(*) AS n FROM (
-          SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                    x -> x <> '')) AS tok
+          SELECT unnest({duck_tokens('text')}) AS tok
           FROM documents
         ) GROUP BY tok
       )

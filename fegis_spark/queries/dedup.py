@@ -16,6 +16,9 @@ from fegis_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from fegis_spark.queries.sqlfrag import duck_tokens
+
+_TOKS = duck_tokens("text")
 
 
 @register(
@@ -38,13 +41,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle=r"""
+    oracle=rf"""
     WITH base AS (
       SELECT doc_id AS doc, lang, source,
              list_distinct(list_transform(range(0, len(tok)-2),
                            i -> array_to_string(list_slice(tok, i+1, i+3), ' '))) AS sh
-      FROM (SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                  x -> x <> '') AS tok
+      FROM (SELECT *, {_TOKS} AS tok
             FROM documents)
       WHERE len(tok) >= 3
     ), ex AS (SELECT doc, lang, source, len(sh) AS n_sh, unnest(sh) AS g FROM base)
@@ -125,13 +127,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EDGES_SQL = r"""
+_EDGES_SQL = rf"""
     WITH base AS (
       SELECT doc_id AS doc, lang, source,
              list_distinct(list_transform(range(0, len(tok)-2),
                            i -> array_to_string(list_slice(tok, i+1, i+3), ' '))) AS sh
-      FROM (SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                  x -> x <> '') AS tok
+      FROM (SELECT *, {_TOKS} AS tok
             FROM documents)
       WHERE len(tok) >= 3
     ), ex AS (SELECT doc, lang, source, len(sh) AS n_sh, unnest(sh) AS g FROM base),

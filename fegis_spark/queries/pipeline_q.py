@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from fegis_spark.catalog import register
 from fegis_spark.model import load_table
+from fegis_spark.queries.sqlfrag import duck_tokens
 
 #: Spark-side md5 bucket in [0, 100): deterministic, uniform-ish, and
 #: reproducible in any engine with md5 (DuckDB form below).
@@ -232,8 +233,7 @@ EVAL_MOD = 53
       SELECT doc_id AS doc,
              list_distinct(list_transform(range(0, len(tok)-{CONTAM_NGRAM - 1}),
                            i -> array_to_string(list_slice(tok, i+1, i+{CONTAM_NGRAM}), ' '))) AS sh
-      FROM (SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                  x -> x <> '') AS tok
+      FROM (SELECT *, {duck_tokens('text')} AS tok
             FROM documents)
       WHERE len(tok) >= {CONTAM_NGRAM}
     ),

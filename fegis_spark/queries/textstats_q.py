@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from fegis_spark.catalog import register
 from fegis_spark.model import load_table
+from fegis_spark.queries.sqlfrag import duck_tokens
 from fegis_spark.operators.text_analysis import (
     FINGERPRINT_SQL,
     TOKEN_COUNT_BPE_SQL,
@@ -158,13 +159,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "boilerplate_ngrams",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT doc_id AS doc,
              list_distinct(list_transform(range(0, len(tok)-7),
                            i -> array_to_string(list_slice(tok, i+1, i+8), ' '))) AS sh
-      FROM (SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                  x -> x <> '') AS tok
+      FROM (SELECT *, {duck_tokens('text')} AS tok
             FROM documents)
       WHERE len(tok) >= 8
     )
@@ -201,7 +201,7 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_repetition",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, n_grams, n_distinct,
            round(1.0 - n_distinct / CAST(n_grams AS DOUBLE), 6) AS repetition
     FROM (
@@ -209,8 +209,7 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(tok) - 2 AS n_grams,
              len(list_distinct(list_transform(range(0, len(tok)-2),
                  i -> array_to_string(list_slice(tok, i+1, i+3), ' ')))) AS n_distinct
-      FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                       x -> x <> '') AS tok
+      FROM (SELECT doc_id, {duck_tokens('text')} AS tok
             FROM documents)
       WHERE len(tok) >= 3
     )
@@ -242,3 +241,36 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repetition",
         F.round(1.0 - F.col("n_distinct") / F.col("n_grams").cast("double"), 6),
     )
+
+
+@register(
+    "tokenize_unicode_zh",
+    oracle=f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           array_to_string(toks[1:8], '|') AS head_tokens
+    FROM (
+      SELECT doc_id, {duck_tokens("'语言模型训练 données Ausführung ' || text")} AS toks
+      FROM documents WHERE lang = 'zh'
+    )
+    ORDER BY doc_id
+    """,
+    covers=("[EXT]-unicode-tokens",),
+)
+def tokenize_unicode_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] cross-engine Unicode tokenization proof over the zh slice:
+    a mixed-script prefix (Han + accented Latin) is tokenized together
+    with each document. Han codepoints must come out as single-char
+    tokens (6 of them) and accented words must survive whole — the
+    behaviors the old ASCII-only [^a-z0-9]+ tokenizer destroyed. Pure
+    projection, zero shuffle; hash-matched against the DuckDB mirror of
+    the same recipe."""
+    from fegis_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "zh")
+    toks = tokens(F.concat(F.lit("语言模型训练 données Ausführung "), F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.concat_ws("|", F.slice(toks, 1, 8)).alias("head_tokens"),
+    ).orderBy("doc_id")

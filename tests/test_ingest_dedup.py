@@ -171,3 +171,34 @@ def test_connected_components_warns_on_iteration_exhaustion(spark):
         issubclass(w.category, RuntimeWarning) and "max_iter" in str(w.message)
         for w in caught
     )
+
+
+def test_tokens_unicode_cjk(spark):
+    rows = [
+        (1, "Hello 世界!  Ausführung données"),
+        (2, "東京タワーは高い"),
+        (3, "한국어 텍스트 처리"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.t for r in df.select("id", tokens(F.col("text")).alias("t")).collect()}
+    # Han/Kana/Hangul codepoints come out as single-char tokens;
+    # accented Latin words survive whole (old ASCII tokenizer split them)
+    assert got[1] == ["hello", "世", "界", "ausführung", "données"]
+    assert got[2] == ["東", "京", "タ", "ワ", "ー", "は", "高", "い"]
+    assert got[3] == ["한", "국", "어", "텍", "스", "트", "처", "리"]
+
+
+def test_minhash_sees_cjk_documents(spark):
+    # pre-fix, CJK docs produced zero shingles and were invisible to
+    # near-dup detection
+    rows = [
+        (1, "语言模型训练数据质量很重要语言模型训练数据质量很重要"),
+        (2, "语言模型训练数据质量很重要语言模型训练数据质量很重卫"),
+        (3, "完全不同的文本内容关于分布式计算引擎的设计与实现思路"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a, r.b) for r in minhash_lsh_pairs(
+        df, "text", "doc_id", jaccard_threshold=0.5
+    ).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
