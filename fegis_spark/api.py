@@ -79,7 +79,12 @@ def search_memory(
         raise ValueError(f"Query required for '{search_type}' search")
 
     if search_type == "by_memory_id":
-        out = S.by_id_search(memories, "memory_id", query.strip())
+        # the reference handler applies score_threshold uniformly after
+        # every search type — a threshold > 1.0 filters out even the
+        # exact-match point (score 1.0)
+        out = S.by_id_search(memories, "memory_id", query.strip()).filter(
+            F.col("score") >= score_threshold
+        )
     elif search_type == "basic":
         qv = list(query_vec) if query_vec is not None else embed_query(query)
         out = S.basic_search(

@@ -83,9 +83,14 @@ def relative_time(ts: Column, ref: Column) -> Column:
 
     secs = _secs(ref) - _secs(ts)
     days = F.floor(secs / 86400)
-    rem = secs % 86400
+    # pmod, not %: Spark % keeps the dividend sign, so a future ts
+    # (secs < 0) would yield a negative remainder and fall through to
+    # "just now" — Python timedelta normalizes to days=-1, rem>=0
+    # (e.g. ts 10s in the future => "23 hours ago"), and the reference
+    # inherits that
+    rem = F.pmod(secs, F.lit(86400))
     hours = F.floor(rem / 3600)
-    minutes = F.floor((rem % 3600) / 60)
+    minutes = F.floor(F.pmod(rem, F.lit(3600)) / 60)
     weeks = F.floor(days / 7)
     months = F.floor(days / 30)
 

@@ -41,14 +41,21 @@ def latest_per_key(
     return df.groupBy(key).agg(*aggs)
 
 
-def latest_per_key_window(df: DataFrame, key: str, order: str) -> DataFrame:
+def latest_per_key_window(
+    df: DataFrame, key: str, order: str, tiebreak: str | None = None
+) -> DataFrame:
     """A1 alternative: row_number window form (keeps all input columns).
 
-    Tie semantics: with duplicate `order` values within a key this keeps
-    exactly one arbitrary-but-deterministic row, whereas ``max_by``
-    picks per-column; prefer this form when full-row integrity matters.
+    Tie semantics: pass a unique `tiebreak` column (ascending) to make
+    the kept row deterministic under duplicate `order` values; without
+    it, `order` MUST be unique per key — otherwise which row survives
+    depends on partition order. ``max_by`` picks per-column instead;
+    prefer this form when full-row integrity matters.
     """
-    w = Window.partitionBy(key).orderBy(F.desc(order))
+    ordering = [F.desc(order)]
+    if tiebreak is not None:
+        ordering.append(F.col(tiebreak))
+    w = Window.partitionBy(key).orderBy(*ordering)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

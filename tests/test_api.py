@@ -124,3 +124,29 @@ def test_embed_query_matches_ingest_space(corpus):
 
     stored = np.array(row.embedding)
     assert float(np.dot(qv, stored) / (np.linalg.norm(qv) * np.linalg.norm(stored))) > 0.999
+
+
+def test_by_id_applies_score_threshold(corpus):
+    some_id = corpus.select("memory_id").first().memory_id
+    # reference handler post-filters every search type; threshold > 1.0
+    # excludes even the exact match (score 1.0)
+    out = search_memory(
+        corpus, query=some_id, search_type="by_memory_id",
+        score_threshold=1.5, detail="compact",
+    )
+    assert out.count() == 0
+    kept = search_memory(
+        corpus, query=some_id, search_type="by_memory_id",
+        score_threshold=1.0, detail="compact",
+    )
+    assert kept.count() == 1
+
+
+def test_latest_per_key_window_tiebreak(spark):
+    from fegis_spark.operators.lineage import latest_per_key_window
+
+    df = spark.createDataFrame(
+        [("k", 5, "b"), ("k", 5, "a"), ("k", 3, "c")], "key string, o int, id string"
+    )
+    row = latest_per_key_window(df, "key", "o", tiebreak="id").collect()
+    assert len(row) == 1 and row[0].id == "a"

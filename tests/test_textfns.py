@@ -69,3 +69,36 @@ def test_content_preview_parity(spark):
     got = [r.s for r in df.select(content_preview(F.col("content")).alias("s")).collect()]
     want = [ref_content_preview(c) for c in CASES]
     assert got == want
+
+
+def test_relative_time_future_ts_matches_python_timedelta(spark):
+    """A timestamp AFTER the reference instant must decompose the way
+    Python timedelta does (days=-1, rem normalized positive): 10s in
+    the future reads '23 hours ago', not 'just now'."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fegis_spark.functions.textfns import relative_time
+
+    ref = dt.datetime(2024, 1, 2, 0, 0, 0)
+    rows = [
+        (1, ref + dt.timedelta(seconds=10)),    # future: 23 hours ago
+        (2, ref + dt.timedelta(minutes=30)),    # future: 23 hours ago
+        (3, ref - dt.timedelta(seconds=10)),    # past: just now
+        (4, ref - dt.timedelta(hours=3)),       # past: 3 hours ago
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz")
+    got = {
+        r.id: r.rel
+        for r in df.select(
+            "id",
+            relative_time(
+                F.col("ts"), F.lit("2024-01-02 00:00:00").cast("timestamp_ntz")
+            ).alias("rel"),
+        ).collect()
+    }
+    assert got[1] == "23 hours ago"
+    assert got[2] == "23 hours ago"
+    assert got[3] == "just now"
+    assert got[4] == "3 hours ago"
