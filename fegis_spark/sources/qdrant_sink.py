@@ -71,33 +71,89 @@ def batched(rows: Iterable[Row], size: int = DEFAULT_BATCH_SIZE) -> Iterator[lis
         yield buf
 
 
-def ensure_collection(client: Any, collection: str, dim: int, distance: str = "Cosine") -> None:
-    """Idempotent DDL: create-if-absent + payload indexes (S2, S3)."""
-    from qdrant_client import models  # noqa: PLC0415 — import-gated
+def _already_exists(exc: Exception) -> bool:
+    """Qdrant signals create-race conflicts with 'already exists' /
+    409-conflict responses; anything else (auth, network, bad schema)
+    must propagate instead of being swallowed."""
+    msg = str(exc).lower()
+    return "already exist" in msg or "conflict" in msg or "409" in msg
+
+
+def existing_payload_indexes(client: Any, collection: str) -> set[str]:
+    """Fields that already have a payload index (from the collection
+    info's payload_schema), so ensure_collection only issues DDL for
+    the diff."""
+    info = client.get_collection(collection)
+    schema = getattr(info, "payload_schema", None) or {}
+    return set(schema.keys())
+
+
+def ensure_collection(
+    client: Any,
+    collection: str,
+    dim: int,
+    distance: str = "Cosine",
+    models: Any = None,
+) -> None:
+    """Idempotent DDL: create-if-absent + payload-index diffing (S2,
+    S3). `models` is injectable for contract tests; defaults to the
+    real qdrant_client.models."""
+    if models is None:
+        from qdrant_client import models  # noqa: PLC0415 — import-gated
 
     existing = {c.name for c in client.get_collections().collections}
     if collection not in existing:
-        client.create_collection(
-            collection_name=collection,
-            vectors_config=models.VectorParams(
-                size=dim, distance=getattr(models.Distance, distance.upper(), distance)
-            ),
-        )
+        try:
+            client.create_collection(
+                collection_name=collection,
+                vectors_config=models.VectorParams(
+                    size=dim,
+                    distance=getattr(models.Distance, distance.upper(), distance),
+                ),
+            )
+        except Exception as e:  # noqa: BLE001
+            if not _already_exists(e):  # create race: another writer won
+                raise
     kind_map = {
         "text": models.PayloadSchemaType.TEXT,
         "keyword": models.PayloadSchemaType.KEYWORD,
         "integer": models.PayloadSchemaType.INTEGER,
         "datetime": models.PayloadSchemaType.DATETIME,
     }
+    have = existing_payload_indexes(client, collection)
     for field, kind in PAYLOAD_INDEXES.items():
+        if field in have:
+            continue
         try:
             client.create_payload_index(
                 collection_name=collection,
                 field_name=field,
                 field_schema=kind_map[kind],
             )
-        except Exception:  # noqa: BLE001 — index already exists
-            pass
+        except Exception as e:  # noqa: BLE001
+            if not _already_exists(e):  # real failures must surface
+                raise
+
+
+def upsert_batches(
+    client: Any,
+    point_cls: Any,
+    rows: Iterable[Row],
+    collection: str,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> Iterator[int]:
+    """Bounded bulk upserts against an already-built client. Upsert
+    errors propagate (a silently-dropped batch is data loss); the
+    caller owns client lifecycle. Contract-testable with a fake."""
+    for batch in batched(rows, batch_size):
+        client.upsert(
+            collection_name=collection,
+            points=[
+                point_cls(id=p["id"], vector=p["vector"], payload=p["payload"])
+                for p in batch
+            ],
+        )
+        yield len(batch)
 
 
 def upsert_partition(
@@ -114,17 +170,9 @@ def upsert_partition(
 
     client = QdrantClient(url=url, prefer_grpc=prefer_grpc)
     try:
-        for batch in batched(rows, batch_size):
-            client.upsert(
-                collection_name=collection,
-                points=[
-                    models.PointStruct(
-                        id=p["id"], vector=p["vector"], payload=p["payload"]
-                    )
-                    for p in batch
-                ],
-            )
-            yield len(batch)
+        yield from upsert_batches(
+            client, models.PointStruct, rows, collection, batch_size
+        )
     finally:
         client.close()
 
