@@ -50,15 +50,61 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Real, dependency-free image decode for binary PPM (P6): header
+    `P6 <width> <height> <maxval>` with #-comments, one whitespace byte,
+    then raw RGB. Returns uint8 (height, width, 3)."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval, then raster
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3)
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Real, dependency-free audio decode for PCM16 WAV via stdlib
+    `wave`. Returns (int16 samples shaped (n_frames, n_channels),
+    sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data)) as wf:
+        sr = wf.getframerate()
+        nch = wf.getnchannels()
+        if wf.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported")
+        frames = wf.readframes(wf.getnframes())
+    return np.frombuffer(frames, dtype="<i2").reshape(-1, nch), sr
+
+
 @dataclass
 class Codec:
-    """Isolates the non-Spark decode dependency. `fake=True` gives a
-    deterministic stand-in (hash-derived pixels/features) so the whole
+    """Isolates the non-Spark decode dependency. PPM images and PCM WAV
+    audio decode for real (pure numpy/stdlib — decode_ppm/decode_wav);
+    `fake=True` additionally gives a deterministic stand-in
+    (hash-derived pixels/samples) for other formats so the whole
     distributed pipeline is testable in this container."""
 
     fake: bool = True
 
     def decode_image(self, payload: bytes) -> np.ndarray:
+        if (payload or b"")[:2] == b"P6":
+            return decode_ppm(payload)
         if self.fake:
             h = hashlib.sha256(payload or b"").digest()
             side = 8
@@ -66,7 +112,18 @@ class Codec:
                                 dtype=np.uint8)
             return arr.reshape(side, side, 3)
         # SWAP POINT: real implementation = PIL.Image.open(BytesIO(payload))
-        raise NotImplementedError("image decoding requires PIL/cv2 — not in container")
+        raise NotImplementedError("non-PPM image decoding requires PIL/cv2 — not in container")
+
+    def decode_audio(self, payload: bytes) -> tuple[np.ndarray, int]:
+        """(samples shaped (n_frames, n_channels) int16, sample_rate)."""
+        if (payload or b"")[:4] == b"RIFF" and (payload or b"")[8:12] == b"WAVE":
+            return decode_wav(payload)
+        if self.fake:
+            h = hashlib.sha256(payload or b"").digest()
+            raw = (h * 64)[: 1024 * 2]
+            return np.frombuffer(raw, dtype="<i2").reshape(-1, 1), 16000
+        # SWAP POINT: real implementation = soundfile/ffmpeg
+        raise NotImplementedError("non-WAV audio decoding requires soundfile/ffmpeg — not in container")
 
     def extract_features(self, img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
         flat = img.astype(np.float64).ravel()
@@ -121,6 +178,73 @@ def video_frame_sample(df: DataFrame, n_frames: int = 3, codec: Codec | None = N
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
 
     return df.select("media_id", "payload").mapInPandas(op, out_schema)
+
+
+def audio_stats(df: DataFrame, codec: Codec | None = None) -> DataFrame:
+    """mapInPandas audio analysis: payload → (sample_rate, n_channels,
+    n_samples, duration_ms, rms, peak). Bytes are dropped at this
+    operator; only the fixed-width stats flow downstream."""
+    codec = codec or Codec()
+    out_schema = (
+        "media_id long, sample_rate int, n_channels int, n_samples long, "
+        "duration_ms double, rms double, peak int"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "sample_rate", "n_channels", "n_samples",
+            "duration_ms", "rms", "peak",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
+                samples, sr = codec.decode_audio(bytes(payload))
+                x = samples.astype(np.float64)
+                rows.append(
+                    (
+                        mid,
+                        sr,
+                        samples.shape[1],
+                        samples.shape[0],
+                        1000.0 * samples.shape[0] / sr,
+                        float(np.sqrt((x * x).mean())) if samples.size else 0.0,
+                        int(np.abs(samples).max()) if samples.size else 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(op, out_schema)
+
+
+def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic real P6 PPM bytes (gradient + seed offset)."""
+    header = f"P6\n# test image\n{width} {height}\n255\n".encode()
+    y, x = np.mgrid[0:height, 0:width]
+    rgb = np.stack(
+        [(x * 7 + seed) % 256, (y * 11 + seed) % 256, (x + y + seed) % 256], axis=-1
+    ).astype(np.uint8)
+    return header + rgb.tobytes()
+
+
+def make_wav(
+    n_frames: int, sample_rate: int = 8000, n_channels: int = 1, seed: int = 0
+) -> bytes:
+    """Deterministic real PCM16 WAV bytes (integer sine-ish ramp)."""
+    import io
+    import wave
+
+    t = np.arange(n_frames * n_channels)
+    samples = ((np.sin(t * 0.05 + seed) * 12000).astype("<i2")).tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples)
+    return buf.getvalue()
 
 
 def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:

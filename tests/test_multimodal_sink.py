@@ -7,6 +7,7 @@ import datetime as dt
 from pyspark.sql import Row
 
 from fegis_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     Codec,
     media_features,
     synthetic_media,
@@ -72,3 +73,70 @@ def test_payload_index_parity_with_reference():
     assert kinds.count("keyword") == 8
     assert kinds.count("integer") == 1
     assert kinds.count("datetime") == 1
+
+
+def test_decode_ppm_roundtrip():
+    import numpy as np
+
+    from fegis_spark.operators.multimodal import decode_ppm, make_ppm
+
+    img = decode_ppm(make_ppm(6, 4, seed=3))
+    assert img.shape == (4, 6, 3) and img.dtype == np.uint8
+    # spot-check the gradient formula at two pixels
+    assert tuple(img[0, 0]) == ((0 * 7 + 3) % 256, (0 * 11 + 3) % 256, (0 + 0 + 3) % 256)
+    assert tuple(img[3, 5]) == ((5 * 7 + 3) % 256, (3 * 11 + 3) % 256, (5 + 3 + 3) % 256)
+
+
+def test_media_features_on_real_ppm_bytes(spark):
+    import numpy as np
+
+    from fegis_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_ppm,
+        make_ppm,
+        media_features,
+    )
+
+    rows = [
+        (i, "image", make_ppm(8, 8, seed=i),
+         {"mime": "image/x-portable-pixmap", "width": 8, "height": 8,
+          "duration_ms": None})
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.features for r in media_features(df).collect()}
+    # distributed result == local reference computation on the same bytes
+    for i in range(5):
+        img = decode_ppm(make_ppm(8, 8, seed=i)).astype(np.float64).ravel()
+        want = [c.mean() for c in np.array_split(img, FEATURE_DIM)]
+        assert np.allclose(got[i], want, atol=1e-5)
+
+
+def test_audio_stats_on_real_wav_bytes(spark):
+    import numpy as np
+
+    from fegis_spark.operators.multimodal import audio_stats, decode_wav, make_wav
+
+    rows = [
+        (i, "audio", make_wav(1600 * (i + 1), sample_rate=8000, seed=i),
+         {"mime": "audio/wav", "width": None, "height": None,
+          "duration_ms": 200 * (i + 1)})
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in audio_stats(df).collect()}
+    for i in range(3):
+        samples, sr = decode_wav(make_wav(1600 * (i + 1), sample_rate=8000, seed=i))
+        r = got[i]
+        assert (r.sample_rate, r.n_channels, r.n_samples) == (8000, 1, 1600 * (i + 1))
+        assert abs(r.duration_ms - 200.0 * (i + 1)) < 1e-9
+        x = samples.astype(np.float64)
+        assert abs(r.rms - float(np.sqrt((x * x).mean()))) < 1e-9
+        assert r.peak == int(np.abs(samples).max())
+
+
+def test_stereo_wav_channels():
+    from fegis_spark.operators.multimodal import decode_wav, make_wav
+
+    samples, sr = decode_wav(make_wav(100, sample_rate=44100, n_channels=2))
+    assert samples.shape == (100, 2) and sr == 44100
