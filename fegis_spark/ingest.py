@@ -92,6 +92,52 @@ def hash_embedding_udf(dim: int = EMBEDDING_DIM):
     return _embed
 
 
+BGE_SMALL_EN_DIM = 384  # reference config.py:49 / storage.py:53
+
+
+def fastembed_embedding_udf(
+    model_name: str = "BAAI/bge-small-en", dim: int = BGE_SMALL_EN_DIM
+):
+    """Real embedding inference path: fastembed/ONNX BAAI/bge-small-en
+    (384-dim, cosine space), the exact model the reference ingests with
+    (storage.py:53, config.py:49). Import-gated — raises ImportError on
+    the driver if fastembed isn't installed (it isn't in this
+    container; the hash stand-in stays the oracle default).
+
+    Same iterator-pandas_udf shape as the stand-in: the model loads
+    ONCE per executor Python worker, then streams Arrow batches through
+    the ONNX forward pass.
+    """
+    import fastembed  # noqa: F401 — fail fast driver-side, not in tasks
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from fastembed import TextEmbedding
+
+        model = TextEmbedding(model_name=model_name)  # once per worker
+        for s in batches:
+            vecs = model.embed(s.fillna("").tolist())
+            yield pd.Series([np.asarray(v, dtype=np.float32) for v in vecs])
+
+    return _embed
+
+
+def make_embed_udf(kind: str | None = None, dim: int | None = None):
+    """Embedder selection: FEGIS_EMBEDDER env var ('hash' default,
+    'fastembed' for the real model). The hash stand-in remains the
+    default because oracle checks need cross-engine determinism and the
+    ONNX model isn't in this container; flipping the env var swaps in
+    real inference with no other code change."""
+    import os
+
+    kind = kind or os.environ.get("FEGIS_EMBEDDER", "hash")
+    if kind == "fastembed":
+        return fastembed_embedding_udf(dim=dim or BGE_SMALL_EN_DIM)
+    if kind == "hash":
+        return hash_embedding_udf(dim or EMBEDDING_DIM)
+    raise ValueError(f"Unknown embedder kind: {kind!r} (use 'hash' or 'fastembed')")
+
+
 def ingest_batch(
     calls: DataFrame,
     param_keys: list[str] | None = None,
@@ -144,7 +190,7 @@ def ingest_batch(
             ),
         ),
     ).withColumn("timestamp", F.col("ts"))
-    embed = embed_udf or hash_embedding_udf()
+    embed = embed_udf or make_embed_udf()
     step = step.withColumn("embedding", embed(F.col("document")))
     return step.select(
         "memory_id",

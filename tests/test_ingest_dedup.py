@@ -202,3 +202,43 @@ def test_minhash_sees_cjk_documents(spark):
     ).collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_make_embed_udf_defaults_to_hash(monkeypatch):
+    import fegis_spark.ingest as I
+
+    monkeypatch.delenv("FEGIS_EMBEDDER", raising=False)
+    udf = I.make_embed_udf()
+    assert udf is not None  # hash path needs no optional deps
+
+    monkeypatch.setenv("FEGIS_EMBEDDER", "bogus")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bogus"):
+        I.make_embed_udf()
+
+
+def test_fastembed_path_import_gated():
+    import importlib.util
+
+    import pytest as _pytest
+
+    import fegis_spark.ingest as I
+
+    if importlib.util.find_spec("fastembed") is None:
+        with _pytest.raises(ImportError):
+            I.make_embed_udf("fastembed")
+    else:  # pragma: no cover — exercised only where fastembed exists
+        assert I.make_embed_udf("fastembed") is not None
+
+
+def test_fastembed_real_inference(spark):
+    """Real-model wiring end-to-end; skips where fastembed is absent."""
+    import pytest as _pytest
+
+    _pytest.importorskip("fastembed")
+    import fegis_spark.ingest as I
+
+    mem = I.ingest_batch(_calls(spark), embed_udf=I.fastembed_embedding_udf())
+    row = mem.select("embedding").first()
+    assert len(row.embedding) == I.BGE_SMALL_EN_DIM
