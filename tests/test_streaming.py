@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from fegis_spark.model import load_table
+from fegis_spark.streaming.dedup import dedup_stream
 from fegis_spark.streaming.sessionize import (
     session_stats_batch,
     sessionize_stream,
@@ -163,3 +164,108 @@ def test_streaming_dedup_matches_batch_distinct(spark, events_stream):
 
     exp = batch.select(FF.md5(nt(FF.col("props"))).alias("h")).distinct().count()
     assert got == exp
+
+
+def test_available_now_end_to_end_state_bounded(spark, tmp_path_factory):
+    """Volume run (sf0.01, 10k events over 30 days) through the real
+    file source with Trigger.AvailableNow: 6 time-ordered chunks, one
+    per micro-batch, so the watermark advances ~5 days between batches.
+    Asserts (a) sessionization output matches the batch session_window
+    twin for every emitted session, (b) the session state store and the
+    dedup state store stay far below total-sessions/total-rows — the
+    watermark must actually evict."""
+    import shutil
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    lo, hi = batch.agg(F.min("ts"), F.max("ts")).first()
+    staging = tmp_path_factory.mktemp("e2e_events")
+    span = (hi - lo) / 6
+    for i in range(6):
+        chunk_lo = lo + span * i
+        chunk_hi = hi if i == 5 else lo + span * (i + 1)
+        cond = (F.col("ts") >= F.lit(chunk_lo)) & (
+            F.col("ts") <= F.lit(chunk_hi) if i == 5 else F.col("ts") < F.lit(chunk_hi)
+        )
+        tmp_out = staging / f"__tmp{i}"
+        batch.filter(cond).coalesce(1).write.mode("overwrite").parquet(str(tmp_out))
+        part = next(p for p in tmp_out.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, staging / f"chunk-{i:02d}.parquet")
+        shutil.rmtree(tmp_out)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(staging))
+    )
+
+    sess = sessionize_stream(sdf, gap_minutes=30, watermark="10 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("e2e_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sess_progress = [p for p in q.recentProgress if p["stateOperators"]]
+    max_sess_state = max(p["stateOperators"][0]["numRowsTotal"] for p in sess_progress)
+    assert len(sess_progress) >= 6  # one micro-batch per chunk
+
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in spark.table("e2e_sessions").collect()
+    }
+    want_df = (
+        batch.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in want_df.collect()
+    }
+    # append mode withholds only sessions still open under the final
+    # watermark (the last chunk's tail)
+    assert len(got) >= 0.9 * len(want)
+    for k, v in got.items():
+        assert want.get(k) == v, k
+    # state must stay bounded: a 10-minute watermark over 30 days of
+    # time-ordered input evicts nearly everything between batches
+    assert max_sess_state < 0.5 * len(want), (max_sess_state, len(want))
+
+    dd = dedup_stream(
+        sdf.withColumn("text", F.concat_ws(" ", "event_type", "props")),
+        text_col="text",
+        ts_col="ts",
+        delay="10 minutes",
+    )
+    q2 = (
+        dd.writeStream.format("memory")
+        .queryName("e2e_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    n_total = batch.count()
+    n_out = spark.table("e2e_dedup").count()
+    dd_progress = [p for p in q2.recentProgress if p["stateOperators"]]
+    max_dd_state = max(p["stateOperators"][0]["numRowsTotal"] for p in dd_progress)
+    n_distinct = (
+        batch.withColumn("text", F.concat_ws(" ", "event_type", "props"))
+        .select(F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))))
+        .distinct()
+        .count()
+    )
+    assert n_distinct <= n_out <= n_total
+    # the hash state must never approach the full corpus
+    assert max_dd_state < 0.5 * n_total, (max_dd_state, n_total)
