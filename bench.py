@@ -22,10 +22,29 @@ from fegis_spark.catalog import catalog
 from fegis_spark.session import configure_for_oracle, get_spark
 
 RUNS = 3
+REGRESSION_FACTOR = 1.5
 
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def prior_round(repo_dir: str, sf) -> tuple[str, dict] | None:
+    """Latest BENCH_r{N}.json recorded at the same scale factor — the
+    round-over-round comparison anchor."""
+    import glob
+
+    best = None
+    for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        d = d.get("parsed", d)  # driver rounds wrap the bench line
+        if d.get("sf") == sf and d.get("queries"):
+            best = (os.path.basename(p), d)
+    return best
 
 
 def main() -> None:
@@ -45,17 +64,30 @@ def main() -> None:
         times[e.name] = round(statistics.median(samples), 4)
 
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    prior = prior_round(os.path.dirname(os.path.abspath(__file__)), sf_val)
+    if prior is not None:
+        name, d = prior
+        deltas = {
+            q: round(t / d["queries"][q], 3)
+            for q, t in times.items()
+            if d["queries"].get(q)
+        }
+        out["baseline_file"] = name
+        out["delta_vs_baseline"] = deltas
+        # >1.5x slower than the prior round at the same sf; page-cache
+        # state swings sf0.1 numbers ~2x, so treat as rerun-and-confirm
+        out["regressions"] = {
+            q: r for q, r in deltas.items() if r > REGRESSION_FACTOR
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
