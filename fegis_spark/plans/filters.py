@@ -16,7 +16,10 @@ Deliberate, documented semantics (SURVEY.md §7.4):
   reference's exact three case variants {v, v.lower(), v.capitalize()}
   (Qdrant MatchText is token-based; substring is our spec).
   Python ``str.capitalize`` upper-cases the first char and LOWER-cases
-  the rest — not ``initcap``.
+  the rest — not ``initcap``. Fields named in ``text_index_fields``
+  instead get true MatchText token semantics via ``match_text`` —
+  mirroring Qdrant, where a text payload index switches ``contains``
+  from value match to analyzed full-text match.
 * ``between`` is inclusive on both ends; before/after are strict.
 * timestamp values are ISO-8601 strings with Z→+00:00 normalization.
 
@@ -103,8 +106,73 @@ def _ts_lit(value: str) -> Column:
     return F.lit(dt.replace(tzinfo=None)).cast("timestamp_ntz")
 
 
+# Driver-side mirror of operators.dedup.tokens(): lowercase; CJK
+# codepoints (unsegmented scripts) become single-char tokens; other
+# alphanumeric runs become word tokens. Query strings are tokenized in
+# Python, field values in Spark — both must agree.
+_CJK_RANGES = (
+    (0x3400, 0x4DBF),  # Han ext A
+    (0x4E00, 0x9FFF),  # Han
+    (0xF900, 0xFAFF),  # Han compat
+    (0x3040, 0x309F),  # Hiragana
+    (0x30A0, 0x30FF),  # Katakana
+    (0x1100, 0x11FF),  # Hangul jamo
+    (0x3130, 0x318F),  # Hangul compat jamo
+    (0xAC00, 0xD7AF),  # Hangul syllables
+)
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+def analyzer_tokens(s: str) -> list[str]:
+    """Python-side analyzer matching operators.dedup.tokens()."""
+    out: list[str] = []
+    run: list[str] = []
+    for ch in s.lower():
+        if _is_cjk(ch):
+            if run:
+                out.append("".join(run))
+                run = []
+            out.append(ch)
+        elif ch.isalnum():
+            run.append(ch)
+        else:
+            if run:
+                out.append("".join(run))
+                run = []
+    if run:
+        out.append("".join(run))
+    return out
+
+
+def match_text(col: Column, query: str) -> Column:
+    """Qdrant ``MatchText`` semantics: true when EVERY analyzer token of
+    ``query`` appears among the analyzer tokens of the field (word
+    tokenizer + lowercase — Qdrant's text-index default). This is the
+    semantics the reference actually gets on text-indexed fields
+    (strategies.py:240-259 emits MatchText); the substring variant in
+    compile_condition is our documented default for unindexed fields.
+
+    Evaluates the field tokenization once per row (array_except against
+    the query-token literal array), fully codegen'd — no UDF. An empty
+    query matches everything (vacuous conjunction), mirroring substring
+    ``contains('')``.
+    """
+    from fegis_spark.operators.dedup import tokens
+
+    qtoks = list(dict.fromkeys(analyzer_tokens(query)))
+    if not qtoks:
+        return F.lit(True)
+    need = F.array(*[F.lit(t) for t in qtoks])
+    return F.size(F.array_except(need, tokens(col))) == 0
+
+
 def compile_condition(
-    col: Column, field: str, operator: str, value: Any, is_timestamp: bool
+    col: Column, field: str, operator: str, value: Any, is_timestamp: bool,
+    text_match: bool = False,
 ) -> Column:
     """One filter spec → one boolean Column (reference _build_condition,
     strategies.py:160-259)."""
@@ -128,6 +196,11 @@ def compile_condition(
             raise ValueError("'any_of' operator requires array")
         return col.isin(*value)
     if operator == "contains":
+        if text_match:
+            # Text-indexed field → MatchText. The reference's three case
+            # variants {v, v.lower(), v.capitalize()} collapse to one:
+            # the analyzer lowercases before matching.
+            return match_text(col, str(value))
         if not isinstance(value, str):
             return col.cast("string").contains(F.lit(str(value)))
         variants = {value, value.lower(), value.capitalize()}
@@ -144,6 +217,7 @@ def compile_filters(
     field_mapping: Mapping[str, str] | None = None,
     valid_fields: set[str] | None = None,
     timestamp_fields: set[str] = frozenset({"timestamp"}),
+    text_index_fields: set[str] = frozenset(),
 ) -> Column:
     """Filter-spec list → single AND'd predicate Column (F8).
 
@@ -151,6 +225,11 @@ def compile_filters(
     paths, e.g. agent_id → meta.agent_id (F10); defaults to the
     reference mapping. Returns lit(True) for an empty list (a filtered
     search with no filters matches everything, strategies.py:287).
+
+    ``text_index_fields`` opts fields into token-based ``contains``
+    (Qdrant MatchText — what the reference gets on fields with a text
+    payload index); all other fields keep the documented substring
+    semantics. The 12-field grammar itself is unchanged.
     """
     validate_filters(filters, valid_fields, timestamp_fields)
     mapping = FIELD_MAPPING if field_mapping is None else field_mapping
@@ -159,7 +238,8 @@ def compile_filters(
         field = spec["field"]
         path = mapping.get(field, field)
         cond = compile_condition(
-            F.col(path), field, spec["operator"], spec["value"], field in timestamp_fields
+            F.col(path), field, spec["operator"], spec["value"], field in timestamp_fields,
+            text_match=field in text_index_fields,
         )
         pred = pred & cond
     return pred

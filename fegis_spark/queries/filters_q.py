@@ -153,3 +153,43 @@ def filter_numeric_range_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         timestamp_fields=set(),
     )
     return ev.filter(pred).select("event_id", "k")
+
+
+from fegis_spark.queries.sqlfrag import duck_match_text  # noqa: E402
+
+_MT_QUERY = "The Data"  # case variants collapse: the analyzer lowercases
+
+
+@register(
+    "filter_match_text",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN contains(lower(text), 'the data') THEN 1 ELSE 0 END
+             AS also_substring
+    FROM documents
+    WHERE {duck_match_text('text', _MT_QUERY)}
+    """,
+    covers=("F6",),
+)
+def filter_match_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-based full-text `contains` — true Qdrant MatchText
+    semantics (reference strategies.py:240-259 emits MatchText; Qdrant
+    applies it analyzed on text-indexed fields). Every analyzer token
+    of the query must appear among the field's tokens; word order and
+    adjacency don't matter. The also_substring flag exposes the
+    semantic gap vs the substring default: docs holding 'the' and
+    'data' apart match here but not as a substring."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = compile_filters(
+        [{"field": "text", "operator": "contains", "value": _MT_QUERY}],
+        valid_fields={"text", "lang"},
+        timestamp_fields=set(),
+        text_index_fields={"text"},
+    )
+    return docs.filter(pred).select(
+        "doc_id",
+        "lang",
+        F.when(F.lower(F.col("text")).contains("the data"), 1)
+        .otherwise(0)
+        .alias("also_substring"),
+    )

@@ -13,6 +13,20 @@ from __future__ import annotations
 _CJK_RE2 = r"[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]"
 
 
+def duck_match_text(col: str, query: str) -> str:
+    """DuckDB predicate mirroring plans.filters.match_text(): every
+    analyzer token of `query` must appear among the analyzer tokens of
+    `col`. Query-side tokenization happens here in Python (same
+    analyzer), field-side in SQL."""
+    from fegis_spark.plans.filters import analyzer_tokens
+
+    qtoks = list(dict.fromkeys(analyzer_tokens(query)))
+    if not qtoks:
+        return "TRUE"
+    toks = duck_tokens(col)
+    return " AND ".join(f"list_contains({toks}, '{t}')" for t in qtoks)
+
+
 def duck_tokens(col: str) -> str:
     """DuckDB expression producing the same token list as
     operators.dedup.tokens() over `col` (a SQL expression string)."""

@@ -113,3 +113,56 @@ def test_summary_view_computed_fields(memories):
 def test_unknown_view_raises(memories):
     with pytest.raises(ValueError, match="Unknown view"):
         apply_view(_scored(memories), "everything")
+
+
+class TestMatchText:
+    """Token-based contains (Qdrant MatchText on text-indexed fields)."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the quick data pipeline"),   # tokens apart → match
+                (2, "thedata"),                   # substring-ish, no tokens
+                (3, "The data!"),                 # punctuation boundaries
+                (4, "nothing relevant"),
+                (5, "模型 data 训练 the"),          # CJK + latin mix
+            ],
+            "doc_id int, text string",
+        )
+
+    def _ids(self, docs, pred):
+        return sorted(r.doc_id for r in docs.filter(pred).collect())
+
+    def test_token_vs_substring(self, docs):
+        tok = compile_filters(
+            [{"field": "text", "operator": "contains", "value": "the data"}],
+            valid_fields={"text"}, timestamp_fields=set(),
+            text_index_fields={"text"},
+        )
+        sub = compile_filters(
+            [{"field": "text", "operator": "contains", "value": "the data"}],
+            valid_fields={"text"}, timestamp_fields=set(),
+        )
+        assert self._ids(docs, tok) == [1, 3, 5]
+        assert self._ids(docs, sub) == [3]  # 'The data!' via lower variant
+
+    def test_case_variants_collapse(self, docs):
+        for q in ("THE DATA", "The Data", "the data"):
+            pred = compile_filters(
+                [{"field": "text", "operator": "contains", "value": q}],
+                valid_fields={"text"}, timestamp_fields=set(),
+                text_index_fields={"text"},
+            )
+            assert self._ids(docs, pred) == [1, 3, 5]
+
+    def test_cjk_codepoint_tokens(self, docs):
+        from fegis_spark.plans.filters import analyzer_tokens, match_text
+
+        assert analyzer_tokens("模型data") == ["模", "型", "data"]
+        assert self._ids(docs, match_text(F.col("text"), "模 data")) == [5]
+
+    def test_empty_query_matches_all(self, docs):
+        from fegis_spark.plans.filters import match_text
+
+        assert self._ids(docs, match_text(F.col("text"), "  !! ")) == [1, 2, 3, 4, 5]
