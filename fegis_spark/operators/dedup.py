@@ -468,3 +468,88 @@ def connected_components(
             stacklevel=2,
         )
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("component"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, 'Connected Components
+    in MapReduce and Beyond'). For every node u, connect each strictly
+    larger neighbor to min(Γ(u) ∪ {u}). Input/output: undirected edge
+    list as (u, v) pairs; output pairs satisfy u > v."""
+    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: for every node u over its ≤ neighbors
+    (input pairs are (u, v) with v < u), connect u and all those
+    neighbors to the smallest of them. Output pairs satisfy u > v."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = mins.select("u", F.col("m").alias("v"))
+    return moved.union(self_edge).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame, a: str = "a", b: str = "b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star —
+    the O(log n)-round MapReduce algorithm (Kiveris et al. 2014), vs
+    the O(diameter) min-label loop in connected_components().
+
+    Same contract: (node, component) with component = min reachable id.
+    Preferred at 100 TB when duplicate chains can be long (transitive
+    near-dup clusters): round count is logarithmic in the largest
+    component, each round is two hash-shuffles (groupBy + join) with no
+    cross product. Rounds materialize through localCheckpoint like the
+    min-label loop — O(1)-deep plans, predecessor blocks freed eagerly.
+
+    Converged when a large-star round adds no edge beyond the current
+    star set; warns (RuntimeWarning) on max_iter exhaustion.
+    """
+    import warnings
+
+    e = (
+        edges.filter(F.col(a) != F.col(b))
+        .select(
+            F.greatest(F.col(a), F.col(b)).alias("u"),
+            F.least(F.col(a), F.col(b)).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = e
+    converged = False
+    for _ in range(max_iter):
+        ls = _large_star(e)
+        ss = _small_star(ls).localCheckpoint(eager=True)
+        # star fixpoint: large-star leaves a star set unchanged
+        changed = ss.exceptAll(e).limit(1).count() + e.exceptAll(ss).limit(1).count()
+        _free_local_checkpoint(prev)
+        prev = ss
+        e = ss
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        warnings.warn(
+            f"connected_components_star exhausted max_iter={max_iter} "
+            "before fixpoint; labels may span partially-merged components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # final star edges: every non-min node points at its component min
+    roots = e.select(F.col("v").alias("node")).distinct().exceptAll(
+        e.select(F.col("u").alias("node")).distinct()
+    ).select("node", F.col("node").alias("component"))
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return members.union(roots)

@@ -179,3 +179,37 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.1,
     )
     return connected_components(edges)
+
+
+@register(
+    "dedup_components_star",
+    oracle="WITH RECURSIVE "
+    + _EDGES_SQL.strip().removeprefix("WITH ")
+    + """,
+    nodes AS (SELECT a AS n FROM edges UNION SELECT b FROM edges),
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    cc(n, lbl) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT u.b, cc.lbl FROM cc JOIN und u ON cc.n = u.a WHERE cc.lbl < u.b
+    )
+    SELECT n AS node, MIN(lbl) AS component FROM cc GROUP BY n
+    """,
+    covers=("K9-components",),
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 keeper selection via alternating large-star/small-star
+    (Kiveris et al. 2014) — the O(log n)-round scale path for long
+    duplicate chains, hash-checked against the same recursive-CTE
+    oracle as the min-label loop."""
+    from fegis_spark.operators.dedup import connected_components_star
+
+    edges = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        ["lang", "source"],
+        ngram=3,
+        threshold=0.1,
+    )
+    return connected_components_star(edges)

@@ -242,3 +242,72 @@ def test_fastembed_real_inference(spark):
     mem = I.ingest_batch(_calls(spark), embed_udf=I.fastembed_embedding_udf())
     row = mem.select("embedding").first()
     assert len(row.embedding) == I.BGE_SMALL_EN_DIM
+
+
+def _uf_components(edges):
+    """Union-find ground truth: node -> min id in its component."""
+    nodes = sorted({x for e in edges for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, list[int]] = {}
+    for n in nodes:
+        members.setdefault(find(n), []).append(n)
+    return {n: min(ms) for ms in members.values() for n in ms}
+
+
+def test_star_cc_matches_union_find_on_random_graphs(spark):
+    import random
+
+    from fegis_spark.operators.dedup import connected_components_star
+
+    rng = random.Random(17)
+    for _ in range(4):
+        n = rng.randint(5, 80)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n)) for _ in range(rng.randint(1, 2 * n))
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        truth = _uf_components(edges)
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r.node: r.component for r in connected_components_star(df).collect()}
+        assert got == truth
+
+
+def test_star_cc_logarithmic_rounds_on_chain(spark):
+    """Chain-101 (diameter 100): large-star/small-star must reach and
+    verify the fixpoint within 10 alternations (~log2 n + 1), where
+    min-label propagation needs ~100 rounds. No RuntimeWarning means
+    the loop observed convergence, not just ran out of iterations."""
+    import warnings
+
+    from fegis_spark.operators.dedup import connected_components_star
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components_star(_chain_edges(spark, 100), max_iter=10)
+        rows = out.collect()
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    assert {r.node for r in rows} == set(range(101))
+    assert all(r.component == 0 for r in rows)
+
+
+def test_star_cc_frees_intermediate_storage(spark):
+    from fegis_spark.operators.dedup import connected_components_star
+
+    jsc = spark._jsc
+    before = jsc.getPersistentRDDs().size()
+    connected_components_star(_chain_edges(spark, 30), max_iter=12)
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (before, after)
