@@ -166,3 +166,60 @@ FINGERPRINT_SQL = (
     "list_transform(string_split({c}, ''), ch -> CAST(ord(ch) AS BIGINT))), "
     f"(acc, x) -> (acc * 31 + x) % {MOD})"
 )
+
+
+def unigram_logprob(
+    docs, text_col: str = "text", id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+):
+    """Corpus-level unigram language-model scoring: each document gets
+    the mean negative log-probability of its tokens under the corpus
+    unigram distribution — the classic cheap fluency/quality proxy
+    (high score = rare-token-heavy = boilerplate noise, OCR junk, or
+    off-distribution text; low = stopword-heavy filler).
+
+    Plan shape: one token explode feeding (a) a hash-agg vocab count
+    and (b) a vocab join back to the token stream; the vocab (and the
+    1-row corpus total) broadcast, so the scoring side never shuffles
+    the corpus — only the final per-doc agg does. At 100 TB set
+    broadcast_vocab=False if the distinct-token table outgrows the
+    broadcast threshold (it becomes a plain shuffle equi-join), or
+    pre-aggregate the vocab with a frequency cutoff.
+
+    No OOV smoothing needed: the vocab is built from the corpus being
+    scored, so every token has count >= 1. Sum goes through
+    DECIMAL(38,6) (partition-order-proof); output rounded to 6 dp.
+
+    The vocab is persisted (MEMORY_AND_DISK): it feeds both the
+    broadcast join and the corpus-total aggregate, and without the
+    cache each consumer would re-scan the corpus to rebuild it — at
+    100 TB that third scan costs more than caching a distinct-token
+    table ever can. LRU eviction reclaims it; callers scoring many
+    corpora in one session can spark.catalog.clearCache().
+    """
+    from pyspark import StorageLevel
+
+    from fegis_spark.operators.dedup import tokens
+
+    tok = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    if broadcast_vocab:
+        vocab, total = F.broadcast(vocab), F.broadcast(total)
+    scored = (
+        tok.join(vocab, "t")
+        .crossJoin(total)
+        .withColumn("nl", -F.log(F.col("cnt") / F.col("n")))
+    )
+    return scored.groupBy("doc").agg(
+        F.round(
+            F.sum(F.col("nl").cast("decimal(38,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_neg_logprob"),
+        F.count("*").alias("n_tokens"),
+    )

@@ -274,3 +274,33 @@ def tokenize_unicode_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.concat_ws("|", F.slice(toks, 1, 8)).alias("head_tokens"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({duck_tokens('text')}) AS t FROM documents
+    ),
+    vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+    tot AS (SELECT sum(cnt) AS n FROM vocab),
+    scored AS (
+      SELECT doc_id, -ln(cnt::DOUBLE / n) AS nl
+      FROM tok JOIN vocab USING (t) CROSS JOIN tot
+    )
+    SELECT doc_id AS doc,
+           round(CAST(SUM(CAST(nl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_neg_logprob,
+           COUNT(*) AS n_tokens
+    FROM scored GROUP BY doc_id
+    """,
+    covers=("[EXT]-unigram-lm",),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] corpus-unigram LM scoring — mean -ln p(token) per document,
+    the cheap fluency/quality proxy used by e.g. CCNet-style filters
+    ahead of model-based scoring. Vocab + corpus total broadcast; the
+    corpus side never shuffles until the per-doc agg."""
+    from fegis_spark.operators.text_analysis import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))

@@ -102,3 +102,19 @@ def test_relative_time_future_ts_matches_python_timedelta(spark):
     assert got[2] == "23 hours ago"
     assert got[3] == "just now"
     assert got[4] == "3 hours ago"
+
+
+def test_unigram_logprob_known_values(spark):
+    import math
+
+    from fegis_spark.operators.text_analysis import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b")], "doc_id long, text string"
+    )
+    got = {r.doc: r for r in unigram_logprob(docs).collect()}
+    # corpus tokens: a,a,b,b -> p(a)=p(b)=0.5
+    exp = round(-math.log(0.5), 6)
+    assert got[1].n_tokens == 3 and got[2].n_tokens == 1
+    assert abs(got[1].avg_neg_logprob - exp) < 1e-6
+    assert abs(got[2].avg_neg_logprob - exp) < 1e-6
