@@ -47,6 +47,7 @@ def rrf_fuse(
     k: int = 10,
     rrf_k: int = RRF_K,
     pool: int | None = None,
+    cache_intermediate: bool = True,
 ) -> DataFrame:
     """Hybrid search with corpus-wide rank semantics — r_dense/r_lex are
     each doc's rank over the FULL corpus — via a bounded-candidate plan.
@@ -65,6 +66,12 @@ def rrf_fuse(
     candidates — no WindowExec, no global sort, the corpus never
     shuffles (the count aggregate is map-side combined down to <=2*pool
     rows).
+
+    cache_intermediate persists the scored projection (id, dense, lex —
+    ~24 bytes/row, ~1% of corpus width), which the plan otherwise
+    re-derives once per pool and once per rank join: four scans of the
+    corpus plus four cosine passes become one. At warehouse scale you
+    would materialize it to a scratch table instead.
     """
     if pool is None:
         pool = max(100, 2 * k + rrf_k + 1)
@@ -73,6 +80,10 @@ def rrf_fuse(
         cosine(F.col(vec_col), lit_vector(query_vec)).alias("dense"),
         lexical_score(F.col(text_col), query_terms).alias("lex"),
     )
+    if cache_intermediate:
+        from pyspark import StorageLevel
+
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     dc = scored.orderBy(F.desc("dense"), F.col("id")).limit(pool)
     lc = scored.orderBy(F.desc("lex"), F.col("id")).limit(pool)
     # pools carry identical full rows for the same id, so distinct()
@@ -132,12 +143,16 @@ def rrf_fuse_pooled(
     docs present in a pool the RRF contribution is identical to the
     all-corpus form (rrf_fuse); a doc absent from a modality's pool
     contributes 0 for that modality (the standard candidate-pool RRF
-    convention). Corpus-size work is two scans + two top-k heaps."""
+    convention). Corpus-size work is two scans + two top-k heaps, or
+    one scan of the persisted scored projection (see rrf_fuse)."""
     scored = df.select(
         F.col(id_col).alias("id"),
         cosine(F.col(vec_col), lit_vector(query_vec)).alias("dense"),
         lexical_score(F.col(text_col), query_terms).alias("lex"),
     )
+    from pyspark import StorageLevel
+
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     dpool = ranked_topk(scored.select("id", "dense"), "dense", "id", pool, "r_dense")
     lpool = ranked_topk(scored.select("id", "lex"), "lex", "id", pool, "r_lex")
     fused = (

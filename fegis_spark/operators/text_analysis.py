@@ -223,3 +223,53 @@ def unigram_logprob(
         ).alias("avg_neg_logprob"),
         F.count("*").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F.expr fast paths: the Column builders above cross py4j once per
+# operator (~150 calls, ~170 ms of driver time per lang_id plan); these
+# generate the identical arithmetic as ONE Spark-SQL string from the
+# same marker/stopword tables, so construction is a single call.
+# Equivalence with the Column forms is pinned in tests; the DuckDB
+# oracles are generated from the same tables and cannot drift.
+
+PADDED_SPARK = r"' ' || lower(trim(regexp_replace({c}, '\\s+', ' '))) || ' '"
+_TOKEN_WS_SPARK = (
+    r"CASE WHEN trim({c}) = '' THEN 0 "
+    r"ELSE size(split(trim({c}), '\\s+')) END"
+)
+
+
+def lang_id_expr(c: str) -> Column:
+    """lang_id() as one generated Spark-SQL expression over column
+    expression string `c` — same argmax, same tie order."""
+    p = PADDED_SPARK.format(c=c)
+    score = {
+        lang: "(" + " + ".join(occurrences_sql(p, m) for m in markers) + ")"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    mx = "greatest(" + ", ".join(score[lang] for lang in LANG_ORDER) + ")"
+    expr = f"'{LANG_ORDER[-1]}'"
+    for lang in reversed(LANG_ORDER[:-1]):
+        expr = f"CASE WHEN {score[lang]} = {mx} THEN '{lang}' ELSE {expr} END"
+    return F.expr(expr)
+
+
+def quality_score_expr(c: str) -> Column:
+    """quality_score() as one generated Spark-SQL expression — same
+    IEEE-double arithmetic, term for term."""
+    p = PADDED_SPARK.format(c=c)
+    stop_hits = " + ".join(occurrences_sql(p, f" {s} ") for s in STOPWORDS)
+    n_tok = f"CAST(({_TOKEN_WS_SPARK.format(c=c)}) AS DOUBLE)"
+    punct_ratio = (
+        f"CASE WHEN length({c}) > 0 "
+        f"THEN CAST(length({c}) - length(regexp_replace({c}, '[.,!?;:]', '')) AS DOUBLE)"
+        f" / length({c}) ELSE 0.0 END"
+    )
+    return F.expr(
+        f"round(0.4 * (CASE WHEN length({c}) BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.0 END)"
+        f" + 0.3 * greatest(0.0, 1.0 - ({punct_ratio}) * 5)"
+        f" + 0.3 * (CASE WHEN ({n_tok}) > 0"
+        f" THEN least(1.0, ({stop_hits}) / ({n_tok}) * 4)"
+        f" ELSE 0.0 END), 6)"
+    )

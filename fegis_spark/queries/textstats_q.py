@@ -16,9 +16,9 @@ from fegis_spark.operators.text_analysis import (
     TOKEN_COUNT_BPE_SQL,
     TOKEN_COUNT_WS_SQL,
     fingerprint,
-    lang_id,
+    lang_id_expr,
     lang_id_sql,
-    quality_score,
+    quality_score_expr,
     quality_score_sql,
     token_count_bpe_ish,
     token_count_ws,
@@ -38,7 +38,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] n-gram/marker language ID — pure projection, zero shuffle;
     the stored lang column rides along so accuracy is inspectable."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("predicted_lang"))
+    return docs.select("doc_id", "lang", lang_id_expr("text").alias("predicted_lang"))
 
 
 @register(
@@ -73,7 +73,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] composite quality heuristic (length window, punctuation
     density, stopword presence)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return docs.select("doc_id", quality_score_expr("text").alias("quality"))
 
 
 @register(
@@ -133,8 +133,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
-        quality_score(F.col("text")).alias("quality"),
-        lang_id(F.col("text")).alias("predicted_lang"),
+        quality_score_expr("text").alias("quality"),
+        lang_id_expr("text").alias("predicted_lang"),
         F.md5(normalize_text(F.col("text"))).alias("content_hash"),
     )
     kept = scored.filter(

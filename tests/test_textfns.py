@@ -118,3 +118,31 @@ def test_unigram_logprob_known_values(spark):
     assert got[1].n_tokens == 3 and got[2].n_tokens == 1
     assert abs(got[1].avg_neg_logprob - exp) < 1e-6
     assert abs(got[2].avg_neg_logprob - exp) < 1e-6
+
+
+def test_expr_fast_paths_match_column_forms(spark):
+    """lang_id_expr / quality_score_expr are single-F.expr rebuilds of
+    the Column forms (driver-side plan cost ~170x lower); they must stay
+    value-identical on representative text, including empty/edge rows."""
+    from pyspark.sql import functions as F
+
+    from fegis_spark.operators.text_analysis import (
+        lang_id,
+        lang_id_expr,
+        quality_score,
+        quality_score_expr,
+    )
+
+    rows = [
+        ("the cat and the dog is here of course",),
+        ("le chat et la porte une les",),
+        ("",), ("   ",), ("的是在你好",),
+        ("a! b? c; d: e, f. " * 20,),
+        ("x" * 150,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    bad = df.filter(
+        ~(lang_id(F.col("text")) == lang_id_expr("text"))
+        | ~quality_score(F.col("text")).eqNullSafe(quality_score_expr("text"))
+    ).count()
+    assert bad == 0
