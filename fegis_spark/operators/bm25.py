@@ -1,0 +1,119 @@
+"""BM25 lexical scoring ([EXT] — upgrade of the occurrence-count
+stand-in in operators/rrf.py, which exists because BM25 needs corpus
+statistics; this operator computes them).
+
+Okapi BM25 with the Lucene idf form (always positive):
+
+    idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(d, q) = Σ_t idf(t) · tf_td·(k1+1) / (tf_td + k1·(1 - b + b·dl_d/avgdl))
+
+where tf is the term's token frequency in the document, dl the
+document's token count, and avgdl the corpus mean. Term/token matching
+uses the same Unicode analyzer as the dedup family
+(operators.dedup.tokens), so CJK queries work per codepoint.
+
+Scale shape: ONE narrow projection per document — (id, dl, tf_1..tf_k)
+for the k query terms, k small — persisted because it feeds both the
+corpus-stats aggregate and the scoring pass. Stats collapse to a single
+broadcast row (map-side combined), scoring is a per-row expression, and
+the top-k is a TakeOrderedAndProject (per-partition heaps, no global
+sort, no window). The corpus is scanned once and never shuffled.
+
+Determinism: all per-row math IEEE double; avgdl goes through
+DECIMAL(38,6) (partition-order-proof mean); scores rounded to 6 dp;
+top-k carries an id tiebreak. The DuckDB oracle restates the identical
+arithmetic (queries/search_q.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def _term_tf(tok: Column, term: str) -> Column:
+    """Token frequency of an analyzer token in the token array."""
+    return F.size(F.filter(tok, lambda t: t == F.lit(term)))
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: Sequence[str],
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(id, score) for every document with score > 0 — feed into a
+    TakeOrdered for top-k (bm25_topk) or into an RRF fusion."""
+    from fegis_spark.operators.dedup import tokens
+    from fegis_spark.plans.filters import analyzer_tokens
+
+    qterms: list[str] = []
+    for t in terms:
+        qterms.extend(analyzer_tokens(t))
+    qterms = list(dict.fromkeys(qterms))
+    if not qterms:
+        raise ValueError("bm25_scores: no analyzer tokens in query terms")
+
+    from pyspark import StorageLevel
+
+    tok = tokens(F.col(text_col))
+    tfs = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tok).cast("double").alias("dl"),
+        *[_term_tf(tok, t).cast("double").alias(f"tf{i}") for i, t in enumerate(qterms)],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    stats = F.broadcast(
+        tfs.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            (
+                F.sum(F.col("dl").cast("decimal(38,6)")).cast("double") / F.count("*")
+            ).alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("double")).alias(f"df{i}")
+                for i in range(len(qterms))
+            ],
+        )
+    )
+
+    def idf(i: int) -> Column:
+        return F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"tf{i}")
+        norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        return idf(i) * tf * (k1 + 1.0) / norm
+
+    score = None
+    for i in range(len(qterms)):
+        s = term_score(i)
+        score = s if score is None else score + s
+    return (
+        tfs.crossJoin(stats)
+        .select("id", F.round(score, 6).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k BM25 hits with total-order (score desc, id) tiebreak."""
+    scored = bm25_scores(df, text_col, id_col, terms, k1=k1, b=b)
+    return scored.orderBy(F.desc("score"), F.col("id")).limit(k)

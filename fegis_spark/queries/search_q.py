@@ -10,6 +10,7 @@ from fegis_spark.catalog import register
 from fegis_spark.model import load_table
 from fegis_spark.operators.rrf import rrf_fuse
 from fegis_spark.operators.text_analysis import occurrences, padded
+from fegis_spark.queries.sqlfrag import duck_tokens
 from fegis_spark.queries.vector_q import _COS, _query_vec
 
 _TERMS = ["data", "model", "system"]
@@ -157,4 +158,146 @@ def rrf_hybrid_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TERMS,
         k=10,
         pool=100,
+    )
+
+
+def _bm25_oracle(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB restatement of operators.bm25 — generated from the same
+    term list and constants so the arithmetic cannot drift."""
+    from fegis_spark.queries.sqlfrag import duck_tokens
+
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(tok, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    term_scores = " + ".join(
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * ({k1} + 1.0)"
+        f" / (tf{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS id, {duck_tokens('text')} AS tok FROM documents
+    ), tfs AS (
+      SELECT id, CAST(len(tok) AS DOUBLE) AS dl,
+             {tf_cols}
+      FROM tok
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avgdl,
+             {df_cols}
+      FROM tfs
+    ), scored AS (
+      SELECT id, round({term_scores}, 6) AS score
+      FROM tfs CROSS JOIN stats
+    )
+    SELECT id, score FROM scored WHERE score > 0
+    ORDER BY score DESC, id LIMIT {k}
+    """
+
+
+@register(
+    "bm25_topk",
+    oracle=_bm25_oracle(_TERMS),
+    covers=("K5", "[EXT]-bm25"),
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] real BM25 (Lucene idf) over the documents table — the
+    corpus-statistics upgrade of the occurrence-count lexical stand-in
+    (operators/rrf.py). One corpus scan: the narrow (id, dl, tf_*)
+    projection persists and feeds both the 1-row broadcast stats and
+    the scoring pass; top-k is a TakeOrderedAndProject."""
+    from fegis_spark.operators.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "text", "doc_id", _TERMS, k=10)
+
+
+@register(
+    "rrf_hybrid_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.doc_id AS id, {duck_tokens('d.text')} AS tok, d.text, a.embedding
+      FROM documents d JOIN embeddings a ON a.vec_id = d.doc_id
+    ), tfs AS (
+      SELECT id, embedding, CAST(len(tok) AS DOUBLE) AS dl,
+             CAST(len(list_filter(tok, x -> x = 'data')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(tok, x -> x = 'model')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(tok, x -> x = 'system')) AS DOUBLE) AS tf2
+      FROM tok
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avgdl,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df0,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df2
+      FROM tfs
+    ), scored AS (
+      SELECT a.id, {_COS} AS dense,
+             ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             AS bm25
+      FROM tfs a
+      CROSS JOIN stats
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ), dp AS (
+      SELECT id, row_number() OVER (ORDER BY dense DESC, id) AS r_dense
+      FROM scored ORDER BY dense DESC, id LIMIT 100
+    ), lp AS (
+      SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r_bm25
+      FROM scored ORDER BY bm25 DESC, id LIMIT 100
+    )
+    SELECT COALESCE(dp.id, lp.id) AS id, dp.r_dense, lp.r_bm25,
+           round(COALESCE(1.0/(60 + dp.r_dense), 0) + COALESCE(1.0/(60 + lp.r_bm25), 0), 6) AS rrf
+    FROM dp FULL OUTER JOIN lp ON dp.id = lp.id
+    ORDER BY round(COALESCE(1.0/(60 + dp.r_dense), 0) + COALESCE(1.0/(60 + lp.r_bm25), 0), 6) DESC,
+             COALESCE(dp.id, lp.id)
+    LIMIT 10
+    """,
+    covers=("K5", "[EXT]-bm25"),
+)
+def rrf_hybrid_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 hybrid with a REAL lexical leg: BM25 (corpus-stats idf +
+    length normalization) rank-fused with dense cosine via RRF(K=60),
+    candidate-pool form (top-100 per modality, window-free ranks).
+    The production-shaped successor of rrf_hybrid_search's
+    occurrence-count stand-in."""
+    from fegis_spark.functions.vector import cosine, lit_vector
+    from fegis_spark.operators.bm25 import bm25_scores
+    from fegis_spark.operators.topk import ranked_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    qv = _query_vec(spark, sf_dir)
+    dense = joined.select(
+        F.col("doc_id").alias("id"),
+        cosine(F.col("embedding"), lit_vector(qv)).alias("dense"),
+    )
+    lex = bm25_scores(joined, "text", "doc_id", _TERMS).withColumnRenamed(
+        "score", "bm25"
+    )
+    dpool = ranked_topk(dense, "dense", "id", 100, "r_dense")
+    lpool = ranked_topk(lex, "bm25", "id", 100, "r_bm25")
+    fused = (
+        dpool.select("id", "r_dense")
+        .join(lpool.select("id", "r_bm25"), "id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r_dense")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_bm25")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.col("id")).limit(10).select(
+        "id", "r_dense", "r_bm25", "rrf"
     )

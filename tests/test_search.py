@@ -169,3 +169,58 @@ def test_rrf_fuse_matches_corpus_wide_windows(spark):
     )
     want = [tuple(r) for r in naive.collect()]
     assert got == want
+
+
+class TestBM25:
+    def test_bm25_matches_reference_formula(self, spark):
+        import math
+
+        from fegis_spark.operators.bm25 import bm25_scores
+
+        corpus = {1: "data data model", 2: "data other thing", 3: "unrelated words here"}
+        df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+        got = {r.id: r.score for r in bm25_scores(df, "text", "doc_id", ["data"]).collect()}
+
+        toks = {i: t.split() for i, t in corpus.items()}
+        n, avgdl = 3.0, sum(len(t) for t in toks.values()) / 3.0
+        dfreq = sum(1 for t in toks.values() if "data" in t)
+        idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        k1, b = 1.2, 0.75
+        exp = {}
+        for i, t in toks.items():
+            tf = float(t.count("data"))
+            if tf > 0:
+                exp[i] = round(idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(t) / avgdl)), 6)
+        assert set(got) == set(exp)
+        for i in exp:
+            assert abs(got[i] - exp[i]) < 1e-6, (i, got[i], exp[i])
+
+    def test_bm25_topk_order_and_tiebreak(self, spark):
+        from fegis_spark.operators.bm25 import bm25_topk
+
+        df = spark.createDataFrame(
+            [(1, "data data"), (2, "data data"), (3, "data"), (4, "none")],
+            "doc_id long, text string",
+        )
+        rows = bm25_topk(df, "text", "doc_id", ["data"], k=3).collect()
+        assert [r.id for r in rows] == [1, 2, 3]  # equal scores tie-break by id
+
+    def test_bm25_rejects_empty_query(self, spark):
+        import pytest as _pytest
+
+        from fegis_spark.operators.bm25 import bm25_scores
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            bm25_scores(df, "text", "doc_id", ["!!"])
+
+    def test_bm25_plan_no_window_no_sortmergejoin(self, spark):
+        from fegis_spark.operators.bm25 import bm25_topk
+
+        df = spark.createDataFrame(
+            [(i, f"data word{i}") for i in range(50)], "doc_id long, text string"
+        )
+        plan = bm25_topk(df, "text", "doc_id", ["data"], k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "WindowExec" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "TakeOrderedAndProject" in plan
