@@ -383,3 +383,35 @@ def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double").alias("pack_chars"),
     )
+
+
+@register(
+    "stratified_fixed_k",
+    oracle="""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+    covers=("[EXT]-sample",),
+)
+def stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact-k-per-stratum sampling (the reservoir-sample
+    complement of the rate-based stratified_sample): exactly 5 docs per
+    language, chosen by md5 order — a pure function of doc_id, so
+    re-runs and other engines agree row-for-row. The window partitions
+    by lang (parallel across strata, never a single-partition window);
+    at 100 TB the md5 rank-and-filter pushes k rows per stratum out of
+    each partition before the final per-stratum merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
