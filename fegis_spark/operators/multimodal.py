@@ -259,3 +259,53 @@ def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
         for i in range(n)
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Inverse of decode_ppm: uint8 (h, w, 3) → binary P6 payload."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (pure numpy — the
+    dependency-free analog of PIL's Image.NEAREST; swap in a real
+    resampler where PIL/cv2 is available). Index map uses the standard
+    floor((i + 0.5) * src/dst) pixel-center rule."""
+    src_h, src_w = arr.shape[0], arr.shape[1]
+    rows = np.minimum(((np.arange(height) + 0.5) * src_h / height).astype(np.int64), src_h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * src_w / width).astype(np.int64), src_w - 1)
+    return arr[rows][:, cols]
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, codec: Codec | None = None
+) -> DataFrame:
+    """mapInPandas image resize: payload → re-encoded payload at
+    (width, height) plus the original dimensions. The standard
+    pre-training normalization step (fixed input resolution) — bytes
+    stay inside the Arrow batch, one decode + one encode per image,
+    output width/height are data-independent so downstream batch
+    shapes are uniform."""
+    codec = codec or Codec()
+    out_schema = (
+        "media_id long, payload binary, src_width int, src_height int, "
+        "width int, height int"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "payload", "src_width", "src_height", "width", "height"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, None, None, width, height))
+                    continue
+                img = codec.decode_image(bytes(payload))
+                out = resize_nearest(img, width, height)
+                rows.append(
+                    (mid, encode_ppm(out), img.shape[1], img.shape[0], width, height)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(op, out_schema)

@@ -140,3 +140,40 @@ def test_stereo_wav_channels():
 
     samples, sr = decode_wav(make_wav(100, sample_rate=44100, n_channels=2))
     assert samples.shape == (100, 2) and sr == 44100
+
+
+class TestResize:
+    def test_resize_nearest_identity_and_downscale(self):
+        import numpy as np
+
+        from fegis_spark.operators.multimodal import (
+            decode_ppm,
+            encode_ppm,
+            make_ppm,
+            resize_nearest,
+        )
+
+        img = decode_ppm(make_ppm(8, 6, seed=3))
+        assert np.array_equal(resize_nearest(img, 8, 6), img)  # identity
+        half = resize_nearest(img, 4, 3)
+        assert half.shape == (3, 4, 3)
+        # pixel-center rule: out[0,0] = src[floor(0.5*6/3), floor(0.5*8/4)]
+        assert np.array_equal(half[0, 0], img[1, 1])
+        # round-trip through the encoder
+        assert np.array_equal(decode_ppm(encode_ppm(half)), half)
+
+    def test_resize_images_spark_plumbing(self, spark):
+        from fegis_spark.operators.multimodal import (
+            decode_ppm,
+            resize_images,
+            synthetic_media,
+        )
+
+        df = synthetic_media(spark, n=8, kind="image")
+        out = resize_images(df, 4, 4).collect()
+        assert len(out) == 8
+        for r in out:
+            img = decode_ppm(bytes(r.payload))
+            assert img.shape == (4, 4, 3)
+            assert (r.width, r.height) == (4, 4)
+            assert r.src_width > 0 and r.src_height > 0
