@@ -150,3 +150,49 @@ def ingest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mem = ingest_batch(calls)
     return mem.select("memory_id", "tool", "session_id", "sequence_order", "embedding")
+
+
+@register(
+    "interval_join_events",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    )
+    SELECT l.user_id,
+           l.event_id AS l_event_id,
+           r.event_id AS r_event_id,
+           CAST(floor(epoch(r.ts) - epoch(l.ts)) AS BIGINT) AS lag_s
+    FROM e l JOIN e r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'view'
+     AND r.ts > l.ts
+     AND r.ts <= l.ts + INTERVAL 1440 MINUTES
+    """,
+    covers=("[EXT]-streaming",),
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] event-time interval join (click → view attribution within
+    24 h) — the batch twin of streaming.joins.interval_join_stream,
+    whose stream-vs-batch agreement is pinned in tests/test_streaming.py.
+    Equi-join on user_id carries the shuffle; the time bound is a
+    post-join range filter, so this stays a hash join (never a cross
+    product) at any scale."""
+    from fegis_spark.streaming.joins import interval_join_batch
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = interval_join_batch(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        interval_minutes=1440,
+    )
+    return out.select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        # floor of the EXACT difference — unix_timestamp would floor
+        # each side first and disagree with the oracle on sub-second ts
+        F.expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000").alias("lag_s"),
+    )

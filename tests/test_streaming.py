@@ -269,3 +269,67 @@ def test_available_now_end_to_end_state_bounded(spark, tmp_path_factory):
     assert n_distinct <= n_out <= n_total
     # the hash state must never approach the full corpus
     assert max_dd_state < 0.5 * n_total, (max_dd_state, n_total)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream):
+    from fegis_spark.streaming.joins import interval_join_batch, interval_join_stream
+
+    sdf, batch = events_stream
+    s = _normalize_stream_events(sdf)
+    clicks_s = s.filter(F.col("event_type") == "click")
+    views_s = s.filter(F.col("event_type") == "view")
+    # per-user event gaps in the testdata are hours apart — use a
+    # 24 h interval so the join has real matches (91 pairs at sf0.001)
+    joined = interval_join_stream(
+        clicks_s, views_s, interval_minutes=1440, watermark="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, l_event_id, r_event_id FROM ssj_out"
+        ).collect()
+    }
+
+    # load_table already yields TIMESTAMP_NTZ; same instant as TIMESTAMP
+    # under the UTC session
+    b = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        tuple(r)
+        for r in interval_join_batch(
+            b.filter(F.col("event_type") == "click"),
+            b.filter(F.col("event_type") == "view"),
+            interval_minutes=1440,
+        )
+        .select("user_id", "l_event_id", "r_event_id")
+        .collect()
+    }
+    assert want, "batch twin produced no pairs — test data assumption broken"
+    # inner stream-stream join with processAllAvailable emits matches
+    # regardless of watermark passage; sets must agree exactly
+    assert got == want
+
+
+def test_stream_stream_join_state_has_watermark_bound(spark, events_stream):
+    """The executed streaming plan must carry event-time watermarks on
+    both inputs and a range condition — the preconditions Structured
+    Streaming needs to expire join state instead of buffering forever."""
+    from fegis_spark.streaming.joins import interval_join_stream
+
+    sdf, _ = events_stream
+    s = _normalize_stream_events(sdf)
+    joined = interval_join_stream(
+        s.filter(F.col("event_type") == "click"),
+        s.filter(F.col("event_type") == "view"),
+    )
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2, plan
