@@ -213,3 +213,46 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.1,
     )
     return connected_components_star(edges)
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+               AS bucket,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+      FROM documents
+    ),
+    corpus AS (SELECT h FROM hashed WHERE bucket < 50),
+    batch  AS (SELECT doc_id, lang, h FROM hashed WHERE bucket >= 50)
+    SELECT b.doc_id, b.lang
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+    """,
+    covers=("K9-exact",),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 incremental exact dedup — the daily-ingest shape: drop every
+    new-batch document whose normalized content hash already exists in
+    the indexed corpus (left_anti on the hash). Here corpus/batch are
+    md5-bucket halves of documents (deterministic, engine-portable);
+    in production the corpus side is the stored hash index. Anti join
+    on a single hash key: both sides shuffle once on h — at 100 TB the
+    corpus hash index is the big side, so pre-bucket it by h (operators/
+    scale.write_bucketed) and only the daily batch moves."""
+    from fegis_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 100
+        ).alias("bucket"),
+        F.md5(normalize_text(F.col("text"))).alias("h"),
+    )
+    corpus = docs.filter(F.col("bucket") < 50).select("h")
+    batch = docs.filter(F.col("bucket") >= 50)
+    return batch.join(corpus, "h", "left_anti").select("doc_id", "lang")
