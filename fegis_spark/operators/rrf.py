@@ -155,9 +155,23 @@ def rrf_fuse_pooled(
     scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     dpool = ranked_topk(scored.select("id", "dense"), "dense", "id", pool, "r_dense")
     lpool = ranked_topk(scored.select("id", "lex"), "lex", "id", pool, "r_lex")
+    # union + max-agg outer merge: pool ids are unique, and full outer
+    # can't broadcast (it would plan a SortMergeJoin over the pools)
     fused = (
-        dpool.select("id", "r_dense")
-        .join(lpool.select("id", "r_lex"), "id", "full_outer")
+        dpool.select(
+            "id",
+            F.col("r_dense").cast("bigint").alias("r_dense"),
+            F.lit(None).cast("bigint").alias("r_lex"),
+        )
+        .union(
+            lpool.select(
+                "id",
+                F.lit(None).cast("bigint").alias("r_dense"),
+                F.col("r_lex").cast("bigint").alias("r_lex"),
+            )
+        )
+        .groupBy("id")
+        .agg(F.max("r_dense").alias("r_dense"), F.max("r_lex").alias("r_lex"))
         .withColumn(
             "rrf",
             F.round(

@@ -286,9 +286,24 @@ def rrf_hybrid_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dpool = ranked_topk(dense, "dense", "id", 100, "r_dense")
     lpool = ranked_topk(lex, "bm25", "id", 100, "r_bm25")
+    # union + max-agg instead of a full-outer join: ids are unique per
+    # pool, so this is the same outer merge as one hash aggregation
+    # (full outer can't broadcast — it would plan a SortMergeJoin)
     fused = (
-        dpool.select("id", "r_dense")
-        .join(lpool.select("id", "r_bm25"), "id", "full_outer")
+        dpool.select(
+            "id",
+            F.col("r_dense").cast("bigint").alias("r_dense"),
+            F.lit(None).cast("bigint").alias("r_bm25"),
+        )
+        .union(
+            lpool.select(
+                "id",
+                F.lit(None).cast("bigint").alias("r_dense"),
+                F.col("r_bm25").cast("bigint").alias("r_bm25"),
+            )
+        )
+        .groupBy("id")
+        .agg(F.max("r_dense").alias("r_dense"), F.max("r_bm25").alias("r_bm25"))
         .withColumn(
             "rrf",
             F.round(

