@@ -138,12 +138,9 @@ def test_stratified_fixed_k_window_is_partitioned(spark, cat):
     """The per-stratum rank must partition by lang — a global (empty
     partition-spec) window would funnel the corpus through one task."""
     p = formatted_plan(spark, cat, "stratified_fixed_k")
-    assert "Window" in p
-    import re
-
-    # every hashpartitioning for the window carries the lang key
-    assert "SinglePartition" not in p.replace(
-        "Exchange SinglePartition", ""
-    ) or True
-    win_args = [l for l in p.splitlines() if "partitionBy" in l or "PartitionSpec" in l]
-    assert "lang" in p, p
+    assert "Window" in p, p
+    # the window's exchange must hash-partition on the stratum key,
+    # never collapse to a single partition
+    exchanges = [l for l in p.splitlines() if "Exchange" in l]
+    assert any("hashpartitioning(lang" in l for l in exchanges), exchanges
+    assert not any("SinglePartition" in l for l in exchanges), exchanges
