@@ -23,6 +23,14 @@ from pyspark.sql import functions as F
 from fegis_spark.functions.views import apply_view
 from fegis_spark.ingest import EMBEDDING_DIM
 from fegis_spark.plans import search as S
+from fegis_spark.sources.qdrant_sink import PAYLOAD_INDEXES
+
+#: fields the reference declares with a TEXT payload index
+#: (storage.py:74-75) — Qdrant gives `contains` on these fields
+#: analyzed MatchText semantics, so the filter compiler does too.
+TEXT_INDEX_FIELDS = frozenset(
+    f for f, kind in PAYLOAD_INDEXES.items() if kind == "text"
+)
 
 DEFAULTS = {
     "limit": 3,
@@ -100,6 +108,7 @@ def search_memory(
         out = S.filtered_search(
             memories, "embedding", qv, filters, k=limit, tiebreak="memory_id",
             score_threshold=score_threshold,
+            text_index_fields=TEXT_INDEX_FIELDS,
         )
     else:
         raise ValueError(f"Unknown search_type: {search_type}")

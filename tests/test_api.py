@@ -150,3 +150,31 @@ def test_latest_per_key_window_tiebreak(spark):
     )
     row = latest_per_key_window(df, "key", "o", tiebreak="id").collect()
     assert len(row) == 1 and row[0].id == "a"
+
+
+def test_filtered_contains_is_matchtext_on_text_indexed_fields(memories):
+    """The reference TEXT-indexes title/context (storage.py:74-75), so
+    Qdrant gives `contains` on those fields analyzed MatchText
+    semantics — tokens, not substrings. search_memory must agree."""
+    from fegis_spark.api import TEXT_INDEX_FIELDS, search_memory
+
+    assert TEXT_INDEX_FIELDS == {"title", "context"}
+    # titles look like 'Title 0.1' — token query 'title' matches;
+    # the tokens are ['title','0','1'], so a mid-word substring like
+    # 'itl' must NOT match under MatchText semantics
+    hit = search_memory(
+        memories,
+        search_type="filtered",
+        filters=[{"field": "title", "operator": "contains", "value": "TITLE"}],
+        detail="compact",
+        score_threshold=0.0,  # no query vector -> score 0.0
+    )
+    assert hit.count() > 0
+    miss = search_memory(
+        memories,
+        search_type="filtered",
+        filters=[{"field": "title", "operator": "contains", "value": "itl"}],
+        detail="compact",
+        score_threshold=0.0,
+    )
+    assert miss.count() == 0
