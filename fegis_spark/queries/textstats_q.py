@@ -304,3 +304,49 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fegis_spark.operators.text_analysis import unigram_logprob
 
     return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_novelty",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(0, len(tok)-2),
+                           i -> array_to_string(list_slice(tok, i+1, i+3), ' '))) AS sh
+      FROM (SELECT *, {duck_tokens('text')} AS tok FROM documents)
+      WHERE len(tok) >= 3
+    ), ex AS (SELECT doc, unnest(sh) AS g FROM base),
+    freq AS (SELECT g, count(*) AS n_docs FROM ex GROUP BY g)
+    SELECT doc,
+           count(*) AS n_grams,
+           round(CAST(SUM(CASE WHEN n_docs = 1 THEN 1.0 ELSE 0.0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty
+    FROM ex JOIN freq USING (g)
+    GROUP BY doc
+    """,
+    covers=("[EXT]-novelty",),
+)
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] shingle novelty — fraction of a doc's distinct 3-gram
+    shingles that occur in NO other document. Low novelty = boilerplate
+    / near-dup material (complements dedup: a graded signal instead of
+    a pair threshold). Same shuffle family as boilerplate_ngrams: one
+    gram hash-agg + one equi-join back to the exploded grams; grams are
+    distinct per doc so df(g) is a plain count."""
+    from fegis_spark.operators.dedup import with_shingles
+
+    sh = with_shingles(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+    ex = sh.select("doc", F.explode("sh").alias("g"))
+    freq = ex.groupBy("g").agg(F.count("*").alias("n_docs"))
+    return (
+        ex.join(freq, "g")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") == 1, 1.0).otherwise(0.0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )
