@@ -166,3 +166,37 @@ class TestMatchText:
         from fegis_spark.plans.filters import match_text
 
         assert self._ids(docs, match_text(F.col("text"), "  !! ")) == [1, 2, 3, 4, 5]
+
+
+def test_python_analyzer_matches_spark_tokens(spark):
+    """plans.filters.analyzer_tokens (query side, driver Python) and
+    operators.dedup.tokens (field side, JVM codegen) must tokenize
+    identically — MatchText correctness depends on the lockstep."""
+    import random
+
+    from fegis_spark.operators.dedup import tokens
+    from fegis_spark.plans.filters import analyzer_tokens
+
+    rng = random.Random(23)
+    pools = [
+        "abcXYZ012",            # latin alnum
+        " \t\n.,!?-_#@'\"",     # separators
+        "模型训练数据是好的",       # Han
+        "ひらがなカタカナ",        # kana
+        "한국어조사",             # Hangul
+        "éüñÅßçøâ",             # latin diacritics (letters, not CJK)
+        "αβγДЖ",                # greek/cyrillic
+    ]
+    alphabet = "".join(pools)
+    cases = ["", " ", "a", "。", "a。b"]
+    cases += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 40)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, s string")
+    got = {
+        r.i: list(r.t)
+        for r in df.select("i", tokens(F.col("s")).alias("t")).collect()
+    }
+    for i, s in enumerate(cases):
+        assert got[i] == analyzer_tokens(s), (s, got[i], analyzer_tokens(s))
