@@ -415,3 +415,53 @@ def stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 5)
     )
+
+
+from fegis_spark.operators.text_analysis import quality_score_sql  # noqa: E402
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {quality_score_sql('text')} AS quality,
+             {_hash_bucket_sql('doc_id')} AS bucket
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           round(CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_kept_quality
+    FROM scored
+    WHERE bucket < CAST(floor(quality * 100) AS BIGINT)
+    GROUP BY lang
+    """,
+    covers=("[EXT]-sample",),
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] quality-weighted deterministic sampling: keep a document
+    with probability equal to its quality score — high-quality docs
+    survive, low-quality docs thin out — with the md5 bucket as the
+    deterministic coin (same doc always gets the same draw; re-runs and
+    other engines agree row-for-row). The importance-sampling step of
+    a curation pipeline, zero RNG. One scan; the keep filter prunes
+    before the only shuffle (the reporting agg)."""
+    from fegis_spark.operators.text_analysis import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        quality_score_expr("text").alias("quality"),
+        _hash_bucket(F.col("doc_id")).alias("bucket"),
+    )
+    kept = scored.filter(
+        F.col("bucket") < F.floor(F.col("quality") * 100).cast("bigint")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(38,6)")).cast("double") / F.count("*"),
+            6,
+        ).alias("avg_kept_quality"),
+    )
