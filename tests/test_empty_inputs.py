@@ -1,0 +1,60 @@
+"""Empty-input robustness: every library operator must return an empty
+(correctly-schemed) result on empty input, never raise — at 100 TB a
+filter chain routinely produces empty partitions/frames mid-pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, lang string, text string")
+
+
+@pytest.fixture(scope="module")
+def empty_edges(spark):
+    return spark.createDataFrame([], "a long, b long")
+
+
+def test_dedup_family_empty(spark, empty_docs, empty_edges):
+    from fegis_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        exact_dedup,
+        minhash_lsh_pairs,
+        with_shingles,
+    )
+
+    assert exact_dedup(empty_docs, "text", "doc_id").count() == 0
+    assert with_shingles(empty_docs, "text", "doc_id").count() == 0
+    assert minhash_lsh_pairs(empty_docs, "text", "doc_id").count() == 0
+    assert connected_components(empty_edges).count() == 0
+    assert connected_components_star(empty_edges).count() == 0
+
+
+def test_text_scoring_empty(spark, empty_docs):
+    from fegis_spark.operators.bm25 import bm25_scores, bm25_topk
+    from fegis_spark.operators.text_analysis import unigram_logprob
+
+    assert unigram_logprob(empty_docs).count() == 0
+    assert bm25_scores(empty_docs, "text", "doc_id", ["data"]).count() == 0
+    assert bm25_topk(empty_docs, "text", "doc_id", ["data"], k=5).count() == 0
+
+
+def test_search_empty(spark):
+    from fegis_spark.operators.rrf import rrf_fuse, rrf_fuse_pooled
+
+    empty = spark.createDataFrame(
+        [], "id long, embedding array<float>, text string"
+    )
+    qv = [0.1, 0.2, 0.3]
+    assert rrf_fuse(empty, "id", "embedding", "text", qv, ["data"]).count() == 0
+    assert rrf_fuse_pooled(empty, "id", "embedding", "text", qv, ["data"]).count() == 0
+
+
+def test_match_text_empty(spark, empty_docs):
+    from fegis_spark.plans.filters import match_text
+
+    assert empty_docs.filter(match_text(F.col("text"), "the data")).count() == 0
