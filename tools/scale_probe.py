@@ -1,0 +1,108 @@
+"""Scale-linearity probe: replicate the sf0.1 documents/embeddings
+tables N× (fresh ids, same value distributions) into a temp dir, then
+time representative heavy operators at 1× and N×. Near-linear wall
+ratios (≲ N) are the empirical check behind SCALE.md's shuffle
+inventory — a super-linear blowup means a hidden cross product,
+single-partition funnel, or O(n²) candidate explosion.
+
+Usage: python tools/scale_probe.py [N]     (default 8)
+Prints one JSON line: {"factor": N, "queries": {name: {"t1": s,
+"tN": s, "ratio": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fegis_spark.model import load_table  # noqa: E402
+from fegis_spark.session import configure_for_oracle, get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def replicate(spark, out_dir: str, factor: int) -> None:
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    copies = spark.range(factor).select(F.col("id").alias("copy"))
+    (
+        docs.crossJoin(copies)
+        .withColumn("doc_id", F.col("doc_id") + F.col("copy") * F.lit(n_docs))
+        .drop("copy")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_emb = emb.count()
+    (
+        emb.crossJoin(copies)
+        .withColumn("vec_id", F.col("vec_id") + F.col("copy") * F.lit(n_emb))
+        .drop("copy")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/embeddings.parquet")
+    )
+
+
+def probes(spark, sf_dir: str) -> dict:
+    """Heavy operators with non-trivial shuffle structure."""
+    from fegis_spark.operators.bm25 import bm25_topk
+    from fegis_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from fegis_spark.operators.text_analysis import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return {
+        "curation_scan": docs.select(
+            F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias("distinct_hashes")),
+        "dedup_exact": exact_dedup(docs, "text", "doc_id")
+        .agg(F.count("*").alias("n")),
+        "dedup_minhash_lsh": minhash_lsh_pairs(docs, "text", "doc_id")
+        .agg(F.count("*").alias("n")),
+        "bm25_topk": bm25_topk(docs, "text", "doc_id", ["data", "model"], k=10),
+        "unigram_logprob": unigram_logprob(docs).agg(
+            F.count("*").alias("n")
+        ),
+    }
+
+
+def time_all(spark, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name, df in probes(spark, sf_dir).items():
+        df.write.format("noop").mode("overwrite").save()  # warm: codegen+JIT
+        spark.catalog.clearCache()  # operators persist intermediates
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = configure_for_oracle(get_spark("scale_probe"))
+    with tempfile.TemporaryDirectory(prefix="scale_probe_") as tmp:
+        replicate(spark, tmp, factor)
+        t1 = time_all(spark, SF_DIR)
+        tn = time_all(spark, tmp)
+        report = {
+            "factor": factor,
+            "queries": {
+                q: {"t1": t1[q], "tN": tn[q], "ratio": round(tn[q] / t1[q], 2)}
+                for q in t1
+            },
+        }
+        print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
