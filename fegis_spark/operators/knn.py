@@ -198,3 +198,106 @@ def ann_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(corpus_id).alias("corpus_id"), "score", "rank")
     )
+
+
+def _train_centroids(
+    corpus_df: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    n_lists: int,
+    kmeans_iters: int,
+):
+    """Deterministic sampled k-means (shared by ann_ivf and
+    build_ivf_index): bounded md5-bucket sample, seed-42 init."""
+    import numpy as np
+
+    target = max(n_lists * 32, 512)
+    sample = ivf_training_sample(corpus_df, corpus_id, vec_col, target).collect()
+    sample.sort(key=lambda r: (r["__h"], r["__id"]))
+    X = np.array([r["v"] for r in sample[:target]], dtype=np.float64)
+    rng = np.random.default_rng(42)
+    cent = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(kmeans_iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cent)):
+            pts = X[assign == j]
+            if len(pts):
+                cent[j] = pts.mean(0)
+    return [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
+
+
+def _nearest_lists(df: DataFrame, cent_df: DataFrame, vec_col: str, id_alias: str, n_keep: int) -> DataFrame:
+    scored = df.crossJoin(F.broadcast(cent_df)).withColumn(
+        "__sim", cosine(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_alias).orderBy(F.desc("__sim"), F.col("list_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_keep)
+        .drop("centroid", "__sim", "__r")
+    )
+
+
+def build_ivf_index(
+    corpus_df: DataFrame,
+    path: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    kmeans_iters: int = 3,
+) -> None:
+    """Index-once half of the production IVF flow: train centroids,
+    assign every corpus vector to its nearest list, and write
+
+    * ``{path}/corpus`` — parquet PARTITIONED BY list_id (one
+      directory per inverted list; at 100 TB this is the layout that
+      turns probing into partition pruning instead of row filtering)
+    * ``{path}/centroids`` — the tiny centroid table.
+
+    Build cost: one broadcast centroid join + one partitioned write.
+    """
+    spark = corpus_df.sparkSession
+    cent_df = spark.createDataFrame(
+        _train_centroids(corpus_df, corpus_id, vec_col, n_lists, kmeans_iters),
+        "list_id int, centroid array<double>",
+    )
+    assigned = _nearest_lists(
+        corpus_df.select(corpus_id, vec_col), cent_df, vec_col, corpus_id, 1
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/corpus")
+    cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ann_ivf_indexed(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    query_id: str,
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query-many half: read the stored index and scan ONLY the probed
+    lists. The probe set joins the corpus on its partition column
+    (list_id), so Spark's dynamic partition pruning restricts the
+    corpus scan to n_probe directories per query batch — the scan cost
+    is |corpus| × n_probe / n_lists, not |corpus| (pinned in
+    tests/test_ivf_index.py via PartitionFilters: [dynamicpruning#…]).
+    Same candidate set and ranking as ann_ivf with equal parameters.
+    """
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    corpus = spark.read.parquet(f"{path}/corpus")
+    probes = _nearest_lists(
+        queries_df.select(query_id, vec_col), cent_df, vec_col, query_id, n_probe
+    ).select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"), "list_id")
+    corpus_id = [c for c in corpus.columns if c not in (vec_col, "list_id")][0]
+    cand = corpus.join(F.broadcast(probes), "list_id").withColumn(
+        "score", cosine(F.col(vec_col), F.col("__qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(corpus_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(corpus_id).alias("corpus_id"), "score", "rank")
+    )
