@@ -273,3 +273,50 @@ def quality_score_expr(c: str) -> Column:
         f" THEN least(1.0, ({stop_hits}) / ({n_tok}) * 4)"
         f" ELSE 0.0 END), 6)"
     )
+
+
+#: (pattern, replacement) pipeline for HTML → text, applied in order.
+#: Regexes are RE2/Java-compatible ((?is) inline flags, no backrefs) so
+#: Spark and DuckDB agree byte-for-byte. Entity unescape does &amp;
+#: LAST, so "&amp;lt;" yields the literal text "&lt;" (correct double-
+#: escape handling), and script/style bodies go before tag removal.
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    (r"\s+", " "),
+]
+
+
+def strip_html(col: Column) -> Column:
+    """HTML/boilerplate → clean text: drop script/style bodies,
+    comments, and tags; unescape the common entities; collapse
+    whitespace. Regex-only (whole-stage codegen, zero shuffle) — the
+    standard first pass over crawled corpora before quality/dedup.
+    Mirrored in SQL by strip_html_sql from the same step table."""
+    out = col
+    for pat, rep in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
+def strip_html_sql(c: str) -> str:
+    """DuckDB restatement generated from HTML_STRIP_STEPS — cannot
+    drift. RE2 needs (?i) spelled inline and 'g' for global."""
+    out = c
+    for pat, rep in HTML_STRIP_STEPS:
+        # RE2 lacks backreferences: expand the \1 closing-tag pattern
+        if r"</\1" in pat:
+            for tag in ("script", "style"):
+                p = pat.replace(r"(script|style)", tag).replace(r"</\1", f"</{tag}")
+                out = f"regexp_replace({out}, '{p}', ' ', 'g')"
+            continue
+        sq = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{sq}', 'g')"
+    return f"trim({out})"

@@ -153,3 +153,37 @@ def capitalize_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("source").alias("lo"),
         F.md5(norm).alias("norm_hash"),
     )
+
+
+from fegis_spark.operators.text_analysis import strip_html, strip_html_sql  # noqa: E402
+
+_WRAP = ("<div class=\"doc\"><!-- hdr -->", "</div><script>track(1&amp;2);</script>")
+
+
+@register(
+    "strip_html_docs",
+    oracle=f"""
+    SELECT doc_id,
+           substr({strip_html_sql("'" + _WRAP[0] + "' || text || '" + _WRAP[1] + "'")}, 1, 60)
+             AS head,
+           length({strip_html_sql("'" + _WRAP[0] + "' || text || '" + _WRAP[1] + "'")})
+             AS n_clean
+    FROM documents
+    """,
+    covers=("[EXT]-htmlstrip",),
+)
+def strip_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] HTML/boilerplate stripping — the first pass over crawled
+    corpora: drop script/style bodies, comments, tags; unescape
+    entities; collapse whitespace. documents.text carries no markup,
+    so the query wraps each doc in a deterministic HTML shell and
+    strips it back out — exercising every rule on real text. Pure
+    regex projection: zero shuffle, whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit(_WRAP[0]), F.col("text"), F.lit(_WRAP[1]))
+    clean = strip_html(wrapped)
+    return docs.select(
+        "doc_id",
+        F.substring(clean, 1, 60).alias("head"),
+        F.length(clean).cast("bigint").alias("n_clean"),
+    )

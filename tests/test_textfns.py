@@ -146,3 +146,23 @@ def test_expr_fast_paths_match_column_forms(spark):
         | ~quality_score(F.col("text")).eqNullSafe(quality_score_expr("text"))
     ).count()
     assert bad == 0
+
+
+def test_strip_html_rules(spark):
+    from pyspark.sql import functions as F
+
+    from fegis_spark.operators.text_analysis import strip_html
+
+    cases = {
+        "<p>Hello <b>world</b></p>": "Hello world",
+        "<script>var x=1;</script>keep": "keep",
+        "<style>.a{color:red}</style>text": "text",
+        "<!-- c -->a<div>b</div>": "a b",
+        "a &amp; b": "a & b",
+        "&amp;lt; stays escaped once": "&lt; stays escaped once",
+        "<SCRIPT>\nmulti\nline\n</SCRIPT>ok": "ok",
+        "plain": "plain",
+    }
+    df = spark.createDataFrame(list(cases.items()), "t string, want string")
+    bad = df.filter(strip_html(F.col("t")) != F.col("want")).count()
+    assert bad == 0
