@@ -301,3 +301,26 @@ def ann_ivf_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(corpus_id).alias("corpus_id"), "score", "rank")
     )
+
+
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign a batch of new vectors to
+    their nearest stored centroid and APPEND them to the partitioned
+    corpus — no retrain, no rewrite of existing lists. This is the
+    foreachBatch body for a streaming ingest feeding the ANN index
+    (tests/test_ivf_index.py runs it under Trigger.AvailableNow).
+    Centroids drift as the distribution does — rebuild with
+    build_ivf_index on a schedule; queries keep working throughout
+    because assignment always uses the centroids stored WITH the index.
+    """
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    id_col = [c for c in new_vectors.columns if c != vec_col][0]
+    assigned = _nearest_lists(
+        new_vectors.select(id_col, vec_col), cent_df, vec_col, id_col, 1
+    )
+    assigned.write.mode("append").partitionBy("list_id").parquet(f"{path}/corpus")

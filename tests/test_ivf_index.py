@@ -55,3 +55,60 @@ def test_index_layout_partitioned_by_list(spark, ivf_index):
     path, _ = ivf_index
     dirs = [d for d in os.listdir(f"{path}/corpus") if d.startswith("list_id=")]
     assert len(dirs) > 1, dirs
+
+
+def test_streaming_ingest_appends_to_index(spark, ivf_index, tmp_path_factory):
+    """readStream → foreachBatch(append_to_ivf_index): newly streamed
+    vectors become findable by the indexed query path without any
+    rebuild; existing list files are untouched (append, not rewrite)."""
+    import os
+
+    from fegis_spark.operators.knn import append_to_ivf_index
+
+    path, emb = ivf_index
+    # stage 3 'new' vectors with fresh ids as a streaming source
+    staging = tmp_path_factory.mktemp("ivf_stream")
+    new = emb.filter(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    new.coalesce(1).write.mode("overwrite").parquet(str(staging / "in"))
+    before_files = {
+        f"{d}/{f}"
+        for d, _, fs in os.walk(f"{path}/corpus")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+
+    schema = spark.read.parquet(str(staging / "in")).schema
+    sdf = spark.readStream.schema(schema).parquet(str(staging / "in"))
+    q = (
+        sdf.writeStream.foreachBatch(
+            lambda bdf, _eid: append_to_ivf_index(spark, path, bdf)
+        )
+        .option("checkpointLocation", str(staging / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    after_files = {
+        f"{d}/{f}"
+        for d, _, fs in os.walk(f"{path}/corpus")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert before_files < after_files  # strictly appended
+
+    # each streamed vector is an exact copy of vector i, so its top-2
+    # must be exactly {original, streamed copy} (tie broken by id:
+    # the original wins rank 1), both at cosine ~1.0
+    from fegis_spark.operators.knn import ann_ivf_indexed
+
+    hits = ann_ivf_indexed(spark, path, new, "vec_id", k=2).collect()
+    by_query: dict[int, set[int]] = {}
+    for r in hits:
+        by_query.setdefault(r.query_id, set()).add(r.corpus_id)
+        assert r.score > 0.999999, r
+    assert by_query == {
+        i + 1_000_000: {i, i + 1_000_000} for i in range(3)
+    }
