@@ -324,3 +324,27 @@ def append_to_ivf_index(
         new_vectors.select(id_col, vec_col), cent_df, vec_col, id_col, 1
     )
     assigned.write.mode("append").partitionBy("list_id").parquet(f"{path}/corpus")
+
+
+def compact_ivf_index(spark, path: str, target_files_per_list: int = 1) -> None:
+    """Compact the small files streaming appends accumulate (one file
+    per micro-batch per list): rewrite the corpus with
+    `maxRecordsPerFile`-free coalescing inside each list partition,
+    atomically swapping via a staged directory. Run on the same
+    schedule as statistics refresh; queries before/after see identical
+    rows. At warehouse scale this is the OPTIMIZE/compaction job every
+    table format ships — expressed here with plain parquet primitives.
+    """
+    import shutil
+
+    corpus = spark.read.parquet(f"{path}/corpus")
+    staged = f"{path}/corpus__compacting"
+    (
+        corpus.repartition(target_files_per_list, "list_id")
+        .sortWithinPartitions("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(staged)
+    )
+    shutil.rmtree(f"{path}/corpus")
+    shutil.move(staged, f"{path}/corpus")

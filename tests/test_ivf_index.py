@@ -112,3 +112,37 @@ def test_streaming_ingest_appends_to_index(spark, ivf_index, tmp_path_factory):
     assert by_query == {
         i + 1_000_000: {i, i + 1_000_000} for i in range(3)
     }
+
+
+def test_compaction_reduces_files_preserves_rows(spark, ivf_index, tmp_path_factory):
+    import os
+
+    from fegis_spark.operators.knn import append_to_ivf_index, compact_ivf_index
+
+    path, emb = ivf_index
+
+    def parquet_files():
+        return [
+            f"{d}/{f}"
+            for d, _, fs in os.walk(f"{path}/corpus")
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    # fragment the index with a few extra appends
+    for i in range(3):
+        batch = emb.filter(F.col("vec_id") % 7 == i).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(2_000_000 + i * 100_000)
+        )
+        append_to_ivf_index(spark, path, batch)
+    rows_before = spark.read.parquet(f"{path}/corpus").count()
+    files_before = len(parquet_files())
+
+    compact_ivf_index(spark, path)
+
+    after = spark.read.parquet(f"{path}/corpus")
+    assert after.count() == rows_before
+    assert len(parquet_files()) < files_before
+    # layout still partitioned (pruning keeps working)
+    dirs = [d for d in os.listdir(f"{path}/corpus") if d.startswith("list_id=")]
+    assert len(dirs) > 1
