@@ -136,8 +136,8 @@ def ivf_training_sample(
 
 
 def ann_ivf(
-    corpus_df: DataFrame,
     queries_df: DataFrame,
+    corpus_df: DataFrame,
     query_id: str,
     corpus_id: str,
     vec_col: str = "embedding",

@@ -159,7 +159,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     query touches n_probe/n_lists of the data."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_ivf(
-        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "vec_id", "embedding", k=3
+        emb.filter(F.col("vec_id") < 3), emb, "vec_id", "vec_id", "embedding", k=3
     )
 
 
@@ -230,7 +230,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=3).select(
         "query_id", "corpus_id"
     )
-    approx = ann_ivf(emb, queries, "vec_id", "vec_id", "embedding", k=3).select(
+    approx = ann_ivf(queries, emb, "vec_id", "vec_id", "embedding", k=3).select(
         "query_id", F.col("corpus_id").alias("approx_id")
     )
     hits = exact.join(

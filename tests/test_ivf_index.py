@@ -26,7 +26,7 @@ def test_indexed_matches_in_session(spark, ivf_index):
     queries = emb.filter(F.col("vec_id") < 5)
     fresh = {
         (r.query_id, r.corpus_id, r.rank)
-        for r in ann_ivf(emb, queries, "vec_id", "vec_id", k=3, n_lists=8).collect()
+        for r in ann_ivf(queries, emb, "vec_id", "vec_id", k=3, n_lists=8).collect()
     }
     stored = {
         (r.query_id, r.corpus_id, r.rank)
