@@ -66,3 +66,36 @@ def read_corpus(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(path) if fmt == "parquet" else reader.json(path)
+
+
+def write_sorted_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    num_shards: int,
+    fmt: str = "parquet",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Curriculum export: globally ordered shards via RANGE
+    partitioning — shard i holds strictly lower `order_col` values
+    than shard i+1, and rows inside a shard are sorted. Reading files
+    in shard order replays the corpus easy→hard (or by any score),
+    which is what curriculum/annealing training schedules consume.
+
+    `repartitionByRange` samples range boundaries (one extra pass over
+    `order_col` only), then each of the `num_shards` writers sorts its
+    slice locally — a total order across files with NO single-machine
+    global sort. Ties broken by the hash of the remaining columns'
+    row is acceptable for training order; add an explicit unique
+    tiebreak column to `order_col`'s struct if exact replay matters.
+    """
+    from pyspark.sql import functions as F
+
+    w = (
+        df.repartitionByRange(num_shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.format(fmt).save(path)

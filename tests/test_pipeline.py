@@ -135,3 +135,31 @@ def test_split_assignment_stable_across_scale_factors(spark):
     assert shared, "scale factors share no doc_ids — test assumption broken"
     for d in shared:
         assert small[d] == big[d], d
+
+
+def test_sorted_shards_are_globally_ordered(spark, tmp_path_factory):
+    """write_sorted_shards: concatenating part files in filename order
+    must yield a fully sorted corpus — range partitioning gives the
+    cross-file order, sortWithinPartitions the intra-file order."""
+    import os
+
+    from fegis_spark.model import load_table
+    from fegis_spark.operators.text_analysis import quality_score_expr
+    from fegis_spark.sources.export import write_sorted_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", quality_score_expr("text").alias("q")
+    )
+    out = str(tmp_path_factory.mktemp("curriculum") / "shards")
+    write_sorted_shards(docs, out, "q", num_shards=4)
+
+    parts = sorted(
+        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    assert len(parts) >= 2  # range partitioning actually fanned out
+    seq = []
+    for p in parts:
+        pdf = spark.read.parquet(f"{out}/{p}").select("q").toPandas()
+        seq.extend(pdf["q"].tolist())
+    assert seq == sorted(seq), "global order broken across shards"
+    assert len(seq) == docs.count()
