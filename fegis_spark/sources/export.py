@@ -85,9 +85,9 @@ def write_sorted_shards(
     `repartitionByRange` samples range boundaries (one extra pass over
     `order_col` only), then each of the `num_shards` writers sorts its
     slice locally — a total order across files with NO single-machine
-    global sort. Ties broken by the hash of the remaining columns'
-    row is acceptable for training order; add an explicit unique
-    tiebreak column to `order_col`'s struct if exact replay matters.
+    global sort. Rows tied on `order_col` land in an arbitrary order
+    relative to each other; pass a composite/struct order column with
+    a unique tiebreak if byte-exact replay across runs matters.
     """
     from pyspark.sql import functions as F
 
