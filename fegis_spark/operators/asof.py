@@ -37,6 +37,7 @@ def asof_join_union(
     right_ts: str,
     payload: list[str],
     right_key: str | None = None,
+    tolerance: float | int | None = None,
 ) -> DataFrame:
     """Backward as-of via tagged union + running last_value.
 
@@ -44,6 +45,13 @@ def asof_join_union(
     left rows (side 1) at equal ts, giving `<=` semantics. Output =
     all left columns + asof_<payload> columns (NULL when no earlier
     right row exists).
+
+    ``tolerance`` bounds the lookback (pd.merge_asof semantics): a
+    match older than `tolerance` is treated as no match. Units are
+    seconds for timestamp columns, the column's own units otherwise.
+    Implemented by carrying the matched right timestamp through the
+    same running last_value and nulling payloads past the bound — no
+    extra shuffle.
     """
     if right_key and right_key != key:
         right = right.withColumnRenamed(right_key, key)
@@ -63,21 +71,41 @@ def asof_join_union(
         F.col(right_ts).alias("__ts"),
         *[F.col(c).alias(f"asof_{c}") for c in payload],
     )
+    if tolerance is not None:
+        l = l.withColumn("__rts", F.lit(None).cast(rdt[right_ts]))
+        r = r.withColumn("__rts", F.col("__ts"))
     u = l.unionByName(r)
     w = (
         Window.partitionBy(key)
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = u.select(
-        *lcols,
-        "__side",
-        *[
-            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in payload
-        ],
-    )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    carry = [
+        F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+        for c in payload
+    ]
+    if tolerance is not None:
+        carry.append(F.last("__rts", ignorenulls=True).over(w).alias("__rts"))
+    carried = u.select(*lcols, "__side", F.col("__ts"), *carry)
+    out = carried.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        if rdt[right_ts].startswith("timestamp"):
+            age = (
+                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__rts"))
+            ) / 1_000_000.0
+        else:
+            age = F.col("__ts") - F.col("__rts")
+        ok = F.col("__rts").isNotNull() & (age <= F.lit(tolerance))
+        out = out.select(
+            *lcols,
+            *[
+                F.when(ok, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in payload
+            ],
+        )
+    else:
+        out = out.drop("__ts")
+    return out
 
 
 def asof_join_pandas(
@@ -88,8 +116,11 @@ def asof_join_pandas(
     right_ts: str,
     payload: list[str],
     right_key: str | None = None,
+    tolerance: float | int | None = None,
 ) -> DataFrame:
-    """Backward as-of via cogrouped applyInPandas + pd.merge_asof."""
+    """Backward as-of via cogrouped applyInPandas + pd.merge_asof.
+    ``tolerance`` passes through to merge_asof (seconds for datetime
+    columns, raw units otherwise)."""
     import pandas as pd
 
     if right_key and right_key != key:
@@ -115,12 +146,16 @@ def asof_join_pandas(
             for c in payload:
                 out[f"asof_{c}"] = None
             return out
+        tol = tolerance
+        if tol is not None and str(lpdf[left_ts].dtype).startswith("datetime"):
+            tol = pd.Timedelta(seconds=tol)
         return pd.merge_asof(
             lpdf,
             rpdf,
             left_on=left_ts,
             right_on=right_ts,
             direction="backward",
+            tolerance=tol,
         ).drop(columns=[right_ts] if right_ts != left_ts else [])
 
     return (

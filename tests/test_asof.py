@@ -42,3 +42,30 @@ def test_pandas_form_agrees(spark):
         for r in asof_join_pandas(left, right, "k", "ts", "rts", ["price"]).collect()
     }
     assert a == b
+
+
+def test_asof_tolerance_bounds_lookback(spark):
+    """tolerance: matches older than the bound become NULL — both the
+    union form and the merge_asof form, identically."""
+    from fegis_spark.operators.asof import asof_join_pandas, asof_join_union
+
+    left = spark.createDataFrame(
+        [("k", 10.0), ("k", 100.0), ("k", 101.0)], "key string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("k", 8.0, "old"), ("k", 99.0, "fresh")], "key string, rts double, v string"
+    )
+    for fn in (asof_join_union, asof_join_pandas):
+        rows = {
+            r.ts: r.asof_v
+            for r in fn(left, right, "key", "ts", "rts", ["v"], tolerance=5).collect()
+        }
+        # ts=10: nearest right is 8 (age 2 <= 5) -> old
+        # ts=100: nearest is 99 (age 1) -> fresh
+        # ts=101: nearest is 99 (age 2) -> fresh
+        assert rows == {10.0: "old", 100.0: "fresh", 101.0: "fresh"}, (fn, rows)
+        tight = {
+            r.ts: r.asof_v
+            for r in fn(left, right, "key", "ts", "rts", ["v"], tolerance=1).collect()
+        }
+        assert tight == {10.0: None, 100.0: "fresh", 101.0: None}, (fn, tight)
