@@ -317,3 +317,49 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
     )
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch(CAST(ts AS TIMESTAMP)) AS tsd
+      FROM events
+    ),
+    c AS (SELECT user_id, event_id, tsd FROM e WHERE event_type = 'click'),
+    v AS (SELECT user_id, event_id AS v_event, tsd AS rtsd
+          FROM e WHERE event_type = 'view')
+    SELECT c.user_id, c.event_id,
+           (SELECT v_event FROM v
+            WHERE v.user_id = c.user_id
+              AND v.rtsd <= c.tsd AND v.rtsd >= c.tsd - 3600
+            ORDER BY v.rtsd DESC, v_event DESC LIMIT 1) AS asof_v_event
+    FROM c
+    """,
+    covers=("§2.6-asof",),
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 tolerance-bounded as-of: each click picks up the latest
+    view by the same user within the preceding hour, NULL when the
+    last view is older — merge_asof(tolerance=...) semantics, union +
+    running-last_value plan (one shuffle on user_id, no range cross
+    product). Tie at equal ts keeps the max payload (same tiebreak
+    as the oracle's ORDER BY v_event DESC)."""
+    from fegis_spark.operators.asof import asof_join_union
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tsd", F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "tsd"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("v_event"),
+        F.col("tsd").alias("rtsd"),
+    )
+    out = asof_join_union(
+        clicks, views, "user_id", "tsd", "rtsd", ["v_event"], tolerance=3600
+    )
+    return out.select("user_id", "event_id", "asof_v_event")
