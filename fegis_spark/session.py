@@ -23,6 +23,12 @@ def get_spark(app_name: str = "fegis_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE coalesce below defaultParallelism to the advisory
+        # partition size — Spark's own recommendation for sizing
+        # reducers by bytes rather than core count; measured neutral
+        # at sf0.1 (ABA toggle, ±0.1% on the bench set), matters at
+        # real shuffle volumes
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -45,6 +51,9 @@ def configure_for_oracle(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+    )
     try:
         cores = spark.sparkContext.defaultParallelism
     except Exception:  # noqa: BLE001
