@@ -196,3 +196,54 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # each side first and disagree with the oracle on sub-second ts
         F.expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000").alias("lag_s"),
     )
+
+
+@register(
+    "sliding_counts_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             epoch(CAST(ts AS TIMESTAMP)) AS et
+      FROM events
+    ), expanded AS (
+      SELECT event_type, value, w * 10800 AS ws
+      FROM e, LATERAL (
+        SELECT unnest(range(
+          CAST(floor((et - 21600) / 10800) AS BIGINT) + 1,
+          CAST(floor(et / 10800) AS BIGINT) + 1
+        )) AS w
+      )
+    )
+    SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS w_start, event_type,
+           COUNT(*) AS n,
+           round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS total_value
+    FROM expanded
+    GROUP BY ws, event_type
+    """,
+    covers=("§2.10-sliding",),
+)
+def sliding_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 sliding-window aggregate (6 h window, 3 h slide): every
+    event lands in size/slide = 2 windows — Spark's window() expansion
+    is restated in the oracle as an explicit window-index range join.
+    Streaming twin: streaming.sessionize.tumbling_counts_stream with
+    slide=, same watermarked shape."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
