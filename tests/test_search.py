@@ -224,3 +224,49 @@ class TestBM25:
         assert "WindowExec" not in plan
         assert "SortMergeJoin" not in plan
         assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_random_corpora_vs_python_reference(spark):
+    """Seeded random corpora (variable doc lengths, unicode, empty
+    docs) scored by an independent pure-Python BM25 — guards the
+    Spark formula and analyzer against drift."""
+    import math
+    import random
+
+    from fegis_spark.operators.bm25 import bm25_scores
+    from fegis_spark.plans.filters import analyzer_tokens
+
+    rng = random.Random(99)
+    vocab = ["data", "model", "spark", "训练", "modèle", "x1", ""]
+    for trial in range(3):
+        corpus = {}
+        for i in range(rng.randint(4, 30)):
+            words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+            corpus[i] = " ".join(words)
+        terms = rng.sample(["data", "model", "训练"], k=rng.randint(1, 2))
+        df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+        got = {
+            r.id: r.score for r in bm25_scores(df, "text", "doc_id", terms).collect()
+        }
+
+        toks = {i: analyzer_tokens(t) for i, t in corpus.items()}
+        qt = []
+        for t in terms:
+            qt.extend(analyzer_tokens(t))
+        qt = list(dict.fromkeys(qt))
+        n = float(len(corpus))
+        avgdl = sum(len(v) for v in toks.values()) / n
+        k1, b = 1.2, 0.75
+        exp = {}
+        for i, tk in toks.items():
+            s = 0.0
+            for t in qt:
+                tf = float(tk.count(t))
+                dfreq = float(sum(1 for v in toks.values() if t in v))
+                idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+                s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(tk) / avgdl))
+            if round(s, 6) > 0:
+                exp[i] = round(s, 6)
+        assert set(got) == set(exp), (trial, terms, set(got) ^ set(exp))
+        for i in exp:
+            assert abs(got[i] - exp[i]) < 1e-6, (trial, i, got[i], exp[i])
