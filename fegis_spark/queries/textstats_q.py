@@ -350,3 +350,48 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "quality_median_gate",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang, {quality_score_sql('text')} AS q FROM documents
+    ), med AS (
+      SELECT lang, quantile_cont(q, 0.5) AS med FROM scored GROUP BY lang
+    )
+    SELECT s.lang, COUNT(*) FILTER (WHERE s.q > m.med) AS n_above,
+           COUNT(*) AS n_docs, round(m.med, 6) AS median_q
+    FROM scored s JOIN med m USING (lang)
+    GROUP BY s.lang, m.med
+    """,
+    covers=("[EXT]-quality", "§2.4-quantiles"),
+)
+def quality_median_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-language EXACT median quality gate — the adaptive
+    cousin of fixed-threshold filtering: each stratum keeps its
+    above-median half regardless of drift. Spark's exact percentile()
+    and DuckDB's quantile_cont share linear interpolation, so even the
+    medians hash-match. The scored projection (lang, q — ~16 B/row)
+    persists: it feeds the median agg AND the gate, and re-deriving it
+    would re-run the quality expression over the corpus twice."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", quality_score_expr("text").alias("q")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    med = scored.groupBy("lang").agg(F.expr("percentile(q, 0.5)").alias("med"))
+    return (
+        scored.join(F.broadcast(med), "lang")
+        .groupBy("lang", "med")
+        .agg(
+            F.sum(F.when(F.col("q") > F.col("med"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "lang", "n_above", "n_docs", F.round("med", 6).alias("median_q")
+        )
+    )
