@@ -465,3 +465,57 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_kept_quality"),
     )
+
+
+@register(
+    "temperature_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_orig FROM documents GROUP BY source
+    ), lo AS (SELECT MIN(n_orig) AS n_min FROM counts),
+    rates AS (
+      SELECT source, n_orig,
+             sqrt(CAST(n_min AS DOUBLE) / n_orig) AS rate
+      FROM counts CROSS JOIN lo
+    )
+    SELECT d.source, r.n_orig,
+           COUNT(*) FILTER (
+             WHERE {_hash_bucket_sql('d.doc_id', 10000)} < rate * 10000
+           ) AS n_kept,
+           round(r.rate, 6) AS rate
+    FROM documents d JOIN rates r USING (source)
+    GROUP BY d.source, r.n_orig, r.rate
+    """,
+    covers=("[EXT]-mixture", "[EXT]-sample"),
+)
+def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] temperature (α=0.5) domain rebalancing — post-sample
+    counts ∝ n_d^α, the standard fix for head-domain dominance in
+    multilingual/multi-source corpora: the rarest source keeps 100%,
+    a source 4× larger keeps 50%. α=0.5 makes the keep-rate a sqrt —
+    IEEE-correctly-rounded in every engine, so even the rate compare
+    is portable. The md5 coin makes the kept set a pure function of
+    doc_id. Plan: tiny counts agg broadcast back; the corpus-side
+    filter is a projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_orig"))
+    n_min = counts.agg(F.min("n_orig").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_orig",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_orig")).alias("rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_orig", "rate")
+        .agg(
+            F.sum(
+                F.when(
+                    _hash_bucket(F.col("doc_id"), 10000) < F.col("rate") * 10000, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept")
+        )
+        .select("source", "n_orig", "n_kept", F.round("rate", 6).alias("rate"))
+    )
