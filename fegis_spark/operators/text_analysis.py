@@ -320,3 +320,31 @@ def strip_html_sql(c: str) -> str:
         sq = rep.replace("'", "''")
         out = f"regexp_replace({out}, '{pat}', '{sq}', 'g')"
     return f"trim({out})"
+
+
+def lang_margin_expr(c: str) -> Column:
+    """Language-ID confidence: top score minus runner-up score (the
+    argmax margin). Ambiguous documents (margin ~ 0) are the ones a
+    confidence-gated pipeline drops or routes to a real model. Same
+    generated score fragments as lang_id_expr — one Spark-SQL string.
+    """
+    p = PADDED_SPARK.format(c=c)
+    scores = [
+        "(" + " + ".join(occurrences_sql(p, m) for m in LANG_MARKERS[lang]) + ")"
+        for lang in LANG_ORDER
+    ]
+    arr = f"array_sort(array({', '.join(scores)}))"
+    n = len(scores)
+    return F.expr(f"element_at({arr}, {n}) - element_at({arr}, {n - 1})")
+
+
+def lang_margin_sql(c: str) -> str:
+    """DuckDB mirror of lang_margin_expr (list_sort + 1-based index)."""
+    p = PADDED_SQL.format(c=c)
+    scores = [
+        "(" + " + ".join(occurrences_sql(p, m) for m in LANG_MARKERS[lang]) + ")"
+        for lang in LANG_ORDER
+    ]
+    arr = f"list_sort([{', '.join(scores)}])"
+    n = len(scores)
+    return f"({arr}[{n}] - {arr}[{n - 1}])"

@@ -18,6 +18,7 @@ from fegis_spark.operators.text_analysis import (
     fingerprint,
     lang_id_expr,
     lang_id_sql,
+    lang_margin_sql,
     quality_score_expr,
     quality_score_sql,
     token_count_bpe_ish,
@@ -394,4 +395,27 @@ def quality_median_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang", "n_above", "n_docs", F.round("med", 6).alias("median_q")
         )
+    )
+
+
+@register(
+    "text_lang_confidence",
+    oracle=f"""
+    SELECT doc_id, {lang_id_sql('text')} AS predicted_lang,
+           round({lang_margin_sql('text')}, 6) AS margin
+    FROM documents
+    """,
+    covers=("[EXT]-langid",),
+)
+def text_lang_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] language ID with argmax margin — the confidence signal a
+    gated pipeline thresholds on (margin ~ 0 = ambiguous, route to a
+    real model or drop). Pure projection, zero shuffle."""
+    from fegis_spark.operators.text_analysis import lang_margin_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id_expr("text").alias("predicted_lang"),
+        F.round(lang_margin_expr("text"), 6).alias("margin"),
     )
