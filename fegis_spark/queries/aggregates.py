@@ -410,3 +410,50 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("n").alias("n_events"))
         .agg(F.count_if(z > 3.0).alias("n_outliers"))
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wk
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id
+    ), act AS (SELECT DISTINCT user_id, wk FROM e)
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY f.cohort, week_offset
+    """,
+    covers=("§2.4-ext",),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 cohort retention: users bucketed by first-seen week, then
+    distinct active users per (cohort, week offset) — the classic
+    retention triangle. Three hash shuffles (first-seen agg, distinct,
+    final agg), all on uniform keys; the first-seen table joins back
+    broadcast when cohorts << corpus."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts").cast("timestamp")).alias("wk"),
+        )
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = e.distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
