@@ -56,8 +56,17 @@ def probes(spark, sf_dir: str) -> dict:
     from fegis_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
     from fegis_spark.operators.text_analysis import unigram_logprob
 
+    from fegis_spark.operators.dedup import with_shingles
+
     docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs, "text", "doc_id")
+    ex = sh.select("doc", F.explode("sh").alias("g"))
+    freq = ex.groupBy("g").agg(F.count("*").alias("n_docs"))
     return {
+        "novelty_gram_join": ex.join(freq, "g")
+        .groupBy("doc")
+        .agg(F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).alias("u"))
+        .agg(F.count("*").alias("n")),
         "curation_scan": docs.select(
             F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h")
         )
