@@ -166,3 +166,47 @@ def test_strip_html_rules(spark):
     df = spark.createDataFrame(list(cases.items()), "t string, want string")
     bad = df.filter(strip_html(F.col("t")) != F.col("want")).count()
     assert bad == 0
+
+
+def test_text_exprs_null_behavior_pinned(spark):
+    """NULL-text behavior, pinned: CASE-ELSE fallthrough makes lang_id
+    yield its tie-fallback ('zh') and quality its punct-term floor
+    (0.3) — NOT NULL. DuckDB evaluates the generated SQL identically
+    (NULL comparisons fall to ELSE), so oracles stay aligned; pure
+    regex/array expressions DO propagate NULL. Real corpora should
+    filter missing text upstream — this test documents, not endorses.
+    """
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from fegis_spark.operators.text_analysis import (
+        lang_id_expr,
+        lang_id_sql,
+        lang_margin_expr,
+        quality_score_expr,
+        quality_score_sql,
+        strip_html,
+    )
+    from fegis_spark.plans.filters import match_text
+
+    df = spark.createDataFrame([(1, None), (2, "the data")], "i long, t string")
+    row = (
+        df.select(
+            "i",
+            lang_id_expr("t").alias("lang"),
+            quality_score_expr("t").alias("q"),
+            lang_margin_expr("t").alias("m"),
+            strip_html(F.col("t")).alias("s"),
+            match_text(F.col("t"), "data").alias("mt"),
+        )
+        .filter(F.col("i") == 1)
+        .first()
+    )
+    assert (row.lang, row.q) == ("zh", 0.3)  # CASE-ELSE fallthrough
+    assert row.m is None and row.s is None and row.mt is None
+    # DuckDB agrees on the fallthrough values
+    d_lang, d_q = duckdb.connect().execute(
+        f"SELECT {lang_id_sql('t')}, round({quality_score_sql('t')}, 6) "
+        "FROM (SELECT CAST(NULL AS VARCHAR) AS t)"
+    ).fetchone()
+    assert (d_lang, round(d_q, 6)) == ("zh", 0.3)
