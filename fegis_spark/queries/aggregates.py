@@ -73,7 +73,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT doc_id) AS n_distinct_docs,
-           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
            CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_chars
@@ -89,7 +89,7 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("doc_id").alias("n_distinct_docs"),
-        dsum("n_chars").alias("total_chars"),
+        F.sum("n_chars").alias("total_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
         (dsum("n_chars") / F.count("*")).cast("double").alias("avg_chars"),

@@ -51,7 +51,7 @@ _SPLIT_CASE = "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' EL
     SELECT {_SPLIT_CASE} AS split,
            lang,
            COUNT(*) AS n_docs,
-           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM bucketed
     GROUP BY 1, 2
     """,
@@ -79,7 +79,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double").alias("total_chars"),
+            F.sum("n_chars").alias("total_chars"),
         )
     )
 
@@ -104,7 +104,7 @@ PACK_BUDGET = 16_384
     )
     SELECT lang, pack_id,
            COUNT(*) AS n_docs,
-           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS pack_chars
+           CAST(SUM(n_chars) AS BIGINT) AS pack_chars
     FROM packed
     GROUP BY lang, pack_id
     """,
@@ -132,7 +132,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packed.groupBy("lang", "pack_id").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double").alias("pack_chars"),
+        F.sum("n_chars").alias("pack_chars"),
     )
 
 
@@ -357,9 +357,9 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
              ), 0) AS pack_base
       FROM c
     )
-    SELECT l.lang, o.pack_base + l.local_pack AS pack_id,
+    SELECT l.lang, CAST(o.pack_base + l.local_pack AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs,
-           CAST(SUM(CAST(l.n_chars AS DECIMAL(38,6))) AS DOUBLE) AS pack_chars
+           CAST(SUM(l.n_chars) AS BIGINT) AS pack_chars
     FROM l JOIN o ON l.lang = o.lang AND l.shard = o.shard
     GROUP BY 1, 2
     """,
@@ -381,7 +381,42 @@ def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packed.groupBy("lang", "pack_id").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double").alias("pack_chars"),
+        F.sum("n_chars").alias("pack_chars"),
+    )
+
+
+@register(
+    "pack_shard_probe",
+    oracle=f"""
+    SELECT {_hash_bucket_sql('doc_id', 4)} AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    covers=("[EXT]-packing-sharded",),
+)
+def pack_shard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] diagnostic companion to pack_sequences_sharded: emits the
+    md5-bucket shard assignment (operators/scale.py recipe, 4 shards)
+    in aggregate form — per-shard count plus doc_id sum/min/max — so a
+    cross-engine CORRECTNESS run localizes any divergence to either
+    the shard recipe (this query mismatches) or the pack arithmetic
+    (this passes, pack_sequences_sharded fails). Pure integer outputs:
+    no float formatting anywhere."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 4
+    )
+    return docs.select("doc_id", shard.alias("shard")).groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
     )
 
 

@@ -112,7 +112,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            round(CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
     FROM deduped
     GROUP BY lang
@@ -149,7 +149,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double").alias("total_chars"),
+            F.sum("n_chars").alias("total_chars"),
             F.round(
                 F.sum(F.col("quality").cast("decimal(38,6)")).cast("double") / F.count("*"),
                 6,
