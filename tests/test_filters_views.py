@@ -186,9 +186,21 @@ def test_python_analyzer_matches_spark_tokens(spark):
         "한국어조사",             # Hangul
         "éüñÅßçøâ",             # latin diacritics (letters, not CJK)
         "αβγДЖ",                # greek/cyrillic
+        "ー゛゜〆・",             # Common-script chars inside CJK blocks
+        "々〇〻ゝヽ",             # Script=Han/kana marks outside naive blocks
+        "\U00020000\U0002A700\U00030000",  # Han ext B/C/G (astral)
+        "ﾊﾝｶｸ한ᄀㆍ",            # halfwidth katakana + Hangul variants
     ]
     alphabet = "".join(pools)
     cases = ["", " ", "a", "。", "a。b"]
+    # the ADVICE-flagged script-vs-block divergences, pinned explicitly:
+    # ー is Script=Common category Lm -> joins adjacent word runs;
+    # ゛゜ are Common Sk -> dropped as separators; 々/〇/ext-B are
+    # Script=Han -> single-char tokens.
+    cases += [
+        "xーy", "゛", "x゛y", "佐々木", "〇八", "a々b",
+        "\U00020000x\U00020001", "テーブル", "データ分析",
+    ]
     cases += [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 40)))
         for _ in range(200)
