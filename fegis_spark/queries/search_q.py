@@ -249,8 +249,12 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id, row_number() OVER (ORDER BY dense DESC, id) AS r_dense
       FROM scored ORDER BY dense DESC, id LIMIT 100
     ), lp AS (
+      -- mirror bm25_scores' score > 0 gate: docs matching no query
+      -- term never enter the lexical pool (otherwise, when fewer than
+      -- 100 docs score positive, zero-score padding would earn rrf
+      -- contributions Spark never emits)
       SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r_bm25
-      FROM scored ORDER BY bm25 DESC, id LIMIT 100
+      FROM scored WHERE bm25 > 0 ORDER BY bm25 DESC, id LIMIT 100
     )
     SELECT COALESCE(dp.id, lp.id) AS id, dp.r_dense, lp.r_bm25,
            round(COALESCE(1.0/(60 + dp.r_dense), 0) + COALESCE(1.0/(60 + lp.r_bm25), 0), 6) AS rrf
