@@ -328,23 +328,44 @@ def append_to_ivf_index(
 
 def compact_ivf_index(spark, path: str, target_files_per_list: int = 1) -> None:
     """Compact the small files streaming appends accumulate (one file
-    per micro-batch per list): rewrite the corpus with
-    `maxRecordsPerFile`-free coalescing inside each list partition,
-    atomically swapping via a staged directory. Run on the same
-    schedule as statistics refresh; queries before/after see identical
-    rows. At warehouse scale this is the OPTIMIZE/compaction job every
-    table format ships — expressed here with plain parquet primitives.
+    per micro-batch per list): rewrite the corpus partitioned by list,
+    then swap directories. Run on the same schedule as statistics
+    refresh. At warehouse scale this is the OPTIMIZE/compaction job
+    every table format ships — expressed here with plain parquet
+    primitives.
+
+    Parallelism: rows are hash-distributed over
+    ``n_lists * target_files_per_list`` shuffle partitions on
+    (list_id, salt) — every list compacts in parallel across the
+    cluster and lands in at most ``target_files_per_list`` files
+    (hashing by list_id alone into ``target`` partitions would funnel
+    the whole corpus through target tasks, and could never yield more
+    than one file per list).
+
+    The swap is rename-aside, NOT atomic: old corpus moves to
+    ``corpus__old``, staged moves in, old is deleted. A concurrent
+    reader can race the two renames and miss the directory for a
+    moment — schedule compaction in the maintenance window, or put the
+    index on a table format with real snapshot isolation if readers
+    can't pause.
     """
     import shutil
 
     corpus = spark.read.parquet(f"{path}/corpus")
+    n_lists = spark.read.parquet(f"{path}/centroids").count()
     staged = f"{path}/corpus__compacting"
+    id_col = next(c for c in corpus.columns if c != "list_id")
+    salt = (F.abs(F.hash(F.col(id_col))) % target_files_per_list).alias("__salt")
     (
-        corpus.repartition(target_files_per_list, "list_id")
+        corpus.withColumn("__salt", salt)
+        .repartition(max(1, n_lists * target_files_per_list), "list_id", "__salt")
+        .drop("__salt")
         .sortWithinPartitions("list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(staged)
     )
-    shutil.rmtree(f"{path}/corpus")
+    old = f"{path}/corpus__old"
+    shutil.move(f"{path}/corpus", old)
     shutil.move(staged, f"{path}/corpus")
+    shutil.rmtree(old)

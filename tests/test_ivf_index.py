@@ -146,3 +146,12 @@ def test_compaction_reduces_files_preserves_rows(spark, ivf_index, tmp_path_fact
     # layout still partitioned (pruning keeps working)
     dirs = [d for d in os.listdir(f"{path}/corpus") if d.startswith("list_id=")]
     assert len(dirs) > 1
+    # target_files_per_list honored: default target=1 -> exactly one
+    # data file inside every list partition (hash collisions between
+    # lists may co-locate two lists in one task, but each task still
+    # writes one file per list directory)
+    for d in dirs:
+        files_in_list = [
+            f for f in os.listdir(f"{path}/corpus/{d}") if f.endswith(".parquet")
+        ]
+        assert len(files_in_list) == 1, (d, files_in_list)
