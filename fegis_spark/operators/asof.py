@@ -58,53 +58,65 @@ def asof_join_union(
     ldt, rdt = dict(left.dtypes), dict(right.dtypes)
     lcols = list(left.columns)
     right = _dedupe_right(right, key, right_ts, payload)
+    # The matched right row travels as ONE struct (its timestamp + all
+    # payload columns) through a single last(ignorenulls) — carrying
+    # each column independently would let a NULL payload cell in the
+    # newest right row backfill from an OLDER row, desyncing the
+    # payload from the timestamp the tolerance check uses and
+    # diverging from pd.merge_asof (which returns the matched row's
+    # values, NULLs included).
+    pack_t = (
+        "struct<__rts:" + rdt[right_ts]
+        + "".join(f",asof_{c}:{rdt[c]}" for c in payload) + ">"
+    )
     l = left.select(
         *lcols,
         F.lit(1).alias("__side"),
         F.col(left_ts).alias("__ts"),
-        *[F.lit(None).cast(rdt[c]).alias(f"asof_{c}") for c in payload],
+        F.lit(None).cast(pack_t).alias("__pack"),
     )
     r = right.select(
         F.col(key),
         *[F.lit(None).cast(ldt[c]).alias(c) for c in lcols if c != key],
         F.lit(0).alias("__side"),
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(f"asof_{c}") for c in payload],
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c).alias(f"asof_{c}") for c in payload],
+        ).cast(pack_t).alias("__pack"),
     )
-    if tolerance is not None:
-        l = l.withColumn("__rts", F.lit(None).cast(rdt[right_ts]))
-        r = r.withColumn("__rts", F.col("__ts"))
     u = l.unionByName(r)
     w = (
         Window.partitionBy(key)
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carry = [
-        F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-        for c in payload
-    ]
-    if tolerance is not None:
-        carry.append(F.last("__rts", ignorenulls=True).over(w).alias("__rts"))
-    carried = u.select(*lcols, "__side", F.col("__ts"), *carry)
+    carried = u.select(
+        *lcols,
+        "__side",
+        F.col("__ts"),
+        F.last("__pack", ignorenulls=True).over(w).alias("__pack"),
+    )
     out = carried.filter(F.col("__side") == 1).drop("__side")
     if tolerance is not None:
+        rts = F.col("__pack.__rts")
         if rdt[right_ts].startswith("timestamp"):
-            age = (
-                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__rts"))
-            ) / 1_000_000.0
+            age = (F.unix_micros(F.col("__ts")) - F.unix_micros(rts)) / 1_000_000.0
         else:
-            age = F.col("__ts") - F.col("__rts")
-        ok = F.col("__rts").isNotNull() & (age <= F.lit(tolerance))
+            age = F.col("__ts") - rts
+        ok = rts.isNotNull() & (age <= F.lit(tolerance))
         out = out.select(
             *lcols,
             *[
-                F.when(ok, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                F.when(ok, F.col(f"__pack.asof_{c}")).alias(f"asof_{c}")
                 for c in payload
             ],
         )
     else:
-        out = out.drop("__ts")
+        out = out.select(
+            *lcols,
+            *[F.col(f"__pack.asof_{c}").alias(f"asof_{c}") for c in payload],
+        )
     return out
 
 

@@ -69,3 +69,33 @@ def test_asof_tolerance_bounds_lookback(spark):
             for r in fn(left, right, "key", "ts", "rts", ["v"], tolerance=1).collect()
         }
         assert tight == {10.0: None, 100.0: "fresh", 101.0: None}, (fn, tight)
+
+
+def test_asof_null_payload_comes_from_matched_row(spark):
+    """When the matched (most recent) right row carries a NULL payload
+    cell, the join must return that NULL — not backfill the value from
+    an older right row. Timestamp bookkeeping and payload must travel
+    together (merge_asof semantics), with and without tolerance."""
+    from fegis_spark.operators.asof import asof_join_pandas, asof_join_union
+
+    left = spark.createDataFrame(
+        [("k", 10.0), ("k", 20.0)], "key string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("k", 5.0, "old"), ("k", 19.0, None)],
+        "key string, rts double, v string",
+    )
+    for fn in (asof_join_union, asof_join_pandas):
+        plain = {
+            r.ts: r.asof_v
+            for r in fn(left, right, "key", "ts", "rts", ["v"]).collect()
+        }
+        # ts=20 matches rts=19 whose v IS NULL; ts=10 matches rts=5
+        assert plain == {10.0: "old", 20.0: None}, (fn, plain)
+        # tolerance=3: ts=20/rts=19 within bound -> still the NULL row
+        # (a stale 'old' here would mean payload desynced from __rts)
+        tol = {
+            r.ts: r.asof_v
+            for r in fn(left, right, "key", "ts", "rts", ["v"], tolerance=3).collect()
+        }
+        assert tol == {10.0: None, 20.0: None}, (fn, tol)
