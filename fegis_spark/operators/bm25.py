@@ -19,6 +19,13 @@ broadcast row (map-side combined), scoring is a per-row expression, and
 the top-k is a TakeOrderedAndProject (per-partition heaps, no global
 sort, no window). The corpus is scanned once and never shuffled.
 
+Caching: the (id, dl, tf_*) projection persists MEMORY_AND_DISK
+because it feeds both the stats aggregate and the scoring pass, and the
+operator returns a LAZY plan that still references it — so it cannot
+unpersist here. The entry stays until LRU eviction or
+spark.catalog.clearCache() (the repo-wide cache-ownership policy; the
+same note sits on every persisting operator).
+
 Determinism: all per-row math IEEE double; avgdl goes through
 DECIMAL(38,6) (partition-order-proof mean); scores rounded to 6 dp;
 top-k carries an id tiebreak. The DuckDB oracle restates the identical

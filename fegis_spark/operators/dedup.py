@@ -133,7 +133,10 @@ def minhash_lsh_pairs(
     cache_intermediate persists the shingle table, which the plan uses
     three times (signature + both sides of candidate verification) —
     at warehouse scale you would materialize signatures to a table
-    instead; MEMORY_AND_DISK is the single-job analog.
+    instead; MEMORY_AND_DISK is the single-job analog, and the entry
+    outlives the call (the returned plan references it) until LRU
+    eviction or spark.catalog.clearCache() — the repo-wide
+    cache-ownership policy.
     """
     rows_per_band = num_hashes // bands
     base = with_shingles(df, text_col, id_col, ngram)
@@ -416,6 +419,12 @@ def connected_components(
     Warns (RuntimeWarning) if max_iter is exhausted before fixpoint —
     the returned labels are then only partially propagated and must not
     be mistaken for final components.
+
+    The FINAL round's checkpoint blocks stay pinned: the returned
+    DataFrame reads them, so the operator cannot free them (intermediate
+    rounds ARE freed eagerly). LRU eviction or
+    spark.catalog.clearCache() reclaims — repo-wide cache-ownership
+    policy; same applies to connected_components_star.
     """
     import warnings
 

@@ -71,7 +71,10 @@ def rrf_fuse(
     ~24 bytes/row, ~1% of corpus width), which the plan otherwise
     re-derives once per pool and once per rank join: four scans of the
     corpus plus four cosine passes become one. At warehouse scale you
-    would materialize it to a scratch table instead.
+    would materialize it to a scratch table instead. The returned plan
+    still references the cache, so the operator cannot unpersist it; it
+    stays until LRU eviction or spark.catalog.clearCache() (the
+    repo-wide cache-ownership policy).
     """
     if pool is None:
         pool = max(100, 2 * k + rrf_k + 1)
@@ -144,7 +147,9 @@ def rrf_fuse_pooled(
     all-corpus form (rrf_fuse); a doc absent from a modality's pool
     contributes 0 for that modality (the standard candidate-pool RRF
     convention). Corpus-size work is two scans + two top-k heaps, or
-    one scan of the persisted scored projection (see rrf_fuse)."""
+    one scan of the persisted scored projection, which — as in
+    rrf_fuse — outlives the call until LRU eviction or
+    spark.catalog.clearCache()."""
     scored = df.select(
         F.col(id_col).alias("id"),
         cosine(F.col(vec_col), lit_vector(query_vec)).alias("dense"),

@@ -375,7 +375,9 @@ def quality_median_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and DuckDB's quantile_cont share linear interpolation, so even the
     medians hash-match. The scored projection (lang, q — ~16 B/row)
     persists: it feeds the median agg AND the gate, and re-deriving it
-    would re-run the quality expression over the corpus twice."""
+    would re-run the quality expression over the corpus twice. The
+    cache entry outlives the call (LRU eviction or
+    spark.catalog.clearCache() reclaims it — repo-wide policy)."""
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
