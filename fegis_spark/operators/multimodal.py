@@ -76,6 +76,58 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3)
 
 
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Real, dependency-free image decode for uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, BI_RGB). Handles bottom-up (positive height) and
+    top-down (negative height) rasters and 4-byte row padding. Returns
+    uint8 (height, width, 3) in RGB order."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_offset,) = struct.unpack_from("<I", data, 10)
+    (dib_size,) = struct.unpack_from("<I", data, 14)
+    if dib_size < 40:
+        raise ValueError("BMP core headers (<40 bytes) not supported")
+    width, height = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB BMP supported")
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    raster = np.frombuffer(data, dtype=np.uint8, count=stride * height, offset=pixel_offset)
+    rows = raster.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Inverse of decode_bmp: uint8 (h, w, 3) RGB → uncompressed 24-bit
+    bottom-up BI_RGB payload with standard 4-byte row padding."""
+    import struct
+
+    h, w = arr.shape[0], arr.shape[1]
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = arr[::-1, :, ::-1].astype(np.uint8).reshape(h, w * 3)
+    pixel_bytes = raster.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0)
+    return header + dib + pixel_bytes
+
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic real 24-bit BMP bytes (same gradient as make_ppm)."""
+    y, x = np.mgrid[0:height, 0:width]
+    rgb = np.stack(
+        [(x * 7 + seed) % 256, (y * 11 + seed) % 256, (x + y + seed) % 256], axis=-1
+    ).astype(np.uint8)
+    return encode_bmp(rgb)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Real, dependency-free audio decode for PCM16 WAV via stdlib
     `wave`. Returns (int16 samples shaped (n_frames, n_channels),
@@ -94,8 +146,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 @dataclass
 class Codec:
-    """Isolates the non-Spark decode dependency. PPM images and PCM WAV
-    audio decode for real (pure numpy/stdlib — decode_ppm/decode_wav);
+    """Isolates the non-Spark decode dependency. PPM + 24-bit BMP images
+    and PCM WAV audio decode for real (pure numpy/stdlib —
+    decode_ppm/decode_bmp/decode_wav);
     `fake=True` additionally gives a deterministic stand-in
     (hash-derived pixels/samples) for other formats so the whole
     distributed pipeline is testable in this container."""
@@ -105,6 +158,8 @@ class Codec:
     def decode_image(self, payload: bytes) -> np.ndarray:
         if (payload or b"")[:2] == b"P6":
             return decode_ppm(payload)
+        if (payload or b"")[:2] == b"BM":
+            return decode_bmp(payload)
         if self.fake:
             h = hashlib.sha256(payload or b"").digest()
             side = 8
@@ -112,7 +167,7 @@ class Codec:
                                 dtype=np.uint8)
             return arr.reshape(side, side, 3)
         # SWAP POINT: real implementation = PIL.Image.open(BytesIO(payload))
-        raise NotImplementedError("non-PPM image decoding requires PIL/cv2 — not in container")
+        raise NotImplementedError("non-PPM/BMP image decoding requires PIL/cv2 — not in container")
 
     def decode_audio(self, payload: bytes) -> tuple[np.ndarray, int]:
         """(samples shaped (n_frames, n_channels) int16, sample_rate)."""
