@@ -70,7 +70,13 @@ class FakeClient:
             and len(self.upserts) == self._fail_upsert_at_batch
         ):
             raise RuntimeError("connection reset by peer")
-        self.upserts.append((collection_name, list(points)))
+        pts = list(points)
+        self.upserts.append((collection_name, pts))
+        # real Qdrant upsert semantics: keyed by point id, last write wins
+        self.points = getattr(self, "points", {})
+        for p in pts:
+            pid = p["id"] if isinstance(p, dict) else p.id
+            self.points[pid] = p
 
     def close(self):
         self.closed = True
@@ -141,3 +147,35 @@ def test_upsert_errors_propagate():
     assert next(gen) == 10
     with pytest.raises(RuntimeError, match="connection reset"):
         next(gen)  # the second batch must NOT be silently dropped
+
+
+def test_double_index_of_same_batch_is_idempotent_by_point_id():
+    """Reference upsert is idempotent by point id (storage.py:194-199):
+    re-indexing the same memory_ids must leave the store's point count
+    unchanged — last write wins, no duplicates."""
+    c = FakeClient()
+    rows = [_point(i) for i in range(25)]
+    first = sum(upsert_batches(c, dict, rows, "memories", batch_size=10))
+    second = sum(upsert_batches(c, dict, [_point(i) for i in range(25)],
+                                "memories", batch_size=10))
+    assert first == second == 25          # both runs report all rows written
+    assert len(c.points) == 25            # but the store holds each id once
+    assert set(c.points) == {f"m{i}" for i in range(25)}
+
+
+def test_partial_failure_then_full_retry_converges():
+    """A partition task that dies mid-upsert gets retried whole by
+    Spark; with id-keyed upserts the retry must converge to exactly one
+    point per memory_id (no loss from the failed batch, no duplication
+    from the succeeded ones)."""
+    c = FakeClient(fail_upsert_at_batch=1)  # batch 0 lands, batch 1 dies
+    rows = [_point(i) for i in range(25)]
+    with pytest.raises(RuntimeError):
+        list(upsert_batches(c, dict, rows, "memories", batch_size=10))
+    assert len(c.points) == 10            # partial write happened
+    c._fail_upsert_at_batch = None        # "server recovered"; task retries
+    total = sum(upsert_batches(c, dict, [_point(i) for i in range(25)],
+                               "memories", batch_size=10))
+    assert total == 25
+    assert len(c.points) == 25
+    assert set(c.points) == {f"m{i}" for i in range(25)}
