@@ -71,11 +71,13 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst handles pushdown + pruning.
 
-    ``events.ts`` is written as Parquet TIMESTAMP(NANOS) which Spark has
-    no native type for — read it as nanos-since-epoch long and floor-
-    divide to microseconds (same truncation DuckDB applies casting
-    TIMESTAMP_NS → TIMESTAMP). Emitted as TIMESTAMP_NTZ to match the
-    other tables' naive timestamps.
+    ``events.ts`` has shipped as both Parquet TIMESTAMP(NANOS) (earlier
+    testdata drops) and TIMESTAMP(MICROS) (current). Spark has no native
+    nanos type, so NANOS is read as nanos-since-epoch long and floor-
+    divided to microseconds (same truncation DuckDB applies casting
+    TIMESTAMP_NS → TIMESTAMP); MICROS already arrives as a timestamp and
+    passes through. The conversion is gated on the read dtype, so both
+    encodings yield the same TIMESTAMP_NTZ column.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

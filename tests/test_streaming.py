@@ -1,6 +1,6 @@
 """Structured-streaming tests: the streaming sessionization/windows
 must agree with their batch twins on complete data (driven by the
-parquet file source + memory sink, processAllAvailable)."""
+parquet file source + memory sink, Trigger.AvailableNow)."""
 
 from __future__ import annotations
 
@@ -20,15 +20,18 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events_stream(spark, tmp_path_factory):
-    import shutil
-
     batch = load_table(spark, SF_DIR, "events")
-    # the file stream source wants a directory — stage the single file
+    # the file stream source wants a directory — stage a rewrite of the
+    # table THROUGH load_table so the fixture is robust to however the
+    # raw testdata encodes ts (NANOS in earlier drops, MICROS now):
+    # load_table normalizes both, and the staged copy is plain TIMESTAMP
     d = tmp_path_factory.mktemp("events_stream")
-    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    batch.withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
     return (
         spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
         )
         .parquet(str(d)),
         batch,
@@ -36,9 +39,8 @@ def events_stream(spark, tmp_path_factory):
 
 
 def _normalize_stream_events(sdf):
-    # watermarks require TIMESTAMP (not NTZ); identical instants under
-    # the UTC session timezone
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # staged fixture already carries TIMESTAMP ts (watermark-ready)
+    return sdf
 
 
 def test_streaming_sessionization_matches_batch(spark, events_stream):
@@ -48,12 +50,10 @@ def test_streaming_sessionization_matches_batch(spark, events_stream):
         agg.writeStream.format("memory")
         .queryName("sess_out")
         .outputMode("append")
+        .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    q.awaitTermination(300)
     got = spark.sql(
         "SELECT user_id, session_start, session_end, n_events FROM sess_out"
     )
@@ -68,7 +68,7 @@ def test_streaming_sessionization_matches_batch(spark, events_stream):
         "n_events",
     )
     # session_window closes sessions only below the watermark; with
-    # processAllAvailable the final watermark passes max(ts) minus delay,
+    # AvailableNow the final watermark passes max(ts) minus delay,
     # so late sessions at the tail may be withheld — compare the common
     # prefix: every emitted session must exactly match a batch session.
     got_rows = {tuple(r) for r in got.collect()}
@@ -86,12 +86,10 @@ def test_tumbling_counts_match_batch(spark, events_stream):
         agg.writeStream.format("memory")
         .queryName("win_out")
         .outputMode("append")
+        .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    q.awaitTermination(300)
     got = {
         (r.w_start, r.event_type): (r.n, round(r.total_value, 6))
         for r in spark.sql("SELECT * FROM win_out").collect()
@@ -122,12 +120,10 @@ def test_stateful_sequence_numbering(spark, events_stream):
         seq.writeStream.format("memory")
         .queryName("seq_out")
         .outputMode("append")
+        .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    q.awaitTermination(300)
     got = {
         (r.user_id, r.event_id): r.sequence_order
         for r in spark.sql("SELECT * FROM seq_out").collect()
@@ -152,12 +148,10 @@ def test_streaming_dedup_matches_batch_distinct(spark, events_stream):
         dd.writeStream.format("memory")
         .queryName("dedup_sink")
         .outputMode("append")
+        .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    q.awaitTermination(300)
     got = spark.sql("SELECT count(*) AS n FROM dedup_sink").collect()[0].n
     from fegis_spark.operators.dedup import normalize_text as nt
     from pyspark.sql import functions as FF
@@ -166,14 +160,12 @@ def test_streaming_dedup_matches_batch_distinct(spark, events_stream):
     assert got == exp
 
 
-def test_available_now_end_to_end_state_bounded(spark, tmp_path_factory):
-    """Volume run (sf0.01, 10k events over 30 days) through the real
-    file source with Trigger.AvailableNow: 6 time-ordered chunks, one
-    per micro-batch, so the watermark advances ~5 days between batches.
-    Asserts (a) sessionization output matches the batch session_window
-    twin for every emitted session, (b) the session state store and the
-    dedup state store stay far below total-sessions/total-rows — the
-    watermark must actually evict."""
+@pytest.fixture(scope="module")
+def chunked_events(spark, tmp_path_factory):
+    """Volume fixture (sf0.01, 10k events over 30 days) staged as 6
+    time-ordered parquet chunks so Trigger.AvailableNow runs one
+    micro-batch per chunk and the watermark advances ~5 days between
+    batches. Returns (staging_dir, batch_df)."""
     import shutil
 
     sf_dir = "/root/testdata/sf0.01"
@@ -194,13 +186,31 @@ def test_available_now_end_to_end_state_bounded(spark, tmp_path_factory):
         part = next(p for p in tmp_out.iterdir() if p.name.endswith(".parquet"))
         shutil.copy(part, staging / f"chunk-{i:02d}.parquet")
         shutil.rmtree(tmp_out)
+    return staging, batch
 
-    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    sdf = (
-        spark.readStream.schema(schema)
+
+E2E_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _chunked_stream(spark, staging):
+    return (
+        spark.readStream.schema(E2E_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(str(staging))
     )
+
+
+def test_available_now_end_to_end_state_bounded(spark, chunked_events):
+    """AvailableNow e2e over the chunked volume fixture. Asserts (a)
+    sessionization output matches the batch session_window twin for
+    every emitted session, (b) the session state store and the dedup
+    state store stay far below total-sessions/total-rows — the
+    watermark must actually evict."""
+    staging, batch = chunked_events
+    sdf = _chunked_stream(spark, staging)
 
     sess = sessionize_stream(sdf, gap_minutes=30, watermark="10 minutes")
     q = (
@@ -271,6 +281,108 @@ def test_available_now_end_to_end_state_bounded(spark, tmp_path_factory):
     assert max_dd_state < 0.5 * n_total, (max_dd_state, n_total)
 
 
+def test_available_now_sliding_window_state_bounded(spark, chunked_events):
+    """Sliding-window counts (2 h window / 30 min slide) through
+    AvailableNow over the chunked volume fixture: emitted windows must
+    equal the batch F.window twin, and window state must stay far below
+    the total open-window count for 30 days of data."""
+    staging, batch = chunked_events
+    sdf = _chunked_stream(spark, staging)
+
+    sw = tumbling_counts_stream(
+        sdf, window_size="2 hours", slide="30 minutes", watermark="10 minutes"
+    )
+    q = (
+        sw.writeStream.format("memory")
+        .queryName("e2e_sliding")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progress = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(progress) >= 6  # one micro-batch per chunk
+    max_state = max(p["stateOperators"][0]["numRowsTotal"] for p in progress)
+
+    got = {
+        (r.w_start, r.w_end, r.event_type): (r.n, round(r.total_value or 0.0, 6))
+        for r in spark.table("e2e_sliding").collect()
+    }
+    want = {
+        (r.w_start, r.w_end, r.event_type): (r.n, round(r.total_value or 0.0, 6))
+        for r in (
+            batch.groupBy(
+                F.window("ts", "2 hours", "30 minutes"), "event_type"
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+            .select(
+                F.col("window.start").alias("w_start"),
+                F.col("window.end").alias("w_end"),
+                "event_type",
+                "n",
+                "total_value",
+            )
+            .collect()
+        )
+    }
+    # append mode withholds only windows still open under the final
+    # watermark (the last chunk's tail)
+    assert len(got) >= 0.9 * len(want)
+    for k, v in got.items():
+        assert want.get(k) == v, k
+    # state = open windows only; with a 10-minute watermark over
+    # time-ordered chunks, closed windows must be evicted each batch
+    assert max_state < 0.5 * len(want), (max_state, len(want))
+
+
+def test_available_now_interval_join_state_bounded(spark, chunked_events):
+    """Stream-stream interval join (click→view within 24 h, same user)
+    through AvailableNow over the chunked volume fixture: the emitted
+    pairs must equal the batch twin exactly, and the join buffers must
+    hold far fewer rows than both full streams — the two-sided
+    watermark + time bound must evict."""
+    from fegis_spark.streaming.joins import interval_join_batch, interval_join_stream
+
+    staging, batch = chunked_events
+    sdf = _chunked_stream(spark, staging)
+
+    clicks_s = sdf.filter(F.col("event_type") == "click")
+    views_s = sdf.filter(F.col("event_type") == "view")
+    joined = interval_join_stream(
+        clicks_s, views_s, interval_minutes=1440, watermark="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("e2e_interval")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progress = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(progress) >= 6
+    max_state = max(p["stateOperators"][0]["numRowsTotal"] for p in progress)
+
+    got = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.table("e2e_interval").collect()
+    }
+    want = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in interval_join_batch(
+            batch.filter(F.col("event_type") == "click"),
+            batch.filter(F.col("event_type") == "view"),
+            interval_minutes=1440,
+        ).collect()
+    }
+    # inner stream-stream join under AvailableNow drains completely
+    assert got == want and len(want) > 0
+    # buffered state must stay O(interval + watermark), not O(stream):
+    # both sides together hold ≈1 day + 1 h of a 30-day stream per batch
+    n_stream = batch.filter(F.col("event_type").isin("click", "view")).count()
+    assert max_state < 0.5 * n_stream, (max_state, n_stream)
+
+
 def test_stream_stream_interval_join_matches_batch(spark, events_stream):
     from fegis_spark.streaming.joins import interval_join_batch, interval_join_stream
 
@@ -287,12 +399,10 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream):
         joined.writeStream.format("memory")
         .queryName("ssj_out")
         .outputMode("append")
+        .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    q.awaitTermination(300)
     got = {
         tuple(r)
         for r in spark.sql(
@@ -314,8 +424,8 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream):
         .collect()
     }
     assert want, "batch twin produced no pairs — test data assumption broken"
-    # inner stream-stream join with processAllAvailable emits matches
-    # regardless of watermark passage; sets must agree exactly
+    # inner stream-stream join emits matches regardless of watermark
+    # passage; once AvailableNow drains, sets must agree exactly
     assert got == want
 
 
