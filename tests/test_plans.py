@@ -143,3 +143,16 @@ def test_stratified_fixed_k_window_is_partitioned(spark, cat):
     # never collapse to a single partition
     assert "hashpartitioning(lang" in p, p
     assert "SinglePartition" not in p, p
+
+
+def test_curation_projection_is_codegen_barriered(spark, cat):
+    """curation_pipeline persists the scored projection as a pushdown
+    barrier: the quality/lang filter must apply to the cached narrow
+    columns (InMemoryTableScan), NOT be pushed into the parquet scan —
+    pushed-down it re-evaluates both megaexpressions per row and blows
+    janino's 64KB method limit (codegen disabled for the hot stage)."""
+    p = formatted_plan(spark, cat, "curation_pipeline")
+    assert "InMemoryTableScan" in p, p
+    scan_lines = [l for l in p.splitlines() if "PushedFilters" in l]
+    # the parquet scan must carry no quality/lang-id predicate residue
+    assert all("regexp_replace" not in l for l in scan_lines), scan_lines
