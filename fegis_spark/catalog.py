@@ -85,6 +85,7 @@ def _load_all() -> None:
         filters_q,
         joins,
         lineage_q,
+        media_q,
         pipeline_q,
         search_q,
         stream_q,
