@@ -256,3 +256,100 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("bucket") < 50).select("h")
     batch = docs.filter(F.col("bucket") >= 50)
     return batch.join(corpus, "h", "left_anti").select("doc_id", "lang")
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS doc, {{toks}} AS tok FROM documents
+    ), g AS (
+      SELECT doc, i AS pos,
+             array_to_string(list_slice(tok, i+1, i+8), ' ') AS gram
+      FROM base, unnest(range(0, len(tok)-7)) AS t(i)
+      WHERE len(tok) >= 8
+    ), freq AS (
+      SELECT gram, COUNT(DISTINCT doc) AS nd FROM g GROUP BY gram
+    ), flagged AS (
+      SELECT g.doc, g.pos, (f.nd > 1) AS dup
+      FROM g JOIN freq f USING (gram)
+    ), runs AS (
+      SELECT doc, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) AS grp
+      FROM flagged WHERE dup
+    ), islands AS (
+      SELECT doc, grp, COUNT(*) AS run_len FROM runs GROUP BY doc, grp
+    ), per_doc AS (
+      SELECT doc, COUNT(*) AS n_spans,
+             CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+      FROM flagged GROUP BY doc
+    )
+    SELECT p.doc, p.n_spans, p.n_dup_spans,
+           round(CAST(p.n_dup_spans AS DOUBLE) / p.n_spans, 6) AS dup_frac,
+           CAST(m.max_run + 7 AS BIGINT) AS max_run_tokens
+    FROM per_doc p
+    JOIN (SELECT doc, MAX(run_len) AS max_run FROM islands GROUP BY doc) m
+      USING (doc)
+    WHERE p.n_dup_spans > 0
+    """.format(toks=_TOKS),
+    covers=("[EXT]-substring-dedup", "K9-exact"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact substring-span dedup (the Lee et al. 2022
+    "Deduplicating Training Data" decision, re-expressed for Spark):
+    flag every document whose 8-token shingles also occur in ANOTHER
+    document, with the per-doc duplicated-span fraction and the
+    longest contiguous duplicated run (gaps-and-islands over shingle
+    positions; run of L shingles = L+7 shared tokens). Differs from
+    doc_novelty (graded 3-gram novelty) by span length, cross-doc
+    distinct-count semantics, and emitting the dedup decision itself.
+
+    Plan: ordered shingles via Scala NGram + posexplode, ONE gram
+    hash-agg (COUNT(DISTINCT doc) via two-level agg), equi-join back
+    on the 128-bit md5 of the gram (32-byte shuffle key instead of the
+    ~50-byte gram string; the string itself never shuffles), then
+    doc-partitioned windows for the islands. All keys hash-distribute;
+    nothing is corpus-quadratic."""
+    from pyspark.ml.feature import NGram
+    from pyspark.sql import Window
+
+    from fegis_spark.operators.dedup import tokens
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("doc"), tokens(F.col("text")).alias("tok"))
+        .filter(F.size("tok") >= 8)
+    )
+    ng = NGram(n=8, inputCol="tok", outputCol="__g")
+    ex = ng.transform(base).select(
+        "doc", F.posexplode("__g").alias("pos", "gram")
+    ).select("doc", "pos", F.md5("gram").alias("gh"))
+    freq = ex.groupBy("gh").agg(F.countDistinct("doc").alias("nd"))
+    flagged = ex.join(freq, "gh").select("doc", "pos", (F.col("nd") > 1).alias("dup"))
+
+    w = Window.partitionBy("doc").orderBy("pos")
+    runs = (
+        flagged.filter("dup")
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc", "grp")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc")
+        .agg(F.max("run_len").alias("max_run"))
+    )
+    per_doc = flagged.groupBy("doc").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("dup").cast("int")).cast("bigint").alias("n_dup_spans"),
+    )
+    return (
+        per_doc.filter(F.col("n_dup_spans") > 0)
+        .join(runs, "doc")
+        .select(
+            "doc",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6).alias(
+                "dup_frac"
+            ),
+            (F.col("max_run") + 7).cast("bigint").alias("max_run_tokens"),
+        )
+    )

@@ -436,3 +436,86 @@ def text_lang_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id_expr("text").alias("predicted_lang"),
         F.round(lang_margin_expr("text"), 6).alias("margin"),
     )
+
+
+_EMAIL_RE = r"[a-z0-9#._-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+_PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH synth AS (
+      SELECT c_mktsegment,
+             c_name || ' (' || c_mktsegment || ') contact ' ||
+             CASE WHEN c_custkey % 2 = 0
+                  THEN lower(replace(c_name, ' ', '.')) || '@example.com '
+                  ELSE '' END ||
+             CASE WHEN c_custkey % 3 > 0
+                  THEN printf('%02d-%03d-%03d-%04d',
+                              10 + c_nationkey % 90, c_custkey % 1000,
+                              (c_custkey * 7) % 1000, (c_custkey * 31) % 10000)
+                  ELSE 'no phone' END AS txt
+      FROM customer
+    ), det AS (
+      SELECT c_mktsegment, txt,
+             len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS ne,
+             len(regexp_extract_all(txt, '{_PHONE_RE}')) AS np,
+             regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                            '{_PHONE_RE}', '[PHONE]', 'g') AS red
+      FROM synth
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(ne) AS BIGINT) AS n_emails,
+           CAST(SUM(np) AS BIGINT) AS n_phones,
+           CAST(SUM(length(txt) - length(red)) AS BIGINT) AS chars_redacted
+    FROM det GROUP BY c_mktsegment
+    """,
+    covers=("[EXT]-pii",),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PII detection + redaction — the scrubbing pass every
+    training corpus gets before packing. The documents table carries no
+    real PII (TESTDATA.md), so the query synthesizes a contact blurb
+    deterministically from customer keys on BOTH engines (printf phone,
+    name-derived email), then detects and redacts with portable
+    regexes (character classes + bounded repetition only — identical
+    under Java regex and RE2). Pure codegen projection + one agg
+    shuffle; at 100 TB the redaction is a map-only pass over the scan
+    with no shuffle at all."""
+    c = load_table(spark, sf_dir, "customer")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        (F.lit(10) + F.col("c_nationkey") % 90).cast("int"),
+        (F.col("c_custkey") % 1000).cast("int"),
+        ((F.col("c_custkey") * 7) % 1000).cast("int"),
+        ((F.col("c_custkey") * 31) % 10000).cast("int"),
+    )
+    email = F.concat(
+        F.lower(F.regexp_replace(F.col("c_name"), " ", ".")), F.lit("@example.com ")
+    )
+    txt = F.concat(
+        F.col("c_name"),
+        F.lit(" ("),
+        F.col("c_mktsegment"),
+        F.lit(") contact "),
+        F.when(F.col("c_custkey") % 2 == 0, email).otherwise(F.lit("")),
+        F.when(F.col("c_custkey") % 3 > 0, phone).otherwise(F.lit("no phone")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(txt, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    det = c.select(
+        "c_mktsegment",
+        txt.alias("txt"),
+        F.regexp_count(txt, F.lit(_EMAIL_RE)).alias("ne"),
+        F.regexp_count(txt, F.lit(_PHONE_RE)).alias("np"),
+        red.alias("red"),
+    )
+    return det.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("ne").cast("bigint").alias("n_emails"),
+        F.sum("np").cast("bigint").alias("n_phones"),
+        F.sum(F.length("txt") - F.length("red")).cast("bigint").alias("chars_redacted"),
+    )
