@@ -90,3 +90,27 @@ def interval_join_batch(
     return l.join(r, cond).select(
         F.col("l_key").alias(key), "l_event_id", "l_ts", "r_event_id", "r_ts"
     )
+
+
+def enrich_stream_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: tuple[str, str],
+    dim_cols: tuple[str, ...],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join (§2.10 [EXT]): decorate a stream
+    with dimension attributes (user → account tier, doc → source
+    domain). The static side is re-read per micro-batch by contract
+    (Structured Streaming re-plans the batch side every trigger, so a
+    slowly-changing dim picks up updates), and is broadcast explicitly:
+    no stream-side shuffle, no state store at all — the ONLY stateless
+    join shape in the streaming family, which is why it scales to any
+    stream rate.
+
+    keys = (stream_key, dim_key); dim is pruned to key + dim_cols
+    before the broadcast so only the needed columns ship.
+    """
+    s_key, d_key = keys
+    pruned = dim.select(F.col(d_key).alias(s_key), *dim_cols)
+    return stream.join(F.broadcast(pruned), s_key, how)

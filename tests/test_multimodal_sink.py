@@ -255,3 +255,27 @@ class TestBMP:
             assert img.shape == (4, 4, 3)
             src = decode_bmp(make_bmp(8, 8, seed=i))
             assert np.array_equal(img[0, 0], src[1, 1])
+
+
+class TestBMPProperty:
+    def test_bmp_roundtrip_property(self):
+        """encode_bmp∘decode_bmp is identity for arbitrary RGB arrays —
+        any width (every stride-padding class), any height."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from fegis_spark.operators.multimodal import decode_bmp, encode_bmp
+
+        @settings(max_examples=50, deadline=None)
+        @given(
+            w=st.integers(min_value=1, max_value=21),
+            h=st.integers(min_value=1, max_value=13),
+            seed=st.integers(min_value=0, max_value=2**31 - 1),
+        )
+        def check(w, h, seed):
+            rng = np.random.default_rng(seed)
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+        check()

@@ -443,3 +443,38 @@ def test_stream_stream_join_state_has_watermark_bound(spark, events_stream):
     )
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2, plan
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_stream):
+    """Stream-static broadcast join: every micro-batch row is decorated
+    with the dim attributes; result equals the batch join and the
+    query runs stateless (no state store operators at all)."""
+    from fegis_spark.streaming.joins import enrich_stream_static
+
+    sdf, batch = events_stream
+    # deterministic dim: user_id -> tier derived from the key
+    dim = (
+        batch.select("user_id")
+        .distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std"))
+    )
+    enriched = enrich_stream_static(
+        sdf, dim, keys=("user_id", "user_id"), dim_cols=("tier",)
+    )
+    q = (
+        enriched.select("event_id", "user_id", "tier")
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # stateless: no stateOperators in any progress entry
+    assert all(not p["stateOperators"] for p in q.recentProgress)
+    got = {(r.event_id, r.tier) for r in spark.table("enrich_out").collect()}
+    want = {
+        (r.event_id, "gold" if r.user_id % 3 == 0 else "std")
+        for r in batch.select("event_id", "user_id").collect()
+    }
+    assert got == want
