@@ -335,7 +335,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (SELECT g, count(*) AS n_docs FROM ex GROUP BY g)
     SELECT doc,
            count(*) AS n_grams,
-           round(CAST(SUM(CASE WHEN n_docs = 1 THEN 1.0 ELSE 0.0 END)
+           round(CAST(SUM(CASE WHEN n_docs = 1 THEN 1.0 ELSE 0.0 END)  -- lint: allow R3 (0/1-valued, fp-exact)
                       AS DOUBLE) / count(*), 6) AS novelty
     FROM ex JOIN freq USING (g)
     GROUP BY doc

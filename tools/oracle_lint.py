@@ -1,0 +1,103 @@
+"""Determinism linter for catalog oracles (CLAUDE.md rules, mechanized).
+
+The pack_sequences_sharded episode (rounds 1-2: green locally, red in
+the driver environment) was a float-formatting divergence that a
+static scan would have caught. This tool walks every registered
+catalog entry and flags the patterns that produce engine- or
+environment-dependent values:
+
+  R1  rand()/random()/now()/current_* /uuid() in an oracle (or Spark
+      monotonically_increasing_id in a builder) — nondeterministic.
+  R2  Spark-only hashes (xxhash64/hash(...)) in an ORACLE-CHECKED
+      query's SQL — only md5 is portable.
+  R3  SUM over a DOUBLE expression without the DECIMAL(38,x) transit —
+      partition-order-dependent fp association.
+  R4  DECIMAL * DECIMAL — DuckDB and Spark widen products differently.
+  R5  a top-k (ORDER BY ... LIMIT) whose ORDER BY has a single key —
+      no total-order tiebreak.
+
+Heuristic (regex over SQL text), so false positives are possible:
+suppress a finding by adding `-- lint: allow RN` on the same line.
+Exit 1 on any unsuppressed finding; run in CI next to the gate.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from fegis_spark.catalog import catalog  # noqa: E402
+
+NONDET = re.compile(r"\b(rand|random|now|uuid|gen_random_uuid)\s*\(", re.I)
+CURRENT = re.compile(r"\bcurrent_(date|time|timestamp)\b", re.I)
+SPARK_HASH = re.compile(r"\b(xxhash64|hash)\s*\(", re.I)
+DOUBLE_SUM = re.compile(
+    r"\bSUM\s*\(\s*(?![^)]*DECIMAL)[^)]*(?:::\s*DOUBLE|AS\s+DOUBLE|[0-9]\.[0-9])",
+    re.I,
+)
+DEC_MUL = re.compile(r"DECIMAL\s*\([^)]*\)\s*\)?\s*\*", re.I)
+ALLOW = re.compile(r"--\s*lint:\s*allow\s+(R\d)")
+
+
+def _allowed(line: str, rule: str) -> bool:
+    m = ALLOW.search(line)
+    return bool(m and m.group(1) == rule)
+
+
+def lint_sql(name: str, sql: str) -> list[str]:
+    findings = []
+    lines = sql.splitlines()
+    for i, ln in enumerate(lines):
+        prev = lines[i - 1] if i else ""
+        for rule, rx in (("R1", NONDET), ("R1", CURRENT), ("R2", SPARK_HASH),
+                         ("R3", DOUBLE_SUM), ("R4", DEC_MUL)):
+            # an allow-marker suppresses on its own line or the next
+            # (comma-joined SQL fragments can't carry trailing comments)
+            if rx.search(ln) and not (_allowed(ln, rule) or _allowed(prev, rule)):
+                findings.append(f"{name}: {rule} `{ln.strip()[:90]}`")
+    # R5: single-key ORDER BY feeding a LIMIT
+    for m in re.finditer(r"ORDER\s+BY\s+([^)]+?)\s+LIMIT", sql, re.I | re.S):
+        keys = [k for k in m.group(1).split(",") if k.strip()]
+        if len(keys) < 2 and not _allowed(m.group(0), "R5"):
+            findings.append(f"{name}: R5 top-k with single-key ORDER BY (no tiebreak)")
+    return findings
+
+
+def main() -> int:
+    findings: list[str] = []
+    for name, e in sorted(catalog().items()):
+        if e.oracle is not None:
+            findings.extend(lint_sql(name, e.oracle))
+        # builder-side nondeterminism: source-level scan
+        import inspect
+
+        try:
+            src = inspect.getsource(e.builder)
+        except OSError:
+            continue
+        for rule, rx in (
+            ("R1", re.compile(r"monotonically_increasing_id|F\.rand\(|current_timestamp")),
+        ):
+            for ln in src.splitlines():
+                s = ln.strip()
+                if s.startswith("#") or '"""' in s:  # comments/docstrings
+                    continue
+                if rx.search(ln) and "lint: allow" not in ln:
+                    findings.append(f"{name}: {rule} (builder) `{s[:90]}`")
+        if e.oracle is not None:
+            for ln in src.splitlines():
+                if re.search(r"F\.(xxhash64|hash)\(", ln) and "lint: allow" not in ln:
+                    findings.append(
+                        f"{name}: R2 (builder of oracle-checked query) `{ln.strip()[:90]}`"
+                    )
+    for f in findings:
+        print("LINT", f)
+    print(f"{len(findings)} finding(s) over {len(catalog())} catalog entries")
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
