@@ -81,7 +81,18 @@ def probes(spark, sf_dir: str) -> dict:
         "unigram_logprob": unigram_logprob(docs).agg(
             F.count("*").alias("n")
         ),
+        "substring_spans": _substring_spans_probe(spark, sf_dir),
     }
+
+
+def _substring_spans_probe(spark, sf_dir: str):
+    """dedup_substring_spans is the newest gram-family op (positional
+    grams + distinct-doc agg + islands windows); probe it end-to-end."""
+    from fegis_spark.queries.dedup import dedup_substring_spans
+
+    return dedup_substring_spans(spark, sf_dir).agg(
+        F.count("*").alias("n"), F.sum("n_dup_spans").alias("s")
+    )
 
 
 def time_all(spark, sf_dir: str) -> dict[str, float]:
