@@ -86,3 +86,47 @@ def test_sharded_packing_invariants(spark):
         .collect()
     }
     assert a == b
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """SCALE.md claims AQE skew-join handles residual join skew; pin it:
+    a join where one key owns 90% of the left side must execute with
+    OptimizeSkewedJoin splitting the hot partition (skew=true in the
+    final adaptive plan) once the skew thresholds are in range. Restores
+    session confs afterward (shared fixture)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ path
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+            F.expr("repeat('x', 64)").alias("pad"),
+        )
+        right = spark.range(2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()  # executes THIS DataFrame's QueryExecution
+        assert len(rows) == 180_200
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
