@@ -21,7 +21,16 @@ DEC = "decimal(38,6)"
 
 
 def dsum(col) -> Column:
-    """Order-independent sum of a double column/expr, emitted as double."""
+    """Order-independent sum of a double column/expr, emitted as double.
+
+    Measured alternatives at sf0.1 (pricing_summary, local[32]): plain
+    double SUM 0.34s (order-dependent — disqualified), 1e6-scaled
+    BIGINT SUM 0.87s (bit-identical values here, but overflows 2^63
+    once a single group exceeds ~1e8 max-magnitude money rows — i.e.
+    exactly the 100 TB case), DECIMAL(38,0)-of-scaled-long 2.4s (the
+    38-digit buffer is non-compact). DECIMAL(38,6) at 1.7s keeps 38
+    digits of headroom at any group size; we deliberately pay ~2× local
+    bench over the scaled-long trick for scale-proof exactness."""
     col = F.col(col) if isinstance(col, str) else col
     return F.sum(col.cast(DEC)).cast("double")
 
