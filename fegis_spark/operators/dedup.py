@@ -562,3 +562,96 @@ def connected_components_star(
     ).select("node", F.col("node").alias("component"))
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     return members.union(roots)
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    jaccard_threshold: float = 0.5,
+    cache_intermediate: bool = True,
+):
+    """K9 MinHash+LSH with ENGINE-PORTABLE hashes: every hash is a
+    60-bit integer from the first 15 hex chars of md5, so DuckDB can
+    replay the entire pipeline value-for-value — this is the
+    oracle-checked twin of minhash_lsh_pairs (whose xxhash64 family is
+    Spark-only and therefore rows-only at the gate). Same plan shape:
+    shingle → per-seed min-agg signature → banded equi-join →
+    candidate-only exact-Jaccard verify. ~16 md5 string hashes per
+    gram instead of 1 string + 16 fixed-width xxhash64 — keep the
+    xxhash64 form on the 100 TB data path and this one as the
+    cross-engine verification surface.
+
+    cache_intermediate persists the shingle table (used by the
+    signature build and both verify sides); the returned plan
+    references the cache, so it stays until LRU eviction or
+    spark.catalog.clearCache() (the repo-wide cache-ownership policy).
+    """
+    rows_per_band = num_hashes // bands
+    base = with_shingles(df, text_col, id_col, ngram)
+    if cache_intermediate:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def h60(c):  # first 15 md5 hex chars → bigint, portable
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+    ex = base.select("doc", F.explode("sh").alias("g")).select(
+        "doc", h60(F.col("g")).alias("gh")
+    )
+    sig = ex.groupBy("doc").agg(
+        *[
+            F.min(
+                h60(F.concat(F.col("gh").cast("string"), F.lit(f"-{i}")))
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .distinct()
+    )
+    sh = base.select("doc", "sh")
+    return (
+        cand.join(sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / (
+                F.size("sh_a") + F.size("sh_b")
+                - F.size(F.array_intersect("sh_a", "sh_b"))
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )

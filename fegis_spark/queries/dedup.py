@@ -13,6 +13,7 @@ from fegis_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_portable,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -352,4 +353,60 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.col("max_run") + 7).cast("bigint").alias("max_run_tokens"),
         )
+    )
+
+
+@register(
+    "dedup_minhash_portable",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(0, len(tok)-2),
+                           i -> array_to_string(list_slice(tok, i+1, i+3), ' '))) AS sh
+      FROM (SELECT *, {_TOKS} AS tok FROM documents)
+      WHERE len(tok) >= 3
+    ), ex AS (
+      SELECT doc, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
+      FROM (SELECT doc, unnest(sh) AS g FROM base)
+    ), mh AS (
+      SELECT doc, i,
+             MIN(CAST(('0x' || substr(md5(CAST(gh AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+      FROM ex, (SELECT unnest(range(16)) AS i)
+      GROUP BY doc, i
+    ), sig AS (
+      SELECT doc, list(m ORDER BY i) AS s FROM mh GROUP BY doc
+    ), banded AS (
+      SELECT doc, b,
+             md5(array_to_string(list_transform(list_slice(s, b*4+1, b*4+4),
+                                                x -> CAST(x AS VARCHAR)), ',')) AS bh
+      FROM sig, (SELECT unnest(range(4)) AS b)
+    ), cand AS (
+      SELECT DISTINCT l.doc AS a, r.doc AS b
+      FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc < r.doc
+    ), ver AS (
+      SELECT c.a, c.b,
+             len(list_intersect(ba.sh, bb.sh))::DOUBLE
+             / (len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh))) AS jaccard
+      FROM cand c
+      JOIN base ba ON ba.doc = c.a
+      JOIN base bb ON bb.doc = c.b
+    )
+    SELECT a, b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5
+    """,
+    covers=("K9-minhash",),
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 MinHash+LSH, oracle-checked end-to-end: md5-derived 60-bit
+    hash family both engines can compute, so banding, candidate
+    generation, AND verification are value-checked cross-engine — the
+    exact twin that certifies the (faster, xxhash64, rows-only)
+    dedup_minhash_lsh pipeline's algebra."""
+    return minhash_lsh_pairs_portable(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=4,
+        ngram=3,
+        jaccard_threshold=0.5,
     )
