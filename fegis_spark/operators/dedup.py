@@ -655,3 +655,78 @@ def minhash_lsh_pairs_portable(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """K9 SimHash with ENGINE-PORTABLE hashes: 60-bit sketch from
+    md5-derived token hashes (first 15 hex chars → bigint), blocked on
+    4×15-bit bands — pigeonhole-exact for hamming <= 3 — and verified
+    with bit_count(xor). DuckDB replays every step value-for-value, so
+    this is the oracle-checked twin certifying the (xxhash64, 64-bit,
+    rows-only) simhash_pairs algebra. Same plan: one 60-counter agg
+    shuffle on doc, band equi-join, candidate-only verify."""
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    th = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("bigint")
+    counters = ex.groupBy("doc").agg(
+        *[
+            F.sum((F.shiftright(th, b).bitwiseAND(1) * 2 - 1).cast("long")).alias(f"c{b}")
+            for b in range(60)
+        ]
+    )
+    sim = sum(
+        [
+            F.when(F.col(f"c{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(60)
+        ],
+        F.lit(0).cast("long"),
+    )
+    sh = counters.select("doc", sim.alias("sim"))
+    bands = sh.select(
+        "doc",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sim"), 15 * b)
+                        .bitwiseAND(0x7FFF)
+                        .alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "sim", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("a"),
+            F.col("r.doc").alias("b"),
+            F.col("l.sim").alias("sim_a"),
+            F.col("r.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -14,6 +14,7 @@ from fegis_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     minhash_lsh_pairs_portable,
+    simhash_pairs_portable,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -409,4 +410,52 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         ngram=3,
         jaccard_threshold=0.5,
+    )
+
+
+def _simhash_portable_oracle() -> str:
+    """Generate the DuckDB twin of simhash_pairs_portable from the same
+    bit loop, so the two engines cannot drift."""
+    counters = ",\n             ".join(
+        f"SUM(((th >> {b}) & 1) * 2 - 1) AS c{b}" for b in range(60)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN c{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(60)
+    )
+    return rf"""
+    WITH ex AS (
+      SELECT doc_id AS doc, unnest({_TOKS}) AS t FROM documents
+    ), th AS (
+      SELECT doc, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th FROM ex
+    ), counters AS (
+      SELECT doc,
+             {counters}
+      FROM th GROUP BY doc
+    ), sh AS (
+      SELECT doc, {sim} AS sim FROM counters
+    ), banded AS (
+      SELECT doc, sim, b, (sim >> (15 * b)) & 32767 AS bh
+      FROM sh, (SELECT unnest(range(4)) AS b)
+    ), cand AS (
+      SELECT DISTINCT l.doc AS a, r.doc AS b, l.sim AS sim_a, r.sim AS sim_b
+      FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc < r.doc
+    )
+    SELECT a, b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """
+
+
+@register(
+    "dedup_simhash_portable",
+    oracle=_simhash_portable_oracle(),
+    covers=("K9-simhash",),
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 SimHash, oracle-checked end-to-end: 60-bit md5-derived
+    sketch, 4×15-bit band blocking (pigeonhole-exact for hamming<=3),
+    bit_count(xor) verify — the cross-engine twin certifying the
+    xxhash64 simhash_pairs algebra."""
+    return simhash_pairs_portable(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
     )
