@@ -311,3 +311,24 @@ def test_star_cc_frees_intermediate_storage(spark):
     connected_components_star(_chain_edges(spark, 30), max_iter=12)
     after = jsc.getPersistentRDDs().size()
     assert after - before <= 1, (before, after)
+
+
+def test_minhash_hash_families_agree_on_verified_pairs(spark):
+    """The portable md5-60bit LSH and the xxhash64 fast path use
+    different hash families for CANDIDATE generation, but both verify
+    with exact Jaccard >= 0.5 — on the test corpus the final pair sets
+    are identical (deterministic: fixed data, fixed hashes). Divergence
+    here means a banding bug in one family, not corpus noise."""
+    from fegis_spark.model import load_table
+    from fegis_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_portable,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fast = {(r.a, r.b) for r in minhash_lsh_pairs(docs, "text", "doc_id").collect()}
+    portable = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs_portable(docs, "text", "doc_id").collect()
+    }
+    assert fast and fast == portable
