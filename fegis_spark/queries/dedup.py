@@ -311,7 +311,19 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 128-bit md5 of the gram (32-byte shuffle key instead of the
     ~50-byte gram string; the string itself never shuffles), then
     doc-partitioned windows for the islands. All keys hash-distribute;
-    nothing is corpus-quadratic."""
+    nothing is corpus-quadratic.
+
+    The positional-gram projection (doc, pos, gh — ~48 bytes/row) and
+    the flagged table (doc, pos, dup — ~17 bytes/row) are persisted
+    MEMORY_AND_DISK: ex feeds both the frequency agg and the join-back,
+    flagged feeds both the islands window and the per-doc counts —
+    without the caches the corpus is scanned and re-shingled 8×
+    (plan-measured), with them once. At warehouse scale you'd
+    materialize to scratch tables. The returned plan references the
+    caches, so the operator cannot unpersist them; they stay until LRU
+    eviction or spark.catalog.clearCache() (the repo-wide
+    cache-ownership policy)."""
+    from pyspark import StorageLevel
     from pyspark.ml.feature import NGram
     from pyspark.sql import Window
 
@@ -323,11 +335,18 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("tok") >= 8)
     )
     ng = NGram(n=8, inputCol="tok", outputCol="__g")
-    ex = ng.transform(base).select(
-        "doc", F.posexplode("__g").alias("pos", "gram")
-    ).select("doc", "pos", F.md5("gram").alias("gh"))
+    ex = (
+        ng.transform(base)
+        .select("doc", F.posexplode("__g").alias("pos", "gram"))
+        .select("doc", "pos", F.md5("gram").alias("gh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     freq = ex.groupBy("gh").agg(F.countDistinct("doc").alias("nd"))
-    flagged = ex.join(freq, "gh").select("doc", "pos", (F.col("nd") > 1).alias("dup"))
+    flagged = (
+        ex.join(freq, "gh")
+        .select("doc", "pos", (F.col("nd") > 1).alias("dup"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     w = Window.partitionBy("doc").orderBy("pos")
     runs = (
