@@ -28,14 +28,35 @@ from fegis_spark.session import configure_for_oracle, get_spark  # noqa: E402
 SF_DIR = "/root/testdata/sf0.1"
 
 
-def replicate(spark, out_dir: str, factor: int) -> None:
+def replicate(spark, out_dir: str, factor: int, perturb: bool = True) -> None:
+    """Replicate the corpus factor× with fresh ids. With perturb=True
+    (default) every token gets a per-copy suffix, making each copy's
+    vocabulary disjoint: content actually scales, and the duplicate /
+    near-dup RATE stays at the original corpus's level. perturb=False
+    keeps the raw text — then every doc becomes a factor-clique of
+    exact duplicates and pair-emitting ops (MinHash/SimHash/Jaccard)
+    legitimately blow up O(factor²) in OUTPUT, which measures the
+    pathological-corpus worst case, not scan/shuffle scaling."""
     docs = load_table(spark, SF_DIR, "documents")
     n_docs = docs.count()
     copies = spark.range(factor).select(F.col("id").alias("copy"))
+    rep = docs.crossJoin(copies).withColumn(
+        "doc_id", F.col("doc_id") + F.col("copy") * F.lit(n_docs)
+    )
+    if perturb:
+        tag = F.col("copy").cast("string")
+        rep = rep.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit("x"), tag),
+                ),
+                " ",
+            ),
+        )
     (
-        docs.crossJoin(copies)
-        .withColumn("doc_id", F.col("doc_id") + F.col("copy") * F.lit(n_docs))
-        .drop("copy")
+        rep.drop("copy")
         .write.mode("overwrite")
         .parquet(f"{out_dir}/documents.parquet")
     )
