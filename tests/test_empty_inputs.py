@@ -58,3 +58,22 @@ def test_match_text_empty(spark, empty_docs):
     from fegis_spark.plans.filters import match_text
 
     assert empty_docs.filter(match_text(F.col("text"), "the data")).count() == 0
+
+
+def test_portable_twins_and_media_empty(spark, empty_docs):
+    from fegis_spark.operators.dedup import (
+        minhash_lsh_pairs_portable,
+        simhash_pairs_portable,
+    )
+    from fegis_spark.operators.multimodal import (
+        audio_stats,
+        media_features,
+        resize_images,
+    )
+
+    assert minhash_lsh_pairs_portable(empty_docs, "text", "doc_id").count() == 0
+    assert simhash_pairs_portable(empty_docs, "text", "doc_id").count() == 0
+    empty_media = spark.createDataFrame([], "media_id long, payload binary")
+    assert media_features(empty_media).count() == 0
+    assert audio_stats(empty_media).count() == 0
+    assert resize_images(empty_media, 4, 4).count() == 0
