@@ -554,3 +554,62 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "n_orig", "n_kept", F.round("rate", 6).alias("rate"))
     )
+
+
+@register(
+    "curriculum_shards",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, round({quality_score_sql('text')}, 6) AS q FROM documents
+    ), cuts AS (
+      SELECT quantile_cont(q, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+      FROM scored
+    ), assigned AS (
+      SELECT doc_id, q,
+             len(list_filter(c, x -> q > x)) AS shard
+      FROM scored, cuts
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           round(MIN(q), 6) AS min_q,
+           round(MAX(q), 6) AS max_q,
+           round(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_q
+    FROM assigned GROUP BY shard
+    """,
+    covers=("[EXT]-export", "§2.4-quantiles", "[EXT]-quality"),
+)
+def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the curriculum-export shard plan, value-checked: docs are
+    range-assigned to 10 contiguous quality shards via EXACT decile
+    cutpoints — the same boundary-comparison math
+    sources/export.write_sorted_shards' repartitionByRange applies at
+    write time, expressed as a query so the driver can verify it.
+    Spark's exact percentile() and DuckDB's quantile_cont share linear
+    interpolation (parity pinned by quality_median_gate), and the
+    strict q > cutpoint comparison is identical IEEE on both engines.
+
+    Plan: one agg for the 9 cutpoints (1-row broadcast), then a
+    map-side shard assignment + one agg shuffle on shard — no window,
+    no global sort; exactly how a range-partitioned writer scales."""
+    from fegis_spark.operators.text_analysis import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.round(quality_score_expr("text"), 6).alias("q")
+    )
+    cuts = scored.agg(
+        F.percentile("q", F.lit([i / 10.0 for i in range(1, 10)])).alias("c")
+    )
+    assigned = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "q",
+        F.size(F.filter(F.col("c"), lambda x: F.col("q") > x)).alias("shard"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("q"), 6).alias("min_q"),
+        F.round(F.max("q"), 6).alias("max_q"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(38,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_q"),
+    )
