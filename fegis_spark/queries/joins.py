@@ -363,3 +363,54 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, views, "user_id", "tsd", "rtsd", ["v_event"], tolerance=3600
     )
     return out.select("user_id", "event_id", "asof_v_event")
+
+
+@register(
+    "outer_join_coverage",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN p.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive,
+           CAST(SUM(COALESCE(p.n_orders, 0)) AS BIGINT) AS total_orders,
+           -- lint: allow R3 (decimal transit; COALESCE paren hides it from the regex)
+           round(CAST(SUM(CAST(COALESCE(p.spend, 0.0) AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_spend
+    FROM customer c LEFT OUTER JOIN per_cust p ON c.c_custkey = p.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    covers=("§2.6-outer",),
+)
+def outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 outer join: customers LEFT OUTER their order rollup, so
+    customers with no orders survive with NULL-coalesced zeros — the
+    canonical coverage/活跃度 report shape. Pre-aggregating orders
+    BEFORE the join keeps the outer join's build side at |customers
+    with orders| instead of |orders| (map-side combine first, join
+    second — the scale-correct order)."""
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("spend"),
+        )
+    )
+    j = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left_outer")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inactive"),
+        F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).cast("bigint").alias("total_orders"),
+        F.round(
+            F.sum(F.coalesce(F.col("spend"), F.lit(0.0)).cast("decimal(38,6)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("total_spend"),
+    )

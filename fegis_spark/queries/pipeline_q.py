@@ -590,13 +590,21 @@ def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one agg for the 9 cutpoints (1-row broadcast), then a
     map-side shard assignment + one agg shuffle on shard — no window,
-    no global sort; exactly how a range-partitioned writer scales."""
+    no global sort; exactly how a range-partitioned writer scales. The
+    scored projection (doc_id, q — ~16 bytes/row) is persisted
+    MEMORY_AND_DISK because both the cutpoint agg and the assignment
+    consume it — without the cache the quality megaexpression runs
+    twice over the full corpus. The returned plan references the cache
+    (repo-wide cache-ownership policy: stays until LRU eviction or
+    spark.catalog.clearCache())."""
+    from pyspark import StorageLevel
+
     from fegis_spark.operators.text_analysis import quality_score_expr
 
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", F.round(quality_score_expr("text"), 6).alias("q")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cuts = scored.agg(
         F.percentile("q", F.lit([i / 10.0 for i in range(1, 10)])).alias("c")
     )
