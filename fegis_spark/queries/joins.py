@@ -414,3 +414,69 @@ def outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("total_spend"),
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 9
+    ), b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10 > 0
+    )
+    SELECT change, COUNT(*) AS n FROM (
+      SELECT CASE
+               WHEN a.o_orderkey IS NULL THEN 'added'
+               WHEN b.o_orderkey IS NULL THEN 'removed'
+               WHEN a.o_totalprice <> b.o_totalprice OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+               ELSE 'unchanged' END AS change
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    ) GROUP BY change
+    """,
+    covers=("§2.6-outer", "§2.9-setops"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 FULL OUTER snapshot reconciliation — the incremental-
+    pipeline diff between two corpus snapshots (yesterday vs today):
+    rows only in B are added, only in A removed, same key different
+    payload changed. Snapshots are deterministic md5-bucket subsets of
+    orders (A drops bucket 9, B drops bucket 0 and perturbs every 7th
+    price). One equi-key full-outer join: both sides shuffle once on
+    the key; at 100 TB you bucket both snapshots on the key
+    (operators/scale.write_bucketed) and the join is co-located with
+    no shuffle at all."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    a = o.filter(bucket < 9).select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("price")
+    )
+    b = o.filter(bucket > 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.price") != F.col("b.price"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(change.alias("change")).groupBy("change").agg(
+        F.count("*").alias("n")
+    )
