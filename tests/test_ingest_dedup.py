@@ -332,3 +332,63 @@ def test_minhash_hash_families_agree_on_verified_pairs(spark):
         for r in minhash_lsh_pairs_portable(docs, "text", "doc_id").collect()
     }
     assert fast and fast == portable
+
+
+def test_substring_spans_match_pure_python_reference(spark):
+    """dedup_substring_spans vs a brute-force reference on a corpus
+    with a known shared 12-token span (docs 1/2), an exact duplicate
+    pair (3/4), and unique docs (0, 5). Validates the positional-gram
+    islands logic (longest run = L shingles -> L+7 tokens) without
+    DuckDB in the loop."""
+    from fegis_spark.model import load_table  # noqa: F401 (session warm)
+    from fegis_spark.catalog import catalog
+    import tempfile
+
+    words = lambda pfx, n: " ".join(f"{pfx}{i}" for i in range(n))
+    shared = words("shared", 12)  # 12-token run shared by docs 1 and 2
+    docs = [
+        (0, words("alpha", 20)),
+        (1, words("beta", 9) + " " + shared + " " + words("gamma", 9)),
+        (2, words("delta", 5) + " " + shared + " " + words("eps", 15)),
+        (3, words("dup", 30)),
+        (4, words("dup", 30)),  # exact duplicate of 3
+        (5, words("zeta", 25)),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "t", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r.doc: (r.n_spans, r.n_dup_spans, r.max_run_tokens)
+            for r in catalog()["dedup_substring_spans"]
+            .builder(spark, d)
+            .collect()
+        }
+    # pure-python reference
+    K = 8
+    toks = {i: t.lower().split() for i, t in docs}
+    grams = {
+        i: [" ".join(tk[j : j + K]) for j in range(len(tk) - K + 1)]
+        for i, tk in toks.items()
+        if len(tk) >= K
+    }
+    owner = {}
+    for i, gs in grams.items():
+        for g in set(gs):
+            owner.setdefault(g, set()).add(i)
+    want = {}
+    for i, gs in grams.items():
+        dup = [len(owner[g]) > 1 for g in gs]
+        if not any(dup):
+            continue
+        runs, cur, best = [], 0, 0
+        for f in dup:
+            cur = cur + 1 if f else 0
+            best = max(best, cur)
+        want[i] = (len(gs), sum(dup), best + K - 1)
+    assert got == want
+    # the shared 12-token span = 5 shingles of 8 -> 12 tokens reported
+    assert got[1][2] == 12 and got[2][2] == 12
+    # exact duplicates: every shingle duplicated, full-length run
+    assert got[3][1] == got[3][0] and got[3][2] == len(toks[3])
