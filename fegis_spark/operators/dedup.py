@@ -97,6 +97,123 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def band_bucket_stats(banded: DataFrame, doc: str = "doc") -> DataFrame:
+    """Membership stats per LSH band bucket: (band, bh) → bucket_size
+    and the min-id representative. This is the audit surface for the
+    max_bucket_size cap (the no-silent-caps rule): run it with the same
+    banding to list exactly which buckets were routed through the
+    representative path (`bucket_size > cap`) and how many members each
+    dropped from pairwise candidacy."""
+    return banded.groupBy("band", "bh").agg(
+        F.count("*").alias("bucket_size"), F.min(doc).alias("rep")
+    )
+
+
+def banded_candidate_pairs(
+    banded: DataFrame,
+    payload: tuple[str, ...] = (),
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH banding (doc, band, bh[, *payload]) → distinct ordered
+    candidate pairs (a, b) with a < b, carrying `payload` columns as
+    `<col>_a` / `<col>_b`.
+
+    max_bucket_size=None is the plain bucket self-join: a bucket with m
+    members emits m(m-1)/2 pairs. That is the one quadratic OUTPUT in
+    the LSH family — on a boilerplate-heavy 100 TB corpus a single
+    templated page class can put 1e5+ docs into one (band, bh) bucket,
+    i.e. 5e9 pairs out of one join key; AQE skew-split redistributes the
+    partition but cannot shrink the output. With a cap:
+
+    * buckets with <= cap members self-join exactly as before;
+    * over-cap buckets emit STAR pairs to their min-doc representative
+      — m-1 candidates instead of m(m-1)/2.
+
+    Every candidate still flows through the caller's exact verification
+    (Jaccard / hamming), so precision is unchanged. The recall loss is
+    confined to over-cap buckets: a member pair that is near-dup while
+    NEITHER member matches the representative is missed in THAT bucket
+    (other bands can still recover it, and over-cap buckets are
+    overwhelmingly exact-template clusters where every member matches
+    the rep; downstream connected-components re-merges everything that
+    verifies against it). Capped buckets are observable — not silent —
+    via band_bucket_stats(banded).filter(bucket_size > cap); surfaces
+    that report dedup results at scale should report that count.
+    """
+    pay = list(payload)
+
+    def _self_join(frame: DataFrame) -> DataFrame:
+        l, r = frame.alias("l"), frame.alias("r")
+        return l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        ).select(
+            F.col("l.doc").alias("a"),
+            F.col("r.doc").alias("b"),
+            *[F.col(f"l.{c}").alias(f"{c}_a") for c in pay],
+            *[F.col(f"r.{c}").alias(f"{c}_b") for c in pay],
+        )
+
+    if max_bucket_size is None:
+        return _self_join(banded).distinct()
+    from pyspark.sql import Window
+
+    # bucket size + representative in ONE window pass over the same
+    # (band, bh) exchange every downstream consumer needs — a
+    # groupBy-stats + join-back formulation costs ~4 extra shuffles
+    # plus recomputation (or a persist) of the upstream sketch
+    # pipeline; here the three consumers (both self-join sides, the
+    # star path) are identical subplans over one exchange, so
+    # ReusedExchange computes the sketch once. min over a struct keeps
+    # the representative's payload without a doc-level join-back.
+    w = Window.partitionBy("band", "bh")
+    sized = banded.withColumn("bucket_size", F.count("*").over(w)).withColumn(
+        "rep", F.min(F.struct("doc", *pay)).over(w)
+    )
+    small = sized.filter(F.col("bucket_size") <= max_bucket_size).select(
+        "doc", "band", "bh", *pay
+    )
+    big = sized.filter(
+        (F.col("bucket_size") > max_bucket_size) & (F.col("doc") != F.col("rep.doc"))
+    ).select(
+        F.col("rep.doc").alias("a"),  # rep = bucket min ⇒ a < b holds
+        F.col("doc").alias("b"),
+        *[F.col(f"rep.{c}").alias(f"{c}_a") for c in pay],
+        *[F.col(c).alias(f"{c}_b") for c in pay],
+    )
+    return _self_join(small).unionByName(big).distinct()
+
+
+def keep_best_dedup(
+    df: DataFrame, hash_col: str, id_col: str, q_col: str
+) -> DataFrame:
+    """K9 keeper-policy agg: within each duplicate cluster (same
+    hash_col) keep the highest-quality copy, ties → lowest id. One
+    hash-agg shuffle, no join-back. The tiebreak key is
+    max_by(id, struct(q, -id)): struct ordering compares field-wise and
+    keeps the id a bigint end-to-end — an array key would force id
+    through double and lose exactness above 2^53, making the keeper
+    among near-adjacent ids nondeterministic at 100 TB id ranges.
+
+    Output: (hash_col, keeper_id, n_copies, keeper_q) for clusters with
+    n_copies > 1; keeper_q rounded to 6 dp (oracle determinism rule).
+    """
+    return (
+        df.groupBy(hash_col)
+        .agg(
+            F.max_by(
+                id_col,
+                F.struct(F.col(q_col).alias("q"), (-F.col(id_col)).alias("nid")),
+            ).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+            F.round(F.max(q_col), 6).alias("keeper_q"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """k seeded xxhash64 minima over the shingle set → array<long>.
 
@@ -122,6 +239,7 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     jaccard_threshold: float = 0.5,
     cache_intermediate: bool = True,
+    max_bucket_size: int | None = 512,
 ) -> DataFrame:
     """K9 MinHash+LSH near-dup pairs.
 
@@ -129,6 +247,13 @@ def minhash_lsh_pairs(
     self-join on (band, band_hash) → distinct candidate pairs → exact
     Jaccard on the candidates only. Every join is an equi-join; the
     band explode multiplies rows by `bands`, not by |corpus|.
+
+    max_bucket_size caps the per-bucket candidate output (hot template
+    buckets would otherwise emit m²/2 pairs): over-cap buckets route
+    through their min-doc representative — see banded_candidate_pairs
+    for the exact semantics and band_bucket_stats for the audit
+    surface. None disables the cap (the oracle-checked portable twin's
+    default).
 
     cache_intermediate persists the shingle table, which the plan uses
     three times (signature + both sides of candidate verification) —
@@ -173,18 +298,7 @@ def minhash_lsh_pairs(
     banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("b")).select(
         "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
-        .distinct()
-    )
+    cand = banded_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     sh = base.select(F.col("doc"), F.col("sh"))
     verified = (
         cand.join(sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a")), "a")
@@ -237,11 +351,13 @@ def simhash_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 8,
+    max_bucket_size: int | None = 512,
 ) -> DataFrame:
     """K9 SimHash near-dup: block on equal 16-bit band (4 bands — any
     pair within hamming<=3 of 64 bits shares >=1 exact band by
     pigeonhole; wider distances trade recall), verify hamming via
-    bit_count(xor)."""
+    bit_count(xor). max_bucket_size routes hot band buckets through a
+    min-doc representative (see banded_candidate_pairs); None disables."""
     # explode + 64 codegen'd bit-counter aggregates (the HOF fold form
     # simhash64() is kept for expression composability but is
     # interpreted — this form stays in whole-stage codegen)
@@ -282,22 +398,7 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("doc", "sim", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    l, r = bands.alias("l"), bands.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .select(
-            F.col("l.doc").alias("a"),
-            F.col("r.doc").alias("b"),
-            F.col("l.sim").alias("sim_a"),
-            F.col("r.sim").alias("sim_b"),
-        )
-        .distinct()
-    )
+    cand = banded_candidate_pairs(bands, payload=("sim",), max_bucket_size=max_bucket_size)
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
@@ -382,6 +483,69 @@ def embedding_neardup_pairs(
             F.col("r.id").alias("b"),
             F.round("score", 6).alias("score"),
         )
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    bucket_length: float = 4.0,
+    num_hash_tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """K9 embedding near-dup with LSH-BLOCKED candidate generation —
+    the scale path embedding_neardup_pairs' docstring declares. Same
+    output contract: (a, b, score) with a < b and cosine >= threshold,
+    score computed exactly on the RAW vectors (identical values to the
+    brute-force path, so the same DuckDB oracle checks it).
+
+    Candidates: L2-normalize (Scala Normalizer), then MLlib
+    BucketedRandomProjectionLSH approxSimilarityJoin against itself at
+    radius sqrt(2 - 2·threshold) — on unit vectors ||a-b||² = 2-2cosθ,
+    so the Euclidean ball is exactly the cosine cap. Pairs come only
+    from colliding hash buckets (equi-join per hash table, no cross
+    product); exact cosine then re-verifies every candidate, so
+    precision is exact and the only approximation is LSH recall. The
+    defaults (12 tables, bucket_length 4 ≈ 4σ of a unit vector's
+    projection) put per-pair miss probability ~1e-11 at the 0.35-0.9
+    thresholds used here — conservative because the oracle demands
+    exact equality; at true 100 TB scale trade tables down for cost.
+    Hyperplanes are seed-deterministic; candidate generation shuffles
+    |corpus|·num_hash_tables rows, linear in the corpus."""
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    feat = Normalizer(inputCol="__raw", outputCol="features", p=2.0).transform(
+        base.withColumn("__raw", array_to_vector("v"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feat)
+    radius = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-6
+    pairs = model.approxSimilarityJoin(feat, feat, radius, distCol="__dist")
+    return (
+        pairs.select(
+            F.col("datasetA.id").alias("a"),
+            F.col("datasetB.id").alias("b"),
+            F.col("datasetA.v").alias("__va"),
+            F.col("datasetB.v").alias("__vb"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("score", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", F.round("score", 6).alias("score"))
     )
 
 
@@ -573,6 +737,7 @@ def minhash_lsh_pairs_portable(
     ngram: int = 3,
     jaccard_threshold: float = 0.5,
     cache_intermediate: bool = True,
+    max_bucket_size: int | None = None,
 ):
     """K9 MinHash+LSH with ENGINE-PORTABLE hashes: every hash is a
     60-bit integer from the first 15 hex chars of md5, so DuckDB can
@@ -589,6 +754,11 @@ def minhash_lsh_pairs_portable(
     signature build and both verify sides); the returned plan
     references the cache, so it stays until LRU eviction or
     spark.catalog.clearCache() (the repo-wide cache-ownership policy).
+
+    max_bucket_size defaults to None (uncapped) so the DuckDB oracle
+    replays the candidate set exactly; pass a cap to get the same
+    hot-bucket representative routing as the fast path (the oracle
+    would then need the mirrored star logic).
     """
     rows_per_band = num_hashes // bands
     base = with_shingles(df, text_col, id_col, ngram)
@@ -629,17 +799,7 @@ def minhash_lsh_pairs_portable(
     banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("b")).select(
         "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    cand = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
-        .distinct()
-    )
+    cand = banded_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     sh = base.select("doc", "sh")
     return (
         cand.join(sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a")), "a")
@@ -662,6 +822,7 @@ def simhash_pairs_portable(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """K9 SimHash with ENGINE-PORTABLE hashes: 60-bit sketch from
     md5-derived token hashes (first 15 hex chars → bigint), blocked on
@@ -707,22 +868,7 @@ def simhash_pairs_portable(
             )
         ).alias("b"),
     ).select("doc", "sim", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    cand = (
-        bands.alias("l")
-        .join(
-            bands.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .select(
-            F.col("l.doc").alias("a"),
-            F.col("r.doc").alias("b"),
-            F.col("l.sim").alias("sim_a"),
-            F.col("r.sim").alias("sim_b"),
-        )
-        .distinct()
-    )
+    cand = banded_candidate_pairs(bands, payload=("sim",), max_bucket_size=max_bucket_size)
     return (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))

@@ -145,29 +145,18 @@ def ann_ivf(
     n_lists: int = 16,
     n_probe: int = 4,
     kmeans_iters: int = 3,
+    distributed: bool | None = None,
 ) -> DataFrame:
-    """IVF-Flat ANN, relationally: train centroids (sampled k-means,
-    deterministic), assign corpus rows to nearest list (one broadcast
-    join at build time — at scale this is the partition/bucket layout
-    written once), then each query scans only its n_probe nearest
-    lists. Recall < 1 by design → rows-only correctness tier."""
-    import numpy as np
-
-    target = max(n_lists * 32, 512)
-    sample = ivf_training_sample(corpus_df, corpus_id, vec_col, target).collect()
-    sample.sort(key=lambda r: (r["__h"], r["__id"]))  # bounded driver-side trim
-    X = np.array([r["v"] for r in sample[:target]], dtype=np.float64)
-    rng = np.random.default_rng(42)
-    cent = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
-    for _ in range(kmeans_iters):
-        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for j in range(len(cent)):
-            pts = X[assign == j]
-            if len(pts):
-                cent[j] = pts.mean(0)
-
-    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
+    """IVF-Flat ANN, relationally: train centroids (deterministic —
+    sampled numpy k-means for small n_lists, seeded MLlib k-means||
+    when n_lists > 64 or distributed=True; see _train_centroids),
+    assign corpus rows to nearest list (one broadcast join at build
+    time — at scale this is the partition/bucket layout written once),
+    then each query scans only its n_probe nearest lists. Recall < 1
+    by design → rows-only correctness tier."""
+    cent_rows = _train_centroids(
+        corpus_df, corpus_id, vec_col, n_lists, kmeans_iters, distributed
+    )
     spark = corpus_df.sparkSession
     cent_df = spark.createDataFrame(cent_rows, "list_id int, centroid array<double>")
 
@@ -206,9 +195,41 @@ def _train_centroids(
     vec_col: str,
     n_lists: int,
     kmeans_iters: int,
+    distributed: bool | None = None,
 ):
-    """Deterministic sampled k-means (shared by ann_ivf and
-    build_ivf_index): bounded md5-bucket sample, seed-42 init."""
+    """Deterministic centroid training (shared by ann_ivf and
+    build_ivf_index). Two routes behind one signature:
+
+    * small n_lists (<= 64, the local default): bounded md5-bucket
+      sample (<= max(32·n_lists, 512) rows) + seed-42 numpy Lloyd
+      iterations on the driver — plan-clean, no corpus ordering.
+    * large n_lists (or distributed=True): MLlib KMeans with seeded
+      k-means|| init over the FULL corpus — at 100 TB you want
+      n_lists ~1e4-1e5, where a 32·n_lists driver sample is itself a
+      multi-GB collect; the distributed route materializes nothing on
+      the driver beyond the k×dim centroid matrix (the r4-advised
+      swap). Same seed ⇒ same centroids run-over-run.
+    """
+    if distributed is None:
+        distributed = n_lists > 64
+    if distributed:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = corpus_df.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(
+            k=n_lists,
+            maxIter=kmeans_iters,
+            seed=42,
+            initMode="k-means||",
+            featuresCol="features",
+        ).fit(feat)
+        return [
+            (int(i), [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
     import numpy as np
 
     target = max(n_lists * 32, 512)
@@ -246,6 +267,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_lists: int = 16,
     kmeans_iters: int = 3,
+    distributed: bool | None = None,
 ) -> None:
     """Index-once half of the production IVF flow: train centroids,
     assign every corpus vector to its nearest list, and write
@@ -256,10 +278,15 @@ def build_ivf_index(
     * ``{path}/centroids`` — the tiny centroid table.
 
     Build cost: one broadcast centroid join + one partitioned write.
+    distributed=None auto-routes: n_lists > 64 trains via seeded MLlib
+    k-means|| (no driver-side sample), else the numpy sample path —
+    see _train_centroids.
     """
     spark = corpus_df.sparkSession
     cent_df = spark.createDataFrame(
-        _train_centroids(corpus_df, corpus_id, vec_col, n_lists, kmeans_iters),
+        _train_centroids(
+            corpus_df, corpus_id, vec_col, n_lists, kmeans_iters, distributed
+        ),
         "list_id int, centroid array<double>",
     )
     assigned = _nearest_lists(

@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 from fegis_spark.catalog import register
 from fegis_spark.model import load_table
 from fegis_spark.operators.dedup import (
-    embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_lsh_pairs_portable,
@@ -84,7 +83,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K9 MinHash+LSH: banded candidate generation (16 hashes, 4
-    bands), exact-Jaccard verification of candidates only."""
+    bands), exact-Jaccard verification of candidates only. Hot band
+    buckets (>512 members, the operator default) route through a
+    min-doc representative so candidate output stays linear per bucket
+    — see banded_candidate_pairs/band_bucket_stats."""
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         "text",
@@ -101,7 +103,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers=("K9-simhash",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K9 SimHash-64: banded blocking + bit_count hamming verify."""
+    """K9 SimHash-64: banded blocking + bit_count hamming verify; hot
+    band buckets (>512) route through a min-doc representative."""
     return simhash_pairs(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
     )
@@ -122,9 +125,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers=("K9-embedding",),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K9 embedding near-dup: cosine >= 0.35 pairs (brute force at this
-    corpus; LSH candidates at scale)."""
-    return embedding_neardup_pairs(
+    """K9 embedding near-dup: cosine >= 0.35 pairs. Candidates come
+    from random-hyperplane LSH buckets (linear in the corpus), exact
+    cosine re-verifies each — same values as brute force, so the
+    brute-force DuckDB oracle still hash-checks it (the r4-advised
+    candidate-generation swap; embedding_neardup_pairs remains the
+    in-block verifier)."""
+    from fegis_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    return embedding_neardup_pairs_lsh(
         load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
     )
 
@@ -512,10 +521,14 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K9 keeper-policy variant: within each exact-duplicate cluster
     keep the HIGHEST-quality copy (ties → lowest doc_id), not min id —
     the policy real curation uses when near-identical pages differ in
-    extraction quality. max_by with a total-order [q, -doc_id] key:
-    one hash-agg shuffle, no join-back (the measured-1.5× min-struct
-    pattern, inverted)."""
-    from fegis_spark.operators.dedup import normalize_text
+    extraction quality. max_by with a total-order struct(q, -doc_id)
+    key: one hash-agg shuffle, no join-back (the measured-1.5×
+    min-struct pattern, inverted); struct keeps doc_id exact bigint
+    (keep_best_dedup docstring has the 2^53 story). Keeper policy is
+    exercised on constructed duplicate clusters in
+    tests/test_ingest_dedup.py (sf0.01 documents has no exact dups, so
+    the gate alone checks this query vacuously)."""
+    from fegis_spark.operators.dedup import keep_best_dedup, normalize_text
     from fegis_spark.operators.text_analysis import quality_score_expr
 
     docs = load_table(spark, sf_dir, "documents")
@@ -524,14 +537,4 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalize_text(F.col("text"))).alias("content_hash"),
         F.round(quality_score_expr("text"), 6).alias("q"),
     )
-    return (
-        scored.groupBy("content_hash")
-        .agg(
-            F.max_by(
-                "doc_id", F.array(F.col("q"), -F.col("doc_id").cast("double"))
-            ).alias("keeper_id"),
-            F.count("*").alias("n_copies"),
-            F.round(F.max("q"), 6).alias("keeper_q"),
-        )
-        .filter(F.col("n_copies") > 1)
-    )
+    return keep_best_dedup(scored, "content_hash", "doc_id", "q")

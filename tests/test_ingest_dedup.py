@@ -334,6 +334,167 @@ def test_minhash_hash_families_agree_on_verified_pairs(spark):
     assert fast and fast == portable
 
 
+def _hot_corpus(spark):
+    """40 identical docs (one hot LSH bucket in every band) + a planted
+    near-dup pair + distinct fillers."""
+    hot = "templated boilerplate page body repeated across the mirror farm"
+    rows = [(i, hot) for i in range(40)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (101, "the quick brown fox jumps over the lazy dog near the river delta"),
+        (102, "completely different text about spark query engines and columnar formats"),
+        (103, "yet another unrelated document mentioning streaming watermarks and state"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_banded_candidate_cap_bounds_hot_bucket(spark):
+    """A 40-member bucket must emit 39 star candidates under the cap,
+    not 780 pairwise ones; small buckets are untouched."""
+    from fegis_spark.operators.dedup import band_bucket_stats, banded_candidate_pairs
+
+    rows = [(i, 0, 7) for i in range(40)] + [(100, 0, 9), (101, 0, 9)]
+    banded = spark.createDataFrame(rows, "doc long, band int, bh long")
+    uncapped = banded_candidate_pairs(banded)
+    capped = banded_candidate_pairs(banded, max_bucket_size=10)
+    assert uncapped.count() == 40 * 39 // 2 + 1
+    got = {(r.a, r.b) for r in capped.collect()}
+    assert len(got) == 39 + 1
+    # star pairs anchor at the bucket min; the small bucket keeps its pair
+    assert all(a == 0 for a, b in got if b < 100)
+    assert (100, 101) in got
+    # audit surface: exactly one over-cap bucket, with its size and rep
+    hot = band_bucket_stats(banded).filter(F.col("bucket_size") > 10).collect()
+    assert [(r.band, r.bh, r.bucket_size, r.rep) for r in hot] == [(0, 7, 40, 0)]
+
+
+def test_banded_candidate_cap_carries_payload(spark):
+    from fegis_spark.operators.dedup import banded_candidate_pairs
+
+    rows = [(i, 0, 7, 1000 + i) for i in range(5)]
+    banded = spark.createDataFrame(rows, "doc long, band int, bh long, sim long")
+    got = {
+        (r.a, r.b): (r.sim_a, r.sim_b)
+        for r in banded_candidate_pairs(
+            banded, payload=("sim",), max_bucket_size=3
+        ).collect()
+    }
+    # over-cap bucket: star pairs to doc 0 with the REP's payload on _a
+    assert set(got) == {(0, b) for b in range(1, 5)}
+    assert all(v == (1000, 1000 + b) for (a, b), v in got.items())
+
+
+def test_minhash_cap_preserves_components(spark):
+    """Exact-template hot cluster: star candidates all verify at
+    jaccard 1.0, so connected components under the cap equal the
+    uncapped ones, and small-bucket near-dup recall is unchanged."""
+    from fegis_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = _hot_corpus(spark)
+    capped = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket_size=10)
+    uncapped = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket_size=None)
+    cap_pairs = {(r.a, r.b) for r in capped.collect()}
+    assert len(cap_pairs) < uncapped.count()
+    assert (100, 101) in cap_pairs  # small-bucket near-dup unaffected
+    cc_cap = {
+        r.node: r.component for r in connected_components(capped).collect()
+    }
+    cc_full = {
+        r.node: r.component for r in connected_components(uncapped).collect()
+    }
+    assert cc_cap == cc_full
+    assert all(cc_cap[i] == 0 for i in range(40))
+
+
+def test_simhash_cap_bounds_candidates(spark):
+    from fegis_spark.operators.dedup import simhash_pairs
+
+    docs = _hot_corpus(spark)
+    capped = {(r.a, r.b) for r in simhash_pairs(
+        docs, "text", "doc_id", max_hamming=3, max_bucket_size=10
+    ).collect()}
+    # hot cluster collapses to the 39 star pairs (hamming 0 ⇒ verified)
+    assert {(0, b) for b in range(1, 40)} <= capped
+    assert not any(a != 0 and a < 40 and b < 40 for a, b in capped)
+
+
+def test_embedding_lsh_candidates_match_brute_force(spark):
+    """The LSH-blocked candidate path must reproduce the brute-force
+    pair set exactly (the DuckDB oracle for dedup_embedding_cosine is
+    brute force — any recall miss is a gate failure; parity also
+    verified at sf0.1: 4137/4137 pairs)."""
+    from fegis_spark.model import load_table
+    from fegis_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    brute = {
+        (r.a, r.b, r.score)
+        for r in embedding_neardup_pairs(
+            emb, "embedding", "vec_id", threshold=0.35
+        ).collect()
+    }
+    lsh = {
+        (r.a, r.b, r.score)
+        for r in embedding_neardup_pairs_lsh(
+            emb, "embedding", "vec_id", threshold=0.35
+        ).collect()
+    }
+    assert brute and lsh == brute
+
+
+def test_keep_best_constructed_clusters(spark):
+    """Keeper policy on constructed duplicate clusters (ADVICE r4:
+    sf0.01 has no exact dups, so the gate checks dedup_keep_best
+    vacuously): distinct-q cluster → max-q copy wins; tied-q cluster →
+    lowest doc_id wins; singleton dropped; ids above 2^53 keep exact
+    bigint ordering (array-of-double key would collapse them)."""
+    from fegis_spark.operators.dedup import keep_best_dedup
+
+    big = 2**53
+    rows = [
+        (1, "ha", 0.25), (2, "ha", 0.75), (3, "ha", 0.50),  # distinct q
+        (10, "hb", 0.40), (11, "hb", 0.40), (12, "hb", 0.40),  # tied q
+        (20, "hc", 0.90),  # singleton
+        (big + 4, "hd", 0.60), (big + 1, "hd", 0.60), (big + 3, "hd", 0.60),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content_hash string, q double")
+    got = {
+        r.content_hash: (r.keeper_id, r.n_copies, r.keeper_q)
+        for r in keep_best_dedup(df, "content_hash", "doc_id", "q").collect()
+    }
+    assert got == {
+        "ha": (2, 3, 0.75),
+        "hb": (10, 3, 0.4),
+        "hd": (big + 1, 3, 0.6),
+    }
+    # cross-engine: DuckDB replay of the catalog oracle's join-back form
+    import duckdb
+    import pandas as pd
+
+    scored = pd.DataFrame(rows, columns=["doc_id", "content_hash", "q"])
+    oracle = duckdb.sql(
+        """
+        WITH g AS (
+          SELECT content_hash, COUNT(*) AS n_copies, MAX(q) AS max_q
+          FROM scored GROUP BY content_hash HAVING COUNT(*) > 1
+        )
+        SELECT g.content_hash, MIN(s.doc_id) AS keeper_id, g.n_copies,
+               round(g.max_q, 6) AS keeper_q
+        FROM g JOIN scored s
+          ON s.content_hash = g.content_hash AND s.q = g.max_q
+        GROUP BY g.content_hash, g.n_copies, g.max_q
+        """
+    ).df()
+    want = {
+        r.content_hash: (int(r.keeper_id), int(r.n_copies), float(r.keeper_q))
+        for r in oracle.itertuples()
+    }
+    assert got == want
+
+
 def test_substring_spans_match_pure_python_reference(spark):
     """dedup_substring_spans vs a brute-force reference on a corpus
     with a known shared 12-token span (docs 1/2), an exact duplicate

@@ -89,7 +89,7 @@ def test_streaming_ingest_appends_to_index(spark, ivf_index, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming append did not drain in 120s"
 
     after_files = {
         f"{d}/{f}"
@@ -112,6 +112,36 @@ def test_streaming_ingest_appends_to_index(spark, ivf_index, tmp_path_factory):
     assert by_query == {
         i + 1_000_000: {i, i + 1_000_000} for i in range(3)
     }
+
+
+def test_distributed_kmeans_training_route(spark, tmp_path_factory):
+    """The MLlib k-means|| route (auto for n_lists > 64, forced here):
+    seeded ⇒ identical centroids across fits, driver holds only the
+    k×dim centroid matrix, and the built index serves queries
+    identically to a fresh ann_ivf with the same parameters."""
+    from fegis_spark.operators.knn import _train_centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    c1 = _train_centroids(emb, "vec_id", "embedding", 8, 3, distributed=True)
+    c2 = _train_centroids(emb, "vec_id", "embedding", 8, 3, distributed=True)
+    assert c1 == c2  # same seed, same data → same centroids
+    dim = len(c1[0][1])
+    assert len(c1) == 8 and all(len(v) == dim for _, v in c1)
+
+    path = str(tmp_path_factory.mktemp("ivf_dist") / "index")
+    build_ivf_index(emb, path, "vec_id", n_lists=8, distributed=True)
+    queries = emb.filter(F.col("vec_id") < 5)
+    fresh = {
+        (r.query_id, r.corpus_id, r.rank)
+        for r in ann_ivf(
+            queries, emb, "vec_id", "vec_id", k=3, n_lists=8, distributed=True
+        ).collect()
+    }
+    stored = {
+        (r.query_id, r.corpus_id, r.rank)
+        for r in ann_ivf_indexed(spark, path, queries, "vec_id", k=3).collect()
+    }
+    assert fresh == stored and stored
 
 
 def test_compaction_reduces_files_preserves_rows(spark, ivf_index, tmp_path_factory):

@@ -38,3 +38,24 @@ def test_allow_marker_suppresses_same_and_previous_line():
     assert not lint_sql(
         "q", "-- lint: allow R3 (reason)\nSUM(CASE WHEN a THEN 1.0 ELSE 0.0 END) AS s"
     )
+
+
+def test_two_markers_on_one_line_suppress_both_rules():
+    sql = "SELECT SUM(xxhash64(c) * 1.5) FROM t -- lint: allow R2 -- lint: allow R3"
+    assert not lint_sql("q", sql)
+
+
+def test_topk_with_parenthesized_sort_key():
+    # pre-fix the [^)]+? regex silently skipped any paren-bearing key
+    assert lint_sql("q", "SELECT * FROM t ORDER BY round(x, 6) LIMIT 5")
+    assert not lint_sql("q", "SELECT * FROM t ORDER BY round(x, 6), id LIMIT 5")
+    assert not lint_sql(
+        "q", "SELECT * FROM t ORDER BY round(x, 6) LIMIT 5 -- lint: allow R5"
+    )
+
+
+def test_subquery_order_by_without_limit_not_flagged():
+    sql = "SELECT * FROM (SELECT a FROM t ORDER BY a) q JOIN u ON q.a = u.a LIMIT 3"
+    # the inner ORDER BY closes before any LIMIT; the outer LIMIT has no
+    # ORDER BY at all — neither is a top-k
+    assert not lint_sql("q", sql)

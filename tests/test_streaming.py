@@ -18,6 +18,15 @@ from fegis_spark.streaming.sessionize import (
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _drain(q, timeout: int = 300) -> None:
+    """AvailableNow queries must terminate. On timeout, stop the query
+    (so it doesn't leak into later tests) and fail loudly instead of
+    letting assertions run against a partially-filled memory sink."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise AssertionError(f"streaming query did not drain in {timeout}s")
+
+
 @pytest.fixture(scope="module")
 def events_stream(spark, tmp_path_factory):
     batch = load_table(spark, SF_DIR, "events")
@@ -53,7 +62,7 @@ def test_streaming_sessionization_matches_batch(spark, events_stream):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     got = spark.sql(
         "SELECT user_id, session_start, session_end, n_events FROM sess_out"
     )
@@ -89,7 +98,7 @@ def test_tumbling_counts_match_batch(spark, events_stream):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     got = {
         (r.w_start, r.event_type): (r.n, round(r.total_value, 6))
         for r in spark.sql("SELECT * FROM win_out").collect()
@@ -123,7 +132,7 @@ def test_stateful_sequence_numbering(spark, events_stream):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     got = {
         (r.user_id, r.event_id): r.sequence_order
         for r in spark.sql("SELECT * FROM seq_out").collect()
@@ -151,7 +160,7 @@ def test_streaming_dedup_matches_batch_distinct(spark, events_stream):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     got = spark.sql("SELECT count(*) AS n FROM dedup_sink").collect()[0].n
     from fegis_spark.operators.dedup import normalize_text as nt
     from pyspark.sql import functions as FF
@@ -220,7 +229,7 @@ def test_available_now_end_to_end_state_bounded(spark, chunked_events):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     sess_progress = [p for p in q.recentProgress if p["stateOperators"]]
     max_sess_state = max(p["stateOperators"][0]["numRowsTotal"] for p in sess_progress)
     assert len(sess_progress) >= 6  # one micro-batch per chunk
@@ -265,7 +274,7 @@ def test_available_now_end_to_end_state_bounded(spark, chunked_events):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(300)
+    _drain(q2)
     n_total = batch.count()
     n_out = spark.table("e2e_dedup").count()
     dd_progress = [p for p in q2.recentProgress if p["stateOperators"]]
@@ -299,7 +308,7 @@ def test_available_now_sliding_window_state_bounded(spark, chunked_events):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     progress = [p for p in q.recentProgress if p["stateOperators"]]
     assert len(progress) >= 6  # one micro-batch per chunk
     max_state = max(p["stateOperators"][0]["numRowsTotal"] for p in progress)
@@ -358,7 +367,7 @@ def test_available_now_interval_join_state_bounded(spark, chunked_events):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     progress = [p for p in q.recentProgress if p["stateOperators"]]
     assert len(progress) >= 6
     max_state = max(p["stateOperators"][0]["numRowsTotal"] for p in progress)
@@ -402,7 +411,7 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     got = {
         tuple(r)
         for r in spark.sql(
@@ -469,7 +478,7 @@ def test_stream_static_enrichment_matches_batch(spark, events_stream):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     # stateless: no stateOperators in any progress entry
     assert all(not p["stateOperators"] for p in q.recentProgress)
     got = {(r.event_id, r.tier) for r in spark.table("enrich_out").collect()}

@@ -42,9 +42,55 @@ DEC_MUL = re.compile(r"DECIMAL\s*\([^)]*\)\s*\)?\s*\*", re.I)
 ALLOW = re.compile(r"--\s*lint:\s*allow\s+(R\d)")
 
 
-def _allowed(line: str, rule: str) -> bool:
-    m = ALLOW.search(line)
-    return bool(m and m.group(1) == rule)
+def _allowed(text: str, rule: str) -> bool:
+    # every marker counts, so one line can suppress two different rules
+    return rule in ALLOW.findall(text)
+
+
+def _topk_clauses(sql: str):
+    """Yield the sort-key text of every ORDER BY that directly feeds a
+    LIMIT. Paren-aware: a `)` at depth 0 closes the subquery (that ORDER
+    BY has no LIMIT), and parenthesized keys like round(x, 6) don't end
+    the scan the way a [^)]+? regex would."""
+    for m in re.finditer(r"ORDER\s+BY", sql, re.I):
+        i = j = m.end()
+        depth = 0
+        while j < len(sql):
+            c = sql[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif (
+                depth == 0
+                and sql[j : j + 5].upper() == "LIMIT"
+                and not sql[j - 1].isalnum()
+            ):
+                # context = the lines the clause spans, plus the one
+                # before and after, so allow-markers work like the
+                # line-scanned rules
+                lo = sql.rfind("\n", 0, m.start())
+                lo = sql.rfind("\n", 0, lo) if lo != -1 else -1
+                hi = sql.find("\n", j)
+                yield sql[i:j], sql[lo + 1 : hi if hi != -1 else len(sql)]
+                break
+            j += 1
+
+
+def _split_depth0(clause: str) -> list[str]:
+    keys, depth, cur = [], 0, ""
+    for c in clause:
+        depth += c == "("
+        depth -= c == ")"
+        if c == "," and depth == 0:
+            keys.append(cur)
+            cur = ""
+        else:
+            cur += c
+    keys.append(cur)
+    return [k for k in keys if k.strip()]
 
 
 def lint_sql(name: str, sql: str) -> list[str]:
@@ -59,9 +105,8 @@ def lint_sql(name: str, sql: str) -> list[str]:
             if rx.search(ln) and not (_allowed(ln, rule) or _allowed(prev, rule)):
                 findings.append(f"{name}: {rule} `{ln.strip()[:90]}`")
     # R5: single-key ORDER BY feeding a LIMIT
-    for m in re.finditer(r"ORDER\s+BY\s+([^)]+?)\s+LIMIT", sql, re.I | re.S):
-        keys = [k for k in m.group(1).split(",") if k.strip()]
-        if len(keys) < 2 and not _allowed(m.group(0), "R5"):
+    for clause, ctx in _topk_clauses(sql):
+        if len(_split_depth0(clause)) < 2 and not _allowed(ctx, "R5"):
             findings.append(f"{name}: R5 top-k with single-key ORDER BY (no tiebreak)")
     return findings
 

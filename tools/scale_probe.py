@@ -32,11 +32,17 @@ def replicate(spark, out_dir: str, factor: int, perturb: bool = True) -> None:
     """Replicate the corpus factor× with fresh ids. With perturb=True
     (default) every token gets a per-copy suffix, making each copy's
     vocabulary disjoint: content actually scales, and the duplicate /
-    near-dup RATE stays at the original corpus's level. perturb=False
-    keeps the raw text — then every doc becomes a factor-clique of
-    exact duplicates and pair-emitting ops (MinHash/SimHash/Jaccard)
-    legitimately blow up O(factor²) in OUTPUT, which measures the
-    pathological-corpus worst case, not scan/shuffle scaling."""
+    near-dup RATE stays at the original corpus's level. The suffix is
+    applied per \\p{L}\\p{N} run — the same token boundaries tokens()
+    splits on — so punctuation-adjacent words are suffixed too (a
+    space-split suffix would leave 'word.' contributing an unsuffixed
+    'word' token across copies); CJK codepoint tokens still share the
+    run's single suffix, so disjointness is exact for segmented scripts
+    and approximate for unsegmented ones. perturb=False keeps the raw
+    text — then every doc becomes a factor-clique of exact duplicates
+    and pair-emitting ops (MinHash/SimHash/Jaccard) legitimately blow
+    up O(factor²) in OUTPUT, which measures the pathological-corpus
+    worst case, not scan/shuffle scaling."""
     docs = load_table(spark, SF_DIR, "documents")
     n_docs = docs.count()
     copies = spark.range(factor).select(F.col("id").alias("copy"))
@@ -47,12 +53,8 @@ def replicate(spark, out_dir: str, factor: int, perturb: bool = True) -> None:
         tag = F.col("copy").cast("string")
         rep = rep.withColumn(
             "text",
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda t: F.concat(t, F.lit("x"), tag),
-                ),
-                " ",
+            F.regexp_replace(
+                F.col("text"), r"([\p{L}\p{N}]+)", F.concat(F.lit("$1x"), tag)
             ),
         )
     (
@@ -74,7 +76,11 @@ def replicate(spark, out_dir: str, factor: int, perturb: bool = True) -> None:
 def probes(spark, sf_dir: str) -> dict:
     """Heavy operators with non-trivial shuffle structure."""
     from fegis_spark.operators.bm25 import bm25_topk
-    from fegis_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from fegis_spark.operators.dedup import (
+        banded_candidate_pairs,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
     from fegis_spark.operators.text_analysis import unigram_logprob
 
     from fegis_spark.operators.dedup import with_shingles
@@ -103,6 +109,18 @@ def probes(spark, sf_dir: str) -> dict:
             F.count("*").alias("n")
         ),
         "substring_spans": _substring_spans_probe(spark, sf_dir),
+        # worst-case LSH banding: EVERY doc lands in one bucket. With the
+        # representative cap the candidate output is n-1 star pairs, so
+        # wall time must scale ~linearly with the corpus (uncapped this
+        # would be n²/2 pairs and superlinear by construction).
+        "lsh_hot_bucket_capped": banded_candidate_pairs(
+            docs.select(
+                F.col("doc_id").alias("doc"),
+                F.lit(0).alias("band"),
+                F.lit(0).cast("long").alias("bh"),
+            ),
+            max_bucket_size=512,
+        ).agg(F.count("*").alias("n")),
     }
 
 
