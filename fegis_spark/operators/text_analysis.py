@@ -225,6 +225,73 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs, text_col: str = "text", id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+):
+    """Corpus bigram-LM scoring: each document (with ≥2 tokens) gets
+    the mean -ln P(w2|w1) of its bigrams under the corpus conditional
+    distribution P(w2|w1) = cnt(w1 w2) / cnt(w1 ·) — one step up the
+    n-gram ladder from `unigram_logprob`, the standard repetition- and
+    fluency-sensitive quality proxy (templated text scores low, token
+    salad scores high). Self-trained, so no OOV smoothing is needed.
+
+    Plan shape: one bigram explode feeds (a) the (w1, bigram) count
+    table and, derived FROM that table without a second corpus scan,
+    (b) the w1 context totals; both broadcast, so scoring is map-side
+    and only the final per-doc agg shuffles the corpus. At 100 TB set
+    broadcast_vocab=False when the distinct-bigram table outgrows the
+    broadcast threshold. The bigram vocab persists (MEMORY_AND_DISK):
+    it feeds both the context rollup and the scoring join.
+
+    Determinism: per-bigram -ln goes through DECIMAL(38,6) before the
+    per-doc sum (dsum rule); output rounded to 6 dp."""
+    from pyspark import StorageLevel
+
+    from fegis_spark.operators.dedup import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("tok")
+    ).where(F.size("tok") >= 2)
+    # sequence(1, size-1) is safe here: size >= 2 keeps it ascending
+    bg = toks.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tok") - 1),
+                lambda i: F.struct(
+                    F.element_at("tok", i).alias("w1"),
+                    F.concat_ws(
+                        " ", F.element_at("tok", i), F.element_at("tok", i + 1)
+                    ).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc", "p.w1", "p.b")
+    vocab = (
+        bg.groupBy("w1", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ctx = vocab.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    # project before hinting so the broadcast hint sits directly on the
+    # join build side (a hint buried under a later Project can be lost)
+    vocab = vocab.select("b", "cnt")
+    if broadcast_vocab:
+        vocab, ctx = F.broadcast(vocab), F.broadcast(ctx)
+    scored = (
+        bg.join(vocab, "b")
+        .join(ctx, "w1")
+        .withColumn("nl", -F.log(F.col("cnt") / F.col("ctx")))
+    )
+    return scored.groupBy("doc").agg(
+        F.round(
+            F.sum(F.col("nl").cast("decimal(38,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_neg_logprob"),
+        F.count("*").alias("n_bigrams"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # F.expr fast paths: the Column builders above cross py4j once per
 # operator (~150 calls, ~170 ms of driver time per lang_id plan); these

@@ -2,51 +2,164 @@
 (decode → resize / feature-extract / stats) exercised end-to-end
 through the driver contract.
 
-Registered rows-only (oracle=None): WAV/PPM/BMP decoding is genuinely
-non-SQL-expressible, so DuckDB cannot twin these — the per-codec
-numerics are instead pinned exactly in tests/test_multimodal_sink.py
-against pure-python references. Payloads are generated deterministically
-(seeded gradients / integer sine ramps) on the driver — a handful of KB
-— then every decode/transform runs distributed through mapInPandas,
-which is precisely the shape the operator has at 100 TB (bytes never
-leave the Arrow batch; only fixed-width stats flow downstream).
+Oracle method (r4 verdict #5): payload bytes are pure functions of
+media_id, so a driver-side single-threaded reference — the same
+dependency-free decoders (decode_wav/decode_ppm/decode_bmp, pure
+numpy/stdlib, no Spark) run sequentially with Decimal-exact
+aggregation — computes the expected output at import time and is
+emitted as a DuckDB `VALUES` table. The gate then checks that the
+distributed mapInPandas pipeline (Arrow batching, partitioned
+aggregation, shuffle order) reproduces the sequential reference
+exactly: the same end-to-end determinism contract every other oracle
+enforces. The fixture is intentionally sf-INdependent (64 rows at
+every scale factor) so one static SQL string is correct at sf0.001,
+sf0.01 and sf0.1 — fixture size never measured data scale anyway, and
+bench excludes the media queries. `media_frame_sample` keeps its
+deterministic-fake codec but its fan-out contract (3 frames, all
+distinct) is likewise oracle-checked.
 
-Determinism: payload bytes are pure functions of media_id, every
-derived stat is rounded to 6 dp, and outputs are small (≤ hundreds of
-rows) with total-order sorts.
+Determinism: per-clip/per-image doubles are rounded to 6 dp before any
+cross-row aggregate; group averages go through DECIMAL(38,6) sums and
+a double division on both sides (CLAUDE.md dsum rule); float32
+features are cast to double before rounding so Spark never rounds in
+float32 space.
 """
 
 from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fegis_spark.catalog import register
 
+#: fixture rows — fixed across scale factors so the static oracle holds
+_N_MEDIA = 64
+
+
+def _audio_payload(i: int) -> bytes:
+    from fegis_spark.operators.multimodal import make_wav
+
+    return make_wav(400 + 10 * (i % 7), sample_rate=8000, n_channels=1 + i % 2, seed=i)
+
+
+def _image_payload(i: int) -> tuple[bytes, str]:
+    from fegis_spark.operators.multimodal import make_bmp, make_ppm
+
+    # alternate codecs so the magic-byte dispatch is exercised
+    if i % 2 == 0:
+        return make_ppm(16, 12, seed=i), "image/x-portable-pixmap"
+    return make_bmp(16, 12, seed=i), "image/bmp"
+
 
 def _media_df(spark: SparkSession, sf_dir: str, kind: str):
-    """Deterministic media table sized by scale factor (sf0.001 → 64
-    rows, sf0.1 → 512): payload bytes derive only from media_id."""
-    from fegis_spark.operators.multimodal import MEDIA_SCHEMA, make_bmp, make_ppm, make_wav
+    """Deterministic media table: payload bytes derive only from
+    media_id; size fixed at 64 rows for every sf (see module doc)."""
+    from fegis_spark.operators.multimodal import MEDIA_SCHEMA
 
-    n = 512 if sf_dir.rstrip("/").endswith("0.1") else 64
     rows = []
-    for i in range(n):
+    for i in range(_N_MEDIA):
         if kind == "image":
-            # alternate codecs so the magic-byte dispatch is exercised
-            payload = make_ppm(16, 12, seed=i) if i % 2 == 0 else make_bmp(16, 12, seed=i)
-            mime = "image/x-portable-pixmap" if i % 2 == 0 else "image/bmp"
+            payload, mime = _image_payload(i)
             meta = {"mime": mime, "width": 16, "height": 12, "duration_ms": None}
         else:
-            payload = make_wav(400 + 10 * (i % 7), sample_rate=8000, n_channels=1 + i % 2, seed=i)
+            payload = _audio_payload(i)
             meta = {"mime": "audio/wav", "width": None, "height": None, "duration_ms": None}
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _r6(x: float) -> Decimal:
+    """Spark-compatible round(x, 6): shortest decimal repr of the
+    double (== Java Double.toString), then HALF_UP at 6 dp."""
+    return Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+
+def _values_sql(cols: list[str], rows: list[tuple]) -> str:
+    body = ",\n      ".join("(" + ", ".join(str(v) for v in r) + ")" for r in rows)
+    return (
+        f"SELECT * FROM (VALUES\n      {body}\n    ) AS t({', '.join(cols)})"
+    )
+
+
+def _audio_oracle() -> str:
+    """Sequential reference for media_audio_stats: same decoder, same
+    per-clip math, Decimal(38,6) sums + double division for the group
+    averages — the dsum determinism recipe."""
+    import numpy as np
+
+    from fegis_spark.operators.multimodal import decode_wav
+
+    groups: dict[int, list[tuple[int, Decimal, Decimal]]] = {}
+    for i in range(_N_MEDIA):
+        samples, sr = decode_wav(_audio_payload(i))
+        x = samples.astype(np.float64)
+        rms = float(np.sqrt((x * x).mean()))
+        dur = 1000.0 * samples.shape[0] / sr
+        peak = int(np.abs(samples).max())
+        groups.setdefault(samples.shape[1], []).append(
+            (samples.shape[0], _r6(dur), _r6(rms), peak)  # type: ignore[arg-type]
+        )
+    rows = []
+    for nch in sorted(groups):
+        g = groups[nch]
+        n = len(g)
+        total_frames = sum(r[0] for r in g)
+        avg_dur = _r6(float(sum((r[1] for r in g), Decimal(0))) / n)
+        avg_rms = _r6(float(sum((r[2] for r in g), Decimal(0))) / n)
+        max_peak = max(r[3] for r in g)
+        rows.append((nch, n, total_frames, avg_dur, avg_rms, max_peak))
+    return _values_sql(
+        ["n_channels", "n_clips", "total_frames", "avg_duration_ms", "avg_rms", "max_peak"],
+        rows,
+    )
+
+
+def _image_oracle() -> str:
+    """Sequential reference for media_image_features: decode → resize →
+    PPM re-encode round-trip (lossless for uint8) → 16-dim mean-pool,
+    exactly the distributed operator chain, run in-order on the driver."""
+    from fegis_spark.operators.multimodal import (
+        Codec,
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    codec = Codec()
+    rows = []
+    for i in range(_N_MEDIA):
+        payload, _ = _image_payload(i)
+        img = codec.decode_image(payload)
+        out = decode_ppm(encode_ppm(resize_nearest(img, 8, 8)))
+        feats = codec.extract_features(out)
+        acc = 0.0
+        for v in feats:
+            acc += float(v)
+        rows.append(
+            (i, _r6(float(feats[0])), _r6(float(feats[15])), _r6(acc / len(feats)))
+        )
+    return _values_sql(["media_id", "f0", "f15", "feat_mean"], rows)
+
+
+def _frames_oracle() -> str:
+    """Reference fan-out for media_frame_sample: the deterministic fake
+    codec emits n_frames sha256-derived payloads per input row."""
+    from fegis_spark.operators.multimodal import Codec
+
+    codec = Codec()
+    rows = []
+    for i in range(_N_MEDIA):
+        payload, _ = _image_payload(i)
+        frames = codec.frame_sample(payload, 3)
+        rows.append((i, len(frames), len(set(frames))))
+    return _values_sql(["media_id", "n_frames", "n_distinct_frames"], rows)
+
+
 @register(
     "media_audio_stats",
-    oracle=None,  # WAV decode is not SQL-expressible; numerics pinned in tests
+    oracle=_audio_oracle(),
     covers=("[EXT]-multimodal",),
 )
 def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,14 +169,25 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped inside the Arrow batch; only fixed-width stats shuffle."""
     from fegis_spark.operators.multimodal import audio_stats
 
-    stats = audio_stats(_media_df(spark, sf_dir, "audio"))
+    stats = audio_stats(_media_df(spark, sf_dir, "audio")).select(
+        "n_channels",
+        "n_samples",
+        F.round("duration_ms", 6).alias("dur6"),
+        F.round("rms", 6).alias("rms6"),
+        "peak",
+    )
+    n = F.count(F.lit(1))
     return (
         stats.groupBy("n_channels")
         .agg(
-            F.count("*").alias("n_clips"),
+            n.alias("n_clips"),
             F.sum("n_samples").alias("total_frames"),
-            F.round(F.avg("duration_ms"), 6).alias("avg_duration_ms"),
-            F.round(F.avg("rms"), 6).alias("avg_rms"),
+            F.round(
+                F.sum(F.col("dur6").cast("decimal(38,6)")).cast("double") / n, 6
+            ).alias("avg_duration_ms"),
+            F.round(
+                F.sum(F.col("rms6").cast("decimal(38,6)")).cast("double") / n, 6
+            ).alias("avg_rms"),
             F.max("peak").alias("max_peak"),
         )
         .orderBy("n_channels")
@@ -72,7 +196,7 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_image_features",
-    oracle=None,  # PPM/BMP decode is not SQL-expressible; pinned in tests
+    oracle=_image_oracle(),
     covers=("[EXT]-multimodal",),
 )
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,10 +212,11 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = media_features(resized.select("media_id", "payload"))
     return feats.select(
         "media_id",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 16), 6).alias("f15"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("features", 16).cast("double"), 6).alias("f15"),
         F.round(
-            F.aggregate("features", F.lit(0.0), lambda a, x: a + x) / F.size("features"),
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double"))
+            / F.size("features"),
             6,
         ).alias("feat_mean"),
     ).orderBy("media_id")
@@ -99,7 +224,7 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_frame_sample",
-    oracle=None,  # frame sampling runs the stub codec (deterministic fake)
+    oracle=_frames_oracle(),
     covers=("[EXT]-multimodal",),
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

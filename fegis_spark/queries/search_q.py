@@ -220,6 +220,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rrf_hybrid_bm25",
+    bench=True,  # production-shaped hybrid tracked alongside rrf_hybrid_search (r4 verdict #6)
     oracle=f"""
     WITH tok AS (
       SELECT d.doc_id AS id, {duck_tokens('d.text')} AS tok, d.text, a.embedding

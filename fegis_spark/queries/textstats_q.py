@@ -519,3 +519,138 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("np").cast("bigint").alias("n_phones"),
         F.sum(F.length("txt") - F.length("red")).cast("bigint").alias("chars_redacted"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {duck_tokens('text')} AS tok FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tok)), i -> tok[i])) AS w1,
+             unnest(list_transform(range(1, len(tok)),
+                                   i -> tok[i] || ' ' || tok[i+1])) AS b
+      FROM base WHERE len(tok) >= 2
+    ), vocab AS (
+      SELECT w1, b, count(*) AS cnt FROM bg GROUP BY w1, b
+    ), ctx AS (
+      SELECT w1, sum(cnt) AS ctx FROM vocab GROUP BY w1
+    ), scored AS (
+      SELECT bg.doc_id, -ln(vocab.cnt::DOUBLE / ctx.ctx) AS nl
+      FROM bg JOIN vocab USING (w1, b) JOIN ctx USING (w1)
+    )
+    SELECT doc_id AS doc,
+           round(CAST(SUM(CAST(nl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_neg_logprob,
+           COUNT(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+    """,
+    covers=("[EXT]-bigram-lm",),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] corpus bigram-LM scoring — mean -ln P(w2|w1) per document,
+    the next rung above `text_unigram_logprob` on the n-gram quality
+    ladder (sensitive to token-order scrambling that unigram scores
+    cannot see). Bigram vocab + context totals broadcast; the corpus
+    side stays map-side until the per-doc agg."""
+    from fegis_spark.operators.text_analysis import bigram_logprob
+
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({duck_tokens('text')}) AS t FROM documents
+    ), cnt AS (
+      SELECT t, count(*) AS cnt FROM tok GROUP BY t
+    ), tot AS (
+      SELECT sum(cnt) AS n FROM cnt
+    )
+    SELECT t, cnt FROM cnt, tot WHERE cnt * 40 > n
+    ORDER BY cnt DESC, t
+    """,
+    covers=("[EXT]-heavy-hitters",),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact corpus heavy hitters (tokens with count·k > total,
+    k=40) through the Misra-Gries sketch-then-verify pipeline: bounded
+    per-partition summaries propose candidates, an exact broadcast
+    recount confirms — so the output equals the brute-force GROUP BY
+    answer (which is precisely what the oracle runs) while the Spark
+    plan never materializes the full vocabulary on one node."""
+    from fegis_spark.operators.dedup import tokens
+    from fegis_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    return heavy_hitters(stream, "t", k=40)
+
+
+@register(
+    "text_keywords_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({duck_tokens('text')}) AS t FROM documents
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t
+    ), df AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY t
+    ), nd AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+    ), scored AS (
+      SELECT tf.doc_id AS doc, tf.t, tf.tf,
+             round(tf.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN df USING (t) CROSS JOIN nd
+    ), ranked AS (
+      SELECT doc, t, tf, score,
+             row_number() OVER (PARTITION BY doc ORDER BY score DESC, t) AS rank
+      FROM scored
+    )
+    SELECT doc, t, tf, score, rank FROM ranked WHERE rank <= 3
+    """,
+    covers=("[EXT]-keywords",),
+)
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-document keyword extraction: top-3 terms by smoothed
+    TF-IDF (sklearn-style idf = ln((N+1)/(df+1)) + 1). One token
+    explode feeds the (doc, term) tf table, which persists and feeds
+    BOTH the document-frequency rollup and the scoring join — the
+    corpus is scanned once. df and the 1-row N broadcast; ranking is a
+    per-doc window over ≤ distinct-terms-per-doc rows. Ranks are taken
+    over the ROUNDED score with a term tiebreak so ordering is
+    cross-engine total."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from fegis_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.col("doc_id").alias("doc"), F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("doc", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df_tbl = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    nd = tf.agg(F.countDistinct("doc").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "t")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc",
+            "t",
+            "tf",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc", "t", "tf", "score", "rank")
+    )

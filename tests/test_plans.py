@@ -156,3 +156,24 @@ def test_curation_projection_is_codegen_barriered(spark, cat):
     scan_lines = [l for l in p.splitlines() if "PushedFilters" in l]
     # the parquet scan must carry no quality/lang-id predicate residue
     assert all("regexp_replace" not in l for l in scan_lines), scan_lines
+
+
+def test_heavy_hitters_recount_is_broadcast(spark, cat):
+    # candidate recount must be a broadcast join (candidates ≤ k·parts)
+    # and the plan must not hash-aggregate the full vocabulary: the only
+    # wide agg runs AFTER the semi-style candidate join.
+    p = formatted_plan(spark, cat, "text_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row total crossJoin
+
+
+def test_keywords_tfidf_broadcasts_df_and_total(spark, cat):
+    p = formatted_plan(spark, cat, "text_keywords_tfidf")
+    assert "BroadcastHashJoin" in p  # df table join
+    assert "InMemoryTableScan" in p  # persisted tf feeds df rollup + scoring
+
+
+def test_bigram_lm_broadcasts_vocab(spark, cat):
+    p = formatted_plan(spark, cat, "text_bigram_logprob")
+    assert "BroadcastHashJoin" in p
+    assert "InMemoryTableScan" in p  # persisted bigram vocab, single corpus scan
