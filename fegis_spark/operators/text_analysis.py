@@ -415,3 +415,145 @@ def lang_margin_sql(c: str) -> str:
     arr = f"list_sort([{', '.join(scores)}])"
     n = len(scores)
     return f"({arr}[{n}] - {arr}[{n - 1}])"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rule document filter (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A1.1)
+# — the standard pre-training hard-filter rule set: word-count window,
+# mean-word-length window, symbol-to-word ratio (# and ellipsis),
+# alphabetic-word fraction, and required-stopword presence. Document-
+# level rules are generated for BOTH engines from one template
+# (gopher_metrics_sql), so the catalog query and its DuckDB oracle
+# cannot drift; the two line-level rules (bullet-start / ellipsis-end
+# fractions) live in line_shape_metrics below because the synthetic
+# corpus is single-line — they are exercised by constructed-corpus
+# tests instead of a vacuous always-zero oracle column.
+#
+# Scale: pure per-row projection, zero shuffle, whole-stage codegen.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = 3.0
+GOPHER_MWL_HI = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORD_HITS = 2
+
+#: output column order for the catalog query and its oracle
+GOPHER_COLS = [
+    "n_words",
+    "mean_word_len",
+    "frac_alpha_words",
+    "symbol_ratio",
+    "stopword_hits",
+    "keep",
+]
+
+
+def gopher_metrics_sql(c: str, *, spark: bool) -> dict[str, str]:
+    """SQL fragments for every Gopher document-level metric over text
+    column expression `c`, in Spark-SQL (spark=True) or DuckDB
+    (spark=False) dialect. Same arithmetic term for term: counts are
+    integer, ratios are IEEE double rounded to 6 dp (per-row math, no
+    aggregation, so the dsum rule does not apply); `keep` is emitted as
+    INT 1/0 so value-hashing never depends on engine boolean repr."""
+    if spark:
+        words = f"regexp_extract_all({c}, '\\\\S+', 0)"
+        n_words = f"size({words})"
+        alpha = f"size(filter({words}, w -> w rlike '[A-Za-z]'))"
+        nonws = f"length(regexp_replace({c}, '\\\\s', ''))"
+        p = PADDED_SPARK.format(c=c)
+    else:
+        words = f"regexp_extract_all({c}, '\\S+')"
+        n_words = f"len({words})"
+        alpha = f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+        nonws = f"length(regexp_replace({c}, '\\s', '', 'g'))"
+        p = PADDED_SQL.format(c=c)
+    hash_cnt = f"(length({c}) - length(replace({c}, '#', '')))"
+    ell_cnt = f"CAST((length({c}) - length(replace({c}, '...', ''))) / 3 AS BIGINT)"
+    mwl = (
+        f"(CASE WHEN {n_words} > 0 THEN "
+        f"round(CAST({nonws} AS DOUBLE) / {n_words}, 6) ELSE 0.0 END)"
+    )
+    frac_alpha = (
+        f"(CASE WHEN {n_words} > 0 THEN "
+        f"round(CAST({alpha} AS DOUBLE) / {n_words}, 6) ELSE 0.0 END)"
+    )
+    symbol_ratio = (
+        f"(CASE WHEN {n_words} > 0 THEN "
+        f"round(CAST({hash_cnt} + {ell_cnt} AS DOUBLE) / {n_words}, 6) "
+        f"ELSE 0.0 END)"
+    )
+    sw_hits = "(" + " + ".join(
+        f"CASE WHEN {p} LIKE '% {s} %' THEN 1 ELSE 0 END" for s in STOPWORDS
+    ) + ")"
+    keep = (
+        f"(CASE WHEN {n_words} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} "
+        f"AND {mwl} BETWEEN {GOPHER_MWL_LO} AND {GOPHER_MWL_HI} "
+        f"AND {frac_alpha} >= {GOPHER_MIN_ALPHA_FRAC} "
+        f"AND {symbol_ratio} < {GOPHER_MAX_SYMBOL_RATIO} "
+        f"AND {sw_hits} >= {GOPHER_MIN_STOPWORD_HITS} "
+        f"THEN 1 ELSE 0 END)"
+    )
+    return {
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "mean_word_len": mwl,
+        "frac_alpha_words": frac_alpha,
+        "symbol_ratio": symbol_ratio,
+        "stopword_hits": f"CAST({sw_hits} AS INT)",
+        "keep": keep,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Line-level cleaning (library surface; the synthetic documents table
+# is single-line, so a catalog oracle over it would be vacuous — these
+# are pinned against a pure-Python reference on constructed multi-line
+# corpora in tests/test_gopher.py instead).
+
+#: substrings whose presence drops a line in C4-style cleaning
+C4_BAD_SUBSTRINGS = ["lorem ipsum", "javascript", "{"]
+
+
+def c4_clean_lines(col: Column, min_words: int = 5) -> Column:
+    """C4-style line filter (Raffel et al. 2020 §2.2): keep lines that
+    end in terminal punctuation, have >= min_words words, and contain
+    none of C4_BAD_SUBSTRINGS (case-insensitive). Returns a struct
+    (clean_text, n_lines_kept, n_lines_dropped). Pure array HOFs — one
+    codegen span, zero shuffle, trivially map-only at 100 TB."""
+
+    def ok(line: Column) -> Column:
+        t = F.trim(line)
+        w = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
+        low = F.lower(t)
+        cond = t.rlike("[.!?\"']$") & (w >= min_words)
+        for bad in C4_BAD_SUBSTRINGS:
+            cond = cond & ~low.contains(bad)
+        return cond
+
+    lines = F.split(col, "\n")
+    kept = F.filter(lines, ok)
+    return F.struct(
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).alias("n_lines_dropped"),
+    )
+
+
+def line_shape_metrics(col: Column) -> Column:
+    """The two line-level Gopher rules: fraction of lines starting with
+    a bullet and fraction ending with an ellipsis. Returns a struct
+    (frac_bullet_lines, frac_ellipsis_lines), each rounded to 6 dp."""
+    lines = F.split(col, "\n")
+    n = F.size(lines)
+    bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))
+    )
+    ell = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("(\\.\\.\\.|…)$"))
+    )
+    return F.struct(
+        F.when(n > 0, F.round(bullet / n, 6)).otherwise(0.0).alias("frac_bullet_lines"),
+        F.when(n > 0, F.round(ell / n, 6)).otherwise(0.0).alias("frac_ellipsis_lines"),
+    )

@@ -654,3 +654,32 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc", "t", "tf", "score", "rank")
     )
+
+
+from fegis_spark.operators.text_analysis import GOPHER_COLS, gopher_metrics_sql
+
+_GOPHER_SPARK = gopher_metrics_sql("text", spark=True)
+_GOPHER_DUCK = gopher_metrics_sql("text", spark=False)
+
+
+@register(
+    "gopher_quality_filter",
+    oracle="SELECT doc_id, "
+    + ", ".join(f"{_GOPHER_DUCK[k]} AS {k}" for k in GOPHER_COLS)
+    + " FROM documents",
+    covers=("[EXT]-gopher",),
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Gopher hard-filter rule set (Rae et al. 2021 App. A1.1):
+    word-count window, mean-word-length window, symbol-to-word ratio,
+    alphabetic-word fraction, required-stopword presence, and the
+    conjunctive keep flag — per-document metrics a curation pipeline
+    gates on before dedup. Spark side and DuckDB oracle are generated
+    from ONE fragment template (gopher_metrics_sql), so they cannot
+    drift; pure projection, zero shuffle, whole-stage codegen. The two
+    line-level Gopher rules are library-only (single-line corpus —
+    see operators/text_analysis.py line_shape_metrics + tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", *[F.expr(_GOPHER_SPARK[k]).alias(k) for k in GOPHER_COLS]
+    )
