@@ -621,3 +621,118 @@ def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("q").cast("decimal(38,6)")).cast("double") / F.count("*"), 6
         ).alias("avg_q"),
     )
+
+
+def _js_sum(cp: str, cq: str, n_p: str, n_q: str) -> str:
+    """Summed Jensen-Shannon term over per-token count columns cp/cq
+    with total-count columns n_p/n_q — ONE SQL fragment valid in both
+    Spark SQL and DuckDB (int/int division is double division in both,
+    ln is natural log in both), so the two sides cannot drift. Zero
+    counts contribute only through the other distribution's term
+    (0·ln0 := 0, the JS convention — no smoothing needed). Per-token
+    term is IEEE double, cast to DECIMAL(38,6) before the sum (dsum
+    rule: associative, partition-order-proof), output rounded to 6 dp.
+    """
+    p = f"({cp} / {n_p})"
+    q = f"({cq} / {n_q})"
+    term = (
+        f"0.5 * ((CASE WHEN {cp} > 0 THEN {p} * ln(2.0 * {p} / ({p} + {q})) ELSE 0.0 END)"
+        f" + (CASE WHEN {cq} > 0 THEN {q} * ln(2.0 * {q} / ({p} + {q})) ELSE 0.0 END))"
+    )
+    return f"round(CAST(SUM(CAST({term} AS DECIMAL(38,6))) AS DOUBLE), 6)"
+
+
+@register(
+    "split_divergence",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, {_hash_bucket_sql('doc_id')} AS bucket FROM documents
+    ), tok AS (
+      SELECT {_SPLIT_CASE} AS split, unnest({duck_tokens('text')}) AS t FROM b
+    ), cnt AS (
+      SELECT t,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c_train,
+             SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS c_val,
+             SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS c_test
+      FROM tok GROUP BY t
+    ), tot AS (
+      SELECT CAST(SUM(c_train) AS BIGINT) AS n_train,
+             CAST(SUM(c_val) AS BIGINT) AS n_val,
+             CAST(SUM(c_test) AS BIGINT) AS n_test
+      FROM cnt
+    )
+    SELECT
+           -- per-term DECIMAL(38,6) transit happens inside _js_sum
+           -- lint: allow R3
+           {_js_sum('c_train', 'c_val', 'n_train', 'n_val')} AS js_train_val,
+           -- lint: allow R3
+           {_js_sum('c_train', 'c_test', 'n_train', 'n_test')} AS js_train_test,
+           MIN(n_train) AS n_tokens_train,
+           MIN(n_val) AS n_tokens_val,
+           MIN(n_test) AS n_tokens_test,
+           CAST(SUM(CASE WHEN c_train > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_train,
+           CAST(SUM(CASE WHEN c_val > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_val,
+           CAST(SUM(CASE WHEN c_test > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_test,
+           CAST(SUM(CASE WHEN c_train > 0 AND c_val > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_shared_train_val,
+           CAST(SUM(CASE WHEN c_train > 0 AND c_test > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_shared_train_test
+    FROM cnt, tot
+    """,
+    covers=("[EXT]-split-divergence",),
+)
+def split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] mixture-balance diagnostic: Jensen-Shannon divergence
+    between the unigram distributions of the train split and each
+    held-out split (same md5-bucket assignment as train_test_split) —
+    the standard drift check that a deterministic split didn't land a
+    skewed token mix, run before committing a 100 TB mixture plan.
+
+    Plan shape: one token explode into one (token)-keyed conditional
+    hash-agg (the only corpus shuffle); the per-token split-count table
+    persists (MEMORY_AND_DISK) because it feeds BOTH the 1-row totals
+    agg and the final divergence agg — without the cache each consumer
+    would re-scan and re-tokenize the corpus. Totals broadcast via a
+    1-row crossJoin; the final agg is a map-side partial over the vocab
+    table. JS terms use the shared _js_sum fragment on both sides
+    (precondition: every split non-empty — holds at every sf)."""
+    from pyspark import StorageLevel
+
+    from fegis_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(_hash_bucket(F.col("doc_id")) < 80, "train")
+        .when(_hash_bucket(F.col("doc_id")) < 90, "val")
+        .otherwise("test")
+    )
+    tok = docs.select(split.alias("split"), F.explode(tokens(F.col("text"))).alias("t"))
+    cnt = (
+        tok.groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("c_train"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("c_val"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("c_test"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = cnt.agg(
+        F.sum("c_train").cast("bigint").alias("n_train"),
+        F.sum("c_val").cast("bigint").alias("n_val"),
+        F.sum("c_test").cast("bigint").alias("n_test"),
+    )
+    flag = lambda c: F.sum((F.col(c) > 0).cast("int")).cast("bigint")  # noqa: E731
+    return cnt.crossJoin(F.broadcast(tot)).agg(
+        F.expr(_js_sum("c_train", "c_val", "n_train", "n_val")).alias("js_train_val"),
+        F.expr(_js_sum("c_train", "c_test", "n_train", "n_test")).alias("js_train_test"),
+        F.min("n_train").alias("n_tokens_train"),
+        F.min("n_val").alias("n_tokens_val"),
+        F.min("n_test").alias("n_tokens_test"),
+        flag("c_train").alias("vocab_train"),
+        flag("c_val").alias("vocab_val"),
+        flag("c_test").alias("vocab_test"),
+        F.sum(((F.col("c_train") > 0) & (F.col("c_val") > 0)).cast("int"))
+        .cast("bigint")
+        .alias("vocab_shared_train_val"),
+        F.sum(((F.col("c_train") > 0) & (F.col("c_test") > 0)).cast("int"))
+        .cast("bigint")
+        .alias("vocab_shared_train_test"),
+    )
