@@ -99,3 +99,100 @@ def write_sorted_shards(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.format(fmt).save(path)
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    columns: dict[str, str],
+    samples_per_shard: int = 10_000,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """WebDataset-style tar shard export: each sample's members share a
+    basename inside the tar (`{key}.{ext}` per `columns` {col: ext}),
+    shards are `shard-{partition:05d}-{seq:04d}.tar` capped at
+    `samples_per_shard` samples — the layout streaming data loaders
+    (the public webdataset convention) consume sequentially, which is
+    what makes tar the standard hand-off for image/audio/interleaved
+    corpora: one sequential read per shard, no per-sample seeks.
+
+    Returns a LAZY manifest DataFrame (shard, n_samples, first_key,
+    last_key) — materialize it (collect/write) to run the export. Each
+    task writes its own shards (no driver funnel); with `num_shards`
+    set, rows are range-partitioned by key so shard boundaries are
+    deterministic and reading shards in name order replays keys in
+    global order; rows always sort by key inside a task. Cell encoding:
+    binary as-is, strings utf-8, anything else compact JSON. Tar bytes
+    are reproducible (mtime/uid/gid zeroed, POSIX format, members per
+    key in `columns` order): same input + same partitioning = byte-
+    identical shards, so shard md5s double as corpus checksums. Shards
+    appear via write-to-temp + atomic rename, so a re-run or retried
+    task never leaves a truncated tar behind; executors must share the
+    target filesystem (object-store mount or DFS at cluster scale).
+    """
+    import io
+    import json
+    import os
+    import tarfile
+
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+    part = (
+        df.repartitionByRange(num_shards, F.col(key_col)) if num_shards else df
+    ).sortWithinPartitions(key_col)
+    part = part.select(key_col, *columns)
+    colmap = dict(columns)
+    out_cols = ["shard", "n_samples", "first_key", "last_key"]
+
+    def encode(v) -> bytes:
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        if isinstance(v, str):
+            return v.encode("utf-8")
+        return json.dumps(v, sort_keys=True, default=str).encode("utf-8")
+
+    def run(batches):
+        pid = TaskContext.get().partitionId()
+        rows, seq, n, first, last, tar, tmp = [], 0, 0, None, None, None, None
+
+        def close():
+            nonlocal tar, tmp, n, first, last, seq
+            if tar is None:
+                return
+            tar.close()
+            final = os.path.join(path, f"shard-{pid:05d}-{seq:04d}.tar")
+            os.replace(tmp, final)
+            rows.append((final, n, first, last))
+            tar, tmp, n, first, last = None, None, 0, None, None
+            seq += 1
+
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                rec = rec._asdict()
+                key = str(rec[key_col])
+                if tar is None:
+                    tmp = os.path.join(path, f".shard-{pid:05d}-{seq:04d}.tmp")
+                    tar = tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT)
+                    first = key
+                for col, ext in colmap.items():
+                    data = encode(rec[col])
+                    info = tarfile.TarInfo(f"{key}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, io.BytesIO(data))
+                last = key
+                n += 1
+                if n >= samples_per_shard:
+                    close()
+        close()
+        yield pd.DataFrame(rows, columns=out_cols)
+
+    return part.mapInPandas(
+        run, schema="shard string, n_samples bigint, first_key string, last_key string"
+    )
