@@ -318,3 +318,149 @@ def knn_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = basic_search(emb, "embedding", _query_vec(spark, sf_dir), k=100)
     return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking ([EXT]-mmr)
+
+MMR_POOL = 50   #: candidate pool size (top-N by relevance)
+MMR_K = 10      #: diversified results returned
+MMR_LAM = 0.7   #: relevance weight
+MMR_MU = 0.3    #: diversity weight — an explicit literal on BOTH sides
+#                 (1 - 0.7 is 0.30000000000000004 in IEEE double, so a
+#                 computed complement would diverge from the SQL's 0.3)
+
+
+def _cos_pair(x: str, y: str) -> str:
+    """Sequential-fold cosine between two embedding expressions —
+    the generalized form of _COS (same fold, same float64 upcast)."""
+    return f"""
+      list_aggregate(list_transform(list_zip(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[])),
+                                    p -> p[1] * p[2]), 'sum')
+      / (sqrt(list_aggregate(list_transform(CAST({x} AS DOUBLE[]), v -> v*v), 'sum'))
+         * sqrt(list_aggregate(list_transform(CAST({y} AS DOUBLE[]), v -> v*v), 'sum')))"""
+
+
+def _mmr_oracle() -> str:
+    """Generated DuckDB restatement of greedy MMR: the k selection
+    steps are UNROLLED as chained CTEs (s1..sk) — no recursion, each
+    step an argmax with (mmr DESC, vec_id) total order over the
+    not-yet-chosen pool, max-sim computed against the union of all
+    prior steps. Pool relevance and pairwise sims are rounded to 6 dp
+    BEFORE the greedy phase on both engines, so every comparison the
+    greedy makes sees identical doubles."""
+    steps, unions = [], []
+    steps.append(
+        f"s1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, rel, {MMR_LAM} * rel AS mmr FROM pool "
+        f"ORDER BY {MMR_LAM} * rel DESC, vec_id LIMIT 1)"
+    )
+    unions.append("SELECT vec_id FROM s1")
+    for i in range(2, MMR_K + 1):
+        chosen = " UNION ALL ".join(unions)
+        mmr = (
+            f"{MMR_LAM} * p.rel - {MMR_MU} * (SELECT max(sim) FROM sims "
+            f"WHERE a_id = p.vec_id AND b_id IN ({chosen}))"
+        )
+        steps.append(
+            f"s{i} AS MATERIALIZED (SELECT {i} AS rank, p.vec_id, p.rel, {mmr} AS mmr "
+            f"FROM pool p WHERE p.vec_id NOT IN ({chosen}) "
+            f"ORDER BY {mmr} DESC, p.vec_id LIMIT 1)"
+        )
+        unions.append(f"SELECT vec_id FROM s{i}")
+    all_steps = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1))
+    return f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    pool AS MATERIALIZED (
+      SELECT a.vec_id, round({_COS}, 6) AS rel
+      FROM embeddings a, q
+      ORDER BY {_COS} DESC, a.vec_id
+      LIMIT {MMR_POOL}
+    ),
+    pe AS MATERIALIZED (
+      SELECT p.vec_id, e.embedding FROM pool p JOIN embeddings e ON p.vec_id = e.vec_id
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round({_cos_pair('a.embedding', 'b.embedding')}, 6) AS sim
+      FROM pe a, pe b WHERE a.vec_id <> b.vec_id
+    ),
+    {', '.join(steps)}
+    SELECT rank, vec_id, rel, round(mmr, 6) AS mmr_score
+    FROM ({all_steps}) u ORDER BY rank
+    """
+
+
+def _mmr_greedy(pdf):
+    """Driver-free greedy over ONE Arrow group of MMR_POOL rows: pure
+    max/argmax over pre-rounded doubles (no float ops beyond the
+    lam*rel - mu*maxsim the SQL oracle also performs), so both engines
+    compare identical values; ties break on smallest vec_id."""
+    import pandas as pd
+
+    rel, sims = {}, {}
+    for r in pdf.itertuples(index=False):
+        rel[r.a_id] = r.rel
+        sims[r.a_id] = {
+            (e["b_id"] if isinstance(e, dict) else e[0]): (
+                e["sim"] if isinstance(e, dict) else e[1]
+            )
+            for e in r.s
+        }
+    remaining, chosen, rows = set(rel), [], []
+    for rank in range(1, MMR_K + 1):
+        best, best_key = None, None
+        for v in remaining:
+            maxsim = max((sims[v][c] for c in chosen), default=0.0)
+            key = (MMR_LAM * rel[v] - MMR_MU * maxsim, -v)
+            if best_key is None or key > best_key:
+                best, best_key = v, key
+        rows.append((rank, best, rel[best], best_key[0]))
+        chosen.append(best)
+        remaining.remove(best)
+    return pd.DataFrame(rows, columns=["rank", "vec_id", "rel", "mmr"])
+
+
+@register(
+    "mmr_rerank",
+    oracle=_mmr_oracle(),
+    covers=("[EXT]-mmr",),
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick argmax of lam*rel - mu*max-sim-to-
+    selected over a top-MMR_POOL relevance pool — the classic redundancy
+    breaker between retrieval and a context window.
+
+    Scale shape: the ONLY corpus-scale stage is the same top-k scan as
+    knn_basic (TakeOrderedAndProject, no shuffle of the corpus); all
+    further work is O(pool^2)=2500 sims via a broadcast self-join and
+    ONE Arrow group of 50 rows for the greedy phase (applyInPandas —
+    inherently sequential in k, so the bounded pool is the distributed
+    design, not a shortcut). Determinism: rel and sims round to 6 dp
+    before the greedy phase on both sides; the mu literal matters (see
+    MMR_MU); mmr_score rounds at output in Spark SQL, not in Python
+    (round-half-even vs half-up)."""
+    from fegis_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = basic_search(emb, "embedding", _query_vec(spark, sf_dir), k=MMR_POOL).select(
+        "vec_id", F.round("score", 6).alias("rel"), "embedding"
+    )
+    a = pool.select(F.col("vec_id").alias("a_id"), "rel", F.col("embedding").alias("ea"))
+    b = pool.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "rel", "b_id", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"))
+    )
+    packed = sims.groupBy("a_id", "rel").agg(
+        F.sort_array(F.collect_list(F.struct("b_id", "sim"))).alias("s")
+    )
+    out = (
+        packed.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_mmr_greedy, schema="rank int, vec_id bigint, rel double, mmr double")
+    )
+    return out.select(
+        "rank", "vec_id", "rel", F.round("mmr", 6).alias("mmr_score")
+    ).orderBy("rank")
