@@ -876,3 +876,80 @@ def simhash_pairs_portable(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom prefilter for incremental dedup (the 100 TB anti-join shape)
+
+def build_bloom(df: DataFrame, key_col: str, num_bits: int, k: int = 7):
+    """Distributed bloom-filter build over `df[key_col]`: each task
+    folds its partition into a LOCAL num_bits bitmap (numpy, Arrow
+    batches), emits it packed (num_bits/8 bytes), and the driver ORs
+    the partials — a classic commutative-monoid aggregate. The driver
+    materialization is bounded by partitions × num_bits/8 bytes (a
+    design constant, independent of corpus row count — same boundedness
+    contract as the IVF training sample, knn.py).
+
+    Hashing: two JVM xxhash64 passes (value, value+salt) feed
+    Kirsch-Mitzenmacher double hashing pos_i = h1 + i·h2 (mod num_bits)
+    in uint64 numpy — the probe side (bloom_maybe) runs the identical
+    arithmetic, so there are NO false negatives by construction.
+    Returns the bloom as packed bytes for a SparkContext broadcast.
+
+    Spark's own BloomFilter sketch (df.stat.bloomFilter) produces an
+    equivalent filter but its object can't cross the Python worker
+    boundary; bloom_filter_agg is not SQL-registered in this Spark.
+    """
+    import numpy as np
+
+    hashed = df.select(
+        F.xxhash64(F.col(key_col)).alias("h1"),
+        F.xxhash64(F.col(key_col), F.lit(1)).alias("h2"),
+    )
+
+    def fold(batches):
+        import pandas as pd
+
+        bits = np.zeros(num_bits, dtype=bool)
+        for pdf in batches:
+            h1 = pdf["h1"].to_numpy().astype(np.uint64)
+            h2 = pdf["h2"].to_numpy().astype(np.uint64)
+            for i in range(k):
+                bits[((h1 + np.uint64(i) * h2) % np.uint64(num_bits)).astype(np.int64)] = True
+        yield pd.DataFrame({"part": [np.packbits(bits).tobytes()]})
+
+    parts = hashed.mapInPandas(fold, schema="part binary").collect()
+    out = np.zeros((num_bits + 7) // 8 * 8, dtype=bool)
+    for r in parts:
+        out |= np.unpackbits(np.frombuffer(r.part, dtype=np.uint8)).astype(bool)
+    return np.packbits(out[:num_bits]).tobytes()
+
+
+def bloom_maybe(spark, bloom_bytes: bytes, num_bits: int, k: int = 7):
+    """Column function: mightContain over the packed bloom from
+    build_bloom — Arrow-vectorized pandas_udf; each batch is k numpy
+    gathers over the broadcast bitmap (same Kirsch-Mitzenmacher
+    arithmetic as the build, so no false negatives). Usage:
+    df.withColumn("maybe", fn(col))."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(bloom_bytes)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint inference cannot resolve 'pd.Series' here
+    @pandas_udf("boolean")
+    def might(h1s, h2s):
+        bits = np.unpackbits(np.frombuffer(bc.value, dtype=np.uint8)).astype(bool)
+        h1 = h1s.to_numpy().astype(np.uint64)
+        h2 = h2s.to_numpy().astype(np.uint64)
+        ok = np.ones(len(h1), dtype=bool)
+        for i in range(k):
+            ok &= bits[((h1 + np.uint64(i) * h2) % np.uint64(num_bits)).astype(np.int64)]
+        return pd.Series(ok)
+
+    def col_fn(key: Column) -> Column:
+        return might(F.xxhash64(key), F.xxhash64(key, F.lit(1)))
+
+    return col_fn

@@ -538,3 +538,72 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quality_score_expr("text"), 6).alias("q"),
     )
     return keep_best_dedup(scored, "content_hash", "doc_id", "q")
+
+
+@register(
+    "dedup_bloom_incremental",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+               AS bucket,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+      FROM documents
+    ),
+    corpus AS (SELECT h FROM hashed WHERE bucket < 50),
+    batch  AS (SELECT doc_id, lang, h FROM hashed WHERE bucket >= 50)
+    SELECT b.doc_id, b.lang
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+    """,
+    covers=("K9-exact",),
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 incremental dedup, bloom-prefiltered — the 100 TB shape of
+    `dedup_incremental`. Semantics are IDENTICAL to the plain anti-join
+    (same oracle SQL): a bloom filter has no false negatives, so
+    batch rows the bloom rejects are definitively new and skip the
+    join entirely; only bloom-positive candidates (true dups + the
+    false-positive fraction, ~0.1% at 23 bits/key) are verified by the
+    exact anti-join. At 100 TB this means the corpus-sized hash index
+    feeds ONE compact aggregate (the bloom build: numBits/8 bytes
+    broadcast, ~#index-entries scan but no shuffle of the batch
+    against it) and the anti-join shuffle moves only candidates —
+    versus shuffling the entire daily batch in the plain form. The
+    bloom builds distributed (partition-local numpy bitmaps OR-merged,
+    operators/dedup.build_bloom — driver cost bounded by partitions ×
+    bloom bytes, a design constant) and probes via an Arrow-vectorized
+    pandas_udf (bloom_filter_agg / might_contain are not SQL-registered
+    in this Spark, and df.stat's BloomFilter object cannot cross the
+    Python worker boundary).
+
+    Sized at 23 bits/key for 50k keys (~0.1% FP); scale num_bits with
+    the index size in production. No-false-negative + exact-verify
+    behavior pinned in tests/test_bloom_dedup.py; result equality with
+    the plain anti-join is the oracle itself."""
+    from fegis_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 100
+        ).alias("bucket"),
+        F.md5(normalize_text(F.col("text"))).alias("h"),
+    )
+    corpus = docs.filter(F.col("bucket") < 50).select("h")
+    batch = docs.filter(F.col("bucket") >= 50)
+    from fegis_spark.operators.dedup import bloom_maybe, build_bloom
+
+    num_bits = 1_150_000  # ~23 bits/key at 50k keys => ~0.1% FP
+    bf = build_bloom(corpus, "h", num_bits)
+    maybe = bloom_maybe(spark, bf, num_bits)(F.col("h"))
+    batch = batch.withColumn("maybe", maybe)
+    direct = batch.filter(~F.col("maybe")).select("doc_id", "lang")
+    verified = (
+        batch.filter(F.col("maybe"))
+        .join(corpus, "h", "left_anti")
+        .select("doc_id", "lang")
+    )
+    return direct.unionAll(verified)
