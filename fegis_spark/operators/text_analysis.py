@@ -161,10 +161,14 @@ def fingerprint(col: Column) -> Column:
     )
 
 
+#: empty-string guard: Spark's ascii('') folds to 0, but DuckDB's
+#: ord('') is -1 — found by tests/test_property_portable.py; no corpus
+#: row is empty, but the fragments must agree on ALL inputs.
 FINGERPRINT_SQL = (
+    "CASE WHEN length({c}) = 0 THEN 0 ELSE "
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
     "list_transform(string_split({c}, ''), ch -> CAST(ord(ch) AS BIGINT))), "
-    f"(acc, x) -> (acc * 31 + x) % {MOD})"
+    f"(acc, x) -> (acc * 31 + x) % {MOD}) END"
 )
 
 

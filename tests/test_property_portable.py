@@ -1,0 +1,100 @@
+"""Property tests: the portable fragment generators must produce the
+SAME values in Spark and DuckDB on adversarial text, not just on the
+tame synthetic corpus the catalog gate runs over.
+
+Derandomized (fixed example sequence) so the driver's per-round pytest
+runs can never be flaked by a fresh random example; batched (one Spark
+job checks a whole example list) so the suite stays fast. Each test is
+an engine-agreement property — the pure-Python references for the same
+operators are pinned separately (tests/test_gopher.py,
+tests/test_textfns.py)."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fegis_spark.operators.text_analysis import (
+    FINGERPRINT_SQL,
+    GOPHER_COLS,
+    fingerprint,
+    gopher_metrics_sql,
+)
+from fegis_spark.queries.sqlfrag import duck_tokens
+
+# printable-ish unicode incl. CJK, punctuation, digits, whitespace;
+# excludes control/surrogate categories DuckDB VARCHAR cannot carry.
+TEXT = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=32, max_codepoint=0x2FFF,
+                      blacklist_categories=("Cs", "Cc", "Cn")),
+        st.sampled_from(list("的是在 the and of a to in is it # ... \t\n")),
+    ),
+    max_size=120,
+)
+BATCH = st.lists(TEXT, min_size=8, max_size=24)
+SETTINGS = dict(derandomize=True, max_examples=4, deadline=None)
+
+
+def _duck(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INTEGER, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    return con
+
+
+@settings(**SETTINGS)
+@given(BATCH)
+def test_gopher_fragments_engine_agreement(spark, texts):
+    rows = list(enumerate(texts))
+    frags_s = gopher_metrics_sql("text", spark=True)
+    got_s = {
+        r["i"]: tuple(r[c] for c in GOPHER_COLS)
+        for r in spark.createDataFrame(rows, "i int, text string")
+        .select("i", *[F.expr(frags_s[c]).alias(c) for c in GOPHER_COLS])
+        .collect()
+    }
+    frags_d = gopher_metrics_sql("text", spark=False)
+    sel = ", ".join(frags_d[c] for c in GOPHER_COLS)
+    got_d = {r[0]: r[1:] for r in _duck(rows).execute(f"SELECT i, {sel} FROM t").fetchall()}
+    assert got_s == got_d
+
+
+@settings(**SETTINGS)
+@given(BATCH)
+def test_tokenizer_engine_agreement(spark, texts):
+    """tokens() vs duck_tokens() — the shared substrate under minhash,
+    contamination, unigram/bigram LM, TF-IDF, and split divergence."""
+    from fegis_spark.operators.dedup import tokens
+
+    rows = list(enumerate(texts))
+    got_s = {
+        r["i"]: tuple(r["tok"])
+        for r in spark.createDataFrame(rows, "i int, text string")
+        .select("i", tokens(F.col("text")).alias("tok"))
+        .collect()
+    }
+    got_d = {
+        r[0]: tuple(r[1])
+        for r in _duck(rows)
+        .execute(f"SELECT i, {duck_tokens('text')} FROM t")
+        .fetchall()
+    }
+    assert got_s == got_d
+
+
+@settings(**SETTINGS)
+@given(BATCH)
+def test_fingerprint_engine_agreement(spark, texts):
+    rows = list(enumerate(texts))
+    got_s = {
+        r["i"]: r["fp"]
+        for r in spark.createDataFrame(rows, "i int, text string")
+        .select("i", fingerprint(F.col("text")).alias("fp"))
+        .collect()
+    }
+    q = FINGERPRINT_SQL.format(c="text")
+    got_d = {r[0]: r[1] for r in _duck(rows).execute(f"SELECT i, {q} FROM t").fetchall()}
+    assert got_s == got_d
