@@ -98,3 +98,74 @@ def test_fingerprint_engine_agreement(spark, texts):
     q = FINGERPRINT_SQL.format(c="text")
     got_d = {r[0]: r[1] for r in _duck(rows).execute(f"SELECT i, {q} FROM t").fetchall()}
     assert got_s == got_d
+
+
+@settings(**SETTINGS)
+@given(BATCH)
+def test_quality_and_langid_engine_agreement(spark, texts):
+    from fegis_spark.operators.text_analysis import (
+        lang_id_sql,
+        lang_margin_expr,
+        lang_margin_sql,
+        quality_score_sql,
+    )
+    from fegis_spark.operators.text_analysis import lang_id_expr, quality_score_expr
+
+    rows = list(enumerate(texts))
+    got_s = {
+        r["i"]: (r["q"], r["lang"], r["m"])
+        for r in spark.createDataFrame(rows, "i int, text string")
+        .select(
+            "i",
+            quality_score_expr("text").alias("q"),
+            lang_id_expr("text").alias("lang"),
+            lang_margin_expr("text").alias("m"),
+        )
+        .collect()
+    }
+    got_d = {
+        r[0]: r[1:]
+        for r in _duck(rows)
+        .execute(
+            f"SELECT i, {quality_score_sql('text')}, {lang_id_sql('text')},"
+            f" {lang_margin_sql('text')} FROM t"
+        )
+        .fetchall()
+    }
+    assert got_s == got_d
+
+
+HTMLISH = st.lists(
+    st.one_of(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x24F,
+                                   blacklist_categories=("Cs", "Cc", "Cn")),
+            max_size=12,
+        ),
+        st.sampled_from(
+            ["<b>", "</b>", "<script>", "</script>", "<style>x</style>",
+             "<!--", "-->", "&amp;", "&lt;", "&gt;", "&nbsp;", "&quot;",
+             "&#39;", "<", ">", "&", "\n", "\t"]
+        ),
+    ),
+    max_size=16,
+).map("".join)
+
+
+@settings(**SETTINGS)
+@given(st.lists(HTMLISH, min_size=8, max_size=24))
+def test_strip_html_engine_agreement(spark, texts):
+    from fegis_spark.operators.text_analysis import strip_html, strip_html_sql
+
+    rows = list(enumerate(texts))
+    got_s = {
+        r["i"]: r["clean"]
+        for r in spark.createDataFrame(rows, "i int, text string")
+        .select("i", strip_html(F.col("text")).alias("clean"))
+        .collect()
+    }
+    got_d = {
+        r[0]: r[1]
+        for r in _duck(rows).execute(f"SELECT i, {strip_html_sql('text')} FROM t").fetchall()
+    }
+    assert got_s == got_d
