@@ -466,3 +466,67 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), ctx AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS ctx_n FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.event_type, p.n,
+           round(p.n / c.ctx_n, 6) AS prob
+    FROM pairs p JOIN ctx c USING (prev_type)
+    """,
+    covers=("[EXT]-transitions",),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] first-order Markov transition matrix over per-user event
+    sequences: P(next event_type | current event_type) — the standard
+    behavioral-sequence summary (drift monitoring, synthetic-session
+    generation, next-event baselines).
+
+    Plan: one per-user lag window (same (user_id, ts, event_id) total
+    order as the lineage family) into a (prev, next)-keyed hash agg;
+    the per-prev context totals derive from the transition counts —
+    no second corpus scan — and broadcast back. Transition-matrix
+    cardinality is |event_types|^2, so everything after the first agg
+    is constant-size regardless of corpus scale. n/ctx_n is exact
+    integer-ratio division (no dsum needed), rounded to 6 dp."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), F.col("event_id")
+    )
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    from pyspark import StorageLevel
+
+    # |event_types|^2 rows; persisted because it feeds BOTH the context
+    # rollup and the output join — without the cache each consumer
+    # re-scans and re-windows the corpus
+    pairs = (
+        seq.groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ctx = pairs.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("ctx_n"))
+    return (
+        pairs.join(F.broadcast(ctx), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.round(F.col("n") / F.col("ctx_n"), 6).alias("prob"),
+        )
+    )

@@ -9,7 +9,7 @@ rounded to 6 dp.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fegis_spark.catalog import register
@@ -464,3 +464,77 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "rank", "vec_id", "rel", F.round("mmr", 6).alias("mmr_score")
     ).orderBy("rank")
+
+
+HARDNEG_QUERIES = 8  #: anchor vectors (vec_id < HARDNEG_QUERIES)
+HARDNEG_K = 5        #: hard negatives returned per anchor
+
+
+@register(
+    "hard_negatives",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < {HARDNEG_QUERIES}
+    ), scored AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+             a.vec_id AS neg_id, a.label AS neg_label,
+             {_cos_pair('a.embedding', 'q.embedding')} AS raw
+      FROM embeddings a, anchors q
+      WHERE a.label <> q.label
+    ), ranked AS (
+      SELECT anchor_id, anchor_label, neg_id, neg_label, raw,
+             ROW_NUMBER() OVER (
+               PARTITION BY anchor_id ORDER BY raw DESC, neg_id
+             ) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label,
+           round(raw, 6) AS score, rank
+    FROM ranked WHERE rank <= {HARDNEG_K}
+    """,
+    covers=("[EXT]-hard-negatives",),
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] hard-negative mining for contrastive/retrieval training:
+    for each anchor vector, the top-k most-similar vectors with a
+    DIFFERENT label — the negatives that actually move an embedding
+    model (Karpukhin et al. 2020's in-batch-negatives upgrade path).
+
+    Plan: anchors broadcast (bounded constant, like knn_join_batch's
+    query side) against one corpus scan; the label-mismatch filter runs
+    BEFORE scoring/ranking (the K2 filter-before-rank contract), so
+    same-label rows never enter the window; per-anchor row_number over
+    (score DESC, neg_id) — ranks taken on the unrounded fold, exactly
+    as knn_basic orders, with the 6-dp rounding applied at output."""
+    from fegis_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < HARDNEG_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("__qv"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .where(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            cosine(F.col("embedding"), F.col("__qv")).alias("raw"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("raw"), F.col("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HARDNEG_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round("raw", 6).alias("score"),
+            "rank",
+        )
+    )
