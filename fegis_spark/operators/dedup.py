@@ -728,37 +728,21 @@ def connected_components_star(
     return members.union(roots)
 
 
-def minhash_lsh_pairs_portable(
+def _portable_sig_bands(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    num_hashes: int = 16,
-    bands: int = 4,
-    ngram: int = 3,
-    jaccard_threshold: float = 0.5,
-    cache_intermediate: bool = True,
-    max_bucket_size: int | None = None,
+    num_hashes: int,
+    bands: int,
+    ngram: int,
+    cache_intermediate: bool,
 ):
-    """K9 MinHash+LSH with ENGINE-PORTABLE hashes: every hash is a
-    60-bit integer from the first 15 hex chars of md5, so DuckDB can
-    replay the entire pipeline value-for-value — this is the
-    oracle-checked twin of minhash_lsh_pairs (whose xxhash64 family is
-    Spark-only and therefore rows-only at the gate). Same plan shape:
-    shingle → per-seed min-agg signature → banded equi-join →
-    candidate-only exact-Jaccard verify. ~16 md5 string hashes per
-    gram instead of 1 string + 16 fixed-width xxhash64 — keep the
-    xxhash64 form on the 100 TB data path and this one as the
-    cross-engine verification surface.
-
-    cache_intermediate persists the shingle table (used by the
-    signature build and both verify sides); the returned plan
-    references the cache, so it stays until LRU eviction or
-    spark.catalog.clearCache() (the repo-wide cache-ownership policy).
-
-    max_bucket_size defaults to None (uncapped) so the DuckDB oracle
-    replays the candidate set exactly; pass a cap to get the same
-    hot-bucket representative routing as the fast path (the oracle
-    would then need the mirrored star logic).
+    """Shared md5-60bit MinHash pipeline: shingle table (`base`: doc,
+    sh — persisted when cache_intermediate, it feeds the signature
+    build AND the verify joins) and the banded signature table
+    (`banded`: doc, band, bh). The hash family is a pure function of
+    the text, so signatures computed in separate calls (e.g. corpus
+    and batch sides of the incremental form) are mutually consistent.
     """
     rows_per_band = num_hashes // bands
     base = with_shingles(df, text_col, id_col, ngram)
@@ -798,6 +782,44 @@ def minhash_lsh_pairs_portable(
     ]
     banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("b")).select(
         "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    return base, banded
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    jaccard_threshold: float = 0.5,
+    cache_intermediate: bool = True,
+    max_bucket_size: int | None = None,
+):
+    """K9 MinHash+LSH with ENGINE-PORTABLE hashes: every hash is a
+    60-bit integer from the first 15 hex chars of md5, so DuckDB can
+    replay the entire pipeline value-for-value — this is the
+    oracle-checked twin of minhash_lsh_pairs (whose xxhash64 family is
+    Spark-only and therefore rows-only at the gate). Same plan shape:
+    shingle → per-seed min-agg signature → banded equi-join →
+    candidate-only exact-Jaccard verify. ~16 md5 string hashes per
+    gram instead of 1 string + 16 fixed-width xxhash64 — keep the
+    xxhash64 form on the 100 TB data path and this one as the
+    cross-engine verification surface.
+
+    cache_intermediate persists the shingle table (used by the
+    signature build and both verify sides); the returned plan
+    references the cache, so it stays until LRU eviction or
+    spark.catalog.clearCache() (the repo-wide cache-ownership policy).
+
+    max_bucket_size defaults to None (uncapped) so the DuckDB oracle
+    replays the candidate set exactly; pass a cap to get the same
+    hot-bucket representative routing as the fast path (the oracle
+    would then need the mirrored star logic).
+    """
+    base, banded = _portable_sig_bands(
+        df, text_col, id_col, num_hashes, bands, ngram, cache_intermediate
     )
     cand = banded_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     sh = base.select("doc", "sh")
@@ -953,3 +975,58 @@ def bloom_maybe(spark, bloom_bytes: bytes, num_bits: int, k: int = 7):
         return might(F.xxhash64(key), F.xxhash64(key, F.lit(1)))
 
     return col_fn
+
+
+def minhash_incremental_pairs_portable(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    jaccard_threshold: float = 0.5,
+    cache_intermediate: bool = True,
+) -> DataFrame:
+    """K9 incremental NEAR-dup: which new-batch documents are near-
+    duplicates of the indexed corpus — the daily-ingest analog of
+    `dedup_incremental`, one rung up from exact hashing. Both sides run
+    the shared md5-60bit MinHash pipeline (_portable_sig_bands — a pure
+    function of text, so separately-computed signatures are mutually
+    consistent), then candidates come ONLY from the corpus-band ×
+    batch-band equi-join: within-corpus and within-batch pairs are
+    never generated, which is what makes the daily cost proportional
+    to the batch, not the corpus. Exact Jaccard verifies candidates.
+
+    Output: (corpus_doc, batch_doc, jaccard >= threshold). At 100 TB
+    the corpus banded table is the precomputed index: store it
+    partitioned by (band, bh-prefix) and only the batch side is
+    computed per run (same pre-bucketing note as dedup_incremental).
+    """
+    base_c, banded_c = _portable_sig_bands(
+        corpus, text_col, id_col, num_hashes, bands, ngram, cache_intermediate
+    )
+    base_b, banded_b = _portable_sig_bands(
+        batch, text_col, id_col, num_hashes, bands, ngram, cache_intermediate
+    )
+    cand = (
+        banded_c.select(F.col("doc").alias("corpus_doc"), "band", "bh")
+        .join(
+            banded_b.select(F.col("doc").alias("batch_doc"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select("corpus_doc", "batch_doc")
+        .distinct()
+    )
+    sh_c = base_c.select(F.col("doc").alias("corpus_doc"), F.col("sh").alias("sh_c"))
+    sh_b = base_b.select(F.col("doc").alias("batch_doc"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_c", "sh_b"))
+    return (
+        cand.join(sh_c, "corpus_doc")
+        .join(sh_b, "batch_doc")
+        .withColumn(
+            "jaccard", inter / (F.size("sh_c") + F.size("sh_b") - inter)
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("corpus_doc", "batch_doc", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -607,3 +607,73 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
     )
     return direct.unionAll(verified)
+
+
+@register(
+    "dedup_incremental_near",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+               AS bucket,
+             list_distinct(list_transform(range(0, len(tok)-2),
+                           i -> array_to_string(list_slice(tok, i+1, i+3), ' '))) AS sh
+      FROM (SELECT *, {_TOKS} AS tok FROM documents)
+      WHERE len(tok) >= 3
+    ), ex AS (
+      SELECT doc, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
+      FROM (SELECT doc, unnest(sh) AS g FROM base)
+    ), mh AS (
+      SELECT doc, i,
+             MIN(CAST(('0x' || substr(md5(CAST(gh AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+      FROM ex, (SELECT unnest(range(16)) AS i)
+      GROUP BY doc, i
+    ), sig AS (
+      SELECT doc, list(m ORDER BY i) AS s FROM mh GROUP BY doc
+    ), banded AS (
+      SELECT doc, b,
+             md5(array_to_string(list_transform(list_slice(s, b*4+1, b*4+4),
+                                                x -> CAST(x AS VARCHAR)), ',')) AS bh
+      FROM sig, (SELECT unnest(range(4)) AS b)
+    ), bk AS (SELECT doc, bucket FROM base),
+    cand AS (
+      SELECT DISTINCT l.doc AS corpus_doc, r.doc AS batch_doc
+      FROM banded l
+      JOIN bk bl ON bl.doc = l.doc AND bl.bucket < 50
+      JOIN banded r ON l.b = r.b AND l.bh = r.bh
+      JOIN bk br ON br.doc = r.doc AND br.bucket >= 50
+    ), ver AS (
+      SELECT c.corpus_doc, c.batch_doc,
+             len(list_intersect(ba.sh, bb.sh))::DOUBLE
+             / (len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh))) AS jaccard
+      FROM cand c
+      JOIN base ba ON ba.doc = c.corpus_doc
+      JOIN base bb ON bb.doc = c.batch_doc
+    )
+    SELECT corpus_doc, batch_doc, round(jaccard, 6) AS jaccard
+    FROM ver WHERE jaccard >= 0.5
+    """,
+    covers=("K9-minhash", "K9-exact"),
+)
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 incremental NEAR-dup dedup, oracle-checked end-to-end: which
+    new-batch documents (md5 bucket >= 50 of doc_id, the same
+    deterministic corpus/batch split as dedup_incremental) are MinHash
+    near-duplicates of the indexed corpus (bucket < 50). Candidates
+    come only from the corpus-band x batch-band join — daily cost
+    proportional to the batch, never within-corpus pairs (see
+    operators/dedup.minhash_incremental_pairs_portable)."""
+    from fegis_spark.operators.dedup import minhash_incremental_pairs_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    docs = docs.withColumn("bucket", bucket)
+    return minhash_incremental_pairs_portable(
+        docs.filter(F.col("bucket") < 50),
+        docs.filter(F.col("bucket") >= 50),
+        "text",
+        "doc_id",
+    )

@@ -683,3 +683,73 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", *[F.expr(_GOPHER_SPARK[k]).alias(k) for k in GOPHER_COLS]
     )
+
+
+@register(
+    "langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang, {lang_id_sql('text')} AS predicted_lang FROM documents
+    ), cells AS (
+      SELECT lang, predicted_lang, COUNT(*) AS n
+      FROM pred GROUP BY lang, predicted_lang
+    ), tot AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_n FROM cells GROUP BY lang
+    )
+    SELECT c.lang, c.predicted_lang, c.n,
+           round(c.n / t.lang_n, 6) AS frac
+    FROM cells c JOIN tot t USING (lang)
+    """,
+    covers=("[EXT]-langid",),
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] lang-id confusion matrix: stored label × predicted label
+    with per-label row fractions — the evaluation artifact that turns
+    the heuristic's accuracy into an inspectable table (which languages
+    leak into which). One pure-codegen prediction projection into a
+    |langs|² hash agg; row totals derive from the persisted cells (no
+    second scan); integer-ratio fractions."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select("lang", lang_id_expr("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = cells.groupBy("lang").agg(F.sum("n").cast("bigint").alias("lang_n"))
+    return cells.join(F.broadcast(tot), "lang").select(
+        "lang", "predicted_lang", "n", F.round(F.col("n") / F.col("lang_n"), 6).alias("frac")
+    )
+
+
+@register(
+    "quality_percent_rank",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, {quality_score_sql('text')} AS quality FROM documents
+    )
+    SELECT doc_id, source, quality,
+           round(PERCENT_RANK() OVER (
+             PARTITION BY source ORDER BY quality, doc_id
+           ), 6) AS q_rank
+    FROM scored
+    """,
+    covers=("[EXT]-quality", "§2.5-window"),
+)
+def quality_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-source quality calibration: percent_rank of each
+    document's quality WITHIN its source — the normalization that makes
+    a single keep-threshold comparable across sources whose raw score
+    distributions differ (web crawl vs curated). Window is partitioned
+    by source with a (quality, doc_id) total order, so ranks are
+    deterministic and the partition never exceeds one source's rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score_expr("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return scored.withColumn("q_rank", F.round(F.percent_rank().over(w), 6))
