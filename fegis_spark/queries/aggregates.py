@@ -530,3 +530,163 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("ctx_n"), 6).alias("prob"),
         )
     )
+
+
+@register(
+    "events_resample_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+               ) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), bounds AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT g.user_id, g.day,
+           last_value(d.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value,
+           CASE WHEN d.value IS NULL THEN 0 ELSE 1 END AS observed
+    FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    """,
+    covers=("[EXT]-resample",),
+)
+def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] time-series resampling: per-user DAILY grid between that
+    user's first and last active day, gap-filled with last-observation-
+    carried-forward — the regularization step before any fixed-step
+    model (forecasting, drift detection) consumes an irregular event
+    stream.
+
+    Plan: one window picks each (user, day)'s closing value (total
+    order ts DESC, event_id DESC), a per-user min/max agg bounds the
+    grid, `sequence()` explodes it (rows = active-days × users — no
+    cross join against a global calendar), and a second per-user window
+    carries values forward. Both windows are user-partitioned; nothing
+    global. Values pass through unmodified (no summation → no dsum)."""
+    e = load_table(spark, sf_dir, "events")
+    w_pick = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").cast("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        e.withColumn("day", F.col("ts").cast("date"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    w_locf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("value", ignorenulls=True).over(w_locf).alias("value"),
+        F.when(F.col("value").isNull(), 0).otherwise(1).alias("observed"),
+    )
+
+
+@register(
+    "events_rolling_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           round(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 6) AS rolling_1h,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS n_1h
+    FROM events
+    """,
+    covers=("[EXT]-rolling-range", "§2.5-window"),
+)
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] rolling 1-hour per-user value sum — the RANGE-frame window
+    (time-based, not row-count-based) that rate monitors and sliding
+    features are built on. Frame key is epoch MICROseconds on both
+    engines (casting to whole seconds would move boundary events in and
+    out of the window vs the oracle); the sum rides DECIMAL(38,6)
+    inside the frame (dsum rule — frame contents are still a
+    partition-order-free set). User-partitioned, never global."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double"), 6
+        ).alias("rolling_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+HIST_BUCKETS = 20
+HIST_LO, HIST_HI = 0.0, 500.0
+
+
+@register(
+    "value_histogram",
+    oracle=f"""
+    SELECT bucket,
+           round({HIST_LO} + bucket * {(HIST_HI - HIST_LO) / HIST_BUCKETS}, 6) AS lo,
+           round({HIST_LO} + (bucket + 1) * {(HIST_HI - HIST_LO) / HIST_BUCKETS}, 6) AS hi,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT value,
+             least({HIST_BUCKETS - 1}, greatest(0,
+               CAST(floor((value - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BUCKETS}) AS INT)
+             )) AS bucket
+      FROM events
+    )
+    GROUP BY bucket
+    """,
+    covers=("§2.4-agg",),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value (20 buckets over [0,500],
+    clamped edges) — the distribution summary behind drift dashboards.
+    Bucket arithmetic is explicit floor division (width_bucket is not
+    portable to DuckDB); one hash agg over HIST_BUCKETS keys."""
+    e = load_table(spark, sf_dir, "events")
+    width = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bucket = F.least(
+        F.lit(HIST_BUCKETS - 1),
+        F.greatest(F.lit(0), F.floor((F.col("value") - HIST_LO) / width).cast("int")),
+    )
+    return (
+        e.select("value", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            "bucket",
+            F.round(F.lit(HIST_LO) + F.col("bucket") * width, 6).alias("lo"),
+            F.round(F.lit(HIST_LO) + (F.col("bucket") + 1) * width, 6).alias("hi"),
+            "n",
+            "total_value",
+        )
+    )
