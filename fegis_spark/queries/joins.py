@@ -480,3 +480,95 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(change.alias("change")).groupBy("change").agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    covers=("§2.6-joins", "O1", "O3"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers broadcast into
+    orders, fact-to-fact join to lineitem on orderkey, per-order
+    revenue agg, top-10 by revenue. Both date filters push to the
+    parquet scans; the only big exchange is the orderkey join + the
+    per-order agg; orderBy+limit fuses to TakeOrderedAndProject.
+    Ordering is on the DECIMAL-exact revenue (identical across
+    engines) with (o_orderdate, l_orderkey) completing a total order."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+COPURCHASE_MIN_SUPPORT = 3
+
+
+@register(
+    "copurchase_pairs",
+    oracle=f"""
+    WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM pl a JOIN pl b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= {COPURCHASE_MIN_SUPPORT}
+    """,
+    covers=("§2.6-joins", "K8-pattern"),
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchase pair mining (association rules, support
+    >= {min_support} orders): ordered part pairs that recur across
+    order baskets. The self-join is keyed on l_orderkey, where basket
+    size is bounded (TPC-H <= 7 items/order), so per-key pair fan-out
+    is <= C(7,2)=21 — a bounded multiplier, not a quadratic blowup;
+    the distinct pre-pass collapses duplicate (order, part) lines
+    before pairing. One equi-join exchange + one pair-keyed agg."""
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = pl.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = pl.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= COPURCHASE_MIN_SUPPORT)
+    )
