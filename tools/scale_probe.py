@@ -121,7 +121,25 @@ def probes(spark, sf_dir: str) -> dict:
             ),
             max_bucket_size=512,
         ).agg(F.count("*").alias("n")),
+        # incremental near-dup: corpus-band × batch-band join only —
+        # cost must scale with the batch+corpus scans, never with
+        # within-side pair counts
+        "minhash_incremental": _minhash_incremental_probe(docs),
     }
+
+
+def _minhash_incremental_probe(docs):
+    from fegis_spark.operators.dedup import minhash_incremental_pairs_portable
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    d = docs.withColumn("bucket", bucket)
+    return minhash_incremental_pairs_portable(
+        d.filter(F.col("bucket") < 50), d.filter(F.col("bucket") >= 50),
+        "text", "doc_id",
+    ).agg(F.count("*").alias("n"))
 
 
 def _substring_spans_probe(spark, sf_dir: str):
