@@ -552,22 +552,36 @@ COPURCHASE_MIN_SUPPORT = 3
 )
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent co-purchase pair mining (association rules, support
-    >= {min_support} orders): ordered part pairs that recur across
-    order baskets. The self-join is keyed on l_orderkey, where basket
-    size is bounded (TPC-H <= 7 items/order), so per-key pair fan-out
-    is <= C(7,2)=21 — a bounded multiplier, not a quadratic blowup;
-    the distinct pre-pass collapses duplicate (order, part) lines
-    before pairing. One equi-join exchange + one pair-keyed agg."""
-    pl = (
+    >= 3 orders): ordered part pairs that recur across order baskets.
+
+    Join-free shape: collect_set gathers each basket (dedup included,
+    replacing a distinct pre-pass), pairs are generated IN-ROW by an
+    array HOF — basket size is bounded (TPC-H <= 7 items/order, so
+    <= C(7,2)=21 pairs, and the HOF's interpreted cost is capped by
+    that same bound) — then one pair-keyed agg. Two exchanges total
+    (basket agg + pair agg) vs three for the equivalent
+    distinct + self-join formulation, and no join at all: at 100 TB
+    the per-order co-location does the pairing for free."""
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
     )
-    a = pl.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = pl.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda x: F.transform(
+                    "parts",
+                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                ),
+            )
+        ),
+        lambda s: s["part_a"] < s["part_b"],
+    )
     return (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= COPURCHASE_MIN_SUPPORT)

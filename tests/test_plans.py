@@ -177,3 +177,42 @@ def test_bigram_lm_broadcasts_vocab(spark, cat):
     p = formatted_plan(spark, cat, "text_bigram_logprob")
     assert "BroadcastHashJoin" in p
     assert "InMemoryTableScan" in p  # persisted bigram vocab, single corpus scan
+
+
+def test_gopher_filter_is_shuffle_free(spark, cat):
+    p = formatted_plan(spark, cat, "gopher_quality_filter")
+    assert "Exchange" not in p, p
+
+
+def test_mmr_corpus_stage_is_topk_pool(spark, cat):
+    # the only corpus-scale operator must be the fused top-k pool scan
+    p = formatted_plan(spark, cat, "mmr_rerank")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_copurchase_is_join_free(spark, cat):
+    # pairs are generated in-row from collected baskets — no self-join
+    p = formatted_plan(spark, cat, "copurchase_pairs")
+    assert "Join" not in p, p
+
+
+def test_hard_negatives_broadcasts_anchors(spark, cat):
+    p = formatted_plan(spark, cat, "hard_negatives")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_shipping_priority_pushes_dates_and_fuses_topk(spark, cat):
+    p = formatted_plan(spark, cat, "shipping_priority")
+    assert "TakeOrderedAndProject" in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed), pushed
+    assert any("l_shipdate" in l for l in pushed), pushed
+
+
+def test_rolling_window_is_user_partitioned(spark, cat):
+    p = formatted_plan(spark, cat, "events_rolling_1h")
+    # the window's exchange hashes on user_id — never a global
+    # range-partitioned sort
+    assert "hashpartitioning(user_id" in p, p
+    assert "rangepartitioning" not in p.lower(), p
