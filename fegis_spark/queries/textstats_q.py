@@ -753,3 +753,35 @@ def quality_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("source").orderBy("quality", "doc_id")
     return scored.withColumn("q_rank", F.round(F.percent_rank().over(w), 6))
+
+
+@register(
+    "bpe_train_encode",
+    oracle=None,  # iterative merge learning — genuinely non-SQL-
+    # expressible (the contract's iterative-algorithm class); the merge
+    # table and encode are pinned value-for-value against a pure-Python
+    # reference in tests/test_bpe.py
+    covers=("[EXT]-bpe",),
+)
+def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] BPE tokenizer training + corpus encode (Sennrich et al.
+    2016): learn 10 merges on a deterministic md5-bucket 20% sample
+    (production guidance: merge quality saturates long before 100 TB
+    is counted — train on a sample, encode everywhere), then encode
+    the FULL corpus with the learned table. Each merge round is one
+    pair-count aggregation + a map-only re-encode; the final encode is
+    a single Arrow-batched map. Output: per-doc token count under the
+    learned tokenizer plus the corpus-level merge count."""
+    from fegis_spark.operators.bpe import encode_with_merges, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    sample = docs.filter(bucket < 20)
+    merges = train_bpe(sample, "text", "doc_id", num_merges=10)
+    enc = encode_with_merges(docs, "text", "doc_id", merges)
+    return enc.select(
+        "doc", "n_tokens", F.lit(len(merges)).alias("n_merges")
+    )

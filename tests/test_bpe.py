@@ -1,0 +1,121 @@
+"""Distributed BPE training vs a pure-Python reference (Sennrich et
+al. 2016 learn_bpe semantics: most-frequent adjacent pair per round,
+lexicographic tiebreak, leftmost-first overlap resolution)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from fegis_spark.operators.bpe import (
+    EOW,
+    encode_with_merges,
+    train_bpe,
+    words_to_symbols,
+)
+
+CORPUS = [
+    (1, "low low low low low"),
+    (2, "lower lower newest newest"),
+    (3, "newest newest newest newest"),
+    (4, "widest widest widest"),
+    (5, "the lowest newest widest low"),
+]
+
+
+def py_words(text):
+    return [t for t in re.split(r"[^0-9a-z]+", text.lower()) if t]
+
+
+def py_train(corpus, num_merges, min_pair_count=2):
+    seqs = []
+    for _, text in corpus:
+        for w in py_words(text):
+            s = list(w)
+            s[-1] += EOW
+            seqs.append(s)
+    merges = []
+    for _ in range(num_merges):
+        counts = Counter()
+        for s in seqs:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        new_seqs = []
+        for s in seqs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_seqs.append(out)
+        seqs = new_seqs
+    return merges
+
+
+def py_encode(text, merges):
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = []
+    for w in py_words(text):
+        seq = list(w)
+        seq[-1] += EOW
+        while len(seq) >= 2:
+            best, bi = None, -1
+            for i in range(len(seq) - 1):
+                r = ranks.get((seq[i], seq[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            seq[bi : bi + 2] = [seq[bi] + seq[bi + 1]]
+        out.extend(seq)
+    return out
+
+
+def test_train_matches_python_reference(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = train_bpe(df, "text", "doc_id", num_merges=12)
+    exp = py_train(CORPUS, 12)
+    assert got == exp
+    # the classic demo corpus must actually learn multi-char merges
+    assert ("est" + EOW) in {a + b for a, b in got} | {a for a, _ in got} | {
+        b for _, b in got
+    } or any(len(a + b) > 2 for a, b in got)
+
+
+def test_encode_matches_python_reference(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges = train_bpe(df, "text", "doc_id", num_merges=10)
+    enc = encode_with_merges(df, "text", "doc_id", merges)
+    got = {r["doc"]: (list(r["tokens"]), r["n_tokens"]) for r in enc.collect()}
+    for doc_id, text in CORPUS:
+        exp = py_encode(text, merges)
+        assert got[doc_id] == (exp, len(exp)), (doc_id, got[doc_id], exp)
+    # compression: learned merges shorten the char-level stream
+    n_chars = sum(len(w) + 1 for _, t in CORPUS for w in py_words(t))
+    n_toks = sum(v[1] for v in got.values())
+    assert n_toks < n_chars
+
+
+def test_words_to_symbols_shape(spark):
+    df = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    rows = sorted(
+        tuple(r["syms"]) for r in words_to_symbols(df, "text", "doc_id").collect()
+    )
+    assert rows == [("a", "b" + EOW), ("c", "d" + EOW)]
+
+
+def test_early_stop_on_min_pair_count(spark):
+    # every word unique and short: after few merges no pair recurs
+    df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    merges = train_bpe(df, "text", "doc_id", num_merges=50, min_pair_count=2)
+    assert merges == py_train([(1, "ab cd ef")], 50)
