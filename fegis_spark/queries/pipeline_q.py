@@ -736,3 +736,52 @@ def split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("vocab_shared_train_test"),
     )
+
+
+@register(
+    "corpus_checksums",
+    oracle=f"""
+    SELECT {_hash_bucket_sql('doc_id')} AS bucket,
+           COUNT(*) AS n_docs,
+           bit_xor(CAST(('0x' || substr(md5(
+             CAST(doc_id AS VARCHAR) || ':' ||
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+           ), 1, 15)) AS BIGINT)) AS xor_hash
+    FROM documents
+    GROUP BY 1
+    """,
+    covers=("[EXT]-checksums",),
+)
+def corpus_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] order-independent corpus integrity manifest: per md5
+    bucket, the XOR of each document's (id || normalized-content) hash
+    — XOR is commutative/associative, so the checksum is identical for
+    any partitioning, engine, or visit order, and any single changed /
+    dropped / duplicated document flips its bucket's value. The
+    cheap cross-system answer to 'did the export/copy/migration
+    preserve the corpus byte-for-byte' (compare 100 rows, not 100 TB).
+    One hash-agg shuffle over 100 bucket keys, map-side combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select(_hash_bucket(F.col("doc_id")).alias("bucket"), h.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.bit_xor("h").alias("xor_hash"),
+        )
+    )
