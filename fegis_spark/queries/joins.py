@@ -586,3 +586,133 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= COPURCHASE_MIN_SUPPORT)
     )
+
+
+@register(
+    "apply_changes",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE {{b}} < 80
+    ), changes AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN {{b}} % 10 = 9 THEN 'delete'
+                  WHEN {{b}} < 90 THEN 'upsert'
+                  ELSE 'upsert' END AS op,
+             n_chars + 1000 AS new_chars
+      FROM documents WHERE {{b}} >= 80
+    )
+    SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+           COALESCE(c.lang, b.lang) AS lang,
+           CASE WHEN c.doc_id IS NOT NULL THEN c.new_chars ELSE b.n_chars END AS n_chars,
+           CASE WHEN c.doc_id IS NOT NULL AND b.doc_id IS NOT NULL THEN 'updated'
+                WHEN c.doc_id IS NOT NULL THEN 'inserted'
+                ELSE 'kept' END AS row_status
+    FROM base b
+    FULL OUTER JOIN (SELECT * FROM changes WHERE op <> 'delete') c
+      ON b.doc_id = c.doc_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM changes d
+      WHERE d.op = 'delete' AND d.doc_id = COALESCE(c.doc_id, b.doc_id)
+    )
+    """.format(
+        b="CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    ),
+    covers=("§2.6-full-outer", "[EXT]-cdc"),
+)
+def apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CDC apply / MERGE-INTO semantics without a table format:
+    a deterministic change batch (upserts + deletes, derived from the
+    md5 bucket split: base = bucket<80, changes = bucket>=80 with
+    every bucket%10==9 a delete) folds into the base snapshot via ONE
+    full-outer join on the key plus a broadcast anti-join for deletes —
+    the incremental-corpus maintenance primitive when the store is
+    plain parquet. Each output row is tagged kept/updated/inserted.
+    At 100 TB: pre-bucket both sides by key (operators/scale.
+    write_bucketed) and the full-outer co-locates shuffle-free; the
+    delete set is usually tiny → broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    d = docs.withColumn("b", bucket)
+    base = d.filter(F.col("b") < 80).select("doc_id", "lang", "n_chars")
+    changes = d.filter(F.col("b") >= 80).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("b") % 10 == 9, "delete").otherwise("upsert").alias("op"),
+        (F.col("n_chars") + 1000).alias("new_chars"),
+    )
+    deletes = changes.filter(F.col("op") == "delete").select("doc_id")
+    ups = changes.filter(F.col("op") != "delete").select(
+        F.col("doc_id").alias("c_id"), F.col("lang").alias("c_lang"), "new_chars"
+    )
+    merged = base.join(ups, base.doc_id == ups.c_id, "full_outer").select(
+        F.coalesce("c_id", "doc_id").alias("doc_id"),
+        F.coalesce("c_lang", "lang").alias("lang"),
+        F.when(F.col("c_id").isNotNull(), F.col("new_chars"))
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+        F.when(F.col("c_id").isNotNull() & F.col("doc_id").isNotNull(), "updated")
+        .when(F.col("c_id").isNotNull(), "inserted")
+        .otherwise("kept")
+        .alias("row_status"),
+    )
+    return merged.join(F.broadcast(deletes), "doc_id", "left_anti")
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id FROM (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               lag(event_type) OVER (
+                 PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev
+        FROM events
+      ) WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to,
+           CASE WHEN lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+    covers=("[EXT]-scd2", "§2.5-lead"),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SCD-type-2 history build: collapse each user's event
+    stream into state-change validity intervals [valid_from, valid_to)
+    — lag() drops repeats of the same state, lead() closes each
+    interval at the next change (NULL = current row). Two windows over
+    the same user partitioning (one exchange; the second window reuses
+    the sort); the standard dimension-history reconstruction."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), F.col("event_id")
+    )
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .drop("prev")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
