@@ -716,3 +716,46 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "promo_revenue",
+    oracle="""
+    SELECT CAST(ts_month AS DATE) AS month,
+           round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                   ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE),
+                 6) AS promo_pct,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_revenue
+    FROM (
+      SELECT date_trunc('month', CAST(l.l_shipdate AS TIMESTAMP)) AS ts_month,
+             p.p_type, l.l_extendedprice, l.l_discount
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    GROUP BY ts_month
+    """,
+    covers=("§2.6-joins", "§2.4-agg"),
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly promo-revenue share. The part
+    dimension broadcasts (dims scale slower than facts), lineitem
+    scans once with only 4 columns read, and the month rollup is one
+    agg shuffle; both sums ride DECIMAL(38,6) and the percentage
+    divides in double on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("month", F.date_trunc("month", F.col("l_shipdate").cast("timestamp")).cast("date"))
+        .groupBy("month")
+        .agg(
+            F.round(100.0 * dsum(promo) / dsum(rev), 6).alias("promo_pct"),
+            dsum(rev).alias("total_revenue"),
+        )
+    )
