@@ -169,3 +169,30 @@ def test_strip_html_engine_agreement(spark, texts):
         for r in _duck(rows).execute(f"SELECT i, {strip_html_sql('text')} FROM t").fetchall()
     }
     assert got_s == got_d
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=8, max_size=24, unique=True))
+def test_hash_bucket_engine_agreement(spark, ids):
+    """The md5-bucket fragment — the split/sample/incremental-dedup/
+    checksum substrate — must agree across engines for any bigint id."""
+    from fegis_spark.queries.pipeline_q import _hash_bucket, _hash_bucket_sql
+
+    rows = [(i,) for i in ids]
+    got_s = {
+        r["doc_id"]: r["b"]
+        for r in spark.createDataFrame(rows, "doc_id long")
+        .select("doc_id", _hash_bucket(F.col("doc_id")).alias("b"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    got_d = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, {_hash_bucket_sql('doc_id')} FROM t"
+        ).fetchall()
+    }
+    assert got_s == got_d
+    assert all(0 <= b < 100 for b in got_s.values())
