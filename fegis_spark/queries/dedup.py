@@ -677,3 +677,108 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "doc_id",
     )
+
+
+@register(
+    "dedup_minhash_eval",
+    oracle=rf"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(0, len(tok)-2),
+                           i -> array_to_string(list_slice(tok, i+1, i+3), ' '))) AS sh
+      FROM (SELECT *, {_TOKS} AS tok FROM documents)
+      WHERE len(tok) >= 3
+    ), exg AS (
+      SELECT doc, len(sh) AS n_sh, unnest(sh) AS g FROM base
+    ), truth AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT l.doc AS a, r.doc AS b,
+               count(*)::DOUBLE / (l.n_sh + r.n_sh - count(*)) AS jaccard
+        FROM exg l JOIN exg r ON l.g = r.g AND l.doc < r.doc
+        GROUP BY l.doc, r.doc, l.n_sh, r.n_sh
+      ) WHERE jaccard >= 0.5
+    ), exh AS (
+      SELECT doc, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
+      FROM (SELECT doc, unnest(sh) AS g FROM base)
+    ), mh AS (
+      SELECT doc, i,
+             MIN(CAST(('0x' || substr(md5(CAST(gh AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+      FROM exh, (SELECT unnest(range(16)) AS i)
+      GROUP BY doc, i
+    ), sig AS (
+      SELECT doc, list(m ORDER BY i) AS s FROM mh GROUP BY doc
+    ), banded AS (
+      SELECT doc, b,
+             md5(array_to_string(list_transform(list_slice(s, b*4+1, b*4+4),
+                                                x -> CAST(x AS VARCHAR)), ',')) AS bh
+      FROM sig, (SELECT unnest(range(4)) AS b)
+    ), cand AS (
+      SELECT DISTINCT l.doc AS a, r.doc AS b
+      FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc < r.doc
+    ), pred AS MATERIALIZED (
+      SELECT c.a, c.b FROM cand c
+      JOIN base ba ON ba.doc = c.a
+      JOIN base bb ON bb.doc = c.b
+      WHERE len(list_intersect(ba.sh, bb.sh))::DOUBLE
+            / (len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh))) >= 0.5
+    ), u AS (
+      SELECT COALESCE(p.a, t.a) AS a, COALESCE(p.b, t.b) AS b,
+             CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END AS in_pred,
+             CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END AS in_truth
+      FROM pred p FULL OUTER JOIN truth t ON p.a = t.a AND p.b = t.b
+    )
+    SELECT CAST(SUM(in_truth) AS BIGINT) AS n_true,
+           CAST(SUM(in_pred * in_truth) AS BIGINT) AS n_found,
+           CAST(SUM(in_pred * (1 - in_truth)) AS BIGINT) AS n_extra,
+           CAST(SUM(in_truth * (1 - in_pred)) AS BIGINT) AS n_missed,
+           round(CAST(SUM(in_pred * in_truth) AS DOUBLE)
+                 / nullif(SUM(in_truth), 0), 6) AS recall
+    FROM u
+    """,
+    covers=("K9-minhash", "K9-jaccard"),
+)
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 LSH-quality evaluation: recall of the (portable) MinHash+LSH
+    pipeline against exact global n-gram-Jaccard ground truth at the
+    same 0.5 threshold — the measurement that justifies trusting the
+    banded pipeline on the real corpus. n_extra is a PROOF column: the
+    pipeline exact-verifies candidates, so predicted pairs are a
+    subset of truth and n_extra must be 0; recall < 1 counts true
+    pairs whose signatures never collided in any band.
+
+    The ground truth is the gram-equi-join brute force — quadratic
+    only within shared-gram groups, but still the expensive side: at
+    100 TB this evaluation runs on a deterministic md5-bucket SAMPLE
+    (the pipeline under test runs everywhere). One full-outer join of
+    two tiny pair sets feeds a single 1-row agg."""
+    from fegis_spark.operators.dedup import (
+        minhash_lsh_pairs_portable,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, "text", "doc_id", [], ngram=3, threshold=0.5)
+    pred = minhash_lsh_pairs_portable(
+        docs, "text", "doc_id", num_hashes=16, bands=4, ngram=3,
+        jaccard_threshold=0.5,
+    )
+    u = (
+        pred.select("a", "b", F.lit(1).alias("in_pred"))
+        .join(
+            truth.select("a", "b", F.lit(1).alias("in_truth")),
+            ["a", "b"],
+            "full_outer",
+        )
+        .fillna(0, ["in_pred", "in_truth"])
+    )
+    return u.agg(
+        F.sum("in_truth").cast("bigint").alias("n_true"),
+        F.sum(F.col("in_pred") * F.col("in_truth")).cast("bigint").alias("n_found"),
+        F.sum(F.col("in_pred") * (1 - F.col("in_truth"))).cast("bigint").alias("n_extra"),
+        F.sum(F.col("in_truth") * (1 - F.col("in_pred"))).cast("bigint").alias("n_missed"),
+        F.round(
+            F.sum(F.col("in_pred") * F.col("in_truth"))
+            / F.nullif(F.sum("in_truth"), F.lit(0)),
+            6,
+        ).alias("recall"),
+    )
