@@ -785,3 +785,71 @@ def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "doc", "n_tokens", F.lit(len(merges)).alias("n_merges")
     )
+
+
+DROPOUT_PCT = 15  #: of the md5 hash space per (doc, pos, token)
+
+
+@register(
+    "augment_token_dropout",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {duck_tokens('text')} AS tok FROM documents
+    ), kept AS (
+      SELECT doc_id, tok,
+             list_filter(list_transform(tok, (x, i) ->
+               CASE WHEN CAST(('0x' || substr(md5(
+                        CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':' || x
+                      ), 1, 8)) AS BIGINT) % 100 >= {DROPOUT_PCT}
+                    THEN x ELSE NULL END),
+               x -> x IS NOT NULL) AS kept_tok
+      FROM base
+    )
+    SELECT doc_id,
+           len(tok) AS n_tokens,
+           len(kept_tok) AS n_kept,
+           array_to_string(kept_tok, ' ') AS augmented
+    FROM kept
+    """,
+    covers=("[EXT]-augment",),
+)
+def augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] deterministic token-dropout augmentation: drop each token
+    iff md5(doc_id:pos:token) lands in the bottom {DROPOUT_PCT}% of
+    hash space — the regularization/noising augmentation (word dropout)
+    with NONE of rand()'s problems: the augmented corpus is a pure
+    function of the input, so retries, engines, and epochs reproduce
+    byte-for-byte (vary an epoch seed by concatenating it into the
+    hash input). Pure array-HOF projection — zero shuffle, map-only at
+    any scale. Index convention: Spark's transform lambda index is
+    0-based, DuckDB's list_transform index is 1-based — the Spark side
+    hashes i+1 so both engines hash identical (doc:pos:token) keys."""
+    from fegis_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    def keep(x, i):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), (i + F.lit(1)).cast("string"), x
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint") % 100
+        return F.when(h >= DROPOUT_PCT, x)
+
+    base = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    kept = F.filter(
+        F.transform("tok", keep), lambda x: x.isNotNull()
+    )
+    return base.select(
+        "doc_id",
+        F.size("tok").alias("n_tokens"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, " ").alias("augmented"),
+    )
