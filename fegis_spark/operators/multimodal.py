@@ -50,12 +50,12 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
-def decode_ppm(data: bytes) -> np.ndarray:
-    """Real, dependency-free image decode for binary PPM (P6): header
-    `P6 <width> <height> <maxval>` with #-comments, one whitespace byte,
-    then raw RGB. Returns uint8 (height, width, 3)."""
-    if data[:2] != b"P6":
-        raise ValueError("not a P6 PPM payload")
+def _pnm_header(data: bytes, magic: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary-PNM header (`<magic> <w> <h> <maxval>` with
+    #-comments, one whitespace byte before the raster). Returns
+    (width, height, maxval, raster_offset)."""
+    if data[:2] != magic:
+        raise ValueError(f"not a {magic.decode()} PNM payload")
     pos, vals = 2, []
     while len(vals) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
@@ -71,9 +71,26 @@ def decode_ppm(data: bytes) -> np.ndarray:
     pos += 1  # exactly one whitespace byte after maxval, then raster
     w, h, maxval = vals
     if maxval > 255:
-        raise ValueError("16-bit PPM not supported")
+        raise ValueError("16-bit PNM not supported")
+    return w, h, maxval, pos
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Real, dependency-free image decode for binary PPM (P6): header
+    `P6 <width> <height> <maxval>` with #-comments, one whitespace byte,
+    then raw RGB. Returns uint8 (height, width, 3)."""
+    w, h, _, pos = _pnm_header(data, b"P6")
     arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
     return arr.reshape(h, w, 3)
+
+
+def decode_pgm(data: bytes) -> np.ndarray:
+    """Real, dependency-free image decode for binary PGM (P5) grayscale
+    — same PNM header grammar as P6 with a 1-byte-per-pixel raster.
+    Returns uint8 (height, width)."""
+    w, h, _, pos = _pnm_header(data, b"P5")
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h, offset=pos)
+    return arr.reshape(h, w)
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
@@ -158,6 +175,9 @@ class Codec:
     def decode_image(self, payload: bytes) -> np.ndarray:
         if (payload or b"")[:2] == b"P6":
             return decode_ppm(payload)
+        if (payload or b"")[:2] == b"P5":
+            gray = decode_pgm(payload)
+            return np.stack([gray] * 3, axis=-1)  # uniform (h, w, 3)
         if (payload or b"")[:2] == b"BM":
             return decode_bmp(payload)
         if self.fake:
@@ -282,6 +302,14 @@ def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
         [(x * 7 + seed) % 256, (y * 11 + seed) % 256, (x + y + seed) % 256], axis=-1
     ).astype(np.uint8)
     return header + rgb.tobytes()
+
+
+def make_pgm(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic real P5 PGM bytes (gradient + seed offset)."""
+    header = f"P5\n# test image\n{width} {height}\n255\n".encode()
+    y, x = np.mgrid[0:height, 0:width]
+    gray = ((x * 7 + y * 11 + seed) % 256).astype(np.uint8)
+    return header + gray.tobytes()
 
 
 def make_wav(

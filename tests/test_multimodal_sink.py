@@ -279,3 +279,18 @@ class TestBMPProperty:
             assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
 
         check()
+
+
+def test_decode_pgm_roundtrip_and_dispatch():
+    import numpy as np
+
+    from fegis_spark.operators.multimodal import Codec, decode_pgm, make_pgm
+
+    gray = decode_pgm(make_pgm(6, 4, seed=5))
+    assert gray.shape == (4, 6) and gray.dtype == np.uint8
+    assert gray[0, 0] == (0 * 7 + 0 * 11 + 5) % 256
+    assert gray[3, 5] == (5 * 7 + 3 * 11 + 5) % 256
+    # codec dispatch promotes grayscale to the uniform (h, w, 3) shape
+    img = Codec().decode_image(make_pgm(6, 4, seed=5))
+    assert img.shape == (4, 6, 3)
+    assert (img[..., 0] == gray).all() and (img[..., 2] == gray).all()
