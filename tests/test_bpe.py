@@ -119,3 +119,23 @@ def test_early_stop_on_min_pair_count(spark):
     df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
     merges = train_bpe(df, "text", "doc_id", num_merges=50, min_pair_count=2)
     assert merges == py_train([(1, "ab cd ef")], 50)
+
+
+def test_bpe_property_random_corpora(spark):
+    """Derandomized hypothesis sweep: distributed merge learning equals
+    the sequential reference on generated corpora (repeated words, CJK
+    single-char tokens, digits) — one example per corpus shape to keep
+    the Spark-round cost bounded."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    WORD = st.text(alphabet="abc的1", min_size=1, max_size=5)
+
+    @settings(derandomize=True, max_examples=2, deadline=None)
+    @given(st.lists(st.lists(WORD, min_size=1, max_size=8), min_size=2, max_size=5))
+    def run(docs):
+        corpus = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        assert train_bpe(df, "text", "doc_id", num_merges=5) == py_train(corpus, 5)
+
+    run()
