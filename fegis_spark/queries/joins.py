@@ -590,76 +590,74 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "apply_changes",
-    oracle=f"""
+    oracle="""
     WITH base AS (
-      SELECT doc_id, lang, n_chars FROM documents
-      WHERE {{b}} < 80
-    ), changes AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+    ), src AS (
       SELECT doc_id, lang, n_chars,
-             CASE WHEN {{b}} % 10 = 9 THEN 'delete'
-                  WHEN {{b}} < 90 THEN 'upsert'
-                  ELSE 'upsert' END AS op,
-             n_chars + 1000 AS new_chars
-      FROM documents WHERE {{b}} >= 80
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS op3
+      FROM documents WHERE doc_id % 2 = 1
+    ), ups AS (
+      SELECT CASE WHEN op3 = 0 THEN doc_id - 1 ELSE doc_id END AS key,
+             lang, n_chars + 1000 AS new_chars
+      FROM src WHERE op3 IN (0, 1)
+    ), dels AS (
+      SELECT doc_id - 1 AS key FROM src WHERE op3 = 2
     )
-    SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
-           COALESCE(c.lang, b.lang) AS lang,
-           CASE WHEN c.doc_id IS NOT NULL THEN c.new_chars ELSE b.n_chars END AS n_chars,
-           CASE WHEN c.doc_id IS NOT NULL AND b.doc_id IS NOT NULL THEN 'updated'
-                WHEN c.doc_id IS NOT NULL THEN 'inserted'
+    SELECT COALESCE(u.key, b.doc_id) AS doc_id,
+           COALESCE(u.lang, b.lang) AS lang,
+           CASE WHEN u.key IS NOT NULL THEN u.new_chars ELSE b.n_chars END AS n_chars,
+           CASE WHEN u.key IS NOT NULL AND b.doc_id IS NOT NULL THEN 'updated'
+                WHEN u.key IS NOT NULL THEN 'inserted'
                 ELSE 'kept' END AS row_status
-    FROM base b
-    FULL OUTER JOIN (SELECT * FROM changes WHERE op <> 'delete') c
-      ON b.doc_id = c.doc_id
+    FROM base b FULL OUTER JOIN ups u ON b.doc_id = u.key
     WHERE NOT EXISTS (
-      SELECT 1 FROM changes d
-      WHERE d.op = 'delete' AND d.doc_id = COALESCE(c.doc_id, b.doc_id)
+      SELECT 1 FROM dels d WHERE d.key = COALESCE(u.key, b.doc_id)
     )
-    """.format(
-        b="CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
-    ),
+    """,
     covers=("§2.6-full-outer", "[EXT]-cdc"),
 )
 def apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] CDC apply / MERGE-INTO semantics without a table format:
-    a deterministic change batch (upserts + deletes, derived from the
-    md5 bucket split: base = bucket<80, changes = bucket>=80 with
-    every bucket%10==9 a delete) folds into the base snapshot via ONE
-    full-outer join on the key plus a broadcast anti-join for deletes —
-    the incremental-corpus maintenance primitive when the store is
-    plain parquet. Each output row is tagged kept/updated/inserted.
-    At 100 TB: pre-bucket both sides by key (operators/scale.
-    write_bucketed) and the full-outer co-locates shuffle-free; the
-    delete set is usually tiny → broadcast."""
+    a deterministic change batch folds into the base snapshot via ONE
+    full-outer join on the key plus a broadcast anti-join for deletes
+    — the incremental-corpus maintenance primitive when the store is
+    plain parquet. Base = even doc ids; each odd id becomes an
+    operation by md5 bucket%3 — update of its even neighbor, insert of
+    a brand-new key, or delete of its even neighbor — so every output
+    status (kept/updated/inserted) and the delete path all occur with
+    real rows at every sf (each even key is targeted by at most its
+    one odd neighbor: no conflicting ops by construction). At 100 TB:
+    pre-bucket both sides by key (operators/scale.write_bucketed) and
+    the full-outer co-locates shuffle-free; delete sets are tiny ->
+    broadcast."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
+    bucket3 = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 100
+        .cast("bigint") % 3
     )
-    d = docs.withColumn("b", bucket)
-    base = d.filter(F.col("b") < 80).select("doc_id", "lang", "n_chars")
-    changes = d.filter(F.col("b") >= 80).select(
-        "doc_id",
-        "lang",
-        F.when(F.col("b") % 10 == 9, "delete").otherwise("upsert").alias("op"),
+    base = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    src = docs.filter(F.col("doc_id") % 2 == 1).withColumn("op3", bucket3)
+    ups = src.filter(F.col("op3").isin(0, 1)).select(
+        F.when(F.col("op3") == 0, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+        .alias("key"),
+        F.col("lang").alias("c_lang"),
         (F.col("n_chars") + 1000).alias("new_chars"),
     )
-    deletes = changes.filter(F.col("op") == "delete").select("doc_id")
-    ups = changes.filter(F.col("op") != "delete").select(
-        F.col("doc_id").alias("c_id"), F.col("lang").alias("c_lang"), "new_chars"
-    )
-    merged = base.join(ups, base.doc_id == ups.c_id, "full_outer").select(
-        F.coalesce("c_id", "doc_id").alias("doc_id"),
+    dels = src.filter(F.col("op3") == 2).select((F.col("doc_id") - 1).alias("doc_id"))
+    merged = base.join(ups, base.doc_id == ups.key, "full_outer").select(
+        F.coalesce("key", "doc_id").alias("doc_id"),
         F.coalesce("c_lang", "lang").alias("lang"),
-        F.when(F.col("c_id").isNotNull(), F.col("new_chars"))
+        F.when(F.col("key").isNotNull(), F.col("new_chars"))
         .otherwise(F.col("n_chars"))
         .alias("n_chars"),
-        F.when(F.col("c_id").isNotNull() & F.col("doc_id").isNotNull(), "updated")
-        .when(F.col("c_id").isNotNull(), "inserted")
+        F.when(F.col("key").isNotNull() & F.col("doc_id").isNotNull(), "updated")
+        .when(F.col("key").isNotNull(), "inserted")
         .otherwise("kept")
         .alias("row_status"),
     )
-    return merged.join(F.broadcast(deletes), "doc_id", "left_anti")
+    return merged.join(F.broadcast(dels), "doc_id", "left_anti")
 
 
 @register(
