@@ -830,3 +830,55 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+#: FK edges audited by fk_integrity_audit: (child, fk, parent, pk)
+FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "fk_integrity_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{child}.{fk}' AS edge,
+           (SELECT COUNT(*) FROM {child}) AS n_child,
+           (SELECT COUNT(*) FROM {child} c
+            WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})
+           ) AS n_orphans
+    """
+        for child, fk, parent, pk in FK_EDGES
+    ),
+    covers=("§2.6-anti", "§2.9-union"),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star
+    schema: per edge, child row count and orphan count (children whose
+    FK has no parent) — the data-quality gate a warehouse runs after
+    every load, and the check that certifies the join results above
+    aren't silently dropping rows. Each edge is one left_anti join
+    (existence probe — the parent's payload never materializes); small
+    parents broadcast; the six 1-row results union."""
+    parts = []
+    for child, fk, parent, pk in FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
+        orphans = c.join(
+            F.broadcast(p), c.fk == p.pk, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = c.agg(F.count(F.lit(1)).alias("n_child"))
+        parts.append(
+            total.crossJoin(F.broadcast(orphans)).select(
+                F.lit(f"{child}.{fk}").alias("edge"), "n_child", "n_orphans"
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out
