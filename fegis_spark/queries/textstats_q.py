@@ -853,3 +853,122 @@ def augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).alias("n_kept"),
         F.array_join(kept, " ").alias("augmented"),
     )
+
+
+@register(
+    "corpus_report",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, lang, n_chars,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
+             {_GOPHER_DUCK['keep']} AS keep,
+             {quality_score_sql('text')} AS q,
+             {TOKEN_COUNT_WS_SQL.format(c='text')} AS n_tok,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents
+    ), overall AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(COUNT(DISTINCT h) AS DOUBLE) AS n_distinct,
+             CAST(SUM(keep) AS DOUBLE) AS n_keep,
+             CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) AS q_sum,
+             CAST(SUM(n_tok) AS DOUBLE) AS tok_sum
+      FROM base
+    ), lang_e AS (
+      SELECT round(CAST(SUM(CAST(
+               -(n / t) * ln(n / t) AS DECIMAL(38,6))) AS DOUBLE), 6) AS entropy
+      FROM (SELECT lang, COUNT(*) AS n FROM base GROUP BY lang),
+           (SELECT COUNT(*) AS t FROM base)
+    ), splits AS (
+      SELECT 'split_' || CASE WHEN bucket < 80 THEN 'train'
+                              WHEN bucket < 90 THEN 'val'
+                              ELSE 'test' END || '_frac' AS metric,
+             round(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM base), 6) AS value
+      FROM base GROUP BY 1
+    )
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM overall
+      UNION ALL SELECT 'exact_dup_rate', round(1.0 - n_distinct / n_docs, 6) FROM overall
+      UNION ALL SELECT 'gopher_keep_rate', round(n_keep / n_docs, 6) FROM overall
+      UNION ALL SELECT 'mean_quality', round(q_sum / n_docs, 6) FROM overall
+      UNION ALL SELECT 'total_tokens_ws', tok_sum FROM overall
+      UNION ALL SELECT 'mean_doc_tokens', round(tok_sum / n_docs, 6) FROM overall
+      UNION ALL SELECT 'lang_entropy_nats', entropy FROM lang_e
+      UNION ALL SELECT metric, value FROM splits
+    )
+    """,
+    covers=("[EXT]-report", "[EXT]-curation"),
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] corpus report card: the one-query health dashboard a
+    pipeline owner tracks per snapshot — doc count, exact-dup rate,
+    Gopher keep rate, mean quality, token totals, language-mix Shannon
+    entropy, and split fractions, as (metric, value) rows.
+
+    Plan: ONE projection scan computes every per-doc signal (content
+    hash, keep flag, quality, token count, split bucket) and persists
+    (MEMORY_AND_DISK — three consumers: the overall agg, the language
+    rollup, the split rollup; without the cache each would re-scan and
+    re-derive the text signals). Everything downstream aggregates over
+    that narrow projection; all sums/means ride DECIMAL(38,6); entropy
+    terms follow the _js_sum convention (per-term double, decimal
+    transit, 6-dp output)."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h"),
+        F.expr(_GOPHER_SPARK["keep"]).alias("keep"),
+        quality_score_expr("text").alias("q"),
+        token_count_ws(F.col("text")).alias("n_tok"),
+        bucket.alias("bucket"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    overall = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.countDistinct("h").cast("double").alias("n_distinct"),
+        F.sum("keep").cast("double").alias("n_keep"),
+        F.sum(F.col("q").cast("decimal(38,6)")).cast("double").alias("q_sum"),
+        F.sum("n_tok").cast("double").alias("tok_sum"),
+    )
+    rows = overall.selectExpr(
+        "stack(6, "
+        "'n_docs', n_docs, "
+        "'exact_dup_rate', round(1.0 - n_distinct / n_docs, 6), "
+        "'gopher_keep_rate', round(n_keep / n_docs, 6), "
+        "'mean_quality', round(q_sum / n_docs, 6), "
+        "'total_tokens_ws', tok_sum, "
+        "'mean_doc_tokens', round(tok_sum / n_docs, 6)"
+        ") AS (metric, value)"
+    )
+    lang_counts = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    total = base.agg(F.count(F.lit(1)).alias("t"))
+    entropy = (
+        lang_counts.crossJoin(F.broadcast(total))
+        .select(
+            (-(F.col("n") / F.col("t")) * F.log(F.col("n") / F.col("t")))
+            .cast("decimal(38,6)")
+            .alias("term")
+        )
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("value"))
+        .select(F.lit("lang_entropy_nats").alias("metric"), "value")
+    )
+    split = F.when(F.col("bucket") < 80, "train").when(
+        F.col("bucket") < 90, "val"
+    ).otherwise("test")
+    splits = (
+        base.select(split.alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.concat(F.lit("split_"), F.col("s"), F.lit("_frac")).alias("metric"),
+            F.round(F.col("n") / F.col("t").cast("double"), 6).alias("value"),
+        )
+    )
+    return rows.unionAll(entropy).unionAll(splits)
