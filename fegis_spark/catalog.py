@@ -91,6 +91,7 @@ def _load_all() -> None:
         stream_q,
         text_q,
         textstats_q,
+        tpch_q,
         vector_q,
     )
 
