@@ -83,6 +83,7 @@ def _load_all() -> None:
         aggregates,
         dedup,
         filters_q,
+        importance_q,
         joins,
         lineage_q,
         media_q,

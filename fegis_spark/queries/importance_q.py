@@ -1,0 +1,157 @@
+"""Data-selection catalog queries ([EXT]): DSIR importance weighting
+and per-source document caps.
+
+Both are standard moves in assembling an LLM pretraining mix: DSIR
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling") scores every raw document by how target-like its hashed
+n-gram distribution is, and per-source caps (CCNet/RefinedWeb-style
+domain caps) stop any single source from dominating the mix. Neither
+exists in the reference (a Qdrant/MCP memory server); they extend the
+SURVEY.md §2.12 surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fegis_spark.catalog import register
+from fegis_spark.model import load_table
+from fegis_spark.queries.sqlfrag import duck_tokens
+
+#: hashed-feature space size for DSIR. 256 keeps the bucket table
+#: trivially broadcastable at any corpus size (the table is B rows no
+#: matter how many distinct tokens exist — that is the entire point of
+#: hashed features); production DSIR uses ~10^4, a knob not a redesign.
+DSIR_BUCKETS = 256
+
+
+def _tok_bucket(col):
+    """Portable md5 bucket of a token (CLAUDE.md md5-bucket recipe)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % DSIR_BUCKETS
+    )
+
+
+@register(
+    "dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % {DSIR_BUCKETS} AS bucket
+      FROM (SELECT doc_id, lang, unnest({duck_tokens('text')}) AS t FROM documents)
+    ),
+    counts AS MATERIALIZED (
+      SELECT bucket,
+             COUNT(*) AS rcnt,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tcnt
+      FROM tok GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(rcnt) AS rtot, SUM(tcnt) AS ttot FROM counts),
+    scored AS (
+      SELECT tok.doc_id, tok.lang,
+             ln((c.tcnt + 1.0) / (t.ttot + {DSIR_BUCKETS}.0))
+               - ln((c.rcnt + 1.0) / (t.rtot + {DSIR_BUCKETS}.0)) AS lr
+      FROM tok JOIN counts c USING (bucket) CROSS JOIN tot t
+    )
+    SELECT doc_id, lang,
+           round(CAST(SUM(CAST(lr AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+             AS dsir_logweight,
+           COUNT(*) AS n_tokens
+    FROM scored GROUP BY doc_id, lang
+    """,
+    covers=("[EXT]-dsir",),
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DSIR importance weighting (Xie et al. 2023): per-document
+    mean log importance ratio ln p_target(b) - ln p_raw(b) over hashed
+    token buckets, with add-one smoothing. Target distribution here =
+    the English slice (stand-in for "looks like Wikipedia"); raw = the
+    whole corpus. Documents with positive weight are the ones
+    importance resampling would favor.
+
+    Plan shape mirrors unigram_logprob: one token explode feeds (a)
+    the B-row hashed count table (persisted — it also supplies the
+    corpus totals, so no second corpus scan) and (b) the scoring join;
+    counts and the 1-row totals broadcast, so the corpus never
+    shuffles until the per-doc aggregate. The hashed table is B rows
+    at ANY corpus size — unlike a vocab join, DSIR's broadcast can
+    never outgrow the threshold at 100 TB. Laplace terms are exact
+    integer-derived doubles on both engines; the mean takes the
+    decimal-transit path and rounds to 6 dp.
+    """
+    from pyspark import StorageLevel
+
+    from fegis_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
+    ).select("doc_id", "lang", _tok_bucket(F.col("t")).alias("bucket"))
+    counts = (
+        tok.groupBy("bucket")
+        .agg(
+            F.count("*").alias("rcnt"),
+            F.sum((F.col("lang") == "en").cast("int")).alias("tcnt"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = counts.agg(F.sum("rcnt").alias("rtot"), F.sum("tcnt").alias("ttot"))
+    b = float(DSIR_BUCKETS)
+    lr = F.log((F.col("tcnt") + 1.0) / (F.col("ttot") + b)) - F.log(
+        (F.col("rcnt") + 1.0) / (F.col("rtot") + b)
+    )
+    return (
+        tok.join(F.broadcast(counts), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "lang", lr.alias("lr"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(F.col("lr").cast("decimal(38,6)")).cast("double") / F.count("*"),
+                6,
+            ).alias("dsir_logweight"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+#: max documents kept per source. Tiny on the test corpus (500 docs /
+#: 20 sources) so the cap actually binds; production values are 10^5+.
+SOURCE_CAP = 10
+
+
+@register(
+    "source_cap_sample",
+    oracle=f"""
+    SELECT source, doc_id, n_chars, rk
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    WHERE rk <= {SOURCE_CAP}
+    """,
+    covers=("[EXT]-source-caps", "§2.5-topk"),
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-source document cap (the domain-cap step of
+    CCNet/RefinedWeb-style curation): keep at most SOURCE_CAP
+    documents per source, preferring longer documents, doc_id as the
+    total-order tiebreak. One shuffle on source; the window's
+    partition-local top-k never materializes more than the cap per
+    key. At 100 TB this is exactly the per-domain cap pass — a skewed
+    source (one domain = half the crawl) is the norm, and AQE's
+    skew-split handles the partition while the rank filter bounds the
+    output."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "source", "doc_id", "n_chars", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= SOURCE_CAP)
+    )
