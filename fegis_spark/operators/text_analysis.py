@@ -172,6 +172,87 @@ FINGERPRINT_SQL = (
 )
 
 
+#: winnowing parameters (Schleimer et al. 2003, "Winnowing: Local
+#: Algorithms for Document Fingerprinting"): k-token grams hashed,
+#: then the rightmost minimum of every w-hash window is selected.
+#: Guarantee: any shared token run of length >= w + k - 1 tokens
+#: (here 6) produces at least one shared fingerprint.
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def winnow_gh_expr(tok: str) -> str:
+    """Spark-SQL expression: positional WINNOW_K-token gram hashes
+    (60-bit md5 prefix, the portable hash family) over a token-array
+    expression. Empty array below k tokens."""
+    return (
+        f"CASE WHEN size({tok}) >= {WINNOW_K} THEN "
+        f"transform(sequence(0, size({tok}) - {WINNOW_K}), i -> "
+        f"CAST(conv(substring(md5(concat_ws(' ', slice({tok}, i + 1, {WINNOW_K}))), "
+        f"1, 15), 16, 10) AS BIGINT)) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+
+
+def winnow_fps_expr(gh: str) -> str:
+    """Spark-SQL expression: winnowing fingerprint set from a
+    gram-hash array expression. For every window of
+    least(WINNOW_W, n) consecutive hashes, select the RIGHTMOST
+    position attaining the window minimum (the paper's tie rule, which
+    is what makes the selection deterministic), then project the
+    distinct selected positions to their distinct hashes. The window
+    min is recomputed inside the position filter (w is 4 — constant
+    work); identical gram-hash subtrees are shared by codegen
+    subexpression elimination."""
+    w = f"least({WINNOW_W}, size({gh}))"
+    sel = (
+        f"array_distinct(transform(sequence(0, size({gh}) - {w}), j -> "
+        f"array_max(filter(sequence(j, j + {w} - 1), p -> "
+        f"element_at({gh}, p + 1) = array_min(slice({gh}, j + 1, {w}))))))"
+    )
+    return (
+        f"CASE WHEN size({gh}) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE array_distinct(transform({sel}, p -> element_at({gh}, p + 1))) END"
+    )
+
+
+def winnow_fingerprints(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Winnowing document fingerprints (Schleimer et al. 2003): the
+    MOSS algorithm's selection of k-gram hashes — every w-window of
+    consecutive gram hashes contributes its rightmost minimum — giving
+    a compact position-robust fingerprint set per document with a hard
+    guarantee (shared runs >= w+k-1 tokens always collide), unlike
+    MinHash's probabilistic sketch.
+
+    Output: (doc_id, n_grams, n_fp, fp_xor, fp_density). fp_xor is the
+    order-proof XOR of the distinct fingerprint hashes (same recipe as
+    corpus_checksums); fp_density ~ 2/(w+1) on random text.
+
+    Scale: a pure per-row projection — zero shuffle, whole-stage
+    codegen, corpus streams map-side. The fingerprint *sets* (explode
+    on the array) are the candidate index a plagiarism/near-dup join
+    would build; this operator emits the per-doc summary the catalog
+    can hash-check."""
+    from fegis_spark.operators.dedup import tokens
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__tok")
+    ).select("doc_id", F.expr(winnow_gh_expr("__tok")).alias("__gh"))
+    fps = winnow_fps_expr("__gh")
+    return base.select(
+        "doc_id",
+        F.expr("size(__gh)").alias("n_grams"),
+        F.expr(f"size({fps})").alias("n_fp"),
+        F.expr(
+            f"aggregate({fps}, CAST(0 AS BIGINT), (acc, x) -> acc ^ x)"
+        ).alias("fp_xor"),
+        F.expr(
+            f"CASE WHEN size(__gh) > 0 THEN "
+            f"round(CAST(size({fps}) AS DOUBLE) / size(__gh), 6) ELSE 0.0 END"
+        ).alias("fp_density"),
+    )
+
+
 def unigram_logprob(
     docs, text_col: str = "text", id_col: str = "doc_id",
     broadcast_vocab: bool = True,

@@ -92,6 +92,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnow_fingerprints",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {duck_tokens('text')} AS tok FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(0, greatest(len(tok) - 2, 0)),
+               i -> CAST(('0x' || substr(md5(array_to_string(
+                      list_slice(tok, i + 1, i + 3), ' ')), 1, 15)) AS BIGINT))
+               AS gh,
+             least(4, greatest(len(tok) - 2, 0)) AS wlen
+      FROM base
+    ), fp AS (
+      SELECT doc_id, len(gh) AS n_grams,
+             CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[]) ELSE
+               list_distinct(list_transform(
+                 list_distinct(list_transform(range(0, len(gh) - wlen + 1),
+                   j -> list_max(list_filter(range(j, j + wlen),
+                          p -> gh[p + 1] = list_min(
+                                 list_slice(gh, j + 1, j + wlen)))))),
+                 p -> gh[p + 1]))
+             END AS fps
+      FROM g
+    )
+    SELECT doc_id, n_grams,
+           len(fps) AS n_fp,
+           COALESCE(list_aggregate(fps, 'bit_xor'), 0) AS fp_xor,
+           CASE WHEN n_grams > 0
+                THEN round(len(fps)::DOUBLE / n_grams, 6) ELSE 0.0 END
+             AS fp_density
+    FROM fp
+    """,
+    covers=("[EXT]-winnow", "[EXT]-fingerprint"),
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] winnowing fingerprints (Schleimer et al. 2003 — the MOSS
+    algorithm): rightmost-minimum selection over every 4-window of
+    3-token-gram hashes, the guarantee-carrying alternative to MinHash
+    for local-match detection (any shared 6-token run collides). Pure
+    projection, zero shuffle; per-doc (count, XOR, density) summary is
+    the hash-checkable surface, the fingerprint arrays themselves are
+    the index a cross-doc match join would explode. Pinned against a
+    sequential reference on constructed corpora in tests/test_winnow.py."""
+    from fegis_spark.operators.text_analysis import winnow_fingerprints as wf
+
+    return wf(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "curation_pipeline",
     oracle=f"""
     WITH scored AS (
