@@ -116,6 +116,60 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: epoch seed for the deterministic corpus shuffle — changing it is
+#: how you get a different (but equally reproducible) epoch order.
+EPOCH_SEED = 42
+
+
+@register(
+    "epoch_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5('{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS pos
+    FROM documents
+    """,
+    covers=("[EXT]-epoch-shuffle", "O1"),
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] deterministic epoch shuffle: every document gets a global
+    1-based position in the order md5(seed:doc_id) — the reproducible
+    permutation a training run reads the corpus in (no rand(): retries,
+    engines, and cluster sizes all agree; a new epoch is a new seed).
+
+    The oracle is a single global row_number; computing that directly
+    would funnel 100 TB through one task. Instead: documents hash into
+    256 buckets taken from the LEADING two hex chars of the shuffle
+    key, so global key order == (bucket, key) order; per-bucket counts
+    (256 rows) prefix-sum into bucket base offsets (a window over the
+    tiny count table, broadcast back); each document's position is its
+    bucket base + its rank inside the bucket — the bucket-partitioned
+    window runs 256-way parallel. Same decomposition the curriculum
+    export and sharded packer use for single-machine-sort-free global
+    order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(f"{EPOCH_SEED}:"), F.col("doc_id").cast("string"))).alias(
+            "k"
+        ),
+    ).withColumn("bucket", F.substring("k", 1, 2))
+    counts = base.groupBy("bucket").agg(F.count("*").alias("n"))
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "base", F.coalesce(F.sum("n").over(woff), F.lit(0)).cast("long")
+    ).select("bucket", "base")
+    win = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    return (
+        base.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            (F.col("base") + F.row_number().over(win)).alias("pos"),
+        )
+    )
+
+
 #: max documents kept per source. Tiny on the test corpus (500 docs /
 #: 20 sources) so the cap actually binds; production values are 10^5+.
 SOURCE_CAP = 10

@@ -141,6 +141,66 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_distinct_ngrams",
+    oracle=f"""
+    WITH base AS (
+      SELECT lang, {duck_tokens('text')} AS tok FROM documents
+    ), g AS (
+      SELECT lang, 1 AS n, unnest(tok) AS gram FROM base
+      UNION ALL
+      SELECT lang, 2 AS n,
+             array_to_string(list_slice(tok, i + 1, i + 2), ' ') AS gram
+      FROM base, unnest(range(0, greatest(len(tok) - 1, 0))) AS t(i)
+      UNION ALL
+      SELECT lang, 3 AS n,
+             array_to_string(list_slice(tok, i + 1, i + 3), ' ') AS gram
+      FROM base, unnest(range(0, greatest(len(tok) - 2, 0))) AS t(i)
+    )
+    SELECT lang, n,
+           COUNT(*) AS total_grams,
+           COUNT(DISTINCT gram) AS distinct_grams,
+           round(COUNT(DISTINCT gram)::DOUBLE / COUNT(*), 6) AS distinct_ratio
+    FROM g GROUP BY lang, n
+    """,
+    covers=("[EXT]-diversity", "§2.4-agg"),
+)
+def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] distinct-n diversity (Li et al. 2016): per-language ratio
+    of distinct to total 1/2/3-grams — the standard corpus-diversity
+    metric (low distinct-2/3 = templated or repetitive text; also the
+    metric used to audit synthetic-data collapse). One corpus scan:
+    both shingle sizes come from Scala NGram stages chained on one
+    token projection (codegen'd, ~15× the HOF chain — CLAUDE.md perf
+    rule), tagged by size and exploded once; exact distinct counts use
+    Spark's two-level partial agg, so no (lang, n) group funnels
+    through one task unsplit."""
+    from pyspark.ml.feature import NGram
+
+    from fegis_spark.operators.dedup import tokens
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "lang", tokens(F.col("text")).alias("tok")
+    )
+    ng2 = NGram(n=2, inputCol="tok", outputCol="g2")
+    ng3 = NGram(n=3, inputCol="tok", outputCol="g3")
+    with_grams = ng3.transform(ng2.transform(base))
+    tagged = F.concat(
+        F.transform(F.col("tok"), lambda t: F.concat(F.lit("1|"), t)),
+        F.transform(F.col("g2"), lambda g: F.concat(F.lit("2|"), g)),
+        F.transform(F.col("g3"), lambda g: F.concat(F.lit("3|"), g)),
+    )
+    return (
+        with_grams.select("lang", F.explode(tagged).alias("g"))
+        .groupBy("lang", F.substring("g", 1, 1).cast("int").alias("n"))
+        .agg(
+            F.count("*").alias("total_grams"),
+            F.count_distinct("g").alias("distinct_grams"),
+            F.round(F.count_distinct("g") / F.count("*"), 6).alias("distinct_ratio"),
+        )
+    )
+
+
+@register(
     "curation_pipeline",
     oracle=f"""
     WITH scored AS (

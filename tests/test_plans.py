@@ -216,3 +216,13 @@ def test_rolling_window_is_user_partitioned(spark, cat):
     # range-partitioned sort
     assert "hashpartitioning(user_id" in p, p
     assert "rangepartitioning" not in p.lower(), p
+
+
+def test_epoch_shuffle_window_partitions_by_bucket(spark, cat):
+    """The corpus-side rank window must hash-partition on the shuffle
+    bucket (256-way parallel); only the 256-row offset prefix-sum may
+    single-partition. A global row_number here would funnel the corpus
+    through one task."""
+    p = formatted_plan(spark, cat, "epoch_shuffle")
+    assert "hashpartitioning(bucket" in p, p
+    assert "BroadcastExchange" in p, p
