@@ -233,11 +233,26 @@ def winnow_fingerprints(docs, text_col: str = "text", id_col: str = "doc_id"):
     on the array) are the candidate index a plagiarism/near-dup join
     would build; this operator emits the per-doc summary the catalog
     can hash-check."""
+    from pyspark.ml.feature import NGram
+
     from fegis_spark.operators.dedup import tokens
 
+    # Scala NGram for the gram strings (2× the HOF slice/concat chain,
+    # measured at sf0.1); only the per-gram md5 stays a HOF transform.
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__tok")
-    ).select("doc_id", F.expr(winnow_gh_expr("__tok")).alias("__gh"))
+    )
+    base = (
+        NGram(n=WINNOW_K, inputCol="__tok", outputCol="__g")
+        .transform(base)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(__g, g -> "
+                "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))"
+            ).alias("__gh"),
+        )
+    )
     fps = winnow_fps_expr("__gh")
     return base.select(
         "doc_id",
