@@ -181,19 +181,6 @@ WINNOW_K = 3
 WINNOW_W = 4
 
 
-def winnow_gh_expr(tok: str) -> str:
-    """Spark-SQL expression: positional WINNOW_K-token gram hashes
-    (60-bit md5 prefix, the portable hash family) over a token-array
-    expression. Empty array below k tokens."""
-    return (
-        f"CASE WHEN size({tok}) >= {WINNOW_K} THEN "
-        f"transform(sequence(0, size({tok}) - {WINNOW_K}), i -> "
-        f"CAST(conv(substring(md5(concat_ws(' ', slice({tok}, i + 1, {WINNOW_K}))), "
-        f"1, 15), 16, 10) AS BIGINT)) "
-        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
-    )
-
-
 def winnow_fps_expr(gh: str) -> str:
     """Spark-SQL expression: winnowing fingerprint set from a
     gram-hash array expression. For every window of
@@ -216,23 +203,10 @@ def winnow_fps_expr(gh: str) -> str:
     )
 
 
-def winnow_fingerprints(docs, text_col: str = "text", id_col: str = "doc_id"):
-    """Winnowing document fingerprints (Schleimer et al. 2003): the
-    MOSS algorithm's selection of k-gram hashes — every w-window of
-    consecutive gram hashes contributes its rightmost minimum — giving
-    a compact position-robust fingerprint set per document with a hard
-    guarantee (shared runs >= w+k-1 tokens always collide), unlike
-    MinHash's probabilistic sketch.
-
-    Output: (doc_id, n_grams, n_fp, fp_xor, fp_density). fp_xor is the
-    order-proof XOR of the distinct fingerprint hashes (same recipe as
-    corpus_checksums); fp_density ~ 2/(w+1) on random text.
-
-    Scale: a pure per-row projection — zero shuffle, whole-stage
-    codegen, corpus streams map-side. The fingerprint *sets* (explode
-    on the array) are the candidate index a plagiarism/near-dup join
-    would build; this operator emits the per-doc summary the catalog
-    can hash-check."""
+def winnow_fp_sets(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_grams, fps) — the winnowing fingerprint set per
+    document, shared by the per-doc summary (winnow_fingerprints) and
+    the cross-doc match join (winnow_match_pairs)."""
     from pyspark.ml.feature import NGram
 
     from fegis_spark.operators.dedup import tokens
@@ -253,17 +227,91 @@ def winnow_fingerprints(docs, text_col: str = "text", id_col: str = "doc_id"):
             ).alias("__gh"),
         )
     )
-    fps = winnow_fps_expr("__gh")
     return base.select(
         "doc_id",
         F.expr("size(__gh)").alias("n_grams"),
-        F.expr(f"size({fps})").alias("n_fp"),
+        F.expr(winnow_fps_expr("__gh")).alias("fps"),
+    )
+
+
+def winnow_match_pairs(
+    docs, text_col: str = "text", id_col: str = "doc_id", min_shared: int = 1
+):
+    """Cross-document winnowing matches — what MOSS actually reports:
+    pairs of documents sharing selected fingerprints, with the shared
+    count and the fingerprint-set Jaccard. Because of the winnowing
+    guarantee, every pair sharing a token run of >= w + k - 1 tokens
+    IS in this output (no MinHash-style false negatives for local
+    matches).
+
+    Plan: fingerprint sets once (persisted MEMORY_AND_DISK — both
+    sides of the self-join and the size lookup read it; without the
+    cache the 3 consumers would each redo the winnowing projection),
+    explode to (doc, h), equi-join on the hash with doc_l < doc_r,
+    count shared per pair. Same scale posture as LSH candidate
+    generation: pairs come only from shared-fingerprint buckets; a
+    boilerplate-heavy corpus wants the same hot-bucket cap as
+    banded_candidate_pairs (count per h, route over-cap hashes to a
+    representative) before the join."""
+    from pyspark import StorageLevel
+
+    sets = (
+        winnow_fp_sets(docs, text_col, id_col)
+        .select("doc_id", F.size("fps").alias("n_fp"), "fps")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex = sets.select("doc_id", "n_fp", F.explode("fps").alias("h"))
+    l = ex.select(
+        F.col("doc_id").alias("doc_l"), F.col("n_fp").alias("n_l"), "h"
+    )
+    r = ex.select(
+        F.col("doc_id").alias("doc_r"), F.col("n_fp").alias("n_r"), "h"
+    )
+    return (
+        l.join(r, "h")
+        .filter(F.col("doc_l") < F.col("doc_r"))
+        .groupBy("doc_l", "doc_r", "n_l", "n_r")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "doc_l",
+            "doc_r",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_l") + F.col("n_r") - F.col("n_shared")),
+                6,
+            ).alias("fp_jaccard"),
+        )
+    )
+
+
+def winnow_fingerprints(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Winnowing document fingerprints (Schleimer et al. 2003): the
+    MOSS algorithm's selection of k-gram hashes — every w-window of
+    consecutive gram hashes contributes its rightmost minimum — giving
+    a compact position-robust fingerprint set per document with a hard
+    guarantee (shared runs >= w+k-1 tokens always collide), unlike
+    MinHash's probabilistic sketch.
+
+    Output: (doc_id, n_grams, n_fp, fp_xor, fp_density). fp_xor is the
+    order-proof XOR of the distinct fingerprint hashes (same recipe as
+    corpus_checksums); fp_density ~ 2/(w+1) on random text.
+
+    Scale: a pure per-row projection — zero shuffle, whole-stage
+    codegen, corpus streams map-side. winnow_match_pairs is the
+    cross-doc join built on the same sets."""
+    sets = winnow_fp_sets(docs, text_col, id_col)
+    return sets.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").alias("n_fp"),
         F.expr(
-            f"aggregate({fps}, CAST(0 AS BIGINT), (acc, x) -> acc ^ x)"
+            "aggregate(fps, CAST(0 AS BIGINT), (acc, x) -> acc ^ x)"
         ).alias("fp_xor"),
         F.expr(
-            f"CASE WHEN size(__gh) > 0 THEN "
-            f"round(CAST(size({fps}) AS DOUBLE) / size(__gh), 6) ELSE 0.0 END"
+            "CASE WHEN n_grams > 0 THEN "
+            "round(CAST(size(fps) AS DOUBLE) / n_grams, 6) ELSE 0.0 END"
         ).alias("fp_density"),
     )
 

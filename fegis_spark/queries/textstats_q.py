@@ -141,6 +141,57 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnow_match_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {duck_tokens('text')} AS tok FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(0, greatest(len(tok) - 2, 0)),
+               i -> CAST(('0x' || substr(md5(array_to_string(
+                      list_slice(tok, i + 1, i + 3), ' ')), 1, 15)) AS BIGINT))
+               AS gh,
+             least(4, greatest(len(tok) - 2, 0)) AS wlen
+      FROM base
+    ), fp AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[]) ELSE
+               list_distinct(list_transform(
+                 list_distinct(list_transform(range(0, len(gh) - wlen + 1),
+                   j -> list_max(list_filter(range(j, j + wlen),
+                          p -> gh[p + 1] = list_min(
+                                 list_slice(gh, j + 1, j + wlen)))))),
+                 p -> gh[p + 1]))
+             END AS fps
+      FROM g
+    ), ex AS (
+      SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS h FROM fp
+    )
+    SELECT l.doc_id AS doc_l, r.doc_id AS doc_r,
+           COUNT(*) AS n_shared,
+           round(COUNT(*)::DOUBLE
+                 / (any_value(l.n_fp) + any_value(r.n_fp) - COUNT(*)), 6)
+             AS fp_jaccard
+    FROM ex l JOIN ex r ON l.h = r.h AND l.doc_id < r.doc_id
+    GROUP BY l.doc_id, r.doc_id
+    """,
+    covers=("[EXT]-winnow", "K9-jaccard"),
+)
+def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] cross-document winnowing matches (what MOSS reports):
+    document pairs sharing selected fingerprints with the shared count
+    and fingerprint-set Jaccard. The winnowing guarantee makes this
+    exhaustive for local matches — every pair sharing a >= 6-token run
+    appears, with no MinHash-style false negatives. Candidate pairs
+    come only from shared-fingerprint buckets (LSH-shaped equi-join);
+    the fingerprint-set projection is persisted so the self-join's two
+    sides don't redo the winnowing scan."""
+    from fegis_spark.operators.text_analysis import winnow_match_pairs as wmp
+
+    return wmp(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "corpus_distinct_ngrams",
     oracle=f"""
     WITH base AS (

@@ -107,3 +107,25 @@ def test_shared_run_guarantee(spark):
     for doc_id, t in ((0, a), (1, b)):
         n_grams, n_fp, x, dens = ref_row(t)
         assert got[doc_id] == (n_fp, x)
+
+
+def test_match_pairs_surface_shared_run(spark):
+    """The pair join must report any pair sharing a >= w+k-1 token run
+    (winnowing guarantee, end-to-end through the join), and not report
+    docs with disjoint vocabularies."""
+    from fegis_spark.operators.text_analysis import winnow_match_pairs
+
+    shared = " ".join(f"s{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma " + shared + " delta epsilon"),
+            (1, "uno dos tres cuatro " + shared + " cinco"),
+            (2, "completely different words only here nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_l, r.doc_r): r.n_shared for r in winnow_match_pairs(df).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1, pairs
+    assert all(2 not in p for p in pairs), pairs
