@@ -1,0 +1,91 @@
+"""Streaming CDC maintenance of a plain-parquet snapshot ([EXT]-cdc,
+§2.10).
+
+The reference's storage loop upserts each request into Qdrant
+incrementally (/root/reference/fegis/storage.py:194-199). The batch
+analog is the catalog's `apply_changes` (MERGE semantics via one
+full-outer join); this module is the *streaming* form: readStream of
+change rows → foreachBatch merge into a versioned snapshot directory.
+
+Exactly-once without a table format: each micro-batch writes a COMPLETE
+new snapshot under ``snapshot=<epoch_id>`` (idempotent — replaying an
+epoch after a crash overwrites the same directory, converging to the
+same bytes) and then flips a tiny ``_latest`` pointer file, which is
+the atomic commit point. Readers resolve the pointer, never a partial
+write. This is the classic snapshot-isolation-on-object-store recipe;
+swap in Delta/Iceberg MERGE when a table format is available — the
+fold itself (`apply_cdc_batch`) is unchanged.
+
+Scale: the fold is ONE full-outer join on the key per batch plus a
+broadcast anti-join for deletes — identical plan shape to
+`apply_changes`. Pre-bucket the snapshot by key
+(operators/scale.write_bucketed) and the full-outer co-locates
+shuffle-free; rewrite cost is the snapshot size, which is the honest
+price of plain parquet (a table format turns it into a log append).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def apply_cdc_batch(
+    base: DataFrame | None,
+    changes: DataFrame,
+    key_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Fold one change batch into a snapshot: rows with op='upsert'
+    insert-or-replace by key, op='delete' removes the key. If the same
+    key appears multiple times IN one batch the upsert wins over older
+    snapshot state and deletes win over upserts (delete-last
+    semantics, matching MERGE WHEN MATCHED THEN DELETE precedence)."""
+    ups = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+    dels = changes.filter(F.col(op_col) == "delete").select(key_col).distinct()
+    if base is None:
+        merged = ups
+    else:
+        # upsert wins over base: keep base rows whose key has no upsert
+        keep = base.join(ups.select(key_col), key_col, "left_anti")
+        merged = keep.unionByName(ups)
+    return merged.join(F.broadcast(dels), key_col, "left_anti")
+
+
+def read_snapshot(spark: SparkSession, target_dir: str) -> DataFrame | None:
+    """Resolve the `_latest` pointer to the committed snapshot."""
+    ptr = os.path.join(target_dir, "_latest")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        epoch = f.read().strip()
+    return spark.read.parquet(os.path.join(target_dir, f"snapshot={epoch}"))
+
+
+def cdc_sink(target_dir: str, key_col: str, op_col: str = "op"):
+    """foreachBatch callable maintaining `target_dir` from a stream of
+    change rows. Idempotent per epoch: replaying batch N overwrites
+    snapshot=N and re-points `_latest` at it — same final state."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ptr = os.path.join(target_dir, "_latest")
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                if f.read().strip() == str(epoch_id):
+                    # epoch already committed (pointer flip is the
+                    # commit point) — replay is a no-op; re-merging
+                    # would read and overwrite the same directory.
+                    return
+        base = read_snapshot(spark, target_dir)
+        out = os.path.join(target_dir, f"snapshot={epoch_id}")
+        merged = apply_cdc_batch(base, batch_df, key_col, op_col)
+        merged.write.mode("overwrite").parquet(out)
+        tmp = os.path.join(target_dir, "_latest.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.replace(tmp, os.path.join(target_dir, "_latest"))  # atomic commit
+
+    return _sink

@@ -1,0 +1,101 @@
+"""Streaming CDC maintenance of a parquet snapshot (streaming/cdc.py):
+readStream → foreachBatch merge, pointer-committed snapshots,
+idempotent epoch replay. The streaming analog of the oracle-checked
+`apply_changes` catalog query (same fold plan: one full-outer-shaped
+key merge + broadcast delete anti-join)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import SparkSession
+
+from fegis_spark.streaming.cdc import apply_cdc_batch, cdc_sink, read_snapshot
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .appName("test_cdc_stream")
+        .getOrCreate()
+    )
+    yield s
+
+
+BATCHES = [
+    [(1, 1, "upsert"), (2, 1, "upsert"), (3, 1, "upsert"), (4, 1, "upsert")],
+    [(3, 2, "upsert"), (2, 0, "delete"), (5, 2, "upsert")],
+    [(5, 0, "delete"), (1, 3, "upsert")],
+]
+SCHEMA = "key long, v long, op string"
+FINAL = {1: 3, 3: 2, 4: 1}
+
+
+def _snapshot_dict(spark, target):
+    snap = read_snapshot(spark, target)
+    return {r.key: r.v for r in snap.collect()}
+
+
+def test_stream_merge_matches_sequential_fold(spark, tmp_path):
+    staging = str(tmp_path / "staging")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(staging)
+    # one file per batch, strictly increasing mtimes so
+    # maxFilesPerTrigger=1 replays them in order
+    for i, rows in enumerate(BATCHES):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{staging}/b{i}")
+        time.sleep(1.1)
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staging}/b*")
+    )
+    q = (
+        sdf.writeStream.foreachBatch(cdc_sink(target, "key"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not drain in 300s"
+    assert _snapshot_dict(spark, target) == FINAL
+    # and it equals the batch fold applied sequentially
+    base = None
+    for rows in BATCHES:
+        base = apply_cdc_batch(base, spark.createDataFrame(rows, SCHEMA), "key")
+    assert {r.key: r.v for r in base.collect()} == FINAL
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    target = str(tmp_path / "target")
+    sink = cdc_sink(target, "key")
+    for epoch, rows in enumerate(BATCHES):
+        sink(spark.createDataFrame(rows, SCHEMA), epoch)
+    assert _snapshot_dict(spark, target) == FINAL
+
+    # replay the COMMITTED last epoch: pointer already at 2 → no-op
+    sink(spark.createDataFrame(BATCHES[2], SCHEMA), 2)
+    assert _snapshot_dict(spark, target) == FINAL
+
+    # crash-before-commit: snapshot=2 written but pointer rewound to 1;
+    # replaying epoch 2 must rebuild snapshot=2 from snapshot=1 and
+    # converge to the same state
+    with open(os.path.join(target, "_latest"), "w") as f:
+        f.write("1")
+    sink(spark.createDataFrame(BATCHES[2], SCHEMA), 2)
+    assert _snapshot_dict(spark, target) == FINAL
+
+
+def test_in_batch_precedence_delete_beats_upsert(spark):
+    # same key upserted and deleted in one batch → delete wins
+    b = spark.createDataFrame(
+        [(7, 1, "upsert"), (7, 0, "delete"), (8, 1, "upsert")], SCHEMA
+    )
+    out = {r.key: r.v for r in apply_cdc_batch(None, b, "key").collect()}
+    assert out == {8: 1}
