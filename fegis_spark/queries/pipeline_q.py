@@ -219,6 +219,103 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: content-defined chunking geometry: boundary where the md5 bucket of
+#: the trailing CDC_WINDOW-token window hits 0 mod CDC_DIVISOR →
+#: expected chunk length = CDC_DIVISOR tokens.
+CDC_WINDOW, CDC_DIVISOR = 4, 16
+
+
+@register(
+    "cdc_chunk_documents",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {duck_tokens('text')} AS tok FROM documents
+    ), b AS (
+      SELECT doc_id, tok,
+             list_concat(list_concat(
+               [CAST(0 AS BIGINT)],
+               CASE WHEN len(tok) >= {CDC_WINDOW} THEN
+                 list_filter(list_transform(range({CDC_WINDOW}, len(tok) + 1),
+                   i -> CASE WHEN CAST(('0x' || substr(md5(array_to_string(
+                            list_slice(tok, i - {CDC_WINDOW} + 1, i), ' ')),
+                            1, 8)) AS BIGINT) % {CDC_DIVISOR} = 0
+                          AND i < len(tok)
+                        THEN i ELSE CAST(-1 AS BIGINT) END),
+                   p -> p >= 0)
+               ELSE [] END),
+               [len(tok)]) AS bounds
+      FROM base WHERE len(tok) > 0
+    )
+    SELECT doc_id, j AS chunk_idx,
+           bounds[j + 2] - bounds[j + 1] AS n_tok,
+           md5(array_to_string(
+             list_slice(tok, bounds[j + 1] + 1, bounds[j + 2]), ' '))
+             AS chunk_hash
+    FROM b, unnest(range(0, len(bounds) - 1)) AS t(j)
+    """,
+    covers=("[EXT]-cdc-chunking", "§2.8-explode"),
+)
+def cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] content-defined chunking (LBFS, Muthitacharoen et al.
+    2001 — the FastCDC family's basic form) at token granularity: a
+    chunk boundary falls AFTER token i wherever the md5 bucket of the
+    trailing 4-token window is 0 mod 16, giving ~16-token chunks whose
+    boundaries are functions of CONTENT, not position — insert a
+    sentence and only the chunks touching it change hash, which is
+    what makes chunk-level dedup robust to edits (fixed-stride
+    chunk_documents shifts every downstream chunk). Emits (doc_id,
+    chunk_idx, n_tok, chunk_hash); equal chunk_hash across docs =
+    shared content block. Pure per-row HOF projection + one explode —
+    zero shuffle; min/max clamps (full FastCDC) are a knob on the
+    boundary predicate, not a redesign. Edit-robustness is pinned in
+    tests/test_pipeline.py::test_cdc_chunks_realign_after_edit."""
+    return cdc_chunks(load_table(spark, sf_dir, "documents"))
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """Core content-defined chunking over a (doc_id, text) frame —
+    separated from the catalog builder so constructed-corpus tests can
+    pin the boundary-realignment property."""
+    from fegis_spark.operators.dedup import tokens
+
+    B, D = CDC_WINDOW, CDC_DIVISOR
+    base = docs.select("doc_id", tokens(F.col("text")).alias("tok")).filter(
+        F.size("tok") > 0
+    )
+    gram = f"concat_ws(' ', slice(tok, i - {B} + 1, {B}))"
+    bucket = f"CAST(conv(substring(md5({gram}), 1, 8), 16, 10) AS BIGINT) % {D}"
+    bounds = (
+        f"concat(array(CAST(0 AS BIGINT)), "
+        f"CASE WHEN size(tok) >= {B} THEN "
+        f"filter(transform(sequence({B}, size(tok)), "
+        f"i -> IF({bucket} = 0 AND i < size(tok), CAST(i AS BIGINT), -1L)), "
+        f"p -> p >= 0) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END, "
+        f"array(CAST(size(tok) AS BIGINT)))"
+    )
+    withb = base.select("doc_id", "tok", F.expr(bounds).alias("bounds"))
+    return (
+        withb.select(
+            "doc_id",
+            "tok",
+            "bounds",
+            F.explode(F.expr("sequence(0, size(bounds) - 2)")).alias("j"),
+        )
+        .select(
+            "doc_id",
+            F.col("j").cast("bigint").alias("chunk_idx"),
+            F.expr("element_at(bounds, j + 2) - element_at(bounds, j + 1)").alias(
+                "n_tok"
+            ),
+            F.expr(
+                "md5(concat_ws(' ', slice(tok, "
+                "CAST(element_at(bounds, j + 1) + 1 AS INT), "
+                "CAST(element_at(bounds, j + 2) - element_at(bounds, j + 1) AS INT))))"
+            ).alias("chunk_hash"),
+        )
+    )
+
+
 #: contamination geometry: 8-token grams, report eval docs with >= 20%
 #: of their grams present in a train doc.
 CONTAM_NGRAM, CONTAM_THRESHOLD = 8, 0.2

@@ -163,3 +163,39 @@ def test_sorted_shards_are_globally_ordered(spark, tmp_path_factory):
         seq.extend(pdf["q"].tolist())
     assert seq == sorted(seq), "global order broken across shards"
     assert len(seq) == docs.count()
+
+
+def test_cdc_chunks_realign_after_edit(spark):
+    """Content-defined boundaries re-align after an edit: prepending a
+    sentence to a document changes only the chunks up to the first
+    boundary after the edit — the suffix chunk hashes are identical.
+    (A fixed-stride chunker would shift and re-hash every chunk.)"""
+    import random
+
+    from fegis_spark.queries.pipeline_q import cdc_chunks
+
+    rng = random.Random(11)
+    words = [f"tok{rng.randint(0, 5000)}" for _ in range(400)]
+    original = " ".join(words)
+    edited = "a brand new inserted preamble sentence " + original
+    df = spark.createDataFrame(
+        [(1, original), (2, edited)], "doc_id long, text string"
+    )
+    chunks = {1: [], 2: []}
+    for r in cdc_chunks(df).orderBy("doc_id", "chunk_idx").collect():
+        chunks[r.doc_id].append(r.chunk_hash)
+    assert len(chunks[1]) > 3, "construction should yield several chunks"
+    # suffixes re-align: all original chunks except a bounded prefix
+    # reappear verbatim in the edited doc's chunk stream
+    shared = set(chunks[1]) & set(chunks[2])
+    assert chunks[1][-1] in shared
+    n_lost = len([h for h in chunks[1] if h not in shared])
+    assert n_lost <= 2, (n_lost, len(chunks[1]))
+    # and the shared suffix is contiguous at the tail of both streams
+    k = 0
+    while (
+        k < min(len(chunks[1]), len(chunks[2]))
+        and chunks[1][-1 - k] == chunks[2][-1 - k]
+    ):
+        k += 1
+    assert k >= len(chunks[1]) - 2, (k, len(chunks[1]))
