@@ -690,3 +690,45 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "cumulative_unique_users",
+    oracle="""
+    WITH first AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP))
+               AS first_day
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM first GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily
+    """,
+    covers=("§2.4-ext", "§2.5-window"),
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 ext: distinct-users-to-date growth curve. Windowed COUNT
+    DISTINCT doesn't exist in Spark (or anywhere, scalably); the
+    standard decomposition is first-seen: each user contributes once
+    at MIN(day), daily new-user counts aggregate, and a running sum
+    over the DAY table yields the cumulative curve. Two hash shuffles
+    on corpus-scale data (first-seen agg, daily agg); the running-sum
+    window is unpartitioned but runs over the aggregated day table —
+    rows = distinct days, bounded by the calendar, not the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    first = (
+        e.select("user_id", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("day"))
+    )
+    daily = first.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).cast("bigint").alias("cum_users")
+    )

@@ -882,3 +882,75 @@ def corpus_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("h").alias("xor_hash"),
         )
     )
+
+
+@register(
+    "expectations_report",
+    oracle="""
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS v_empty,
+             SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS v_nchars,
+             SUM(CASE WHEN lang NOT IN ('en','fr','es','de','zh') THEN 1 ELSE 0 END)
+               AS v_lang,
+             SUM(CASE WHEN NOT regexp_full_match(source, 'src[0-9]+') THEN 1 ELSE 0 END)
+               AS v_source,
+             SUM(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS v_pos,
+             COUNT(*) - COUNT(DISTINCT doc_id) AS v_unique
+      FROM documents
+    )
+    SELECT rule, n_rows, n_violations, n_violations = 0 AS passed FROM (
+      SELECT 'doc_id_unique' AS rule, n_rows, v_unique AS n_violations FROM agg
+      UNION ALL SELECT 'lang_known', n_rows, v_lang FROM agg
+      UNION ALL SELECT 'n_chars_matches_text', n_rows, v_nchars FROM agg
+      UNION ALL SELECT 'n_chars_positive', n_rows, v_pos FROM agg
+      UNION ALL SELECT 'source_format', n_rows, v_source FROM agg
+      UNION ALL SELECT 'text_nonempty', n_rows, v_empty FROM agg
+    )
+    """,
+    covers=("[EXT]-expectations", "§2.4-agg"),
+)
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] data-contract validation (the Great-Expectations-style
+    gate a corpus passes before training): row-level constraints
+    (non-empty text, n_chars consistency/positivity, lang enum, source
+    format) and the table-level doc_id uniqueness check, all computed
+    in ONE scan — a single aggregate emits every violation counter
+    (count-distinct rides the same two-level partial agg), then a
+    6-row literal unpivot shapes (rule, n_rows, n_violations, passed).
+    Complements fk_integrity_audit (cross-table FK edges) with
+    in-table contract checks; at 100 TB this is one pass, no joins,
+    output constant-size."""
+    docs = load_table(spark, sf_dir, "documents")
+    flag = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    agg = docs.agg(
+        F.count("*").alias("n_rows"),
+        flag(F.length("text") == 0).alias("v_empty"),
+        flag(F.col("n_chars") != F.length("text")).alias("v_nchars"),
+        flag(~F.col("lang").isin("en", "fr", "es", "de", "zh")).alias("v_lang"),
+        flag(~F.col("source").rlike("^src[0-9]+$")).alias("v_source"),
+        flag(F.col("n_chars") <= 0).alias("v_pos"),
+        (F.count("*") - F.count_distinct("doc_id")).alias("v_unique"),
+    )
+    rules = F.array(
+        *[
+            F.struct(F.lit(name).alias("rule"), F.col(col).alias("n_violations"))
+            for name, col in [
+                ("doc_id_unique", "v_unique"),
+                ("lang_known", "v_lang"),
+                ("n_chars_matches_text", "v_nchars"),
+                ("n_chars_positive", "v_pos"),
+                ("source_format", "v_source"),
+                ("text_nonempty", "v_empty"),
+            ]
+        ]
+    )
+    return (
+        agg.select("n_rows", F.explode(rules).alias("r"))
+        .select(
+            "r.rule",
+            "n_rows",
+            "r.n_violations",
+            (F.col("r.n_violations") == 0).alias("passed"),
+        )
+    )
