@@ -1030,3 +1030,75 @@ def minhash_incremental_pairs_portable(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("corpus_doc", "batch_doc", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection (SRP) codes — cosine LSH for embeddings
+# ---------------------------------------------------------------------------
+
+#: SRP geometry: 32 hyperplanes -> 32-bit codes, 4 bands of 8 bits for
+#: blocking. Quantization scale makes every dot product an exact
+#: integer (|q| <= ~1e6, 64 dims -> |dot| <= ~1e8, far inside 2^53),
+#: so the sign — and therefore the code — is bit-identical on any
+#: engine: this is the fully oracle-checkable twin of the MLlib
+#: BucketedRandomProjectionLSH path (which is rows-only by contract).
+SRP_BITS = 32
+SRP_BANDS = 4
+SRP_SCALE = 1_000_000
+
+
+def srp_signs(nbits: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix from md5 parity — the same
+    literal matrix is embedded in the Spark expression and the DuckDB
+    oracle, so there is no RNG to disagree about."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(nbits)
+    ]
+
+
+def srp_code_expr(vec_col: str, dim: int, nbits: int = SRP_BITS) -> str:
+    """Spark-SQL expression computing the SRP code of an array<float>
+    column: quantize to integers, take the sign of each hyperplane dot
+    product, pack the bits. One SQL string (driver-side plan-cost fast
+    path); the quantized array is a shared subtree across planes."""
+    signs = srp_signs(nbits, dim)
+    q = (
+        f"transform({vec_col}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {SRP_SCALE}.0) AS BIGINT))"
+    )
+    terms = []
+    for p, row in enumerate(signs):
+        lit = "array(" + ",".join(str(r) for r in row) + ")"
+        dot = (
+            f"aggregate(zip_with({q}, {lit}, (a, b) -> a * b), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        terms.append(f"IF({dot} >= 0, {1 << p}L, 0L)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def srp_code_sql(vec_col: str, dim: int, nbits: int = SRP_BITS) -> str:
+    """DuckDB twin of srp_code_expr — identical arithmetic: integer
+    quantization, exact double dot products (integer-valued, < 2^53),
+    same literal hyperplanes."""
+    signs = srp_signs(nbits, dim)
+    q = (
+        f"list_transform({vec_col}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {SRP_SCALE}.0) AS BIGINT))"
+    )
+    terms = []
+    for p, row in enumerate(signs):
+        lit = "[" + ",".join(str(r) for r in row) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({q}, {lit}) >= 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"

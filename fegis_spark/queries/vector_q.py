@@ -538,3 +538,119 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+#: embeddings are 64-dim (TESTDATA.md); the SRP literal matrices are
+#: generated once at import from md5 parity (operators/dedup.srp_signs).
+EMB_DIM = 64
+
+
+def _srp_oracle() -> str:
+    from fegis_spark.operators.dedup import srp_code_sql
+
+    return f"""
+    SELECT vec_id, {srp_code_sql('embedding', EMB_DIM)} AS srp_code
+    FROM embeddings
+    """
+
+
+@register(
+    "embedding_srp_codes",
+    oracle=_srp_oracle(),
+    covers=("[EXT]-srp", "K9-embedding"),
+)
+def embedding_srp_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] sign-random-projection codes (Charikar 2002 — cosine LSH):
+    each embedding gets a 32-bit code whose bits are the signs of dot
+    products against md5-derived ±1 hyperplanes; hamming distance on
+    codes estimates angular distance. Unlike the MLlib
+    BucketedRandomProjectionLSH path (rows-only by contract: JVM RNG),
+    this is FULLY oracle-checked: embeddings quantize to integers, so
+    every dot product is an exact integer on both engines and the sign
+    can never flip on summation order. Zero shuffle — a pure
+    projection; at 100 TB codes are the 4-byte standins you store
+    alongside vectors to prefilter ANN candidates."""
+    from fegis_spark.operators.dedup import srp_code_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.expr(srp_code_expr("embedding", EMB_DIM)).alias("srp_code")
+    )
+
+
+def _srp_hamming_oracle() -> str:
+    from fegis_spark.operators.dedup import SRP_BANDS, srp_code_sql
+
+    return f"""
+    WITH codes AS MATERIALIZED (
+      SELECT vec_id, {srp_code_sql('embedding', EMB_DIM)} AS code
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, p, (code >> (8 * p)) & 255 AS bk
+      FROM codes, unnest(range(0, {SRP_BANDS})) AS t(p)
+    ), cand AS (
+      SELECT DISTINCT l.vec_id AS id_l, r.vec_id AS id_r
+      FROM ex l JOIN ex r ON l.p = r.p AND l.bk = r.bk AND l.vec_id < r.vec_id
+    )
+    SELECT bit_count(xor(cl.code, cr.code)) AS hamming,
+           COUNT(*) AS n_pairs
+    FROM cand c
+    JOIN codes cl ON cl.vec_id = c.id_l
+    JOIN codes cr ON cr.vec_id = c.id_r
+    GROUP BY hamming
+    """
+
+
+@register(
+    "embedding_srp_blocked_hamming",
+    oracle=_srp_hamming_oracle(),
+    covers=("[EXT]-srp", "K1-approx"),
+)
+def embedding_srp_blocked_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SRP band-blocked candidate generation, reported as a
+    hamming histogram: vectors sharing any 8-bit band of their SRP
+    code become candidate pairs (the cosine-LSH blocking move —
+    identical join shape to the MinHash bands), then exact hamming on
+    the full code buckets the candidates. On the near-random test
+    vectors low-hamming mass is tiny — the histogram output keeps the
+    check non-vacuous at every sf while still value-pinning the whole
+    pipeline (codes, banding, join, popcount). The constructed-vector
+    near-dup property (true near-dups collide and land at hamming ~0)
+    is pinned in tests/test_srp.py. Scale: candidates come only from
+    shared band buckets; the same hot-bucket cap as MinHash applies
+    (operators/dedup.banded_candidate_pairs)."""
+    from pyspark import StorageLevel
+
+    from fegis_spark.operators.dedup import SRP_BANDS, srp_code_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id", F.expr(srp_code_expr("embedding", EMB_DIM)).alias("code")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = codes.select(
+        "vec_id",
+        "code",
+        F.explode(F.expr(f"sequence(0, {SRP_BANDS - 1})")).alias("p"),
+    ).select("vec_id", "p", F.expr("(code >> (8 * p)) & 255").alias("bk"))
+    cand = (
+        ex.alias("l")
+        .join(
+            ex.alias("r"),
+            (F.col("l.p") == F.col("r.p"))
+            & (F.col("l.bk") == F.col("r.bk"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("id_l"), F.col("r.vec_id").alias("id_r")
+        )
+        .distinct()
+    )
+    cl = codes.select(F.col("vec_id").alias("id_l"), F.col("code").alias("code_l"))
+    cr = codes.select(F.col("vec_id").alias("id_r"), F.col("code").alias("code_r"))
+    return (
+        cand.join(cl, "id_l")
+        .join(cr, "id_r")
+        .select(F.expr("bit_count(code_l ^ code_r)").alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
