@@ -882,3 +882,130 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionAll(df)
     return out
+
+
+#: triangle-count edge set: co-purchase pairs recurring in >= 2 orders
+#: (support 3 leaves the graph triangle-free at every sf — vacuous).
+TRI_MIN_SUPPORT = 2
+
+
+@register(
+    "copurchase_triangles",
+    oracle=f"""
+    WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM pl a JOIN pl b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT pa AS v FROM edges UNION ALL SELECT pb FROM edges
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n FROM edges e1
+      JOIN edges e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+      JOIN edges e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT n FROM tri) AS n_triangles,
+           round(3.0 * (SELECT n FROM tri)
+                 / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+             AS global_clustering
+    """,
+    covers=("[EXT]-graph-triangles", "§2.6-joins"),
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] triangle counting + global clustering coefficient on the
+    co-purchase graph — the standard graph-quality statistic, computed
+    with the degree-oriented join algorithm (Cohen 2009 / Suri &
+    Vassilvitskii 2011): every edge is oriented from lower to higher
+    (degree, id) rank, so each node's out-degree is O(sqrt(m)) and the
+    wedge self-join is bounded by m^1.5 TOTAL regardless of hub skew —
+    the id-only orientation the oracle uses for its (invariant) count
+    would square the hub degree instead. Edges persist (the basket
+    pairing scans lineitem once; degree table and orientation both
+    read it); the degree table broadcasts into the orientation.
+    Triangle count is orientation-invariant, which is what lets the
+    oracle use the simple form."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    prs = F.filter(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda x: F.transform(
+                    "parts", lambda y: F.struct(x.alias("pa"), y.alias("pb"))
+                ),
+            )
+        ),
+        lambda s: s["pa"] < s["pb"],
+    )
+    edges = (
+        baskets.select(F.explode(prs).alias("p"))
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= TRI_MIN_SUPPORT)
+        .select("pa", "pb")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = F.broadcast(deg.select(F.col("v").alias("pa"), F.col("d").alias("d_a")))
+    db = F.broadcast(deg.select(F.col("v").alias("pb"), F.col("d").alias("d_b")))
+    ranked = edges.join(da, "pa").join(db, "pb")
+    a_lo = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ranked.select(
+        F.when(a_lo, F.col("pa")).otherwise(F.col("pb")).alias("lo"),
+        F.when(a_lo, F.col("pb")).otherwise(F.col("pa")).alias("hi"),
+        F.when(a_lo, F.col("d_b")).otherwise(F.col("d_a")).alias("dh"),
+    )
+    o1 = oriented.select(
+        F.col("lo"), F.col("hi").alias("h1"), F.col("dh").alias("dh1")
+    )
+    o2 = oriented.select(
+        F.col("lo"), F.col("hi").alias("h2"), F.col("dh").alias("dh2")
+    )
+    wedges = o1.join(o2, "lo").where(
+        (F.col("dh1") < F.col("dh2"))
+        | ((F.col("dh1") == F.col("dh2")) & (F.col("h1") < F.col("h2")))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("h1"), F.col("hi").alias("h2")
+    )
+    tri = wedges.join(closing, ["h1", "h2"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    stats = edges.agg(F.count("*").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("n_wedges"),
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("global_clustering"),
+        )
+    )

@@ -196,3 +196,38 @@ def test_hash_bucket_engine_agreement(spark, ids):
     }
     assert got_s == got_d
     assert all(0 <= b < 100 for b in got_s.values())
+
+
+VEC = st.lists(
+    st.floats(min_value=-0.875, max_value=0.875, allow_nan=False, width=32),
+    min_size=8,
+    max_size=8,
+)
+VBATCH = st.lists(VEC, min_size=4, max_size=10)
+
+
+@settings(**SETTINGS)
+@given(VBATCH)
+def test_srp_code_engine_agreement(spark, vecs):
+    """SRP codes must agree across engines on arbitrary float32
+    vectors — integer quantization makes each hyperplane dot exact, so
+    any disagreement is a recipe bug, not noise."""
+    from fegis_spark.operators.dedup import srp_code_expr, srp_code_sql
+
+    dim = 8
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    got_s = {
+        r["i"]: r["code"]
+        for r in spark.createDataFrame(rows, "i int, embedding array<float>")
+        .select("i", F.expr(srp_code_expr("embedding", dim)).alias("code"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (i INTEGER, embedding FLOAT[])")
+    con.executemany("INSERT INTO v VALUES (?, ?)", rows)
+    got_d = dict(
+        con.execute(
+            f"SELECT i, {srp_code_sql('embedding', dim)} FROM v"
+        ).fetchall()
+    )
+    assert got_s == got_d
