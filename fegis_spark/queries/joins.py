@@ -1009,3 +1009,137 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+#: PageRank geometry: symmetric co-purchase graph (support >= 2),
+#: damping 0.85 as a LITERAL on both sides (derived constants diverge
+#: in IEEE — CLAUDE.md), 5 unrolled iterations, top-20 output.
+PR_DAMP = "0.85"
+PR_BASE = "0.15"
+PR_ITERS = 5
+PR_TOPK = 20
+
+
+def _pagerank_oracle() -> str:
+    its = []
+    prev = "it0"
+    for k in range(1, PR_ITERS + 1):
+        its.append(f"""
+    it{k} AS MATERIALIZED (
+      SELECT n.v,
+             {PR_BASE} / cnt.n
+               + {PR_DAMP} * CAST(COALESCE(SUM(
+                   CAST(p.pr / d.d AS DECIMAL(38,18))), 0) AS DOUBLE) AS pr
+      FROM nodes n CROSS JOIN cnt
+      LEFT JOIN sym e ON e.dst = n.v
+      LEFT JOIN {prev} p ON p.v = e.src
+      LEFT JOIN deg d ON d.v = e.src
+      GROUP BY n.v, cnt.n
+    )""")
+        prev = f"it{k}"
+    return f"""
+    WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM pl a JOIN pl b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    ),
+    sym AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM edges
+      UNION ALL SELECT pb, pa FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS v FROM sym),
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src),
+    cnt AS (SELECT COUNT(*) AS n FROM nodes),
+    it0 AS (SELECT v, 1.0 / cnt.n AS pr FROM nodes CROSS JOIN cnt),
+    {','.join(its)}
+    SELECT v AS part, round(pr, 12) AS pagerank
+    FROM it{PR_ITERS}
+    ORDER BY pagerank DESC, part LIMIT {PR_TOPK}
+    """
+
+
+@register(
+    "copurchase_pagerank",
+    oracle=_pagerank_oracle(),
+    covers=("[EXT]-graph-pagerank", "§2.6-joins"),
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PageRank on the symmetric co-purchase graph — a fixed
+    5-iteration power sweep, fully oracle-checked: iterative linear
+    algebra joins the engine's deterministic surface because every
+    neighbor-sum goes through the DECIMAL(38,18) lattice
+    (partition-order-proof; 6dp money transit is too coarse for
+    rank mass ~1/n) and the damping constants are literals on both
+    sides. Per iteration: one edge→rank broadcast-or-shuffle join +
+    one hash agg on dst — the exact plan a 100 TB PageRank runs, just
+    with checkpoint-per-round added (see connected_components) when
+    the iteration count grows. Edges/degrees persist across sweeps;
+    top-20 via TakeOrderedAndProject with a part-id tiebreak."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    prs = F.filter(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda x: F.transform(
+                    "parts", lambda y: F.struct(x.alias("pa"), y.alias("pb"))
+                ),
+            )
+        ),
+        lambda s: s["pa"] < s["pb"],
+    )
+    edges = (
+        baskets.select(F.explode(prs).alias("p"))
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("nn"))
+        .where(F.col("nn") >= TRI_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    sym = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = sym.select(F.col("src").alias("v")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    cnt = nodes.agg(F.count("*").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(cnt)).select(
+        "v", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    base, damp = float(PR_BASE), float(PR_DAMP)
+    for _ in range(PR_ITERS):
+        contrib = (
+            sym.join(pr.withColumnRenamed("v", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("v"),
+                (F.col("pr") / F.col("d")).cast("decimal(38,18)").alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, "v", "left")
+            .crossJoin(F.broadcast(cnt))
+            .select(
+                "v",
+                (
+                    F.lit(base) / F.col("n")
+                    + F.lit(damp) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.select(F.col("v").alias("part"), F.round("pr", 12).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), F.col("part"))
+        .limit(PR_TOPK)
+    )
