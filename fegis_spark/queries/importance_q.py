@@ -209,3 +209,52 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= SOURCE_CAP)
     )
+
+
+#: exact-k weighted-without-replacement sample size.
+WOR_K = 50
+
+
+@register(
+    "weighted_sample_wor",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 0.5) / 4294967296.0)
+                   / n_chars, 12) AS race_key
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, race_key
+    FROM keyed
+    ORDER BY race_key DESC, doc_id
+    LIMIT {WOR_K}
+    """,
+    covers=("[EXT]-sample-wor", "O3"),
+)
+def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact-k weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006, the exponential-race form): each document draws a
+    deterministic uniform u from its md5 (no RNG — retries and engines
+    agree), races with key ln(u)/w for weight w = n_chars, and the k
+    largest keys win — inclusion probability proportional to weight,
+    exactly k rows, single pass. This is THE distributed weighted
+    sampler: no sequential draw-and-remove, and at 100 TB the top-k is
+    a TakeOrderedAndProject (per-partition heaps, k-row driver merge),
+    never a global sort. Complements quality_weighted_sample
+    (independent Bernoulli thinning — random output size, with
+    replacement across epochs). Key rounded to 12 dp on both sides so
+    last-ulp ln() divergence cannot reorder the boundary; doc_id
+    totalizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("race_key"))
+        .orderBy(F.col("race_key").desc(), F.col("doc_id"))
+        .limit(WOR_K)
+    )

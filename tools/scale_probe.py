@@ -64,10 +64,46 @@ def replicate(spark, out_dir: str, factor: int, perturb: bool = True) -> None:
     )
     emb = load_table(spark, SF_DIR, "embeddings")
     n_emb = emb.count()
+    rep_e = emb.crossJoin(copies).withColumn(
+        "vec_id", F.col("vec_id") + F.col("copy") * F.lit(n_emb)
+    )
+    if perturb:
+        # per-copy deterministic sign flips: flipped random vectors are
+        # ~orthogonal to their originals, so the near-dup / SRP-band
+        # collision RATE stays at the base corpus's level (exact copies
+        # would make every vector a factor-clique — O(factor²) output
+        # by construction, measuring the pathological case instead of
+        # scan/shuffle scaling)
+        import hashlib
+
+        dim = len(emb.select("embedding").first()[0])
+        signs = [
+            (
+                c,
+                [
+                    1.0
+                    if int(
+                        hashlib.md5(f"{c}:{d}".encode()).hexdigest()[0], 16
+                    )
+                    % 2
+                    == 0
+                    else -1.0
+                    for d in range(dim)
+                ],
+            )
+            for c in range(factor)
+        ]
+        sdf = spark.createDataFrame(signs, "copy bigint, signs array<float>")
+        rep_e = (
+            rep_e.join(F.broadcast(sdf), "copy")
+            .withColumn(
+                "embedding",
+                F.zip_with("embedding", "signs", lambda x, s: x * s),
+            )
+            .drop("signs")
+        )
     (
-        emb.crossJoin(copies)
-        .withColumn("vec_id", F.col("vec_id") + F.col("copy") * F.lit(n_emb))
-        .drop("copy")
+        rep_e.drop("copy")
         .write.mode("overwrite")
         .parquet(f"{out_dir}/embeddings.parquet")
     )
@@ -125,7 +161,32 @@ def probes(spark, sf_dir: str) -> dict:
         # cost must scale with the batch+corpus scans, never with
         # within-side pair counts
         "minhash_incremental": _minhash_incremental_probe(docs),
+        # winnowing match join: pairs only from shared-fingerprint
+        # buckets; perturbed copies have disjoint vocabularies, so the
+        # match rate stays at base level and wall time must track the
+        # fingerprint scan, not pair count
+        "winnow_match_pairs": _winnow_probe(docs),
+        # SRP band blocking: sign-flipped embedding copies keep the
+        # band-collision rate constant; candidate join + popcount agg
+        # must scale with the code table
+        "srp_blocked_hamming": _srp_probe(spark, sf_dir),
     }
+
+
+def _winnow_probe(docs):
+    from fegis_spark.operators.text_analysis import winnow_match_pairs
+
+    return winnow_match_pairs(docs).agg(
+        F.count("*").alias("n"), F.sum("n_shared").alias("s")
+    )
+
+
+def _srp_probe(spark, sf_dir: str):
+    from fegis_spark.queries.vector_q import embedding_srp_blocked_hamming
+
+    return embedding_srp_blocked_hamming(spark, sf_dir).agg(
+        F.count("*").alias("n"), F.sum("n_pairs").alias("p")
+    )
 
 
 def _minhash_incremental_probe(docs):
