@@ -705,3 +705,93 @@ def line_shape_metrics(col: Column) -> Column:
         F.when(n > 0, F.round(bullet / n, 6)).otherwise(0.0).alias("frac_bullet_lines"),
         F.when(n > 0, F.round(ell / n, 6)).otherwise(0.0).alias("frac_ellipsis_lines"),
     )
+
+
+def kn_bigram_logprob(
+    docs, text_col: str = "text", id_col: str = "doc_id",
+    broadcast_vocab: bool = True, discount: str = "0.75",
+):
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1998 formulation) — the top rung of the repo's
+    n-gram quality ladder:
+
+        P(w2|w1) = max(c(w1,w2) - d, 0)/c(w1·)
+                   + (d · N1+(w1·)/c(w1·)) · N1+(·w2)/N1+(··)
+
+    The continuation probability N1+(·w2)/N1+(··) is what separates KN
+    from naive backoff: a word seen often but only in one context
+    ("Francisco") gets a LOW continuation weight. Self-trained on the
+    corpus being scored, so every bigram has c >= 1 and the discount
+    mass is always redistributable.
+
+    Determinism: every term is a ratio of integer counts; the discount
+    is a string LITERAL spliced identically into both engines (a
+    derived 1-d constant would diverge in IEEE); the formula is
+    spelled with the same association on both sides; -ln transits
+    DECIMAL(38,6) before the per-doc mean.
+
+    Plan: one bigram explode feeds the (w1, w2, bigram) count table —
+    persisted; context totals, distinct-successor counts,
+    distinct-predecessor counts and the 1-row N1+(··) all derive from
+    it with NO second corpus scan — then scoring joins all four
+    broadcast tables map-side; only the per-doc agg shuffles."""
+    from pyspark import StorageLevel
+
+    from fegis_spark.operators.dedup import tokens
+
+    d = discount
+    toks = docs.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("tok")
+    ).where(F.size("tok") >= 2)
+    bg = toks.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tok") - 1),
+                lambda i: F.struct(
+                    F.element_at("tok", i).alias("w1"),
+                    F.element_at("tok", i + 1).alias("w2"),
+                    F.concat_ws(
+                        " ", F.element_at("tok", i), F.element_at("tok", i + 1)
+                    ).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc", "p.w1", "p.w2", "p.b")
+    vocab = (
+        bg.groupBy("w1", "w2", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ctx = vocab.groupBy("w1").agg(
+        F.sum("c").alias("cv"), F.count("*").alias("n1v")
+    )
+    pred = vocab.groupBy("w2").agg(F.count("*").alias("n1w"))
+    tot = vocab.agg(F.count("*").alias("n1tot"))
+    v = vocab.select("b", "c")
+    if broadcast_vocab:
+        v, ctx, pred, tot = (
+            F.broadcast(v),
+            F.broadcast(ctx),
+            F.broadcast(pred),
+            F.broadcast(tot),
+        )
+    scored = (
+        bg.join(v, "b")
+        .join(ctx, "w1")
+        .join(pred, "w2")
+        .crossJoin(tot)
+        .withColumn(
+            "nl",
+            -F.log(
+                F.expr(f"greatest(c - {d}, 0.0) / cv")
+                + F.expr(f"(({d} * n1v / cv) * (n1w / n1tot))")
+            ),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.round(
+            F.sum(F.col("nl").cast("decimal(38,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_neg_logprob_kn"),
+        F.count("*").alias("n_bigrams"),
+    )

@@ -1132,3 +1132,52 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rows.unionAll(entropy).unionAll(splits)
+
+
+@register(
+    "text_kn_logprob",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {duck_tokens('text')} AS tok FROM documents
+    ), t2 AS (SELECT doc_id, tok FROM t WHERE len(tok) >= 2),
+    bg AS (
+      SELECT doc_id, tok[i] AS w1, tok[i+1] AS w2,
+             tok[i] || ' ' || tok[i+1] AS b
+      FROM t2, unnest(range(1, len(tok))) AS r(i)
+    ),
+    vocab AS MATERIALIZED (
+      SELECT w1, w2, b, COUNT(*) AS c FROM bg GROUP BY w1, w2, b
+    ),
+    ctx AS (SELECT w1, SUM(c) AS cv, COUNT(*) AS n1v FROM vocab GROUP BY w1),
+    pred AS (SELECT w2, COUNT(*) AS n1w FROM vocab GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS n1tot FROM vocab),
+    scored AS (
+      SELECT bg.doc_id,
+             -ln(greatest(v.c - 0.75, 0.0) / x.cv
+                 + ((0.75 * x.n1v / x.cv) * (p.n1w / t3.n1tot))) AS nl
+      FROM bg
+      JOIN vocab v ON v.b = bg.b
+      JOIN ctx x ON x.w1 = bg.w1
+      JOIN pred p ON p.w2 = bg.w2
+      CROSS JOIN tot t3
+    )
+    SELECT doc_id AS doc,
+           round(CAST(SUM(CAST(nl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_neg_logprob_kn,
+           COUNT(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+    """,
+    covers=("[EXT]-kn-lm",),
+)
+def text_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] interpolated Kneser-Ney bigram scoring — the top rung of
+    the n-gram quality ladder (unigram → bigram → KN): absolute
+    discounting plus the continuation-probability backoff that demotes
+    words frequent only in a single context. All terms are integer
+    ratios with a literal discount on both sides, so the whole
+    smoothed model hash-matches the oracle; see
+    operators/text_analysis.kn_bigram_logprob for the plan shape (one
+    explode, four derived broadcast tables, no second corpus scan)."""
+    from fegis_spark.operators.text_analysis import kn_bigram_logprob
+
+    return kn_bigram_logprob(load_table(spark, sf_dir, "documents"))
