@@ -77,3 +77,41 @@ def test_portable_twins_and_media_empty(spark, empty_docs):
     assert media_features(empty_media).count() == 0
     assert audio_stats(empty_media).count() == 0
     assert resize_images(empty_media, 4, 4).count() == 0
+
+
+def test_session_new_operators_empty(spark, empty_docs):
+    from fegis_spark.operators.text_analysis import (
+        kn_bigram_logprob,
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+    from fegis_spark.queries.pipeline_q import cdc_chunks
+
+    assert winnow_fingerprints(empty_docs).count() == 0
+    assert winnow_match_pairs(empty_docs).count() == 0
+    assert kn_bigram_logprob(empty_docs).count() == 0
+    assert cdc_chunks(empty_docs).count() == 0
+
+
+def test_srp_and_cdc_sink_empty(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fegis_spark.operators.dedup import srp_code_expr
+    from fegis_spark.streaming.cdc import apply_cdc_batch, cdc_sink
+
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert (
+        empty_vecs.select(F.expr(srp_code_expr("embedding", 8)).alias("c")).count()
+        == 0
+    )
+    # CDC fold of an empty batch over no base: empty snapshot, no raise
+    empty_changes = spark.createDataFrame([], "key long, v long, op string")
+    assert apply_cdc_batch(None, empty_changes, "key").count() == 0
+    sink = cdc_sink(str(tmp_path / "t"), "key")
+    sink(empty_changes, 0)  # must commit an empty snapshot, not raise
+    from fegis_spark.streaming.cdc import read_snapshot
+
+    snap = read_snapshot(spark, str(tmp_path / "t"))
+    assert snap is not None and snap.count() == 0
