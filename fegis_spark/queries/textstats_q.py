@@ -175,7 +175,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ex l JOIN ex r ON l.h = r.h AND l.doc_id < r.doc_id
     GROUP BY l.doc_id, r.doc_id
     """,
-    covers=("[EXT]-winnow", "K9-jaccard"),
+    covers=("[EXT]-winnow-match", "K9-jaccard"),
 )
 def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] cross-document winnowing matches (what MOSS reports):

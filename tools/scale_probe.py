@@ -59,6 +59,9 @@ def replicate(spark, out_dir: str, factor: int, perturb: bool = True) -> None:
         )
     (
         rep.drop("copy")
+        .repartition(32)  # splittable layout: the base table is one
+        # row group, so without this every map-side probe at N× runs
+        # on a single core and measures file layout, not the operator
         .write.mode("overwrite")
         .parquet(f"{out_dir}/documents.parquet")
     )
@@ -104,6 +107,7 @@ def replicate(spark, out_dir: str, factor: int, perturb: bool = True) -> None:
         )
     (
         rep_e.drop("copy")
+        .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{out_dir}/embeddings.parquet")
     )
@@ -121,7 +125,11 @@ def probes(spark, sf_dir: str) -> dict:
 
     from fegis_spark.operators.dedup import with_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    # uniform 32-way input parallelism at BOTH scales: the 1× corpus is
+    # a single row group (unsplittable), which would pin every map-side
+    # HOF probe to one core and time the file layout instead of the
+    # operator; the constant repartition cost cancels in the ratio
+    docs = load_table(spark, sf_dir, "documents").repartition(32)
     sh = with_shingles(docs, "text", "doc_id")
     ex = sh.select("doc", F.explode("sh").alias("g"))
     freq = ex.groupBy("g").agg(F.count("*").alias("n_docs"))
@@ -229,9 +237,16 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     spark = configure_for_oracle(get_spark("scale_probe"))
     with tempfile.TemporaryDirectory(prefix="scale_probe_") as tmp:
-        replicate(spark, tmp, factor)
-        t1 = time_all(spark, SF_DIR)
-        tn = time_all(spark, tmp)
+        # the 1× leg goes through the SAME replicate writer (factor=1)
+        # so both legs read identically-laid-out (32-file, perturbed)
+        # tables — otherwise the single-row-group base file caps the 1×
+        # leg at one core and the ratio conflates layout with scaling
+        base = f"{tmp}/x1"
+        repl = f"{tmp}/xN"
+        replicate(spark, base, 1)
+        replicate(spark, repl, factor)
+        t1 = time_all(spark, base)
+        tn = time_all(spark, repl)
         report = {
             "factor": factor,
             "queries": {
