@@ -222,10 +222,20 @@ def _substring_spans_probe(spark, sf_dir: str):
 
 
 def time_all(spark, sf_dir: str) -> dict[str, float]:
-    out = {}
-    for name, df in probes(spark, sf_dir).items():
+    """Warm every probe once (codegen + JIT + page cache), then time a
+    FRESH plan per probe from a cold executor cache. The timed plan is
+    rebuilt immediately before ITS timing: clearCache() de-registers
+    every not-yet-materialized persist too, and a plan whose
+    InMemoryRelation was de-registered recomputes the whole upstream
+    subtree per consumer — measured 10-25× inflation on
+    winnow_match_pairs (3-consumer persist) before this fix."""
+    names = list(probes(spark, sf_dir))
+    for df in probes(spark, sf_dir).values():
         df.write.format("noop").mode("overwrite").save()  # warm: codegen+JIT
-        spark.catalog.clearCache()  # operators persist intermediates
+    spark.catalog.clearCache()  # operators persist intermediates
+    out = {}
+    for name in names:
+        df = probes(spark, sf_dir)[name]  # fresh persist registration
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 3)
