@@ -247,3 +247,80 @@ def sliding_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+#: CUSUM drift geometry for the batch twin: literal target/slack/h on
+#: both sides (streaming/drift.py uses the same fold).
+CUSUM_TARGET, CUSUM_SLACK, CUSUM_H = "10.0", "0.5", "25.0"
+
+
+@register(
+    "cusum_batch",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), sz AS (
+      SELECT user_id, MAX(rn) AS n FROM ev GROUP BY user_id
+    ), fold AS (
+      SELECT user_id, 0 AS rn, CAST(0.0 AS DOUBLE) AS pos, CAST(0.0 AS DOUBLE) AS neg FROM sz
+      UNION ALL
+      SELECT f.user_id, f.rn + 1,
+             greatest(0.0, f.pos + (e.value - {CUSUM_TARGET} - {CUSUM_SLACK})),
+             least(0.0, f.neg + (e.value - {CUSUM_TARGET} + {CUSUM_SLACK}))
+      FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+    )
+    SELECT f.user_id, sz.n AS n_events,
+           round(f.pos, 6) AS cusum_pos,
+           round(f.neg, 6) AS cusum_neg,
+           (f.pos > {CUSUM_H} OR f.neg < -{CUSUM_H}) AS drifted
+    FROM fold f JOIN sz ON sz.user_id = f.user_id AND f.rn = sz.n
+    """,
+    covers=("§2.10-drift", "§2.11-udaf"),
+)
+def cusum_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 batch twin of the streaming CUSUM drift detector
+    (streaming/drift.py) — and a demonstration that even a
+    NON-associative stateful fold can be oracle-checked: Spark folds
+    each user's (ts, event_id)-ordered values sequentially inside a
+    grouped applyInPandas (per-key state is the parallel unit — the
+    same shape the streaming form uses), while the oracle unrolls the
+    identical recurrence as a DuckDB recursive CTE. Both sides apply
+    the same left-associated IEEE operations in the same order with
+    literal constants, so the final statistics are bit-identical and
+    only the OUTPUT rounds (6 dp). One shuffle on user_id; per-group
+    work is O(events of that user)."""
+    import pandas as pd
+
+    target, slack, h = (
+        float(CUSUM_TARGET),
+        float(CUSUM_SLACK),
+        float(CUSUM_H),
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        pos = neg = 0.0
+        for x in pdf["value"]:
+            pos = max(0.0, pos + (x - target - slack))
+            neg = min(0.0, neg + (x - target + slack))
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "cusum_pos": [round(pos, 6)],
+                "cusum_neg": [round(neg, 6)],
+                "drifted": [pos > h or neg < -h],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id long, n_events long, cusum_pos double, cusum_neg double, "
+        "drifted boolean",
+    )
