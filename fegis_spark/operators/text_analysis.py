@@ -709,7 +709,7 @@ def line_shape_metrics(col: Column) -> Column:
 
 def kn_bigram_logprob(
     docs, text_col: str = "text", id_col: str = "doc_id",
-    broadcast_vocab: bool = True, discount: str = "0.75",
+    broadcast_vocab: bool = True, discount: str = "CAST(0.75 AS DOUBLE)",
 ):
     """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
     Chen & Goodman 1998 formulation) — the top rung of the repo's
@@ -789,9 +789,14 @@ def kn_bigram_logprob(
             ),
         )
     )
+    # OUTPUT IS THE DECIMAL-EXACT SUM, NOT THE MEAN: sum/count can land
+    # exactly on a .5e-6 rounding midpoint (observed once in 755k rows
+    # at sf0.1), where Spark's BigDecimal HALF_UP and DuckDB's round
+    # break the tie differently. The decimal sum cast to double is the
+    # same nearest double on both engines — no division, no tie.
     return scored.groupBy("doc").agg(
-        F.round(
-            F.sum(F.col("nl").cast("decimal(38,6)")).cast("double") / F.count("*"), 6
-        ).alias("avg_neg_logprob_kn"),
+        F.sum(F.col("nl").cast("decimal(38,6)")).cast("double").alias(
+            "sum_neg_logprob_kn"
+        ),
         F.count("*").alias("n_bigrams"),
     )

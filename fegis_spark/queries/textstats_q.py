@@ -1153,8 +1153,8 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT COUNT(*) AS n1tot FROM vocab),
     scored AS (
       SELECT bg.doc_id,
-             -ln(greatest(v.c - 0.75, 0.0) / x.cv
-                 + ((0.75 * x.n1v / x.cv) * (p.n1w / t3.n1tot))) AS nl
+             -ln(greatest(v.c - CAST(0.75 AS DOUBLE), 0.0) / x.cv
+                 + ((CAST(0.75 AS DOUBLE) * x.n1v / x.cv) * (p.n1w / t3.n1tot))) AS nl
       FROM bg
       JOIN vocab v ON v.b = bg.b
       JOIN ctx x ON x.w1 = bg.w1
@@ -1162,8 +1162,8 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN tot t3
     )
     SELECT doc_id AS doc,
-           round(CAST(SUM(CAST(nl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
-             AS avg_neg_logprob_kn,
+           CAST(SUM(CAST(nl AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_neg_logprob_kn,
            COUNT(*) AS n_bigrams
     FROM scored GROUP BY doc_id
     """,
