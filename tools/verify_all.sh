@@ -1,0 +1,40 @@
+#!/usr/bin/env bash
+# One-shot round-close verification — every gate in CLAUDE.md's verify
+# list, in order, with the correct flags (notably: the correctness
+# gate takes --sf DIR; SPARK_GRAFT_SF_DIR only affects bench.py).
+# Usage: tools/verify_all.sh [--full]   (--full adds the sf0.1 sweep)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/7 DuckDB-oracle gate (sf0.01, full catalog) =="
+python tools/check_correctness.py 2>/dev/null | tail -1
+
+echo "== 2/7 driver smoke (bare session) =="
+python - <<'EOF' 2>/dev/null
+from pyspark.sql import SparkSession
+import __spark_entry__ as E
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+print("entry rows:", E.entry(spark).count())
+print("queries:", len(E.queries()), "oracles:", len(E.oracle_sql()))
+EOF
+
+echo "== 3/7 bench smoke (sf0.001) =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python bench.py 2>/dev/null | tail -1
+
+echo "== 4/7 pytest =="
+python -m pytest tests/ -q 2>/dev/null | tail -1
+
+echo "== 5/7 oracle lint =="
+python tools/oracle_lint.py 2>/dev/null
+
+echo "== 6/7 coverage + plan reports =="
+python tools/coverage_report.py 2>/dev/null
+python tools/plan_report.py --md 2>/dev/null | tail -1
+
+if [[ "${1:-}" == "--full" ]]; then
+  echo "== 7/7 full sf0.1 sweep (bench scale factor) =="
+  python tools/check_correctness.py --sf /root/testdata/sf0.1 2>/dev/null | tail -1
+else
+  echo "== 7/7 sf0.1 sweep skipped (pass --full to run; ~25 min) =="
+fi
+echo "verify_all: done"
