@@ -732,3 +732,53 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "new_users", F.sum("new_users").over(w).cast("bigint").alias("cum_users")
     )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT user_id, first_v, last_v, third_v, first_noncl
+    FROM (
+      SELECT user_id,
+             row_number() OVER w AS rn,
+             first_value(value) OVER w AS first_v,
+             last_value(value) OVER wf AS last_v,
+             nth_value(value, 3) OVER wf AS third_v,
+             first_value(CASE WHEN event_type = 'click' THEN NULL
+                              ELSE value END IGNORE NULLS) OVER wf
+               AS first_noncl
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+    ) WHERE rn = 1
+    """,
+    covers=("§2.5-value-fns", "W1"),
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 value window functions — first_value / full-frame
+    last_value and nth_value / IGNORE NULLS — the family the rank
+    queries don't touch. NULLs are injected deterministically (click
+    events) so the IGNORE NULLS path is non-vacuous; the running
+    window and the full frame share ONE user exchange (same partition
+    spec), and rn=1 collapses to one row per user. Values pass through
+    untouched — no arithmetic, no rounding needed."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    noncl = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    return (
+        e.select(
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.first("value").over(w).alias("first_v"),
+            F.last("value").over(wf).alias("last_v"),
+            F.nth_value("value", 3).over(wf).alias("third_v"),
+            F.first(noncl, ignorenulls=True).over(wf).alias("first_noncl"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
