@@ -1181,3 +1181,139 @@ def text_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fegis_spark.operators.text_analysis import kn_bigram_logprob
 
     return kn_bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_length_regression",
+    oracle=f"""
+    WITH pts AS (
+      SELECT lang, CAST(n_chars AS DOUBLE) AS x,
+             {quality_score_sql('text')} AS y
+      FROM documents
+    ), s AS (
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM pts GROUP BY lang
+    )
+    SELECT lang, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 12) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    covers=("[EXT]-regression", "§2.4-stats"),
+)
+def quality_length_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-language OLS regression of quality on document length
+    — closed-form from the five decimal-exact moment sums (n, Σx, Σy,
+    Σxy, Σx², Σy²), the same order-independent-moments recipe as
+    stats_moments extended to two variables: slope, intercept and r²
+    drop out of sums, so a full regression costs ONE partial+final
+    aggregate at any corpus size (no iterative solver, no second
+    pass). Per-row products stay IEEE; every sum rides the decimal
+    lattice; the derived ratios are spelled with identical association
+    on both engines. The answer to 'is my quality score just a length
+    proxy?' — a calibration audit every score should pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("x"),
+        quality_score_expr("text").alias("y"),
+    )
+    dd = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    x, y = F.col("x"), F.col("y")
+    s = pts.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        dd(x).alias("sx"),
+        dd(y).alias("sy"),
+        dd(x * y).alias("sxy"),
+        dd(x * x).alias("sxx"),
+        dd(y * y).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxy"), F.col("sxx"), F.col("syy"),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "lang",
+        "n",
+        F.round(slope, 12).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "lang_source_chisq",
+    oracle="""
+    WITH cells AS MATERIALIZED (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, SUM(o) AS r FROM cells GROUP BY lang),
+    ct AS (SELECT source, SUM(o) AS c FROM cells GROUP BY source),
+    tot AS (SELECT SUM(o) AS t FROM cells),
+    contrib AS (
+      SELECT (cells.o - (rt.r * ct.c / CAST(tot.t AS DOUBLE)))
+             * (cells.o - (rt.r * ct.c / CAST(tot.t AS DOUBLE)))
+             / (rt.r * ct.c / CAST(tot.t AS DOUBLE)) AS v
+      FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+    )
+    SELECT round(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE), 6) AS chi2,
+           (SELECT (COUNT(*) - 1) FROM rt)
+             * (SELECT (COUNT(*) - 1) FROM ct) AS dof,
+           (SELECT COUNT(*) FROM cells) AS n_cells
+    FROM contrib
+    """,
+    covers=("[EXT]-chisq", "§2.4-stats"),
+)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] chi-square independence test between language and source
+    — the audit for 'does every source contribute the same language
+    mix?' (a skewed cell means one source dominates a language, which
+    stratified sampling must know about). Observed/expected cells come
+    from ONE count aggregate; row totals, column totals and the grand
+    total all derive from the persisted |langs|×|sources| cell table
+    (constant-size at any corpus scale — the corpus is scanned once);
+    per-cell contributions are identical IEEE expressions and their
+    sum rides the decimal lattice."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count("*").alias("o"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rt = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("t"))
+    e = F.col("r") * F.col("c") / F.col("t").cast("double")
+    contrib = (
+        cells.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(((F.col("o") - e) * (F.col("o") - e) / e).alias("v"))
+    )
+    stats = contrib.agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double"), 6
+        ).alias("chi2")
+    )
+    dof = (
+        rt.agg((F.count("*") - 1).alias("nr"))
+        .crossJoin(ct.agg((F.count("*") - 1).alias("nc")))
+        .select((F.col("nr") * F.col("nc")).alias("dof"))
+    )
+    ncells = cells.agg(F.count("*").alias("n_cells"))
+    return stats.crossJoin(F.broadcast(dof)).crossJoin(F.broadcast(ncells))
