@@ -5,7 +5,7 @@ text_analysis.py) so the two sides cannot drift."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fegis_spark.catalog import register
@@ -1317,3 +1317,146 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ncells = cells.agg(F.count("*").alias("n_cells"))
     return stats.crossJoin(F.broadcast(dof)).crossJoin(F.broadcast(ncells))
+
+
+@register(
+    "quality_ks_drift",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+             {quality_score_sql('text')} AS q
+      FROM documents
+    ),
+    counts AS MATERIALIZED (
+      SELECT q,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS b
+      FROM scored GROUP BY q
+    ),
+    tot AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM counts),
+    cdf AS (
+      SELECT q,
+             SUM(a) OVER w / CAST(t.na AS DOUBLE) AS fa,
+             SUM(b) OVER w / CAST(t.nb AS DOUBLE) AS fb
+      FROM counts CROSS JOIN tot t
+      WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+    )
+    SELECT round(MAX(abs(fa - fb)), 6) AS ks_stat,
+           (SELECT na FROM tot) AS n_en,
+           (SELECT nb FROM tot) AS n_rest,
+           (SELECT COUNT(*) FROM counts) AS n_distinct_q
+    FROM cdf
+    """,
+    covers=("[EXT]-ks-drift", "§2.4-stats"),
+)
+def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] two-sample Kolmogorov-Smirnov statistic between the
+    quality distributions of the English slice and the rest — the
+    standard distribution-drift test (run it between snapshots, splits
+    or sources before a score threshold silently means different
+    things for different cohorts). The corpus collapses to per-value
+    counts in ONE aggregate; the CDF window runs over the DISTINCT
+    quality values only (quality is a discrete 6dp formula — hundreds
+    of values at any corpus size, so the unpartitioned window is
+    bounded by the value grid, not the corpus). Integer counts /
+    integer totals per step — IEEE-identical; max is order-free."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("grp"),
+        quality_score_expr("text").alias("q"),
+    )
+    counts = (
+        scored.groupBy("q")
+        .agg(
+            F.sum(F.col("grp")).alias("a"),
+            F.sum(1 - F.col("grp")).alias("b"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = counts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = counts.crossJoin(F.broadcast(tot)).select(
+        (F.sum("a").over(w) / F.col("na").cast("double")).alias("fa"),
+        (F.sum("b").over(w) / F.col("nb").cast("double")).alias("fb"),
+    )
+    stats = cdf.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat")
+    )
+    return (
+        stats.crossJoin(
+            F.broadcast(
+                tot.select(
+                    F.col("na").alias("n_en"), F.col("nb").alias("n_rest")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(counts.agg(F.count("*").alias("n_distinct_q"))))
+    )
+
+
+@register(
+    "source_concentration",
+    oracle="""
+    WITH s AS MATERIALIZED (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n) AS t, COUNT(*) AS k FROM s),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n, source) AS i
+      FROM s
+    )
+    SELECT round((2.0 * SUM(r.i * r.n) - (t.t * (t.k + 1)))
+                 / CAST(t.k * t.t AS DOUBLE), 6) AS gini,
+           -- lint: allow R3 (decimal-transit inside; regex can't see across the break)
+           round(CAST(SUM(CAST((r.n / CAST(t.t AS DOUBLE))
+                              * (r.n / CAST(t.t AS DOUBLE)) AS DECIMAL(38,18)))
+                      AS DOUBLE), 6) AS hhi,
+           round(MAX(r.n) / CAST(t.t AS DOUBLE), 6) AS top_share,
+           t.k AS n_sources
+    FROM ranked r CROSS JOIN tot t
+    GROUP BY t.t, t.k
+    """,
+    covers=("[EXT]-concentration", "§2.4-stats"),
+)
+def source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] source-concentration audit: Gini coefficient (rank
+    formula G = (2·Σ i·nᵢ − t(k+1)) / (k·t) over sources sorted
+    ascending), Herfindahl-Hirschman index, and the top source's
+    share — the 'is one domain eating the corpus?' dashboard numbers
+    that decide whether source caps (source_cap_sample) need to bind.
+    The corpus collapses to one count per source; everything else runs
+    on the constant-size source table (rank window bounded by
+    |sources|). Integer-derived ratios, identical association, 6dp."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = s.agg(F.sum("n").alias("t"), F.count("*").alias("k"))
+    ranked = s.select(
+        "n", F.row_number().over(Window.orderBy("n", "source")).alias("i")
+    )
+    t, k = F.col("t"), F.col("k")
+    share = F.col("n") / t.cast("double")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("t", "k")
+        .agg(
+            F.round(
+                (2.0 * F.sum(F.col("i") * F.col("n")) - (t * (k + 1)))
+                / (k * t).cast("double"),
+                6,
+            ).alias("gini"),
+            F.round(
+                F.sum((share * share).cast("decimal(38,18)")).cast("double"), 6
+            ).alias("hhi"),
+            F.round(F.max("n") / t.cast("double"), 6).alias("top_share"),
+        )
+        .select("gini", "hhi", "top_share", F.col("k").alias("n_sources"))
+    )
