@@ -99,3 +99,53 @@ def test_in_batch_precedence_delete_beats_upsert(spark):
     )
     out = {r.key: r.v for r in apply_cdc_batch(None, b, "key").collect()}
     assert out == {8: 1}
+
+
+def test_dedup_then_cdc_chain(spark, tmp_path):
+    """Composition: streaming exact-dedup feeding the CDC snapshot
+    sink — the shape of a deduplicating incremental ingest (dedup
+    drops repeated content within the watermark; the sink upserts
+    survivors by key). Final snapshot must hold one row per distinct
+    content, first-seen payload winning."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from fegis_spark.streaming.dedup import dedup_stream
+
+    staging = str(tmp_path / "staging")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(staging)
+    batches = [
+        [(1, "hello world", "2024-01-01 00:00:00"),
+         (2, "hello world", "2024-01-01 00:00:10"),   # dup content, dropped
+         (3, "fresh text", "2024-01-01 00:00:20")],
+        [(4, "hello  WORLD", "2024-01-01 00:01:00"),  # normalizes to dup
+         (5, "brand new", "2024-01-01 00:01:10")],
+    ]
+    schema = "doc_id long, text string, ts string"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/b{i}")
+        _t.sleep(1.1)
+    sdf = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staging}/b*")
+    )
+    deduped = dedup_stream(sdf, "text", "ts").select(
+        F.col("content_hash").alias("key"),
+        F.col("doc_id").alias("v"),
+        F.lit("upsert").alias("op"),
+    )
+    q = (
+        deduped.writeStream.foreachBatch(cdc_sink(target, "key"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "chain did not drain in 300s"
+    snap = {r.v for r in read_snapshot(spark, target).collect()}
+    assert snap == {1, 3, 5}, snap  # first-seen of each distinct content
