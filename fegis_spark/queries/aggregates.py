@@ -782,3 +782,53 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "order_date_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           COUNT(*) AS n_orders,
+           CAST(MIN(last_day(CAST(o_orderdate AS DATE))) AS TIMESTAMP)
+             AS first_month_end,
+           CAST(MAX(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH)
+                AS TIMESTAMP) AS max_plus3mo,
+           CAST(MAX(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE))) AS BIGINT)
+             AS max_days_since_epoch0
+    FROM orders
+    GROUP BY yr, qtr, iso_dow
+    """,
+    covers=("§2.8-datetime", "§2.4-agg"),
+)
+def order_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date/time scalar breadth — the functions with ENGINE
+    CONVENTION TRAPS, each mapped explicitly: day-of-week (Spark's
+    dayofweek is Sunday=1, DuckDB's isodow is Monday=1 — converted to
+    ISO on the Spark side), month arithmetic (Spark add_months and
+    DuckDB +INTERVAL both clamp to month end — verified equivalent),
+    last_day, and day diffs (argument order is reversed between
+    engines). Grouped so the output is a compact calendar rollup; all
+    outputs emit as TIMESTAMP/INT to match the oracle's types."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    iso_dow = ((F.dayofweek(d) + 5) % 7) + 1  # Sun=1 grid → ISO Mon=1
+    return (
+        o.select(
+            F.year(d).cast("int").alias("yr"),
+            F.quarter(d).cast("int").alias("qtr"),
+            iso_dow.cast("int").alias("iso_dow"),
+            d.alias("d"),
+        )
+        .groupBy("yr", "qtr", "iso_dow")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(F.last_day(F.col("d"))).cast("timestamp").alias("first_month_end"),
+            F.max(F.add_months(F.col("d"), 3)).cast("timestamp").alias("max_plus3mo"),
+            F.max(F.datediff(F.col("d"), F.lit("1995-01-01").cast("date")))
+            .cast("bigint")
+            .alias("max_days_since_epoch0"),
+        )
+    )
