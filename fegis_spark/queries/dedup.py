@@ -782,3 +782,64 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+@register(
+    "edit_distance_verify",
+    oracle="""
+    WITH p AS (
+      SELECT lang, source, doc_id, substr(text, 1, 64) AS pre
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.lang, a.source,
+             levenshtein(a.pre, b.pre) AS d
+      FROM p a JOIN p b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(d) AS BIGINT) AS min_dist,
+           round(CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_dist,
+           CAST(SUM(CASE WHEN d <= 16 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_close
+    FROM pairs GROUP BY lang, source
+    """,
+    covers=("[EXT]-edit-distance", "K9-jaccard"),
+)
+def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] edit-distance verification tier: Levenshtein over 64-char
+    prefixes for every candidate pair inside (lang, source) blocks —
+    the character-level verifier dedup toolkits run on short fields
+    (titles, URLs, prefixes) where token Jaccard is too coarse.
+    Levenshtein is native JVM/C in both engines with identical DP
+    semantics, so the whole tier hash-matches. Quadratic only WITHIN
+    blocks (same bounded-block contract as dedup_ngram_jaccard, which
+    documents the LSH swap for unbounded blocks); the prefix cap
+    bounds each DP at 64×64 regardless of document length."""
+    p = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "doc_id", F.substring("text", 1, 64).alias("pre")
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.lang").alias("lang"),
+        F.col("a.source").alias("source"),
+        F.levenshtein(F.col("a.pre"), F.col("b.pre")).alias("d"),
+    )
+    return pairs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("d").cast("bigint").alias("min_dist"),
+        F.round(
+            F.sum(F.col("d").cast("decimal(38,6)")).cast("double") / F.count("*"),
+            6,
+        ).alias("avg_dist"),
+        F.sum((F.col("d") <= 16).cast("int")).cast("bigint").alias("n_close"),
+    )
