@@ -832,3 +832,71 @@ def order_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_days_since_epoch0"),
         )
     )
+
+
+@register(
+    "anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS dv, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dv, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           round(MAX(dev.med), 6) AS median_v,
+           round(MAX(mad.mad), 6) AS mad_v,
+           COUNT(*) AS n,
+           -- lint: allow R3 (integer 0/1 CASE sum, not a double sum)
+           CAST(SUM(CASE WHEN dev.dv > 3.0 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+    covers=("[EXT]-mad-outliers", "§2.4-stats"),
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] robust outlier detection via median absolute deviation —
+    the breakdown-resistant twin of anomaly_zscore (a handful of
+    extreme rows shifts a mean/stddev gate but not a median/MAD one;
+    the 1.4826 factor makes MAD consistent with sigma under
+    normality, 3-sigma-equivalent threshold). Exact interpolated
+    medians (Spark percentile == DuckDB quantile_cont — the proven
+    portable pair) at both levels; the deviation projection persists
+    because the MAD aggregate AND the outlier count both read it, and
+    at 100 TB the alternative is a third corpus scan. All constants
+    literal with identical association; counts are integers."""
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", F.abs(F.col("value") - F.col("med")).alias("dv"), "med"
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dv, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("median_v"),
+            F.round(F.max("mad"), 6).alias("mad_v"),
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("dv") > 3.0 * 1.4826 * F.col("mad")).cast("int")
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
