@@ -914,7 +914,7 @@ TRI_MIN_SUPPORT = 2
            (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
            (SELECT n FROM tri) AS n_triangles,
            round(3.0 * (SELECT n FROM tri)
-                 / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+                 / nullif((SELECT SUM(d * (d - 1) / 2) FROM deg), 0), 6)
              AS global_clustering
     """,
     covers=("[EXT]-graph-triangles", "§2.6-joins"),
@@ -1004,8 +1004,12 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
+            # nullif: a wedge-free graph yields NULL on both engines
+            # instead of Spark's ANSI DIVIDE_BY_ZERO throw.
             F.round(
-                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+                3.0 * F.col("n_triangles")
+                / F.nullif(F.col("n_wedges"), F.lit(0)),
+                6,
             ).alias("global_clustering"),
         )
     )

@@ -273,8 +273,8 @@ CUSUM_TARGET, CUSUM_SLACK, CUSUM_H = "10.0", "0.5", "25.0"
       FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
     )
     SELECT f.user_id, sz.n AS n_events,
-           round(f.pos, 6) AS cusum_pos,
-           round(f.neg, 6) AS cusum_neg,
+           f.pos AS cusum_pos, -- lint: allow unrounded (bit-identical fold)
+           f.neg AS cusum_neg, -- lint: allow unrounded (bit-identical fold)
            (f.pos > {CUSUM_H} OR f.neg < -{CUSUM_H}) AS drifted
     FROM fold f JOIN sz ON sz.user_id = f.user_id AND f.rn = sz.n
     """,
@@ -290,8 +290,9 @@ def cusum_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical recurrence as a DuckDB recursive CTE. Both sides apply
     the same left-associated IEEE operations in the same order with
     literal constants, so the final statistics are bit-identical and
-    only the OUTPUT rounds (6 dp). One shuffle on user_id; per-group
-    work is O(events of that user)."""
+    are emitted UNROUNDED (any rounding would add a third rounding
+    rule — r5 ADVICE). One shuffle on user_id; per-group work is
+    O(events of that user)."""
     import pandas as pd
 
     target, slack, h = (
@@ -306,12 +307,16 @@ def cusum_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in pdf["value"]:
             pos = max(0.0, pos + (x - target - slack))
             neg = min(0.0, neg + (x - target + slack))
+        # emitted UNROUNDED: both engines fold the same left-associated
+        # IEEE ops in the same order, so the doubles are bit-identical
+        # — rounding would only reintroduce a third rounding rule
+        # (Python round is half-to-even; DuckDB/Spark round are not).
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                "cusum_pos": [round(pos, 6)],
-                "cusum_neg": [round(neg, 6)],
+                "cusum_pos": [pos],
+                "cusum_neg": [neg],
                 "drifted": [pos > h or neg < -h],
             }
         )

@@ -1200,11 +1200,11 @@ def text_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts GROUP BY lang
     )
     SELECT lang, n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 12) AS slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-             AS intercept,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 12) AS slope,
+           round((sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)) * sx)
+                 / n, 6) AS intercept,
            round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+                 / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
     FROM s
     """,
     covers=("[EXT]-regression", "§2.4-stats"),
@@ -1218,8 +1218,11 @@ def quality_length_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate at any corpus size (no iterative solver, no second
     pass). Per-row products stay IEEE; every sum rides the decimal
     lattice; the derived ratios are spelled with identical association
-    on both engines. The answer to 'is my quality score just a length
-    proxy?' — a calibration audit every score should pass."""
+    on both engines; degenerate groups (single doc / constant x or y
+    → zero variance denominator) emit NULL via an identical nullif on
+    both sides rather than tripping Spark's ANSI DIVIDE_BY_ZERO. The
+    answer to 'is my quality score just a length proxy?' — a
+    calibration audit every score should pass."""
     docs = load_table(spark, sf_dir, "documents")
     pts = docs.select(
         "lang",
@@ -1240,7 +1243,7 @@ def quality_length_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"), F.col("sx"), F.col("sy"),
         F.col("sxy"), F.col("sxx"), F.col("syy"),
     )
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     return s.select(
         "lang",
         "n",
@@ -1248,7 +1251,9 @@ def quality_length_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(
             ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            / F.nullif(
+                (n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)
+            ),
             6,
         ).alias("r2"),
     )
@@ -1336,8 +1341,8 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM counts),
     cdf AS (
       SELECT q,
-             SUM(a) OVER w / CAST(t.na AS DOUBLE) AS fa,
-             SUM(b) OVER w / CAST(t.nb AS DOUBLE) AS fb
+             SUM(a) OVER w / nullif(CAST(t.na AS DOUBLE), 0) AS fa,
+             SUM(b) OVER w / nullif(CAST(t.nb AS DOUBLE), 0) AS fb
       FROM counts CROSS JOIN tot t
       WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND CURRENT ROW)
@@ -1378,9 +1383,13 @@ def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = counts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
     w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    # nullif: an empty cohort (na or nb = 0) yields NULL ks_stat on
+    # both engines instead of Spark's ANSI DIVIDE_BY_ZERO throw.
     cdf = counts.crossJoin(F.broadcast(tot)).select(
-        (F.sum("a").over(w) / F.col("na").cast("double")).alias("fa"),
-        (F.sum("b").over(w) / F.col("nb").cast("double")).alias("fb"),
+        (F.sum("a").over(w) / F.nullif(F.col("na").cast("double"), F.lit(0.0)))
+        .alias("fa"),
+        (F.sum("b").over(w) / F.nullif(F.col("nb").cast("double"), F.lit(0.0)))
+        .alias("fb"),
     )
     stats = cdf.agg(
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat")

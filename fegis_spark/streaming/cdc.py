@@ -37,13 +37,35 @@ def apply_cdc_batch(
     changes: DataFrame,
     key_col: str,
     op_col: str = "op",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Fold one change batch into a snapshot: rows with op='upsert'
-    insert-or-replace by key, op='delete' removes the key. If the same
-    key appears multiple times IN one batch the upsert wins over older
-    snapshot state and deletes win over upserts (delete-last
-    semantics, matching MERGE WHEN MATCHED THEN DELETE precedence)."""
+    insert-or-replace by key, op='delete' removes the key.
+
+    In-batch precedence (the snapshot holds AT MOST ONE row per key,
+    the invariant read_snapshot consumers rely on):
+
+    - multiple upserts to one key collapse to a single winner BEFORE
+      the merge. ``seq_col`` names the ordering column (a sequence
+      number / commit timestamp): highest value wins, exactly MERGE's
+      "latest change wins". Ties on ``seq_col`` — and the no-seq_col
+      default — break by the total order of the remaining payload
+      columns, so replaying an epoch always rebuilds byte-identical
+      snapshots (required for the pointer-commit idempotency claim).
+    - a delete beats every upsert of the same key in the same batch
+      (MERGE WHEN MATCHED THEN DELETE precedence).
+    """
     ups = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+    others = [c for c in ups.columns if c != key_col]
+    order = F.struct(
+        *([F.col(seq_col)] if seq_col else []),
+        *[F.col(c) for c in others],
+    )
+    ups = (
+        ups.groupBy(key_col)
+        .agg(F.max_by(F.struct(*[F.col(c) for c in others]), order).alias("_w"))
+        .select(key_col, *[F.col(f"_w.{c}").alias(c) for c in others])
+    )
     dels = changes.filter(F.col(op_col) == "delete").select(key_col).distinct()
     if base is None:
         merged = ups
@@ -64,10 +86,14 @@ def read_snapshot(spark: SparkSession, target_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(target_dir, f"snapshot={epoch}"))
 
 
-def cdc_sink(target_dir: str, key_col: str, op_col: str = "op"):
+def cdc_sink(
+    target_dir: str, key_col: str, op_col: str = "op", seq_col: str | None = None
+):
     """foreachBatch callable maintaining `target_dir` from a stream of
     change rows. Idempotent per epoch: replaying batch N overwrites
-    snapshot=N and re-points `_latest` at it — same final state."""
+    snapshot=N and re-points `_latest` at it — same final state.
+    ``seq_col`` names the in-batch ordering column for conflicting
+    upserts to one key (see apply_cdc_batch)."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -81,7 +107,7 @@ def cdc_sink(target_dir: str, key_col: str, op_col: str = "op"):
                     return
         base = read_snapshot(spark, target_dir)
         out = os.path.join(target_dir, f"snapshot={epoch_id}")
-        merged = apply_cdc_batch(base, batch_df, key_col, op_col)
+        merged = apply_cdc_batch(base, batch_df, key_col, op_col, seq_col)
         merged.write.mode("overwrite").parquet(out)
         tmp = os.path.join(target_dir, "_latest.tmp")
         with open(tmp, "w") as f:

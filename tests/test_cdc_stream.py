@@ -101,6 +101,43 @@ def test_in_batch_precedence_delete_beats_upsert(spark):
     assert out == {8: 1}
 
 
+def test_in_batch_multi_upsert_last_wins_by_seq(spark):
+    """Multiple upserts to one key in ONE micro-batch — the normal CDC
+    case — must collapse to a single row (key-uniqueness invariant),
+    highest seq_col winning."""
+    b = spark.createDataFrame(
+        [
+            (7, 10, 1, "upsert"),
+            (7, 20, 3, "upsert"),  # winner: highest seq
+            (7, 15, 2, "upsert"),
+            (8, 1, 1, "upsert"),
+        ],
+        "key long, v long, seq long, op string",
+    )
+    rows = apply_cdc_batch(None, b, "key", seq_col="seq").collect()
+    assert len(rows) == 2  # exactly one row per key
+    out = {r.key: (r.v, r.seq) for r in rows}
+    assert out == {7: (20, 3), 8: (1, 1)}
+    # and it also replaces base state, not just collapses in-batch
+    base = spark.createDataFrame([(7, 0, 0), (9, 9, 0)], "key long, v long, seq long")
+    nxt = apply_cdc_batch(base, b, "key", seq_col="seq")
+    out2 = {r.key: r.v for r in nxt.collect()}
+    assert out2 == {7: 20, 8: 1, 9: 9}
+
+
+def test_in_batch_multi_upsert_without_seq_is_deterministic(spark):
+    """No seq_col → the payload total-order breaks the tie, so replays
+    converge to identical snapshots (no first()/arbitrary-row pick)."""
+    b = spark.createDataFrame(
+        [(7, 10, "upsert"), (7, 20, "upsert"), (7, 15, "upsert")], SCHEMA
+    )
+    outs = {
+        tuple(sorted((r.key, r.v) for r in apply_cdc_batch(None, b, "key").collect()))
+        for _ in range(3)
+    }
+    assert outs == {((7, 20),)}  # one row, max payload, every time
+
+
 def test_dedup_then_cdc_chain(spark, tmp_path):
     """Composition: streaming exact-dedup feeding the CDC snapshot
     sink — the shape of a deduplicating incremental ingest (dedup
