@@ -235,7 +235,11 @@ def winnow_fp_sets(docs, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def winnow_match_pairs(
-    docs, text_col: str = "text", id_col: str = "doc_id", min_shared: int = 1
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+    max_bucket_size: int | None = None,
 ):
     """Cross-document winnowing matches — what MOSS actually reports:
     pairs of documents sharing selected fingerprints, with the shared
@@ -248,11 +252,20 @@ def winnow_match_pairs(
     sides of the self-join and the size lookup read it; without the
     cache the 3 consumers would each redo the winnowing projection),
     explode to (doc, h), equi-join on the hash with doc_l < doc_r,
-    count shared per pair. Same scale posture as LSH candidate
-    generation: pairs come only from shared-fingerprint buckets; a
-    boilerplate-heavy corpus wants the same hot-bucket cap as
-    banded_candidate_pairs (count per h, route over-cap hashes to a
-    representative) before the join."""
+    count shared per pair.
+
+    max_bucket_size is the same hot-bucket cap as
+    banded_candidate_pairs (band = the fingerprint hash itself): a
+    boilerplate fingerprint shared by m docs would emit m(m-1)/2 pairs
+    out of ONE join key — the quadratic output no partitioning trick
+    can shrink. Under the cap, hashes with <= cap members self-join
+    exactly as before; over-cap hashes emit STAR rows to their min-doc
+    representative (m-1 instead of m²/2), so per-pair n_shared counts
+    only the fingerprints that actually generated the candidate.
+    Bucket size + representative come from ONE window over the same
+    per-h exchange the join needs. Capped hashes are observable via
+    winnow_bucket_stats (the no-silent-caps rule). None = exact
+    (the oracle-checked default)."""
     from pyspark import StorageLevel
 
     sets = (
@@ -261,16 +274,45 @@ def winnow_match_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ex = sets.select("doc_id", "n_fp", F.explode("fps").alias("h"))
-    l = ex.select(
-        F.col("doc_id").alias("doc_l"), F.col("n_fp").alias("n_l"), "h"
-    )
-    r = ex.select(
-        F.col("doc_id").alias("doc_r"), F.col("n_fp").alias("n_r"), "h"
-    )
+    if max_bucket_size is None:
+        l = ex.select(
+            F.col("doc_id").alias("doc_l"), F.col("n_fp").alias("n_l"), "h"
+        )
+        r = ex.select(
+            F.col("doc_id").alias("doc_r"), F.col("n_fp").alias("n_r"), "h"
+        )
+        cand = l.join(r, "h").filter(F.col("doc_l") < F.col("doc_r"))
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("h")
+        sized = ex.withColumn("bucket_size", F.count("*").over(w)).withColumn(
+            "rep", F.min(F.struct("doc_id", "n_fp")).over(w)
+        )
+        small = sized.filter(F.col("bucket_size") <= max_bucket_size)
+        l = small.select(
+            F.col("doc_id").alias("doc_l"), F.col("n_fp").alias("n_l"), "h"
+        )
+        r = small.select(
+            F.col("doc_id").alias("doc_r"), F.col("n_fp").alias("n_r"), "h"
+        )
+        star = sized.filter(
+            (F.col("bucket_size") > max_bucket_size)
+            & (F.col("doc_id") != F.col("rep.doc_id"))
+        ).select(
+            F.col("rep.doc_id").alias("doc_l"),  # rep = min ⇒ doc_l < doc_r
+            F.col("rep.n_fp").alias("n_l"),
+            F.col("doc_id").alias("doc_r"),
+            F.col("n_fp").alias("n_r"),
+        )
+        cand = (
+            l.join(r, "h")
+            .filter(F.col("doc_l") < F.col("doc_r"))
+            .drop("h")
+            .unionByName(star)
+        )
     return (
-        l.join(r, "h")
-        .filter(F.col("doc_l") < F.col("doc_r"))
-        .groupBy("doc_l", "doc_r", "n_l", "n_r")
+        cand.groupBy("doc_l", "doc_r", "n_l", "n_r")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
         .select(
@@ -283,6 +325,21 @@ def winnow_match_pairs(
                 6,
             ).alias("fp_jaccard"),
         )
+    )
+
+
+def winnow_bucket_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Audit surface for winnow_match_pairs' hot-fingerprint cap
+    (no-silent-caps rule): per fingerprint hash, how many documents
+    share it and the min-doc representative over-cap members were
+    routed to. Filter bucket_size > cap to list exactly which
+    fingerprints were star-routed and how many pairwise candidacies
+    each dropped."""
+    ex = winnow_fp_sets(docs, text_col, id_col).select(
+        "doc_id", F.explode("fps").alias("h")
+    )
+    return ex.groupBy("h").agg(
+        F.count("*").alias("bucket_size"), F.min("doc_id").alias("rep")
     )
 
 

@@ -17,7 +17,12 @@ from fegis_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from fegis_spark.queries.sqlfrag import duck_tokens
+from fegis_spark.queries.sqlfrag import (
+    HOT_CAP,
+    duck_hot_docs,
+    duck_tokens,
+    spark_hot_docs,
+)
 
 _TOKS = duck_tokens("text")
 
@@ -438,6 +443,83 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         ngram=3,
         jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "dedup_minhash_capped",
+    oracle=rf"""
+    WITH docs2 AS ({duck_hot_docs()}),
+    base AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(0, len(tok)-2),
+                           i -> array_to_string(list_slice(tok, i+1, i+3), ' '))) AS sh
+      FROM (SELECT *, {_TOKS} AS tok FROM docs2)
+      WHERE len(tok) >= 3
+    ), ex AS (
+      SELECT doc, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
+      FROM (SELECT doc, unnest(sh) AS g FROM base)
+    ), mh AS (
+      SELECT doc, i,
+             MIN(CAST(('0x' || substr(md5(CAST(gh AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+      FROM ex, (SELECT unnest(range(16)) AS i)
+      GROUP BY doc, i
+    ), sig AS (
+      SELECT doc, list(m ORDER BY i) AS s FROM mh GROUP BY doc
+    ), banded AS (
+      SELECT doc, b,
+             md5(array_to_string(list_transform(list_slice(s, b*4+1, b*4+4),
+                                                x -> CAST(x AS VARCHAR)), ',')) AS bh
+      FROM sig, (SELECT unnest(range(4)) AS b)
+    ), sized AS MATERIALIZED (
+      SELECT doc, b, bh,
+             COUNT(*) OVER (PARTITION BY b, bh) AS bs,
+             MIN(doc) OVER (PARTITION BY b, bh) AS rep
+      FROM banded
+    ), cand AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT l.doc AS a, r.doc AS b
+        FROM sized l JOIN sized r
+          ON l.b = r.b AND l.bh = r.bh AND l.doc < r.doc
+        WHERE l.bs <= {HOT_CAP}
+        UNION ALL
+        SELECT rep AS a, doc AS b FROM sized
+        WHERE bs > {HOT_CAP} AND doc <> rep
+      )
+    ), ver AS (
+      SELECT c.a, c.b,
+             len(list_intersect(ba.sh, bb.sh))::DOUBLE
+             / (len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh))) AS jaccard
+      FROM cand c
+      JOIN base ba ON ba.doc = c.a
+      JOIN base bb ON bb.doc = c.b
+    )
+    SELECT a, b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5
+    """,
+    covers=("K9-minhash",),
+)
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 MinHash+LSH with the hot-bucket cap EXERCISED under the
+    oracle (r5 verdict #5): a deterministic boilerplate template is
+    injected into every 5th document, creating an exact-template
+    cluster (100 docs at sf0.01, 1000 at sf0.1) whose band buckets all
+    exceed max_bucket_size=32 — so the min-doc representative routing
+    (banded_candidate_pairs' star path) actually fires, and the DuckDB
+    oracle replays the SAME routing (window bucket-size + min-doc rep,
+    small-bucket self-join UNION star rows, then exact-Jaccard verify)
+    value-for-value. The uncapped portable twin certifies the
+    candidate algebra; THIS query certifies the cap semantics
+    cross-engine: m-1 star candidates instead of m(m-1)/2, verification
+    unchanged."""
+    return minhash_lsh_pairs_portable(
+        spark_hot_docs(load_table(spark, sf_dir, "documents")),
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=4,
+        ngram=3,
+        jaccard_threshold=0.5,
+        max_bucket_size=HOT_CAP,
     )
 
 

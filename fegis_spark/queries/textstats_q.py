@@ -10,7 +10,12 @@ from pyspark.sql import functions as F
 
 from fegis_spark.catalog import register
 from fegis_spark.model import load_table
-from fegis_spark.queries.sqlfrag import duck_tokens
+from fegis_spark.queries.sqlfrag import (
+    HOT_CAP,
+    duck_hot_docs,
+    duck_tokens,
+    spark_hot_docs,
+)
 from fegis_spark.operators.text_analysis import (
     FINGERPRINT_SQL,
     TOKEN_COUNT_BPE_SQL,
@@ -185,10 +190,81 @@ def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears, with no MinHash-style false negatives. Candidate pairs
     come only from shared-fingerprint buckets (LSH-shaped equi-join);
     the fingerprint-set projection is persisted so the self-join's two
-    sides don't redo the winnowing scan."""
+    sides don't redo the winnowing scan. winnow_match_capped is the
+    100 TB form: the same join under the hot-fingerprint cap."""
     from fegis_spark.operators.text_analysis import winnow_match_pairs as wmp
 
     return wmp(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "winnow_match_capped",
+    oracle=f"""
+    WITH docs2 AS ({duck_hot_docs()}),
+    base AS (
+      SELECT doc_id, {duck_tokens('text')} AS tok FROM docs2
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(0, greatest(len(tok) - 2, 0)),
+               i -> CAST(('0x' || substr(md5(array_to_string(
+                      list_slice(tok, i + 1, i + 3), ' ')), 1, 15)) AS BIGINT))
+               AS gh,
+             least(4, greatest(len(tok) - 2, 0)) AS wlen
+      FROM base
+    ), fp AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[]) ELSE
+               list_distinct(list_transform(
+                 list_distinct(list_transform(range(0, len(gh) - wlen + 1),
+                   j -> list_max(list_filter(range(j, j + wlen),
+                          p -> gh[p + 1] = list_min(
+                                 list_slice(gh, j + 1, j + wlen)))))),
+                 p -> gh[p + 1]))
+             END AS fps
+      FROM g
+    ), sized AS MATERIALIZED (
+      SELECT doc_id, n_fp, h,
+             COUNT(*) OVER (PARTITION BY h) AS bs,
+             MIN(doc_id) OVER (PARTITION BY h) AS rep_id,
+             first_value(n_fp) OVER (PARTITION BY h ORDER BY doc_id) AS rep_nfp
+      FROM (SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS h FROM fp)
+    ), cand AS (
+      SELECT l.doc_id AS doc_l, l.n_fp AS n_l,
+             r.doc_id AS doc_r, r.n_fp AS n_r
+      FROM sized l JOIN sized r ON l.h = r.h AND l.doc_id < r.doc_id
+      WHERE l.bs <= {HOT_CAP}
+      UNION ALL
+      SELECT rep_id, rep_nfp, doc_id, n_fp FROM sized
+      WHERE bs > {HOT_CAP} AND doc_id <> rep_id
+    )
+    SELECT doc_l, doc_r, COUNT(*) AS n_shared,
+           round(COUNT(*)::DOUBLE
+                 / (any_value(n_l) + any_value(n_r) - COUNT(*)), 6)
+             AS fp_jaccard
+    FROM cand GROUP BY doc_l, doc_r
+    """,
+    covers=("[EXT]-winnow-match", "K9-jaccard"),
+)
+def winnow_match_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] winnowing match join under the hot-fingerprint cap — the
+    100 TB form of winnow_match_pairs, with the cap EXERCISED under
+    the oracle (r5 verdict #1/#5): a deterministic boilerplate
+    template injected into every 5th document makes each of its
+    fingerprints a 100+-member bucket (1000+ at sf0.1), far over
+    max_bucket_size=32, so over-cap hashes route through their min-doc
+    representative (m-1 star candidates instead of m²/2) while small
+    buckets keep exact pairwise counts. The DuckDB oracle replays the
+    SAME routing (window bucket-size + min-doc rep + first_value
+    rep-size, small self-join UNION star rows) value-for-value —
+    per-pair n_shared counts exactly the fingerprints that generated
+    each candidate on both engines. Audit surface:
+    operators/text_analysis.winnow_bucket_stats."""
+    from fegis_spark.operators.text_analysis import winnow_match_pairs as wmp
+
+    return wmp(
+        spark_hot_docs(load_table(spark, sf_dir, "documents")),
+        max_bucket_size=HOT_CAP,
+    )
 
 
 @register(

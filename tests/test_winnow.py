@@ -18,6 +18,7 @@ import random
 
 import pytest
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from fegis_spark.operators.text_analysis import (
     WINNOW_K,
@@ -129,3 +130,43 @@ def test_match_pairs_surface_shared_run(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 1, pairs
     assert all(2 not in p for p in pairs), pairs
+
+
+def test_match_pairs_cap_bounds_hot_fingerprint(spark):
+    """A boilerplate fingerprint shared by 40 docs must emit 39 star
+    candidates under the cap (anchored at the min doc), not 780
+    pairwise ones; small buckets keep exact counts and jaccard; the
+    audit surface lists exactly the over-cap hashes."""
+    from fegis_spark.operators.text_analysis import (
+        winnow_bucket_stats,
+        winnow_match_pairs,
+    )
+
+    boiler = "copyright header all rights reserved generated file do not edit"
+    shared = " ".join(f"s{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    rows = [(i, boiler) for i in range(40)] + [
+        (100, "alpha beta gamma " + shared + " delta epsilon"),
+        (101, "uno dos tres cuatro " + shared + " cinco"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r.doc_l, r.doc_r): (r.n_shared, r.fp_jaccard)
+        for r in winnow_match_pairs(df).collect()
+    }
+    capped = {
+        (r.doc_l, r.doc_r): (r.n_shared, r.fp_jaccard)
+        for r in winnow_match_pairs(df, max_bucket_size=10).collect()
+    }
+    n_fp_boiler = len(ref_fps(boiler))
+    assert len(uncapped) == 40 * 39 // 2 + 1
+    assert len(capped) == 39 + 1
+    # star pairs anchor at the hot cluster's min doc, with exact counts
+    # (identical text ⇒ every shared fp survives the routing)
+    for b in range(1, 40):
+        assert capped[(0, b)] == (n_fp_boiler, 1.0)
+    # the small bucket's pair is untouched: same counts as uncapped
+    assert capped[(100, 101)] == uncapped[(100, 101)]
+    # audit: the over-cap hashes are exactly the boilerplate's fps
+    hot = winnow_bucket_stats(df).filter(F.col("bucket_size") > 10).collect()
+    assert {r.h for r in hot} == set(ref_fps(boiler))
+    assert all(r.bucket_size == 40 and r.rep == 0 for r in hot)
