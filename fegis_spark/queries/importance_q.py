@@ -193,12 +193,14 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] per-source document cap (the domain-cap step of
     CCNet/RefinedWeb-style curation): keep at most SOURCE_CAP
     documents per source, preferring longer documents, doc_id as the
-    total-order tiebreak. One shuffle on source; the window's
-    partition-local top-k never materializes more than the cap per
-    key. At 100 TB this is exactly the per-domain cap pass — a skewed
-    source (one domain = half the crawl) is the norm, and AQE's
-    skew-split handles the partition while the rank filter bounds the
-    output."""
+    total-order tiebreak. One shuffle on source. At 100 TB this is
+    exactly the per-domain cap pass, and a skewed source (one domain =
+    half the crawl) is the norm: the guard is Spark's WindowGroupLimit
+    pushdown — the rank filter runs as a partial per-map top-k BEFORE
+    the exchange, so a hot source ships at most cap rows per map task
+    into the shuffle, not its full row set. (AQE skew-split does NOT
+    apply — it cannot split window partitions.) The pushdown is pinned
+    in tests/test_plans.py for the whole rank-filter family."""
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")

@@ -218,6 +218,25 @@ def test_rolling_window_is_user_partitioned(spark, cat):
     assert "rangepartitioning" not in p.lower(), p
 
 
+def test_rank_filter_family_pushes_window_group_limit(spark, cat):
+    """Every rank-then-filter top-k must carry WindowGroupLimit: the
+    partial per-map top-k that bounds shuffle volume per hot key (at
+    most k rows per map task per key reach the exchange). This — not
+    AQE skew-split, which cannot split window partitions — is the
+    hot-key guard for the family, and it silently disappears if a
+    refactor swaps row_number for a non-rank function or filters on a
+    derived column, so pin it (r5 verdict #3)."""
+    for q in (
+        "source_cap_sample",
+        "top_orders_per_segment",
+        "knn_join_batch",
+        "hard_negatives",
+        "stratified_fixed_k",
+    ):
+        p = formatted_plan(spark, cat, q)
+        assert "WindowGroupLimit" in p, (q, p)
+
+
 def test_epoch_shuffle_window_partitions_by_bucket(spark, cat):
     """The corpus-side rank window must hash-partition on the shuffle
     bucket (256-way parallel); only the 256-row offset prefix-sum may
