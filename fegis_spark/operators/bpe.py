@@ -114,24 +114,30 @@ def train_bpe(
 ) -> list[tuple[str, str]]:
     """Learn `num_merges` BPE merges from the corpus. Returns the
     ordered merge table (the tokenizer artifact). Stops early when the
-    best remaining pair drops below min_pair_count. Each round:
-    1 pair-count aggregation + 1 map-only re-encode; the working
-    symbol table persists and the previous round's cache is released
-    round-by-round (bounded memory footprint)."""
-    from pyspark import StorageLevel
+    best remaining pair drops below min_pair_count.
 
-    syms = words_to_symbols(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    Each round: 1 pair-count aggregation + 1 map-only re-encode. The
+    working symbol table materializes through localCheckpoint
+    (eager=True) each round — same recipe as connected_components:
+    persist() alone caches blocks but leaves the LOGICAL plan growing
+    one pandas_udf layer per round, and past ~100 merges plan analysis
+    overflows the JVM stack (caught by the >=100-merge depth test,
+    tests/test_bpe.py). Checkpointing truncates lineage to O(1) depth
+    at any merge count; the predecessor round's blocks are freed as
+    soon as the next round is materialized (bounded memory)."""
+    from fegis_spark.operators.dedup import _free_local_checkpoint
+
+    syms = words_to_symbols(df, text_col, id_col).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         pair, n = _merge_round(syms)
         if pair is None or n < min_pair_count:
             break
         merges.append(pair)
-        nxt = _apply_merge(syms, pair).persist(StorageLevel.MEMORY_AND_DISK)
-        nxt.count()  # materialize before freeing the predecessor
-        syms.unpersist()
+        nxt = _apply_merge(syms, pair).localCheckpoint(eager=True)
+        _free_local_checkpoint(syms)
         syms = nxt
-    syms.unpersist()
+    _free_local_checkpoint(syms)
     return merges
 
 

@@ -121,6 +121,39 @@ def test_early_stop_on_min_pair_count(spark):
     assert merges == py_train([(1, "ab cd ef")], 50)
 
 
+def test_deep_merge_table_matches_reference(spark):
+    """>= 100 merges on a constructed tie-heavy corpus (r5 verdict #7):
+    a 3-letter alphabet makes pair counts collide constantly, so any
+    tiebreak drift (lexicographic pair order, leftmost-first overlap
+    application) between the distributed argmax and the sequential
+    reference surfaces DEEP in the merge table, where early divergence
+    compounds. Corpus is seeded-deterministic; every word repeats so
+    min_pair_count=2 never stalls early."""
+    import random
+
+    rng = random.Random(20260814)
+    words = {
+        "".join(rng.choice("abc") for _ in range(rng.randint(4, 9)))
+        for _ in range(70)
+    }
+    bag = [w for w in sorted(words) for _ in range(rng.randint(2, 4))]
+    rng.shuffle(bag)
+    corpus = [(i, " ".join(bag[i * 20 : (i + 1) * 20])) for i in range(len(bag) // 20 + 1)]
+    corpus = [(i, t) for i, t in corpus if t]
+    exp = py_train(corpus, 110)
+    assert len(exp) >= 100, f"constructed corpus sustains only {len(exp)} merges"
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = train_bpe(df, "text", "doc_id", num_merges=110)
+    assert got == exp, next(
+        (i, g, e) for i, (g, e) in enumerate(zip(got, exp)) if g != e
+    )
+    # and encoding with the deep table still matches token-for-token
+    enc = encode_with_merges(df, "text", "doc_id", got)
+    got_tok = {r["doc"]: list(r["tokens"]) for r in enc.collect()}
+    for doc_id, text in corpus:
+        assert got_tok[doc_id] == py_encode(text, got), doc_id
+
+
 def test_bpe_property_random_corpora(spark):
     """Derandomized hypothesis sweep: distributed merge learning equals
     the sequential reference on generated corpora (repeated words, CJK
