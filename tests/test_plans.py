@@ -237,6 +237,18 @@ def test_rank_filter_family_pushes_window_group_limit(spark, cat):
         assert "WindowGroupLimit" in p, (q, p)
 
 
+def test_capped_dedup_windows_partition_on_bucket_key(spark, cat):
+    """The hot-bucket cap's sizing window must ride the join's own
+    bucket-key exchange — hash-partitioned on the fingerprint hash /
+    (band, band-hash), never a global window (which would funnel the
+    exploded corpus through one task and defeat the cap entirely)."""
+    p = formatted_plan(spark, cat, "winnow_match_capped")
+    assert "hashpartitioning(h" in p, p
+    assert "SinglePartition" not in p, p
+    p = formatted_plan(spark, cat, "dedup_minhash_capped")
+    assert "SinglePartition" not in p, p
+
+
 def test_epoch_shuffle_window_partitions_by_bucket(spark, cat):
     """The corpus-side rank window must hash-partition on the shuffle
     bucket (256-way parallel); only the 256-row offset prefix-sum may
