@@ -152,23 +152,6 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "approx_distinct_parts",
-    oracle=None,  # approx_count_distinct (HLL++) is engine-specific — rows-only check
-    covers=("§2.4-approx",),
-)
-def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) per returnflag — the
-    scale-path distinct; exact countDistinct shown alongside for the
-    sf-correctness eyeball. HLL sketches differ across engines → no SQL
-    oracle."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-    )
-
-
-@register(
     "hll_error_audit",
     oracle="""
     SELECT l_returnflag,
@@ -179,8 +162,10 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers=("§2.4-approx",),
 )
 def hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Error-bound audit for the HLL++ sketch (r5 verdict #4 — the
-    dedup_minhash_eval pattern applied to approx_count_distinct):
+    """approx_count_distinct (HyperLogLog++) per returnflag — the
+    scale-path distinct — as an error-bound audit (r5 verdict #4, the
+    dedup_minhash_eval pattern; replaces the former rows-only
+    approx_distinct_parts, which this subsumes):
     compute sketch AND exact distinct on the same data, emit the exact
     side as values and the error-bound check as a boolean the oracle
     asserts literally TRUE. The sketch value itself is engine-specific

@@ -293,29 +293,14 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` == DuckDB
-    quantile_cont); the approx path (percentile_approx / KLL) is in
-    approx_quantiles_rowsonly."""
+    quantile_cont); the approx path (percentile_approx / GK) is in
+    quantile_error_audit, where its rank-error bound is value-checked."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
-    )
-
-
-@register(
-    "approx_quantiles",
-    oracle=None,  # sketch-based (GK/KLL) — engine-specific, rows-only
-    covers=("§2.4-approx-quantile",),
-)
-def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx — the sketch the exact form trades against at
-    100 TB (single pass, mergeable, bounded memory)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
     )
 
 
@@ -335,8 +320,11 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers=("§2.4-approx-quantile",),
 )
 def quantile_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Error-bound audit for the percentile_approx sketch (r5 verdict
-    #4): the sketch guarantees RANK error <= 1/accuracy = 1e-4, so its
+    """percentile_approx — the sketch the exact quantile form trades
+    against at 100 TB (single pass, mergeable, bounded memory) — as an
+    error-bound audit (r5 verdict #4; replaces the former rows-only
+    approx_quantiles, which this subsumes): the sketch guarantees RANK
+    error <= 1/accuracy = 1e-4, so its
     returned value must lie between the exact interpolated quantiles
     at rank ±1% — a band 100× wider than the guarantee, checked as
     booleans the oracle asserts literally TRUE. The band edges are
