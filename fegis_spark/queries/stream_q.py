@@ -249,6 +249,64 @@ def sliding_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_upsert_conflicts",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 = 0
+                  THEN 'delete' ELSE 'upsert' END AS op
+      FROM events
+    ), ups AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ch WHERE op = 'upsert'
+    ), dels AS (SELECT DISTINCT user_id FROM ch WHERE op = 'delete')
+    SELECT u.user_id, u.event_id AS last_event_id,
+           u.ts AS last_ts, u.value AS last_value
+    FROM ups u
+    WHERE u.rn = 1
+      AND NOT EXISTS (SELECT 1 FROM dels d WHERE d.user_id = u.user_id)
+    """,
+    covers=("[EXT]-cdc", "§2.5-topk"),
+)
+def cdc_upsert_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the streaming CDC fold's IN-BATCH conflict semantics,
+    value-checked (r5 ADVICE follow-through): every event becomes a
+    change op (md5-bucket 1% deletes, rest upserts keyed by user_id —
+    ~67 conflicting upserts per key per 'batch'), folded by the SAME
+    apply_cdc_batch the streaming sink uses. The oracle asserts
+    exactly the documented precedence: multiple upserts to one key
+    collapse to the highest-(seq, payload) winner (seq_col=ts,
+    event_id breaking ts ties through the payload total-order) and a
+    delete beats every upsert of its key. Each surviving user emits
+    ONE row — the key-uniqueness invariant the snapshot contract
+    promises. Plan: one groupBy(key) max_by (no join-back) + a
+    broadcast delete anti-join; at 100 TB the fold cost is one
+    hash-agg of the batch, never the snapshot."""
+    from fegis_spark.streaming.cdc import apply_cdc_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    ch = ev.withColumn(
+        "op", F.when(bucket == 0, F.lit("delete")).otherwise(F.lit("upsert"))
+    )
+    snap = apply_cdc_batch(None, ch, "user_id", seq_col="ts")
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
 #: CUSUM drift geometry for the batch twin: literal target/slack/h on
 #: both sides (streaming/drift.py uses the same fold).
 CUSUM_TARGET, CUSUM_SLACK, CUSUM_H = "10.0", "0.5", "25.0"
