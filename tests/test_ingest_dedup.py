@@ -368,6 +368,25 @@ def test_banded_candidate_cap_bounds_hot_bucket(spark):
     assert [(r.band, r.bh, r.bucket_size, r.rep) for r in hot] == [(0, 7, 40, 0)]
 
 
+def test_banded_candidate_cap_boundary_is_inclusive(spark):
+    """bucket_size == cap must self-join exactly (the cap is a
+    threshold on size, routing starts strictly ABOVE it); cap+1 routes.
+    Pins the <=/< boundary so an off-by-one refactor can't silently
+    halve or square candidate volume at the boundary."""
+    from fegis_spark.operators.dedup import banded_candidate_pairs
+
+    at_cap = spark.createDataFrame(
+        [(i, 0, 7) for i in range(10)], "doc long, band int, bh long"
+    )
+    got = {(r.a, r.b) for r in banded_candidate_pairs(at_cap, max_bucket_size=10).collect()}
+    assert len(got) == 10 * 9 // 2  # full pairwise, nothing routed
+    over = spark.createDataFrame(
+        [(i, 0, 7) for i in range(11)], "doc long, band int, bh long"
+    )
+    got = {(r.a, r.b) for r in banded_candidate_pairs(over, max_bucket_size=10).collect()}
+    assert got == {(0, b) for b in range(1, 11)}  # star to the min doc
+
+
 def test_banded_candidate_cap_carries_payload(spark):
     from fegis_spark.operators.dedup import banded_candidate_pairs
 
