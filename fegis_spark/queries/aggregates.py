@@ -201,7 +201,7 @@ def hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
                   - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
                     * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
-                 / (COUNT(*) - 1), 6) AS variance
+                 / nullif(COUNT(*) - 1, 0), 6) AS variance
     FROM lineitem GROUP BY l_returnflag
     """,
     covers=("§2.4-stats",),
@@ -218,7 +218,9 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"),
         s1.alias("s1"),
         s2.alias("s2"),
-        F.round((s2 - s1 * s1 / n) / (n - 1), 6).alias("variance"),
+        F.round((s2 - s1 * s1 / n) / F.nullif(n - 1, F.lit(0)), 6).alias(
+            "variance"
+        ),
     )
 
 
@@ -407,7 +409,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                (CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
                 - CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
                   * CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
-               / (COUNT(*) - 1), 0)) AS sd
+               / nullif(COUNT(*) - 1, 0), 0)) AS sd
       FROM events GROUP BY event_type
     )
     SELECT e.event_type,
@@ -434,7 +436,9 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         n.alias("n"),
         (s1 / n).alias("mean"),
-        F.sqrt(F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))).alias("sd"),
+        F.sqrt(
+            F.greatest((s2 - s1 * s1 / n) / F.nullif(n - 1, F.lit(0)), F.lit(0.0))
+        ).alias("sd"),
     )
     z = F.abs((F.col("value") - F.col("mean")) / F.col("sd"))
     return (
