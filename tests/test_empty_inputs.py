@@ -115,3 +115,30 @@ def test_srp_and_cdc_sink_empty(spark, tmp_path):
 
     snap = read_snapshot(spark, str(tmp_path / "t"))
     assert snap is not None and snap.count() == 0
+
+
+def test_degenerate_group_variance_is_null_not_throw(spark):
+    """Single-row groups hit the (n-1) denominator: under Spark 4's
+    default ANSI mode an unguarded division throws DIVIDE_BY_ZERO and
+    kills the whole query, while DuckDB returns NULL. The nullif-guard
+    recipe (stats_moments, anomaly_zscore, quality_length_regression,
+    quality_ks_drift, copurchase_triangles) must emit NULL instead —
+    pin the recipe on a constructed degenerate group."""
+    df = spark.createDataFrame(
+        [("solo", 1.0), ("pair", 2.0), ("pair", 4.0)], "k string, v double"
+    )
+    n = F.count("*")
+    s1 = F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+    s2 = F.sum((F.col("v") * F.col("v")).cast("decimal(38,6)")).cast("double")
+    out = {
+        r.k: r.variance
+        for r in df.groupBy("k")
+        .agg(
+            F.round(
+                (s2 - s1 * s1 / n) / F.nullif(n - 1, F.lit(0)), 6
+            ).alias("variance")
+        )
+        .collect()
+    }
+    assert out["solo"] is None  # NULL, not DIVIDE_BY_ZERO
+    assert out["pair"] == 2.0
