@@ -125,6 +125,31 @@ def test_in_batch_multi_upsert_last_wins_by_seq(spark):
     assert out2 == {7: 20, 8: 1, 9: 9}
 
 
+def test_sink_plumbs_seq_col(spark, tmp_path):
+    """cdc_sink(seq_col=...) must resolve in-batch conflicts inside the
+    committed snapshot, not just in the bare fold."""
+    target = str(tmp_path / "target")
+    sink = cdc_sink(target, "key", seq_col="seq")
+    schema = "key long, v long, seq long, op string"
+    sink(
+        spark.createDataFrame(
+            [(1, 10, 1, "upsert"), (1, 30, 3, "upsert"), (1, 20, 2, "upsert")],
+            schema,
+        ),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            [(1, 99, 1, "upsert"), (2, 5, 9, "upsert")], schema
+        ),
+        1,
+    )
+    snap = {r.key: r.v for r in read_snapshot(spark, target).collect()}
+    # epoch 0: seq 3 wins in-batch; epoch 1: its upsert replaces base
+    # regardless of lower seq (cross-batch = arrival order, by design)
+    assert snap == {1: 99, 2: 5}
+
+
 def test_in_batch_multi_upsert_without_seq_is_deterministic(spark):
     """No seq_col → the payload total-order breaks the tie, so replays
     converge to identical snapshots (no first()/arbitrary-row pick)."""
