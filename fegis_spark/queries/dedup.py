@@ -27,6 +27,50 @@ from fegis_spark.queries.sqlfrag import (
 _TOKS = duck_tokens("text")
 
 
+def _mh_pipeline_cte(src: str, base_mat: str = "") -> str:
+    """Shared DuckDB CTE chain of the portable MinHash pipeline
+    (shingles → 60-bit md5 gram hashes → 16-seed min signature → 4
+    band hashes) over `src`. The portable, capped and eval oracles all
+    interpolate THIS one string (same anti-drift move as
+    _simhash_portable_oracle): a recipe change lands in every oracle
+    at once instead of needing hand-mirroring across SQL blocks."""
+    return rf"""base AS {base_mat}(
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(0, len(tok)-2),
+                           i -> array_to_string(list_slice(tok, i+1, i+3), ' '))) AS sh
+      FROM (SELECT *, {_TOKS} AS tok FROM {src})
+      WHERE len(tok) >= 3
+    ), ex AS (
+      SELECT doc, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
+      FROM (SELECT doc, unnest(sh) AS g FROM base)
+    ), mh AS (
+      SELECT doc, i,
+             MIN(CAST(('0x' || substr(md5(CAST(gh AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+      FROM ex, (SELECT unnest(range(16)) AS i)
+      GROUP BY doc, i
+    ), sig AS (
+      SELECT doc, list(m ORDER BY i) AS s FROM mh GROUP BY doc
+    ), banded AS (
+      SELECT doc, b,
+             md5(array_to_string(list_transform(list_slice(s, b*4+1, b*4+4),
+                                                x -> CAST(x AS VARCHAR)), ',')) AS bh
+      FROM sig, (SELECT unnest(range(4)) AS b)
+    )"""
+
+
+#: exact-Jaccard verification over `cand` + threshold output — the
+#: tail every portable-minhash oracle shares.
+_MH_VERIFY = """ver AS (
+      SELECT c.a, c.b,
+             len(list_intersect(ba.sh, bb.sh))::DOUBLE
+             / (len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh))) AS jaccard
+      FROM cand c
+      JOIN base ba ON ba.doc = c.a
+      JOIN base bb ON bb.doc = c.b
+    )
+    SELECT a, b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5"""
+
+
 @register(
     "dedup_exact",
     oracle=r"""
@@ -392,40 +436,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_portable",
-    oracle=rf"""
-    WITH base AS (
-      SELECT doc_id AS doc,
-             list_distinct(list_transform(range(0, len(tok)-2),
-                           i -> array_to_string(list_slice(tok, i+1, i+3), ' '))) AS sh
-      FROM (SELECT *, {_TOKS} AS tok FROM documents)
-      WHERE len(tok) >= 3
-    ), ex AS (
-      SELECT doc, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
-      FROM (SELECT doc, unnest(sh) AS g FROM base)
-    ), mh AS (
-      SELECT doc, i,
-             MIN(CAST(('0x' || substr(md5(CAST(gh AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
-      FROM ex, (SELECT unnest(range(16)) AS i)
-      GROUP BY doc, i
-    ), sig AS (
-      SELECT doc, list(m ORDER BY i) AS s FROM mh GROUP BY doc
-    ), banded AS (
-      SELECT doc, b,
-             md5(array_to_string(list_transform(list_slice(s, b*4+1, b*4+4),
-                                                x -> CAST(x AS VARCHAR)), ',')) AS bh
-      FROM sig, (SELECT unnest(range(4)) AS b)
-    ), cand AS (
+    oracle=f"""
+    WITH {_mh_pipeline_cte('documents')}, cand AS (
       SELECT DISTINCT l.doc AS a, r.doc AS b
       FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc < r.doc
-    ), ver AS (
-      SELECT c.a, c.b,
-             len(list_intersect(ba.sh, bb.sh))::DOUBLE
-             / (len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh))) AS jaccard
-      FROM cand c
-      JOIN base ba ON ba.doc = c.a
-      JOIN base bb ON bb.doc = c.b
-    )
-    SELECT a, b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5
+    ), {_MH_VERIFY}
     """,
     covers=("K9-minhash",),
 )
@@ -448,30 +463,9 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_capped",
-    oracle=rf"""
+    oracle=f"""
     WITH docs2 AS ({duck_hot_docs()}),
-    base AS (
-      SELECT doc_id AS doc,
-             list_distinct(list_transform(range(0, len(tok)-2),
-                           i -> array_to_string(list_slice(tok, i+1, i+3), ' '))) AS sh
-      FROM (SELECT *, {_TOKS} AS tok FROM docs2)
-      WHERE len(tok) >= 3
-    ), ex AS (
-      SELECT doc, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
-      FROM (SELECT doc, unnest(sh) AS g FROM base)
-    ), mh AS (
-      SELECT doc, i,
-             MIN(CAST(('0x' || substr(md5(CAST(gh AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
-      FROM ex, (SELECT unnest(range(16)) AS i)
-      GROUP BY doc, i
-    ), sig AS (
-      SELECT doc, list(m ORDER BY i) AS s FROM mh GROUP BY doc
-    ), banded AS (
-      SELECT doc, b,
-             md5(array_to_string(list_transform(list_slice(s, b*4+1, b*4+4),
-                                                x -> CAST(x AS VARCHAR)), ',')) AS bh
-      FROM sig, (SELECT unnest(range(4)) AS b)
-    ), sized AS MATERIALIZED (
+    {_mh_pipeline_cte('docs2')}, sized AS MATERIALIZED (
       SELECT doc, b, bh,
              COUNT(*) OVER (PARTITION BY b, bh) AS bs,
              MIN(doc) OVER (PARTITION BY b, bh) AS rep
@@ -486,15 +480,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT rep AS a, doc AS b FROM sized
         WHERE bs > {HOT_CAP} AND doc <> rep
       )
-    ), ver AS (
-      SELECT c.a, c.b,
-             len(list_intersect(ba.sh, bb.sh))::DOUBLE
-             / (len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh))) AS jaccard
-      FROM cand c
-      JOIN base ba ON ba.doc = c.a
-      JOIN base bb ON bb.doc = c.b
-    )
-    SELECT a, b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5
+    ), {_MH_VERIFY}
     """,
     covers=("K9-minhash",),
 )

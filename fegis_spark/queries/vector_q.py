@@ -215,16 +215,12 @@ def ann_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_recall",
-    oracle=None,  # measures the approximate path against exact — rows-only
-    covers=("K1-approx", "[EXT]-ann"),
-)
-def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] recall@3 of the IVF path against exact brute-force KNN,
-    per query — the acceptance metric a production ANN rollout gates
-    on. Both sides are deterministic (seeded k-means, total-order
-    tiebreaks), so the measured recall is stable run-to-run."""
+def _ivf_recall_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_exact, rec): recall@3 of the IVF path against
+    exact brute-force KNN over the 8-query panel — the ONE definition
+    both the rows-only detail query and the oracle-checked audit
+    consume, so they cannot drift apart. Both sides are deterministic
+    (seeded k-means, total-order tiebreaks)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     exact = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=3).select(
@@ -241,13 +237,31 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact.groupBy("query_id")
         .agg(F.count("*").alias("n_exact"))
-        .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            "query_id",
+            "left",
+        )
         .select(
             "query_id",
-            F.round(
-                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 6
-            ).alias("recall_at_3"),
+            "n_exact",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("rec"),
         )
+    )
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=None,  # measures the approximate path against exact — rows-only
+    covers=("K1-approx", "[EXT]-ann"),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] recall@3 of the IVF path against exact brute-force KNN,
+    per query — the acceptance metric a production ANN rollout gates
+    on. Per-query detail of the shared _ivf_recall_per_query frame;
+    the summary claim is oracle-checked in ann_ivf_recall_audit."""
+    return _ivf_recall_per_query(spark, sf_dir).select(
+        "query_id", F.round("rec", 6).alias("recall_at_3")
     )
 
 
@@ -271,34 +285,9 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle pins literally TRUE. Seeded k-means + total-order
     tiebreaks make the measured mean deterministic (0.71-0.79 across
     sf0.001/0.01/0.1), so the 0.5 gate has ~40% margin; if an IVF
-    refactor degrades probing below it, the gate fails."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    exact = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=3).select(
-        "query_id", "corpus_id"
-    )
-    approx = ann_ivf(queries, emb, "vec_id", "vec_id", "embedding", k=3).select(
-        "query_id", F.col("corpus_id").alias("approx_id")
-    )
-    hits = exact.join(
-        approx,
-        (exact.query_id == approx.query_id) & (exact.corpus_id == approx.approx_id),
-        "left_semi",
-    )
-    per_q = (
-        exact.groupBy("query_id")
-        .agg(F.count("*").alias("n_exact"))
-        .join(
-            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
-            "query_id",
-            "left",
-        )
-        .select(
-            "query_id",
-            "n_exact",
-            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("rec"),
-        )
-    )
+    refactor degrades probing below it, the gate fails. Shares
+    _ivf_recall_per_query with the detail query."""
+    per_q = _ivf_recall_per_query(spark, sf_dir)
     return per_q.agg(
         F.count("*").alias("n_queries"),
         F.sum("n_exact").alias("n_exact_pairs"),

@@ -42,8 +42,8 @@ def apply_cdc_batch(
     """Fold one change batch into a snapshot: rows with op='upsert'
     insert-or-replace by key, op='delete' removes the key.
 
-    In-batch precedence (the snapshot holds AT MOST ONE row per key,
-    the invariant read_snapshot consumers rely on):
+    Precedence (the snapshot holds AT MOST ONE row per key, the
+    invariant read_snapshot consumers rely on):
 
     - multiple upserts to one key collapse to a single winner BEFORE
       the merge. ``seq_col`` names the ordering column (a sequence
@@ -52,14 +52,25 @@ def apply_cdc_batch(
       default — break by the total order of the remaining payload
       columns, so replaying an epoch always rebuilds byte-identical
       snapshots (required for the pointer-commit idempotency claim).
+    - with ``seq_col``, the ordering also holds ACROSS batches: an
+      upsert only replaces the base row when its seq is >= the stored
+      one (ties → the arriving change wins, so reprocessing the same
+      change converges), so at-least-once delivery that redelivers an
+      OLD change in a LATER micro-batch cannot regress the snapshot.
+      Without ``seq_col``, cross-batch order is arrival order.
     - a delete beats every upsert of the same key in the same batch
-      (MERGE WHEN MATCHED THEN DELETE precedence).
+      (MERGE WHEN MATCHED THEN DELETE precedence). Deletes carry no
+      seq and are NOT replay-guarded across batches — a redelivered
+      stale delete removes the key; sources that can redeliver deletes
+      need sequenced tombstones (a table format's MERGE has the same
+      contract).
     """
     ups = changes.filter(F.col(op_col) == "upsert").drop(op_col)
     others = [c for c in ups.columns if c != key_col]
+    payload = [c for c in others if c != seq_col]
     order = F.struct(
         *([F.col(seq_col)] if seq_col else []),
-        *[F.col(c) for c in others],
+        *[F.col(c) for c in payload],
     )
     ups = (
         ups.groupBy(key_col)
@@ -69,10 +80,32 @@ def apply_cdc_batch(
     dels = changes.filter(F.col(op_col) == "delete").select(key_col).distinct()
     if base is None:
         merged = ups
-    else:
-        # upsert wins over base: keep base rows whose key has no upsert
+    elif seq_col is None or seq_col not in base.columns:
+        # arrival order: upsert wins over base unconditionally
         keep = base.join(ups.select(key_col), key_col, "left_anti")
         merged = keep.unionByName(ups)
+    else:
+        # seq-guarded merge: per key, keep whichever of (stored row,
+        # arriving upsert) carries the higher seq; equal seq → the
+        # arriving change (idempotent under redelivery of the winner)
+        pack = lambda df: df.select(  # noqa: E731
+            key_col, F.struct(*[F.col(c) for c in others]).alias("_r")
+        )
+        j = pack(base).withColumnRenamed("_r", "_b").join(
+            pack(ups).withColumnRenamed("_r", "_u"), key_col, "full_outer"
+        )
+        winner = (
+            F.when(F.col("_u").isNull(), F.col("_b"))
+            .when(F.col("_b").isNull(), F.col("_u"))
+            .when(
+                F.col("_b").getField(seq_col) > F.col("_u").getField(seq_col),
+                F.col("_b"),
+            )
+            .otherwise(F.col("_u"))
+        )
+        merged = j.select(key_col, winner.alias("_w")).select(
+            key_col, *[F.col(f"_w.{c}").alias(c) for c in others]
+        )
     return merged.join(F.broadcast(dels), key_col, "left_anti")
 
 

@@ -145,7 +145,8 @@ def test_deep_merge_table_matches_reference(spark):
     df = spark.createDataFrame(corpus, "doc_id long, text string")
     got = train_bpe(df, "text", "doc_id", num_merges=110)
     assert got == exp, next(
-        (i, g, e) for i, (g, e) in enumerate(zip(got, exp)) if g != e
+        ((i, g, e) for i, (g, e) in enumerate(zip(got, exp)) if g != e),
+        ("length", len(got), len(exp)),
     )
     # and encoding with the deep table still matches token-for-token
     enc = encode_with_merges(df, "text", "doc_id", got)

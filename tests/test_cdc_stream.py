@@ -126,8 +126,10 @@ def test_in_batch_multi_upsert_last_wins_by_seq(spark):
 
 
 def test_sink_plumbs_seq_col(spark, tmp_path):
-    """cdc_sink(seq_col=...) must resolve in-batch conflicts inside the
-    committed snapshot, not just in the bare fold."""
+    """cdc_sink(seq_col=...) must resolve conflicts inside the
+    committed snapshot BOTH in-batch and across batches: a later batch
+    redelivering an older change (at-least-once delivery) must not
+    regress the stored row."""
     target = str(tmp_path / "target")
     sink = cdc_sink(target, "key", seq_col="seq")
     schema = "key long, v long, seq long, op string"
@@ -140,14 +142,35 @@ def test_sink_plumbs_seq_col(spark, tmp_path):
     )
     sink(
         spark.createDataFrame(
-            [(1, 99, 1, "upsert"), (2, 5, 9, "upsert")], schema
+            [(1, 99, 1, "upsert"),   # stale redelivery: seq 1 < stored 3
+             (2, 5, 9, "upsert")],
+            schema,
         ),
         1,
     )
-    snap = {r.key: r.v for r in read_snapshot(spark, target).collect()}
-    # epoch 0: seq 3 wins in-batch; epoch 1: its upsert replaces base
-    # regardless of lower seq (cross-batch = arrival order, by design)
-    assert snap == {1: 99, 2: 5}
+    sink(
+        spark.createDataFrame([(1, 77, 4, "upsert")], schema), 2
+    )  # genuinely newer: seq 4 > stored 3
+    snap = {r.key: (r.v, r.seq) for r in read_snapshot(spark, target).collect()}
+    assert snap == {1: (77, 4), 2: (5, 9)}
+
+
+def test_cross_batch_equal_seq_takes_arriving_change(spark):
+    """Redelivering the CURRENT winner (same seq) must converge to the
+    same row, not flap — the idempotency contract under replay."""
+    base = apply_cdc_batch(
+        None,
+        spark.createDataFrame([(1, 30, 3, "upsert")], "key long, v long, seq long, op string"),
+        "key",
+        seq_col="seq",
+    )
+    nxt = apply_cdc_batch(
+        base,
+        spark.createDataFrame([(1, 30, 3, "upsert")], "key long, v long, seq long, op string"),
+        "key",
+        seq_col="seq",
+    )
+    assert [(r.key, r.v, r.seq) for r in nxt.collect()] == [(1, 30, 3)]
 
 
 def test_in_batch_multi_upsert_without_seq_is_deterministic(spark):
