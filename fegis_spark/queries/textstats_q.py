@@ -31,6 +31,39 @@ from fegis_spark.operators.text_analysis import (
 )
 
 
+def _winnow_fp_cte(src: str, materialized: bool = False) -> str:
+    """Shared base→g→fp winnowing CTE chain (tokens → 3-gram md5
+    hashes → rightmost-minimum fingerprint selection over 4-windows),
+    parameterized by source table so the three winnow_* oracles
+    interpolate ONE recipe instead of hand-mirroring it (same pattern
+    as _mh_pipeline_cte in queries/dedup.py). `materialized` marks the
+    fp CTE AS MATERIALIZED for oracles that self-join it (DuckDB
+    inlines plain CTEs, re-scanning parquet per reference)."""
+    mat = " MATERIALIZED" if materialized else ""
+    return f"""base AS (
+      SELECT doc_id, {duck_tokens('text')} AS tok FROM {src}
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(0, greatest(len(tok) - 2, 0)),
+               i -> CAST(('0x' || substr(md5(array_to_string(
+                      list_slice(tok, i + 1, i + 3), ' ')), 1, 15)) AS BIGINT))
+               AS gh,
+             least(4, greatest(len(tok) - 2, 0)) AS wlen
+      FROM base
+    ), fp AS{mat} (
+      SELECT doc_id, len(gh) AS n_grams,
+             CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[]) ELSE
+               list_distinct(list_transform(
+                 list_distinct(list_transform(range(0, len(gh) - wlen + 1),
+                   j -> list_max(list_filter(range(j, j + wlen),
+                          p -> gh[p + 1] = list_min(
+                                 list_slice(gh, j + 1, j + wlen)))))),
+                 p -> gh[p + 1]))
+             END AS fps
+      FROM g
+    )"""
+
+
 @register(
     "text_lang_id",
     oracle=f"""
@@ -99,28 +132,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "winnow_fingerprints",
     oracle=f"""
-    WITH base AS (
-      SELECT doc_id, {duck_tokens('text')} AS tok FROM documents
-    ), g AS (
-      SELECT doc_id,
-             list_transform(range(0, greatest(len(tok) - 2, 0)),
-               i -> CAST(('0x' || substr(md5(array_to_string(
-                      list_slice(tok, i + 1, i + 3), ' ')), 1, 15)) AS BIGINT))
-               AS gh,
-             least(4, greatest(len(tok) - 2, 0)) AS wlen
-      FROM base
-    ), fp AS (
-      SELECT doc_id, len(gh) AS n_grams,
-             CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[]) ELSE
-               list_distinct(list_transform(
-                 list_distinct(list_transform(range(0, len(gh) - wlen + 1),
-                   j -> list_max(list_filter(range(j, j + wlen),
-                          p -> gh[p + 1] = list_min(
-                                 list_slice(gh, j + 1, j + wlen)))))),
-                 p -> gh[p + 1]))
-             END AS fps
-      FROM g
-    )
+    WITH {_winnow_fp_cte('documents')}
     SELECT doc_id, n_grams,
            len(fps) AS n_fp,
            COALESCE(list_aggregate(fps, 'bit_xor'), 0) AS fp_xor,
@@ -148,28 +160,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "winnow_match_pairs",
     oracle=f"""
-    WITH base AS (
-      SELECT doc_id, {duck_tokens('text')} AS tok FROM documents
-    ), g AS (
-      SELECT doc_id,
-             list_transform(range(0, greatest(len(tok) - 2, 0)),
-               i -> CAST(('0x' || substr(md5(array_to_string(
-                      list_slice(tok, i + 1, i + 3), ' ')), 1, 15)) AS BIGINT))
-               AS gh,
-             least(4, greatest(len(tok) - 2, 0)) AS wlen
-      FROM base
-    ), fp AS MATERIALIZED (
-      SELECT doc_id,
-             CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[]) ELSE
-               list_distinct(list_transform(
-                 list_distinct(list_transform(range(0, len(gh) - wlen + 1),
-                   j -> list_max(list_filter(range(j, j + wlen),
-                          p -> gh[p + 1] = list_min(
-                                 list_slice(gh, j + 1, j + wlen)))))),
-                 p -> gh[p + 1]))
-             END AS fps
-      FROM g
-    ), ex AS (
+    WITH {_winnow_fp_cte('documents', materialized=True)}, ex AS (
       SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS h FROM fp
     )
     SELECT l.doc_id AS doc_l, r.doc_id AS doc_r,
@@ -201,28 +192,7 @@ def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "winnow_match_capped",
     oracle=f"""
     WITH docs2 AS ({duck_hot_docs()}),
-    base AS (
-      SELECT doc_id, {duck_tokens('text')} AS tok FROM docs2
-    ), g AS (
-      SELECT doc_id,
-             list_transform(range(0, greatest(len(tok) - 2, 0)),
-               i -> CAST(('0x' || substr(md5(array_to_string(
-                      list_slice(tok, i + 1, i + 3), ' ')), 1, 15)) AS BIGINT))
-               AS gh,
-             least(4, greatest(len(tok) - 2, 0)) AS wlen
-      FROM base
-    ), fp AS MATERIALIZED (
-      SELECT doc_id,
-             CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[]) ELSE
-               list_distinct(list_transform(
-                 list_distinct(list_transform(range(0, len(gh) - wlen + 1),
-                   j -> list_max(list_filter(range(j, j + wlen),
-                          p -> gh[p + 1] = list_min(
-                                 list_slice(gh, j + 1, j + wlen)))))),
-                 p -> gh[p + 1]))
-             END AS fps
-      FROM g
-    ), sized AS MATERIALIZED (
+    {_winnow_fp_cte('docs2', materialized=True)}, sized AS MATERIALIZED (
       SELECT doc_id, n_fp, h,
              COUNT(*) OVER (PARTITION BY h) AS bs,
              MIN(doc_id) OVER (PARTITION BY h) AS rep_id,

@@ -78,9 +78,21 @@ def apply_cdc_batch(
         .select(key_col, *[F.col(f"_w.{c}").alias(c) for c in others])
     )
     dels = changes.filter(F.col(op_col) == "delete").select(key_col).distinct()
+    if base is not None and seq_col is not None and seq_col not in base.columns:
+        # The in-batch collapse above already required seq_col in the
+        # changes schema; a base snapshot lacking it is schema drift
+        # between epochs, and silently degrading to arrival-order merge
+        # would drop the cross-batch replay guard (stale redeliveries
+        # could regress the snapshot) with no signal to the caller.
+        raise ValueError(
+            f"seq_col {seq_col!r} is not a column of the base snapshot "
+            f"(columns: {base.columns}); the seq-guarded merge requires "
+            "it in BOTH the changes and the stored snapshot. Pass "
+            "seq_col=None explicitly to opt into arrival-order merge."
+        )
     if base is None:
         merged = ups
-    elif seq_col is None or seq_col not in base.columns:
+    elif seq_col is None:
         # arrival order: upsert wins over base unconditionally
         keep = base.join(ups.select(key_col), key_col, "left_anti")
         merged = keep.unionByName(ups)

@@ -125,6 +125,19 @@ def test_in_batch_multi_upsert_last_wins_by_seq(spark):
     assert out2 == {7: 20, 8: 1, 9: 9}
 
 
+def test_seq_col_missing_from_base_raises(spark):
+    """seq_col present in changes but absent from the stored snapshot is
+    schema drift between epochs, not a supported mode: degrading to
+    arrival-order merge would silently drop the cross-batch replay
+    guard. Must raise, not fall back."""
+    b = spark.createDataFrame(
+        [(7, 20, 3, "upsert")], "key long, v long, seq long, op string"
+    )
+    base = spark.createDataFrame([(7, 0)], "key long, v long")  # no seq
+    with pytest.raises(ValueError, match="seq_col 'seq' is not a column"):
+        apply_cdc_batch(base, b, "key", seq_col="seq")
+
+
 def test_sink_plumbs_seq_col(spark, tmp_path):
     """cdc_sink(seq_col=...) must resolve conflicts inside the
     committed snapshot BOTH in-batch and across batches: a later batch
