@@ -396,3 +396,133 @@ def compact_ivf_index(spark, path: str, target_files_per_list: int = 1) -> None:
     shutil.move(f"{path}/corpus", old)
     shutil.move(staged, f"{path}/corpus")
     shutil.rmtree(old)
+
+
+# ---------------------------------------------------------------------------
+# Portable IVF twin — md5-derived literal centroids, fully oracle-checkable.
+
+#: Quantization scale for the portable IVF routing dot products. Same
+#: rationale as SRP_SCALE (operators/dedup.py): |q| <= ~1e6 per entry,
+#: 64 dims -> |dot| <= ~6.4e7 against ±1 centroids, far inside 2^53,
+#: so every list-assignment comparison is an exact-integer compare on
+#: any engine.
+IVFP_SCALE = 1_000_000
+IVFP_LISTS = 16
+IVFP_PROBE = 4
+
+
+def ivfp_centroids(n_lists: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 centroid matrix from md5 parity (namespaced
+    'ivfp' so it is independent of the SRP hyperplanes). These are not
+    trained centroids — they are literal routing directions embedded
+    identically in the Spark expression and the DuckDB oracle, which
+    is exactly what makes the IVF *machinery* (assign → probe →
+    partition-restricted candidate join → top-k) value-checkable
+    cross-engine. The trained path (ann_ivf / build_ivf_index) keeps
+    the recall story; this twin certifies the routing semantics the
+    same way dedup_minhash_portable certifies the xxhash LSH path."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"ivfp:{j}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        for j in range(n_lists)
+    ]
+
+
+def ivfp_dots_expr(vec_col: str, dim: int, n_lists: int = IVFP_LISTS) -> str:
+    """Spark-SQL expression: array of the n_lists exact-integer routing
+    dot products of an array<float> column against the literal
+    centroids. One generated SQL string (driver-side plan-cost fast
+    path, CLAUDE.md); the quantized array is a shared subtree."""
+    cents = ivfp_centroids(n_lists, dim)
+    q = (
+        f"transform({vec_col}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {IVFP_SCALE}.0) AS BIGINT))"
+    )
+    dots = []
+    for row in cents:
+        lit = "array(" + ",".join(str(r) for r in row) + ")"
+        dots.append(
+            f"aggregate(zip_with({q}, {lit}, (a, b) -> a * b), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+    return "array(" + ",".join(dots) + ")"
+
+
+def ivfp_dots_sql(vec_col: str, dim: int, n_lists: int = IVFP_LISTS) -> str:
+    """DuckDB twin of ivfp_dots_expr — identical arithmetic: integer
+    quantization, exact integer-valued dot products, same literal
+    centroid matrix."""
+    cents = ivfp_centroids(n_lists, dim)
+    q = (
+        f"list_transform({vec_col}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {IVFP_SCALE}.0) AS BIGINT))"
+    )
+    dots = [
+        f"list_dot_product({q}, [" + ",".join(str(r) for r in row) + "])"
+        for row in cents
+    ]
+    return "[" + ",".join(dots) + "]"
+
+
+def ann_ivf_portable(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 3,
+    n_lists: int = IVFP_LISTS,
+    n_probe: int = IVFP_PROBE,
+) -> DataFrame:
+    """IVF-Flat with md5-derived literal routing centroids — the fully
+    oracle-checkable twin of ann_ivf (reference K1 semantics,
+    /root/reference/fegis/strategies.py:262-272). Same relational
+    shape as the trained path: corpus rows go to their argmax-dot list
+    (first-max tie-break = array_position semantics on both engines),
+    queries probe their n_probe best lists, candidates come only from
+    the probed lists (at scale: partition pruning over a list_id
+    layout, see build_ivf_index), exact cosine re-ranks. Every routing
+    comparison is an exact-integer compare, so candidate sets — not
+    just top-k survivors — are bit-identical cross-engine."""
+    dots = ivfp_dots_expr(vec_col, dim, n_lists)
+    c = corpus_df.select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(dots).alias("__dots"),
+    ).select(
+        "corpus_id",
+        "__cv",
+        F.expr(
+            "CAST(array_position(__dots, array_max(__dots)) - 1 AS INT)"
+        ).alias("list_id"),
+    )
+    qd = queries_df.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.expr(dots).alias("__dots"),
+    )
+    pr = qd.select(
+        "query_id", "__qv", F.posexplode("__dots").alias("list_id", "__dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__dot"), F.col("list_id"))
+    probes = (
+        pr.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "__qv", F.col("list_id").cast("int").alias("list_id"))
+    )
+    cand = c.join(F.broadcast(probes), "list_id").withColumn(
+        "score", cosine(F.col("__qv"), F.col("__cv"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("corpus_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
+    )

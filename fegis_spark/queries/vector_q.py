@@ -149,21 +149,6 @@ def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ann_ivf_probe",
-    oracle=None,  # approximate by construction (recall < 1) — rows-only
-    covers=("K1-approx", "[EXT]-ann"),
-)
-def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] IVF-Flat ANN scale path: centroid lists + n_probe probing.
-    At 100 TB the list assignment is the storage partitioning and each
-    query touches n_probe/n_lists of the data."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ann_ivf(
-        emb.filter(F.col("vec_id") < 3), emb, "vec_id", "vec_id", "embedding", k=3
-    )
-
-
-@register(
     "label_centroids",
     oracle="""
     SELECT label, dim,
@@ -204,7 +189,8 @@ def ann_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] second ANN scale path: random-projection LSH similarity
     join (MLlib BucketedRandomProjectionLSH). Candidates come from a
     bucket equi-join — no cross product, so corpus and query sides
-    both scale out; the trade against IVF (ann_ivf_probe) is no
+    both scale out; the trade against IVF (ann_ivf_portable /
+    ann_ivf_indexed) is no
     centroid training and per-table hash layout instead of a
     partition-pruning list layout."""
     from fegis_spark.operators.knn import knn_join_lsh
@@ -251,21 +237,6 @@ def _ivf_recall_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ann_ivf_recall",
-    oracle=None,  # measures the approximate path against exact — rows-only
-    covers=("K1-approx", "[EXT]-ann"),
-)
-def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] recall@3 of the IVF path against exact brute-force KNN,
-    per query — the acceptance metric a production ANN rollout gates
-    on. Per-query detail of the shared _ivf_recall_per_query frame;
-    the summary claim is oracle-checked in ann_ivf_recall_audit."""
-    return _ivf_recall_per_query(spark, sf_dir).select(
-        "query_id", F.round("rec", 6).alias("recall_at_3")
-    )
-
-
-@register(
     "ann_ivf_recall_audit",
     oracle="""
     SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 8) AS n_queries,
@@ -278,15 +249,19 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] error-bound audit for the IVF ANN path (same pattern as
     hll_error_audit / quantile_error_audit): the per-query recall
-    detail stays in ann_ivf_recall (rows-only — k-means lists are not
-    DuckDB-replayable), while THIS query value-checks the exact side
+    detail stays in the _ivf_recall_per_query library frame (k-means
+    lists are not DuckDB-replayable), while THIS query value-checks the exact side
     (query count, exact top-k pair count) and asserts the acceptance
     claim — mean recall@3 >= 0.5 over the 8-query panel — as a boolean
     the oracle pins literally TRUE. Seeded k-means + total-order
     tiebreaks make the measured mean deterministic (0.71-0.79 across
     sf0.001/0.01/0.1), so the 0.5 gate has ~40% margin; if an IVF
-    refactor degrades probing below it, the gate fails. Shares
-    _ivf_recall_per_query with the detail query."""
+    refactor degrades probing below it, the gate fails. This query is
+    what exercises the trained ann_ivf operator under the gate (r7
+    folded the rows-only ann_ivf_probe/ann_ivf_recall detail queries:
+    the routing semantics are now VALUE-checked by ann_ivf_portable,
+    and per-query recall detail stays available as the library frame
+    _ivf_recall_per_query)."""
     per_q = _ivf_recall_per_query(spark, sf_dir)
     return per_q.agg(
         F.count("*").alias("n_queries"),
@@ -697,4 +672,80 @@ def embedding_srp_blocked_hamming(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.expr("bit_count(code_l ^ code_r)").alias("hamming"))
         .groupBy("hamming")
         .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable IVF twin ([EXT]-ann, K1-approx)
+
+
+def _ivfp_oracle() -> str:
+    """DuckDB restatement of ann_ivf_portable: the SAME md5-derived
+    literal centroids (operators/knn.ivfp_centroids), exact-integer
+    routing dots, first-max list assignment (list_position = Spark
+    array_position semantics), top-n_probe probes per query with a
+    (dot DESC, list_id) total order, candidate join restricted to the
+    probed lists, sequential-fold float64 cosine re-rank rounded to
+    6 dp. Because routing compares exact integers, the candidate SETS
+    — not just the surviving top-k — are identical cross-engine."""
+    from fegis_spark.operators.knn import IVFP_LISTS, IVFP_PROBE, ivfp_dots_sql
+
+    dots = ivfp_dots_sql("embedding", 64)
+    cos = _cos_pair("c.cv", "p.qv")
+    return f"""
+    WITH cq AS MATERIALIZED (
+      SELECT vec_id, embedding, {dots} AS dots FROM embeddings
+    ), corp AS (
+      SELECT vec_id AS corpus_id, embedding AS cv,
+             CAST(list_position(dots, list_max(dots)) - 1 AS INT) AS list_id
+      FROM cq
+    ), probes AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT vec_id AS query_id, embedding AS qv,
+               CAST(r.range AS INT) AS list_id,
+               dots[CAST(r.range AS INT) + 1] AS dot,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY dots[CAST(r.range AS INT) + 1] DESC,
+                          CAST(r.range AS INT)) AS rn
+        FROM cq CROSS JOIN range(0, {IVFP_LISTS}) r
+        WHERE vec_id < 3
+      ) WHERE rn <= {IVFP_PROBE}
+    )
+    SELECT query_id, corpus_id, round(cos_score, 6) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT p.query_id, c.corpus_id, {cos} AS cos_score,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {cos} DESC, c.corpus_id) AS rank
+      FROM corp c JOIN probes p USING (list_id)
+    ) WHERE rank <= 3
+    """
+
+
+@register(
+    "ann_ivf_portable",
+    oracle=_ivfp_oracle(),
+    covers=("K1-approx", "[EXT]-ann"),
+)
+def ann_ivf_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] IVF-Flat ANN with md5-derived literal routing centroids —
+    the fully oracle-checked twin of the trained ann_ivf path (r6
+    verdict #2; reference K1 semantics strategies.py:262-272), the
+    same certification pattern SRP provides for the MLlib LSH path:
+    assignment/probing arithmetic is exact-integer, so DuckDB replays
+    the routing value-for-value. 100 TB posture is identical to
+    ann_ivf_indexed: list_id is the partition layout, a query batch
+    scans n_probe/n_lists of the corpus, and the final window is
+    per-query top-k over candidates only."""
+    from fegis_spark.operators.knn import ann_ivf_portable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_ivf_portable(
+        emb.filter(F.col("vec_id") < 3), emb, "vec_id", "vec_id", "embedding", dim=64
+    )
+    return out.select(
+        "query_id", "corpus_id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("bigint").alias("rank"),
     )
