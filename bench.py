@@ -24,6 +24,13 @@ from fegis_spark.session import configure_for_oracle, get_spark
 RUNS = 3
 REGRESSION_FACTOR = 1.5
 
+#: second measured group (r6 verdict #6): the capped scale-path plans
+#: and the end-to-end curation flagship, tracked round-over-round
+#: WITHOUT touching the 17-query headline set (whose total must stay
+#: comparable across rounds). Reported under capped_queries /
+#: capped_total_sec; "value" remains the headline total only.
+GROUP2 = ["dedup_minhash_capped", "winnow_match_capped", "curation_flagship"]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -52,16 +59,22 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = configure_for_oracle(get_spark("fegis_spark_bench"))
 
-    entries = [e for e in catalog().values() if e.bench]
-    times: dict[str, float] = {}
-    for e in entries:
-        force(e.builder(spark, sf_dir))  # warmup: JIT + file listing + codegen
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            force(e.builder(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        times[e.name] = round(statistics.median(samples), 4)
+    cat = catalog()
+
+    def time_entries(entries) -> dict[str, float]:
+        t: dict[str, float] = {}
+        for e in entries:
+            force(e.builder(spark, sf_dir))  # warmup: JIT + file listing + codegen
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                force(e.builder(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            t[e.name] = round(statistics.median(samples), 4)
+        return t
+
+    times = time_entries([e for e in cat.values() if e.bench])
+    times2 = time_entries([cat[n] for n in GROUP2 if n in cat])
 
     total = round(sum(times.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -71,6 +84,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        "capped_queries": times2,
+        "capped_total_sec": round(sum(times2.values()), 4),
     }
     prior = prior_round(os.path.dirname(os.path.abspath(__file__)), sf_val)
     if prior is not None:
@@ -82,6 +97,13 @@ def main() -> None:
         }
         out["baseline_file"] = name
         out["delta_vs_baseline"] = deltas
+        prior2 = d.get("capped_queries") or {}
+        if prior2:
+            out["capped_delta_vs_baseline"] = {
+                q: round(t / prior2[q], 3)
+                for q, t in times2.items()
+                if prior2.get(q)
+            }
         # >1.5x slower than the prior round at the same sf; page-cache
         # state swings sf0.1 numbers ~2x, so treat as rerun-and-confirm
         out["regressions"] = {

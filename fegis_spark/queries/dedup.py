@@ -58,17 +58,26 @@ def _mh_pipeline_cte(src: str, base_mat: str = "") -> str:
     )"""
 
 
-#: exact-Jaccard verification over `cand` + threshold output — the
-#: tail every portable-minhash oracle shares.
-_MH_VERIFY = """ver AS (
+#: exact-Jaccard verification CTE over `cand` — shared by the
+#: portable-minhash oracles below AND the curation flagship
+#: (queries/pipeline_q.py), which consumes `ver` mid-pipeline instead
+#: of as the final select.
+_MH_VERIFY_CTE = """ver AS (
       SELECT c.a, c.b,
              len(list_intersect(ba.sh, bb.sh))::DOUBLE
              / (len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh))) AS jaccard
       FROM cand c
       JOIN base ba ON ba.doc = c.a
       JOIN base bb ON bb.doc = c.b
-    )
+    )"""
+
+#: verification + threshold output — the tail every portable-minhash
+#: oracle shares.
+_MH_VERIFY = (
+    _MH_VERIFY_CTE
+    + """
     SELECT a, b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5"""
+)
 
 
 @register(

@@ -954,3 +954,170 @@ def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r.n_violations") == 0).alias("passed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation flagship ([EXT]-curation, r6 verdict #5): the
+# already-green stages chained as ONE measured pipeline.
+
+from fegis_spark.operators.text_analysis import gopher_metrics_sql  # noqa: E402
+from fegis_spark.queries.dedup import _MH_VERIFY_CTE, _mh_pipeline_cte  # noqa: E402
+from fegis_spark.queries.sqlfrag import HOT_CAP  # noqa: E402
+
+_FS_GOPHER_KEEP_SPARK = gopher_metrics_sql("text", spark=True)["keep"]
+_FS_GOPHER_KEEP_DUCK = gopher_metrics_sql("text", spark=False)["keep"]
+#: curriculum decile cutpoint fractions (shared literal list)
+_FS_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "curation_flagship",
+    oracle=f"""
+    WITH keptdocs AS MATERIALIZED (
+      SELECT doc_id, n_chars, text, q FROM (
+        SELECT doc_id, n_chars, text,
+               round({quality_score_sql('text')}, 6) AS q,
+               {_FS_GOPHER_KEEP_DUCK} AS gk
+        FROM documents
+      ) WHERE gk = 1 AND q >= 0.5
+    ),
+    {_mh_pipeline_cte('keptdocs')}, sized AS MATERIALIZED (
+      SELECT doc, b, bh,
+             COUNT(*) OVER (PARTITION BY b, bh) AS bs,
+             MIN(doc) OVER (PARTITION BY b, bh) AS rep
+      FROM banded
+    ), cand AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT l.doc AS a, r.doc AS b
+        FROM sized l JOIN sized r
+          ON l.b = r.b AND l.bh = r.bh AND l.doc < r.doc
+        WHERE l.bs <= {HOT_CAP}
+        UNION ALL
+        SELECT rep AS a, doc AS b FROM sized
+        WHERE bs > {HOT_CAP} AND doc <> rep
+      )
+    ), {_MH_VERIFY_CTE}, surv AS MATERIALIZED (
+      SELECT k.doc_id, k.n_chars, k.q
+      FROM keptdocs k
+      WHERE k.doc_id NOT IN (SELECT b FROM ver WHERE jaccard >= 0.5)
+    ), cuts AS (
+      SELECT quantile_cont(q, {_FS_DECILES}) AS c FROM surv
+    ), assigned AS (
+      SELECT doc_id, n_chars, q,
+             len(list_filter(c, x -> q > x)) AS shard,
+             {_hash_bucket_sql('doc_id', 4)} AS sub
+      FROM surv, cuts
+    ), lp AS (
+      SELECT *, CAST(floor(
+               COALESCE(SUM(n_chars) OVER (
+                 PARTITION BY shard, sub ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {PACK_BUDGET}.0
+             ) AS BIGINT) AS local_pack
+      FROM assigned
+    ), cnt AS (
+      SELECT shard, sub, max(local_pack) + 1 AS n_packs FROM lp GROUP BY shard, sub
+    ), o AS (
+      SELECT shard, sub,
+             COALESCE(SUM(n_packs) OVER (
+               PARTITION BY shard ORDER BY sub
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS pack_base
+      FROM cnt
+    )
+    SELECT lp.shard, CAST(o.pack_base + lp.local_pack AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(lp.n_chars) AS BIGINT) AS pack_chars,
+           CAST(SUM(CAST(lp.q AS DECIMAL(38,6))) AS DOUBLE) AS sum_q
+    FROM lp JOIN o ON lp.shard = o.shard AND lp.sub = o.sub
+    GROUP BY 1, 2
+    """,
+    covers=(
+        "[EXT]-curation",
+        "[EXT]-gopher",
+        "K9-minhash",
+        "[EXT]-packing-sharded",
+        "[EXT]-export",
+    ),
+)
+def curation_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the 100 TB curation story told END-TO-END instead of
+    per-operator (r6 verdict #5): gopher keep + quality gate →
+    capped-minhash near-dup removal → curriculum decile assignment →
+    hierarchical sharded packing, one plan, oracle-checked at the
+    final shard output. Every stage reuses the exact shared fragment
+    its standalone query certifies (gopher_metrics_sql,
+    _mh_pipeline_cte + cap routing + _MH_VERIFY_CTE,
+    quantile/percentile cutpoints, the md5 sub-shard pack recipe), so
+    a pass here certifies the COMPOSITION — including the survivor
+    anti-join seams between stages — not just the stages.
+
+    Persist hand-offs (the seams the per-query bench can't see):
+    `kept` (gated narrow projection, doc_id/n_chars/q + text for
+    shingling) feeds both the minhash candidate machinery and the
+    survivor anti-join — persisted MEMORY_AND_DISK or the gate
+    megaexpressions re-run per consumer; `surv` feeds the decile agg
+    AND the pack assignment — persisted for the same reason. Drop
+    policy is pairwise keep-min: any doc appearing as the greater id
+    of a verified >= 0.5-Jaccard pair is removed (the SQL-expressible
+    policy; component-based keep-best is dedup_components' variant).
+
+    Scale shape: two corpus-narrow shuffles (band equi-join under the
+    hot-bucket cap, pack windows over (shard, sub)), one broadcast
+    anti-join of the bounded drop set, 1-row broadcast decile
+    cutpoints, per-(shard,sub) prefix sums renumbered by a broadcast
+    offset table — no global sort, no all-pairs work anywhere.
+    Wall-time + plan facts: evidence/flagship_sf0.1_r7.json."""
+    from pyspark import StorageLevel
+
+    from fegis_spark.operators.dedup import minhash_lsh_pairs_portable
+    from fegis_spark.operators.scale import pack_greedy_sharded
+    from fegis_spark.operators.text_analysis import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        "text",
+        F.round(quality_score_expr("text"), 6).alias("q"),
+        F.expr(_FS_GOPHER_KEEP_SPARK).alias("gk"),
+    )
+    kept = (
+        scored.filter((F.col("gk") == 1) & (F.col("q") >= 0.5))
+        .drop("gk")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = minhash_lsh_pairs_portable(
+        kept,
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=4,
+        ngram=3,
+        jaccard_threshold=0.5,
+        max_bucket_size=HOT_CAP,
+    )
+    drops = pairs.select(F.col("b").alias("doc_id")).distinct()
+    surv = (
+        kept.join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "n_chars", "q")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cuts = surv.agg(F.percentile("q", F.lit(_FS_DECILES)).alias("c"))
+    # curriculum shard is named cshard here because pack_greedy_sharded
+    # emits its own `shard` column (the md5 sub-stream id) and would
+    # clobber the key otherwise
+    assigned = surv.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_chars",
+        "q",
+        F.size(F.filter(F.col("c"), lambda x: F.col("q") > x)).alias("cshard"),
+    )
+    packed = pack_greedy_sharded(
+        assigned, ["cshard"], "doc_id", "n_chars", budget=PACK_BUDGET, shards=4
+    )
+    return packed.groupBy(F.col("cshard").alias("shard"), F.col("pack_id")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("pack_chars"),
+        F.sum(F.col("q").cast("decimal(38,6)")).cast("double").alias("sum_q"),
+    )
