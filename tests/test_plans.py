@@ -257,3 +257,24 @@ def test_epoch_shuffle_window_partitions_by_bucket(spark, cat):
     p = formatted_plan(spark, cat, "epoch_shuffle")
     assert "hashpartitioning(bucket" in p, p
     assert "BroadcastExchange" in p, p
+
+
+def test_ivf_portable_routes_without_cross_product(spark, cat):
+    """ann_ivf_portable's candidate join must be the list_id equi-join
+    (broadcast probes), never a corpus × queries cross product, and
+    the probe top-k must not reach for a global sort."""
+    p = formatted_plan(spark, cat, "ann_ivf_portable")
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_curation_flagship_has_no_smj_or_cartesian(spark, cat):
+    """The end-to-end flagship must keep its composed shape: broadcast
+    drop-set anti-join + 1-row decile broadcast + (shard, sub) pack
+    windows — zero sort-merge joins, no non-broadcast cross product
+    (the only NLJ is the 1-row cutpoint broadcast, repo crossJoin
+    policy)."""
+    p = formatted_plan(spark, cat, "curation_flagship")
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p

@@ -231,3 +231,42 @@ def test_srp_code_engine_agreement(spark, vecs):
         ).fetchall()
     )
     assert got_s == got_d
+
+
+@settings(**SETTINGS)
+@given(VBATCH)
+def test_ivfp_routing_engine_agreement(spark, vecs):
+    """Portable-IVF routing (list assignment + probe ranking inputs)
+    must agree across engines on arbitrary float32 vectors: the
+    quantized dots are exact integers, so argmax-by-first-occurrence
+    (array_position/list_position) picks the same list everywhere.
+    Any disagreement is a recipe bug, not float noise."""
+    from fegis_spark.operators.knn import ivfp_dots_expr, ivfp_dots_sql
+
+    dim, n_lists = 8, 4
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    dots = ivfp_dots_expr("embedding", dim, n_lists)
+    got_s = {
+        r["i"]: (tuple(r["dots"]), r["list_id"])
+        for r in spark.createDataFrame(rows, "i int, embedding array<float>")
+        .select(
+            "i",
+            F.expr(dots).alias("dots"),
+            F.expr(
+                f"CAST(array_position({dots}, array_max({dots})) - 1 AS INT)"
+            ).alias("list_id"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (i INTEGER, embedding FLOAT[])")
+    con.executemany("INSERT INTO v VALUES (?, ?)", rows)
+    dsql = ivfp_dots_sql("embedding", dim, n_lists)
+    got_d = {
+        r[0]: (tuple(int(x) for x in r[1]), r[2])
+        for r in con.execute(
+            f"SELECT i, {dsql} AS dots, "
+            f"CAST(list_position({dsql}, list_max({dsql})) - 1 AS INT) FROM v"
+        ).fetchall()
+    }
+    assert got_s == got_d
