@@ -182,3 +182,28 @@ def encode_with_merges(
     )
     out = base.select("doc", enc(F.col("ws")).alias("tokens"))
     return out.withColumn("n_tokens", F.size("tokens"))
+
+
+def merge_rounds_audit(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> list[tuple[int, str, str, int]]:
+    """First-k merge rounds WITH their winning counts — the
+    oracle-checkable surface of BPE training (queries/textstats_q.py
+    `bpe_merge_audit`): each round's (pair, count) is a pure function
+    of the corpus given the (count DESC, a, b) total order, and the
+    merge application is replayable in SQL as a string fold, so a
+    cross-engine value match certifies the merge-selection rule and
+    the leftmost-non-overlapping application semantics the long
+    (rows-only) train_bpe run uses. Same round structure as train_bpe,
+    checkpoint-free because k is small (3 plan layers, far from the
+    ~100-round analyzer depth limit documented in CLAUDE.md)."""
+    syms = words_to_symbols(df, text_col, id_col)
+    out: list[tuple[int, str, str, int]] = []
+    for step in range(1, k + 1):
+        pair, n = _merge_round(syms)
+        if pair is None:
+            break
+        out.append((step, pair[0], pair[1], int(n)))
+        if step < k:
+            syms = _apply_merge(syms, pair)
+    return out

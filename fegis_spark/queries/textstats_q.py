@@ -961,12 +961,116 @@ def quality_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("q_rank", F.round(F.percent_rank().over(w), 6))
 
 
+#: BPE merge application as a list_reduce string fold — valid because
+#: the merged symbol is literally a||b, so merging appends b WITHOUT a
+#: separator, and the guard `acc = a OR ends_with(acc, ' ' || a)` only
+#: fires when the LAST symbol is exactly `a` (symbols never contain
+#: spaces), reproducing the leftmost-non-overlapping scan: once a
+#: merge fires, the new last symbol a||b cannot match `a` again (b is
+#: non-empty). `{m}` is the 1-row merge CTE carrying columns a, b.
+_BPE_FOLD = (
+    "CASE WHEN len(syms) < 2 THEN syms ELSE "
+    "string_split(list_reduce(syms, (acc, x) -> "
+    "CASE WHEN x = {m}.b AND (acc = {m}.a OR ends_with(acc, ' ' || {m}.a)) "
+    "THEN acc || x ELSE acc || ' ' || x END), ' ') END"
+)
+
+#: winner selection: adjacent-pair histogram under the (n DESC, a, b)
+#: total order — the exact rule operators/bpe._merge_round applies.
+_BPE_PICK = """
+    SELECT p[1] AS a, p[2] AS b, COUNT(*) AS n FROM (
+      SELECT unnest(list_transform(range(1, len(syms)),
+                    i -> [syms[i], syms[i+1]])) AS p
+      FROM {src} WHERE len(syms) >= 2
+    ) GROUP BY p[1], p[2]
+    ORDER BY n DESC, a, b LIMIT 1"""
+
+#: (doc?, chars) -> symbol lists with EOW on the last char
+_BPE_SYMS = """list_transform(cs, (c, i) ->
+               CASE WHEN i = len(cs) THEN c || '</w>' ELSE c END)"""
+
+
+def _bpe_audit_oracle(k: int = 3) -> str:
+    """DuckDB replay of the first k BPE merge rounds, unrolled (the
+    MMR pattern: step CTEs, MATERIALIZED so DuckDB never inlines a
+    step chain into exponential rescans)."""
+    ctes = [
+        f"""s0 AS MATERIALIZED (
+      SELECT {_BPE_SYMS} AS syms
+      FROM (SELECT regexp_extract_all(w, '.') AS cs
+            FROM (SELECT unnest({duck_tokens('text')}) AS w FROM documents))
+    )"""
+    ]
+    for j in range(1, k + 1):
+        ctes.append(f"m{j} AS MATERIALIZED ({_BPE_PICK.format(src=f's{j-1}')})")
+        if j < k:
+            ctes.append(
+                f"s{j} AS MATERIALIZED (SELECT {_BPE_FOLD.format(m=f'm{j}')} AS syms "
+                f"FROM s{j-1}, m{j})"
+            )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {j} AS step, a, b, n FROM m{j}" for j in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+def _bpe_train_encode_oracle(k: int = 10) -> str:
+    """Full DuckDB replay of bpe_train_encode: k unrolled training
+    rounds over the md5-bucket 20% sample, then the learned merges
+    applied IN RANK ORDER over the full corpus (k more fold steps) and
+    counted per doc. Sequential rank-order application replays the
+    operator's priority-greedy encode exactly because the learned
+    table is well-formed — every merge's operand symbols are products
+    of strictly earlier merges, so by the time merge j is applied
+    exhaustively, no later merge can create a new (a_j, b_j) adjacency
+    out of symbols that exist at step j; the equivalence is
+    additionally pinned by tests/test_bpe.py::test_sequential_equals
+    _priority_encode on the real corpus + adversarial words."""
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    )
+    ctes = [
+        f"""t0 AS MATERIALIZED (
+      SELECT {_BPE_SYMS} AS syms
+      FROM (SELECT regexp_extract_all(w, '.') AS cs
+            FROM (SELECT unnest({duck_tokens('text')}) AS w FROM documents
+                  WHERE {bucket} < 20))
+    )"""
+    ]
+    for j in range(1, k + 1):
+        ctes.append(f"tm{j} AS MATERIALIZED ({_BPE_PICK.format(src=f't{j-1}')})")
+        if j < k:
+            ctes.append(
+                f"t{j} AS MATERIALIZED (SELECT {_BPE_FOLD.format(m=f'tm{j}')} AS syms "
+                f"FROM t{j-1}, tm{j})"
+            )
+    ctes.append(
+        f"""e0 AS MATERIALIZED (
+      SELECT doc, {_BPE_SYMS} AS syms
+      FROM (SELECT doc, regexp_extract_all(w, '.') AS cs
+            FROM (SELECT doc_id AS doc, unnest({duck_tokens('text')}) AS w
+                  FROM documents))
+    )"""
+    )
+    for j in range(1, k + 1):
+        ctes.append(
+            f"e{j} AS MATERIALIZED (SELECT doc, {_BPE_FOLD.format(m=f'tm{j}')} AS syms "
+            f"FROM e{j-1}, tm{j})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT d.doc_id AS doc,
+           CAST(COALESCE(t.n, 0) AS INTEGER) AS n_tokens,
+           {k} AS n_merges
+    FROM documents d LEFT JOIN (
+      SELECT doc, SUM(len(syms)) AS n FROM e{k} GROUP BY doc
+    ) t ON d.doc_id = t.doc"""
+    )
+
+
 @register(
     "bpe_train_encode",
-    oracle=None,  # iterative merge learning — genuinely non-SQL-
-    # expressible (the contract's iterative-algorithm class); the merge
-    # table and encode are pinned value-for-value against a pure-Python
-    # reference in tests/test_bpe.py
+    oracle=_bpe_train_encode_oracle(10),
     covers=("[EXT]-bpe",),
 )
 def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -977,7 +1081,14 @@ def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FULL corpus with the learned table. Each merge round is one
     pair-count aggregation + a map-only re-encode; the final encode is
     a single Arrow-batched map. Output: per-doc token count under the
-    learned tokenizer plus the corpus-level merge count."""
+    learned tokenizer plus the corpus-level merge count.
+
+    ORACLE-CHECKED since r7 (was rows-only under the iterative-
+    algorithm clause): the 10 training rounds unroll as MATERIALIZED
+    CTEs (_bpe_train_encode_oracle) and the encode replays as
+    sequential rank-order merge folds — equivalent to the operator's
+    priority-greedy encode for well-formed merge tables; also pinned
+    against the pure-Python reference in tests/test_bpe.py."""
     from fegis_spark.operators.bpe import encode_with_merges, train_bpe
 
     docs = load_table(spark, sf_dir, "documents")
@@ -991,6 +1102,29 @@ def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "doc", "n_tokens", F.lit(len(merges)).alias("n_merges")
     )
+
+
+@register(
+    "bpe_merge_audit",
+    oracle=_bpe_audit_oracle(3),
+    covers=("[EXT]-bpe",),
+)
+def bpe_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] oracle-checked BPE training audit (the hll_error_audit /
+    ann_ivf_recall_audit pattern applied to the last rows-only family):
+    the first 3 merge rounds' winning pairs AND their counts,
+    value-matched cross-engine. This certifies the two rules the long
+    train_bpe run (bpe_train_encode, rows-only by the iterative
+    contract) depends on — the (count DESC, a, b) winner total order
+    and the leftmost-non-overlapping merge application (replayed in
+    SQL as a string fold; operators/bpe.merge_rounds_audit). Driver
+    cost is one 1-row argmax per round, same boundedness contract as
+    train_bpe; reference semantics Sennrich et al. 2016 learn_bpe."""
+    from fegis_spark.operators.bpe import merge_rounds_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = merge_rounds_audit(docs, "text", "doc_id", k=3)
+    return spark.createDataFrame(rows, "step int, a string, b string, n bigint")
 
 
 DROPOUT_PCT = 15  #: of the md5 hash space per (doc, pos, token)

@@ -173,3 +173,52 @@ def test_bpe_property_random_corpora(spark):
         assert train_bpe(df, "text", "doc_id", num_merges=5) == py_train(corpus, 5)
 
     run()
+
+
+def py_encode_sequential(text, merges):
+    """Rank-order sequential application — the semantics the DuckDB
+    oracle of bpe_train_encode replays (each merge applied
+    exhaustively left-to-right before the next)."""
+    out = []
+    for w in py_words(text):
+        seq = list(w)
+        seq[-1] += EOW
+        for a, b in merges:
+            nxt, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    nxt.append(a + b)
+                    i += 2
+                else:
+                    nxt.append(seq[i])
+                    i += 1
+            seq = nxt
+        out.extend(seq)
+    return out
+
+
+def test_sequential_equals_priority_encode(spark):
+    """The equivalence the bpe_train_encode oracle rests on: for a
+    WELL-FORMED merge table (every merge's operands are products of
+    strictly earlier merges — what train_bpe produces by
+    construction), sequential rank-order application equals the
+    priority-greedy encode. Checked on the training corpus, on unseen
+    words, and on adversarial overlap shapes (aaa-runs, nested
+    merges)."""
+    merges = py_train(CORPUS, 12, min_pair_count=1)
+    probes = [text for _, text in CORPUS] + [
+        "lowest newest widest the low",
+        "looow lowlow newestnewest",
+        "aaa aaaa aaaaa",
+        "wwww eeee ssss tttt",
+        "lll ooo www",
+        "neweste stnewest wne",
+    ]
+    for text in probes:
+        assert py_encode_sequential(text, merges) == py_encode(text, merges), text
+    # and on a second table trained on an aaa-heavy corpus (maximal
+    # overlap stress: merges like (a,a) then (aa,a) / (aa,aa))
+    aaa = [(1, "aaaa aaaaa aaa"), (2, "aaaaaa aa aaaa"), (3, "aaa aaa aaa")]
+    m2 = py_train(aaa, 6, min_pair_count=1)
+    for text in ["a aa aaa aaaa aaaaa aaaaaa aaaaaaa aaaaaaaa"]:
+        assert py_encode_sequential(text, m2) == py_encode(text, m2), (text, m2)
