@@ -153,6 +153,59 @@ def ingest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_embed_audit",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents) AS n_rows,
+           64 AS dim,
+           TRUE AS all_dim_64,
+           TRUE AS all_unit_norm,
+           TRUE AS nnz_bounded_by_tokens
+    """,
+    covers=("§2.11-embed", "S4"),
+)
+def ingest_embed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 error-bound audit for the embedding pandas_udf (same
+    pattern as hll_error_audit / ann_ivf_recall_audit): the raw
+    vectors stay rows-only (crc32 feature-hash is not DuckDB-
+    computable, standing in for an ONNX forward pass that never would
+    be), while THIS query value-checks the exact side (row count,
+    declared dim) and asserts the embedder's contract invariants as
+    booleans the oracle pins literally TRUE: every vector has exactly
+    64 dims, every vector is unit-norm (the L2 normalize step; corpus
+    docs are non-empty so the zero-vector branch never fires at the
+    gate), and the number of nonzero buckets never exceeds the
+    whitespace token count (each token increments exactly one
+    bucket). A refactor that breaks normalization, dimensionality, or
+    the one-bucket-per-token projection fails the gate."""
+    from fegis_spark.ingest import ingest_batch
+
+    ev = load_table(spark, sf_dir, "documents")
+    calls = ev.select(
+        F.lit("DocIngest").alias("tool"),
+        F.col("source").alias("session_id"),
+        F.timestamp_micros(F.col("doc_id") * 1000000).cast("timestamp_ntz").alias("ts"),
+        F.create_map(F.lit("Content"), F.col("text")).alias("arguments"),
+    )
+    mem = ingest_batch(calls)
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    nnz = F.size(F.filter(v, lambda x: x != 0.0))
+    n_tok = F.size(F.split(F.lower(F.col("content")), r"\s+"))
+    per_row = mem.select(
+        (F.size("embedding") == 64).cast("int").alias("dim_ok"),
+        (F.abs(norm - 1.0) < 1e-5).cast("int").alias("norm_ok"),
+        (nnz <= n_tok).cast("int").alias("nnz_ok"),
+    )
+    return per_row.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.lit(64).alias("dim"),
+        (F.sum("dim_ok") == F.count("*")).alias("all_dim_64"),
+        (F.sum("norm_ok") == F.count("*")).alias("all_unit_norm"),
+        (F.sum("nnz_ok") == F.count("*")).alias("nnz_bounded_by_tokens"),
+    )
+
+
+@register(
     "interval_join_events",
     oracle="""
     WITH e AS (
