@@ -423,9 +423,12 @@ def unigram_logprob(
         .withColumn("nl", -F.log(F.col("cnt") / F.col("n")))
     )
     return scored.groupBy("doc").agg(
-        F.round(
-            F.sum(F.col("nl").cast("decimal(38,6)")).cast("double") / F.count("*"), 6
-        ).alias("avg_neg_logprob"),
+        # decimal-exact SUM + count, not a rounded mean: sum/count can
+        # land exactly on a .5e-6 midpoint where the engines' rounding
+        # tie-breaks differ (the dsir_importance r7 incident class)
+        F.sum(F.col("nl").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_neg_logprob"),
         F.count("*").alias("n_tokens"),
     )
 
@@ -490,9 +493,9 @@ def bigram_logprob(
         .withColumn("nl", -F.log(F.col("cnt") / F.col("ctx")))
     )
     return scored.groupBy("doc").agg(
-        F.round(
-            F.sum(F.col("nl").cast("decimal(38,6)")).cast("double") / F.count("*"), 6
-        ).alias("avg_neg_logprob"),
+        F.sum(F.col("nl").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_neg_logprob"),
         F.count("*").alias("n_bigrams"),
     )
 

@@ -878,8 +878,7 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            COUNT(*) AS n_pairs,
            CAST(MIN(d) AS BIGINT) AS min_dist,
-           round(CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
-             AS avg_dist,
+           CAST(SUM(d) AS BIGINT) AS sum_dist,
            CAST(SUM(CASE WHEN d <= 16 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_close
     FROM pairs GROUP BY lang, source
@@ -914,9 +913,6 @@ def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("lang", "source").agg(
         F.count("*").alias("n_pairs"),
         F.min("d").cast("bigint").alias("min_dist"),
-        F.round(
-            F.sum(F.col("d").cast("decimal(38,6)")).cast("double") / F.count("*"),
-            6,
-        ).alias("avg_dist"),
+        F.sum("d").cast("bigint").alias("sum_dist"),
         F.sum((F.col("d") <= 16).cast("int")).cast("bigint").alias("n_close"),
     )

@@ -55,8 +55,7 @@ def _tok_bucket(col):
       FROM tok JOIN counts c USING (bucket) CROSS JOIN tot t
     )
     SELECT doc_id, lang,
-           round(CAST(SUM(CAST(lr AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
-             AS dsir_logweight,
+           CAST(SUM(CAST(lr AS DECIMAL(38,6))) AS DOUBLE) AS dsir_logweight_sum,
            COUNT(*) AS n_tokens
     FROM scored GROUP BY doc_id, lang
     """,
@@ -77,8 +76,13 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles until the per-doc aggregate. The hashed table is B rows
     at ANY corpus size — unlike a vocab join, DSIR's broadcast can
     never outgrow the threshold at 100 TB. Laplace terms are exact
-    integer-derived doubles on both engines; the mean takes the
-    decimal-transit path and rounds to 6 dp.
+    integer-derived doubles on both engines; the per-doc output is the
+    decimal-exact SUM of 6dp-quantized log ratios plus the token count
+    (consumers divide) — NOT a rounded mean: sum/count can land
+    exactly on a .5e-6 midpoint where Spark HALF_UP and DuckDB
+    round-half-even break the tie differently (hit for real at
+    sf0.001, doc 143: -0.0114195 → -0.011419 vs -0.01142; same class
+    as the text_kn_logprob precedent in CLAUDE.md).
     """
     from pyspark import StorageLevel
 
@@ -107,10 +111,9 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", lr.alias("lr"))
         .groupBy("doc_id", "lang")
         .agg(
-            F.round(
-                F.sum(F.col("lr").cast("decimal(38,6)")).cast("double") / F.count("*"),
-                6,
-            ).alias("dsir_logweight"),
+            F.sum(F.col("lr").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("dsir_logweight_sum"),
             F.count("*").alias("n_tokens"),
         )
     )

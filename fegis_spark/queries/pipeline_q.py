@@ -670,7 +670,7 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            round(MIN(q), 6) AS min_q,
            round(MAX(q), 6) AS max_q,
-           round(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_q
+           CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) AS sum_q
     FROM assigned GROUP BY shard
     """,
     covers=("[EXT]-export", "§2.4-quantiles", "[EXT]-quality"),
@@ -714,9 +714,7 @@ def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.min("q"), 6).alias("min_q"),
         F.round(F.max("q"), 6).alias("max_q"),
-        F.round(
-            F.sum(F.col("q").cast("decimal(38,6)")).cast("double") / F.count("*"), 6
-        ).alias("avg_q"),
+        F.sum(F.col("q").cast("decimal(38,6)")).cast("double").alias("sum_q"),
     )
 
 

@@ -319,7 +319,7 @@ def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           round(CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+           CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) AS sum_quality
     FROM deduped
     GROUP BY lang
     """,
@@ -371,10 +371,9 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(
-                F.sum(F.col("quality").cast("decimal(38,6)")).cast("double") / F.count("*"),
-                6,
-            ).alias("avg_quality"),
+            F.sum(F.col("quality").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_quality"),
         )
     )
 
@@ -511,8 +510,7 @@ def tokenize_unicode_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok JOIN vocab USING (t) CROSS JOIN tot
     )
     SELECT doc_id AS doc,
-           round(CAST(SUM(CAST(nl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
-             AS avg_neg_logprob,
+           CAST(SUM(CAST(nl AS DECIMAL(38,6))) AS DOUBLE) AS sum_neg_logprob,
            COUNT(*) AS n_tokens
     FROM scored GROUP BY doc_id
     """,
@@ -747,8 +745,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bg JOIN vocab USING (w1, b) JOIN ctx USING (w1)
     )
     SELECT doc_id AS doc,
-           round(CAST(SUM(CAST(nl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
-             AS avg_neg_logprob,
+           CAST(SUM(CAST(nl AS DECIMAL(38,6))) AS DOUBLE) AS sum_neg_logprob,
            COUNT(*) AS n_bigrams
     FROM scored GROUP BY doc_id
     """,

@@ -152,7 +152,8 @@ def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_centroids",
     oracle="""
     SELECT label, dim,
-           round(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6) AS centroid_x,
+           -- lint: allow R3 (BIGINT summand — exact integer micro-units)
+           CAST(SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT) AS qsum_x,
            COUNT(*) AS n
     FROM (
       SELECT label, CAST(r.range AS INT) AS dim,
@@ -173,9 +174,15 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x")
     ).withColumn("dim", F.col("d0") + 1).filter(F.col("dim") <= 8)
     return ex.groupBy("label", "dim").agg(
-        F.round(
-            F.sum(F.col("x").cast("decimal(38,10)")).cast("double") / F.count("*"), 6
-        ).alias("centroid_x"),
+        # exact-integer micro-unit sum + count (r7 R6 rule). NOT a
+        # decimal transit: float32 values can land exactly on the
+        # decimal grid midpoint (x = odd/2^11 hits .5e-10) where
+        # Spark's HALF_UP and DuckDB's double->decimal casts tie-break
+        # differently — the SRP quantization recipe (round-to-BIGINT,
+        # both engines away-from-zero) has no such tie.
+        F.sum(F.round(F.col("x") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("qsum_x"),
         F.count("*").alias("n"),
     )
 

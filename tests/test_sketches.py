@@ -91,9 +91,11 @@ def test_bigram_logprob_hand_computed(spark):
     def r6(x: float) -> float:  # Spark round(): HALF_UP, not banker's
         return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
-    got = {r.doc: (r.avg_neg_logprob, r.n_bigrams) for r in bigram_logprob(docs).collect()}
+    got = {r.doc: (r.sum_neg_logprob, r.n_bigrams) for r in bigram_logprob(docs).collect()}
     ln2 = r6(-math.log(0.5))  # per-bigram nl after the DECIMAL(38,6) cast
-    # d0: mean(-ln 1, -ln .5, -ln 1); d1: mean(-ln 1, -ln .5)
-    assert got[0] == (r6(ln2 / 3), 3)
-    assert got[1] == (r6(ln2 / 2), 2)
+    # d0: sum(-ln 1, -ln .5, -ln 1); d1: sum(-ln 1, -ln .5)
+    # (decimal-exact SUM + count since r7 — the mean's /count could land
+    # on a .5e-6 rounding midpoint, the dsir_importance incident class)
+    assert got[0] == (ln2, 3)
+    assert got[1] == (ln2, 2)
     assert 2 not in got

@@ -113,11 +113,12 @@ def test_unigram_logprob_known_values(spark):
         [(1, "a a b"), (2, "b")], "doc_id long, text string"
     )
     got = {r.doc: r for r in unigram_logprob(docs).collect()}
-    # corpus tokens: a,a,b,b -> p(a)=p(b)=0.5
+    # corpus tokens: a,a,b,b -> p(a)=p(b)=0.5; output = decimal-exact
+    # SUM of per-token nl (r7: means are midpoint-prone cross-engine)
     exp = round(-math.log(0.5), 6)
     assert got[1].n_tokens == 3 and got[2].n_tokens == 1
-    assert abs(got[1].avg_neg_logprob - exp) < 1e-6
-    assert abs(got[2].avg_neg_logprob - exp) < 1e-6
+    assert abs(got[1].sum_neg_logprob - 3 * exp) < 3e-6
+    assert abs(got[2].sum_neg_logprob - exp) < 1e-6
 
 
 def test_expr_fast_paths_match_column_forms(spark):

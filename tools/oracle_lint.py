@@ -15,6 +15,10 @@ environment-dependent values:
   R4  DECIMAL * DECIMAL — DuckDB and Spark widen products differently.
   R5  a top-k (ORDER BY ... LIMIT) whose ORDER BY has a single key —
       no total-order tiebreak.
+  R6  round(<decimal-transit SUM> / COUNT, 6) — a rounded mean of
+      6dp-grid values can land EXACTLY on a .5e-6 midpoint where the
+      engines' rounding tie-breaks diverge (hit in text_kn_logprob r5
+      and dsir_importance r7). Emit the decimal-exact SUM + count.
 
 Heuristic (regex over SQL text), so false positives are possible:
 suppress a finding by adding `-- lint: allow RN` on the same line.
@@ -39,6 +43,9 @@ DOUBLE_SUM = re.compile(
     re.I,
 )
 DEC_MUL = re.compile(r"DECIMAL\s*\([^)]*\)\s*\)?\s*\*", re.I)
+ROUNDED_MEAN = re.compile(
+    r"round\s*\(.*SUM\s*\(\s*CAST[^)]*DECIMAL[^/]*/\s*COUNT", re.I
+)
 ALLOW = re.compile(r"--\s*lint:\s*allow\s+(R\d)")
 
 
@@ -99,7 +106,8 @@ def lint_sql(name: str, sql: str) -> list[str]:
     for i, ln in enumerate(lines):
         prev = lines[i - 1] if i else ""
         for rule, rx in (("R1", NONDET), ("R1", CURRENT), ("R2", SPARK_HASH),
-                         ("R3", DOUBLE_SUM), ("R4", DEC_MUL)):
+                         ("R3", DOUBLE_SUM), ("R4", DEC_MUL),
+                         ("R6", ROUNDED_MEAN)):
             # an allow-marker suppresses on its own line or the next
             # (comma-joined SQL fragments can't carry trailing comments)
             if rx.search(ln) and not (_allowed(ln, rule) or _allowed(prev, rule)):
