@@ -549,6 +549,101 @@ def embedding_neardup_pairs_lsh(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int = 64,
+    n_lists: int = 16,
+    tau: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then within each cluster
+    drop the member of every high-cosine pair that sits CLOSER to the
+    cluster centroid — keeping the outliers preserves diversity, which
+    is the paper's headline result over random keep. Reference parity:
+    the reference has no semantic dedup (its nearest surface is K1
+    cosine search, /root/reference/fegis/strategies.py:262-272); this
+    is a first-class [EXT] training-data-pipeline operator.
+
+    Clustering reuses the portable-IVF routing machinery
+    (operators/knn.ivfp_*): md5-derived literal ±1 centroids and
+    exact-integer quantized dot products, so assignment is an
+    exact-integer argmax on any engine and the whole decision
+    procedure — clusters, pair candidacy, and keep/drop choice — is
+    value-checkable against a DuckDB oracle. centroid_sim is the
+    cosine to the assigned centroid scaled by the constant sqrt(dim)
+    (±1 centroids all share that norm, so the scale cannot change any
+    comparison); it is qdot/|q| over exact integers, hence IEEE-
+    bit-identical cross-engine, with a nullif(|q|, 0) guard for
+    zero vectors on both sides (CLAUDE.md ANSI-divide rule).
+
+    Returns (vec_id, list_id, centroid_sim, is_dup): is_dup marks the
+    higher-centroid_sim member (tie: higher id) of every within-
+    cluster pair with exact cosine >= tau. Keepers = is_dup false.
+
+    100 TB posture: the only shuffles are the list_id equi-self-join
+    and one distinct over dropped ids. Per-cluster pair work is
+    O(sum c_i^2) — SemDeDup's own scaling answer applies: n_lists
+    grows with the corpus (clusters stay ~constant-sized), and the
+    paper runs 50k clusters over LAION-440M. Skewed clusters are an
+    AQE skew-join shape; for adversarial skew route over-cap clusters
+    through the same representative trick as banded_candidate_pairs.
+    """
+    from pyspark import StorageLevel
+
+    from fegis_spark.operators.knn import ivfp_dots_expr, ivfp_quant_expr
+
+    q = ivfp_quant_expr(vec_col)
+    qnorm = (
+        f"sqrt(CAST(aggregate(zip_with({q}, {q}, (a, b) -> a * b), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE))"
+    )
+    base = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("__v"),
+            F.expr(ivfp_dots_expr(vec_col, dim, n_lists)).alias("__dots"),
+            F.expr(qnorm).alias("__qn"),
+        )
+        .select(
+            "vec_id",
+            "__v",
+            F.expr(
+                "CAST(array_position(__dots, array_max(__dots)) - 1 AS INT)"
+            ).alias("list_id"),
+            (
+                F.expr("CAST(array_max(__dots) AS DOUBLE)")
+                / F.expr("nullif(__qn, 0.0)")
+            ).alias("__csim"),
+        )
+        # three consumers (both sides of the pair join + the verdict
+        # join) would each re-scan the corpus and re-fold the 16x64
+        # routing dots — persist per the repo multi-consumer rule
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    l, r = base.alias("l"), base.alias("r")
+    lc, rc = F.col("l.__csim"), F.col("r.__csim")
+    li, ri = F.col("l.vec_id"), F.col("r.vec_id")
+    dropped = (
+        l.join(r, (F.col("l.list_id") == F.col("r.list_id")) & (li < ri))
+        .filter(cosine(F.col("l.__v"), F.col("r.__v")) >= tau)
+        .select(
+            F.when((lc > rc) | ((lc == rc) & (li > ri)), li)
+            .otherwise(ri)
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("__d", F.lit(True))
+    )
+    return base.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "list_id",
+        F.round("__csim", 6).alias("centroid_sim"),
+        F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"),
+    )
+
+
 def _free_local_checkpoint(df: DataFrame) -> None:
     """Unpersist the RDD backing a localCheckpoint'ed DataFrame.
 

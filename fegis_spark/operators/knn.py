@@ -434,16 +434,32 @@ def ivfp_centroids(n_lists: int, dim: int) -> list[list[int]]:
     ]
 
 
+def ivfp_quant_expr(vec_col: str) -> str:
+    """Spark-SQL expression: exact-integer quantization of an
+    array<float> column (the shared subtree of every portable-IVF
+    routing expression; see IVFP_SCALE for the no-overflow bound)."""
+    return (
+        f"transform({vec_col}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {IVFP_SCALE}.0) AS BIGINT))"
+    )
+
+
+def ivfp_quant_sql(vec_col: str) -> str:
+    """DuckDB twin of ivfp_quant_expr — identical arithmetic (both
+    engines round doubles half-away-from-zero; CLAUDE.md recipe)."""
+    return (
+        f"list_transform({vec_col}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {IVFP_SCALE}.0) AS BIGINT))"
+    )
+
+
 def ivfp_dots_expr(vec_col: str, dim: int, n_lists: int = IVFP_LISTS) -> str:
     """Spark-SQL expression: array of the n_lists exact-integer routing
     dot products of an array<float> column against the literal
     centroids. One generated SQL string (driver-side plan-cost fast
     path, CLAUDE.md); the quantized array is a shared subtree."""
     cents = ivfp_centroids(n_lists, dim)
-    q = (
-        f"transform({vec_col}, x -> "
-        f"CAST(round(CAST(x AS DOUBLE) * {IVFP_SCALE}.0) AS BIGINT))"
-    )
+    q = ivfp_quant_expr(vec_col)
     dots = []
     for row in cents:
         lit = "array(" + ",".join(str(r) for r in row) + ")"
@@ -459,10 +475,7 @@ def ivfp_dots_sql(vec_col: str, dim: int, n_lists: int = IVFP_LISTS) -> str:
     quantization, exact integer-valued dot products, same literal
     centroid matrix."""
     cents = ivfp_centroids(n_lists, dim)
-    q = (
-        f"list_transform({vec_col}, x -> "
-        f"CAST(round(CAST(x AS DOUBLE) * {IVFP_SCALE}.0) AS BIGINT))"
-    )
+    q = ivfp_quant_sql(vec_col)
     dots = [
         f"list_dot_product({q}, [" + ",".join(str(r) for r in row) + "])"
         for row in cents

@@ -196,6 +196,63 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_oracle() -> str:
+    """DuckDB restatement of operators/dedup.semantic_dedup: SAME
+    md5-derived ±1 centroids and exact-integer routing dots as the
+    portable-IVF fragments (operators/knn.ivfp_*), first-max list
+    assignment, qdot/|q| centroid similarity (exact integers under the
+    sqrt → IEEE-identical), sequential-fold pair cosine, and the
+    SemDeDup keep-the-outlier rule as a CASE over (csim, vec_id)."""
+    from fegis_spark.operators.knn import ivfp_dots_sql, ivfp_quant_sql
+    from fegis_spark.queries.vector_q import _cos_pair
+
+    q = ivfp_quant_sql("embedding")
+    cos = _cos_pair("l.v", "r.v")
+    return f"""
+    WITH cq AS MATERIALIZED (
+      SELECT vec_id, embedding, {ivfp_dots_sql("embedding", 64)} AS dots,
+             sqrt(CAST(list_dot_product({q}, {q}) AS DOUBLE)) AS qn
+      FROM embeddings
+    ), base AS (
+      SELECT vec_id, embedding AS v,
+             CAST(list_position(dots, list_max(dots)) - 1 AS INT) AS list_id,
+             CAST(list_max(dots) AS DOUBLE) / nullif(qn, 0.0) AS csim
+      FROM cq
+    ), dropped AS (
+      SELECT DISTINCT CASE WHEN l.csim > r.csim
+                             OR (l.csim = r.csim AND l.vec_id > r.vec_id)
+                           THEN l.vec_id ELSE r.vec_id END AS vec_id
+      FROM base l JOIN base r ON l.list_id = r.list_id AND l.vec_id < r.vec_id
+      WHERE {cos} >= 0.35
+    )
+    SELECT b.vec_id, b.list_id, round(b.csim, 6) AS centroid_sim,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM base b LEFT JOIN dropped d USING (vec_id)
+    """
+
+
+@register(
+    "dedup_semantic",
+    oracle=_semdedup_oracle(),
+    covers=("K9-embedding", "[EXT]-semdedup"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SemDeDup semantic deduplication (Abbas et al. 2023):
+    cluster embeddings via the md5-centroid portable-IVF routing, then
+    within each cluster drop the closer-to-centroid member of every
+    cosine>=0.35 pair — keep the outliers, the paper's diversity-
+    preserving choice. Every decision (cluster, candidacy, keep/drop)
+    is exact-integer or IEEE-deterministic, so the full per-vector
+    verdict table value-matches the DuckDB oracle. Scale: one list_id
+    equi-self-join (clusters stay bounded as n_lists grows with the
+    corpus) + one distinct; see operators/dedup.semantic_dedup."""
+    from fegis_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id"
+    )
+
+
 _EDGES_SQL = rf"""
     WITH base AS (
       SELECT doc_id AS doc, lang, source,

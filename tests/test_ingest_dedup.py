@@ -572,3 +572,36 @@ def test_substring_spans_match_pure_python_reference(spark):
     assert got[1][2] == 12 and got[2][2] == 12
     # exact duplicates: every shingle duplicated, full-length run
     assert got[3][1] == got[3][0] and got[3][2] == len(toks[3])
+
+
+def test_semantic_dedup_keeps_the_outlier(spark):
+    """SemDeDup keep/drop rule on constructed vectors: within a
+    cluster, the closer-to-centroid member of every cosine>=tau pair
+    is dropped (keep the outlier, Abbas et al. 2023); equal centroid
+    similarity falls back to dropping the higher id; zero vectors get
+    a NULL centroid_sim (nullif guard) and never pair (cosine()'s
+    zero-norm convention is 0.0)."""
+    from fegis_spark.operators.dedup import semantic_dedup
+    from fegis_spark.operators.knn import ivfp_centroids
+
+    c = ivfp_centroids(16, 64)
+    c0 = [float(x) for x in c[0]]
+    v1 = list(c0)                      # csim = 8 exactly (= sqrt(64))
+    v2 = [3.0 * c0[0]] + c0[1:]        # same cluster, csim ~7.78 < 8
+    v3 = [2.0 * x for x in c0]         # csim = 8 exactly -> ties v1
+    v5 = [float(x) for x in c[5]]      # lands alone in list 5
+    v0 = [0.0] * 64                    # zero vector
+    rows = [(0, v0), (1, v1), (2, v2), (3, v3), (5, v5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in semantic_dedup(df, "embedding", "vec_id").collect()}
+
+    assert got[1].list_id == got[2].list_id == got[3].list_id == 0
+    assert got[5].list_id == 5
+    # pair (1,2): 1 is closer to the centroid -> dropped, 2 kept
+    # pair (1,3): exact csim tie -> higher id (3) dropped
+    assert got[1].is_dup and got[3].is_dup
+    assert not got[2].is_dup and not got[5].is_dup
+    assert got[1].centroid_sim == got[3].centroid_sim == 8.0
+    assert got[2].centroid_sim < 8.0
+    # zero vector: NULL centroid_sim, never a dup
+    assert got[0].centroid_sim is None and not got[0].is_dup

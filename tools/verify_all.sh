@@ -34,7 +34,12 @@ python tools/plan_report.py --md 2>/dev/null | tail -1
 if [[ "${1:-}" == "--full" ]]; then
   echo "== 7/7 full sf0.1 sweep (bench scale factor) =="
   python tools/check_correctness.py --sf /root/testdata/sf0.1 2>/dev/null | tail -1
+  # sf0.001's degenerate-small corpora hit rounding/tie edge cases the
+  # bigger factors mask (caught the dsir_importance .5e-6 midpoint in
+  # r7) — sweep it too whenever closing a round.
+  echo "== 7b full sf0.001 sweep (degenerate-corpus tier) =="
+  python tools/check_correctness.py --sf /root/testdata/sf0.001 2>/dev/null | tail -1
 else
-  echo "== 7/7 sf0.1 sweep skipped (pass --full to run; ~25 min) =="
+  echo "== 7/7 sf0.1 + sf0.001 sweeps skipped (pass --full; ~30 min) =="
 fi
 echo "verify_all: done"
