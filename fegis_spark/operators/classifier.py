@@ -1,0 +1,210 @@
+"""Trained quality classifier: distributed batch perceptron.
+
+The production pattern this re-expresses: train a lightweight quality
+classifier (fastText-style) on heuristic labels, then score the whole
+corpus with it — the CommonCrawl-filtering move used by most LLM data
+pipelines. The reference has no model training surface (its quality
+signal is per-row heuristics only), so this is a first-class [EXT]
+operator.
+
+Why a perceptron and not logistic regression: the entire update rule
+is comparisons + rational arithmetic — no exp/log — so every
+iteration is cross-engine deterministic and the trained weights can be
+value-checked against a DuckDB oracle (the iterative-oracle recipe
+with the SRP integer twist: per-round gradient sums in exact 1e6
+micro-unit BIGINT space, literal constants on both sides, fixed
+association). A sigmoid would bet on two libms agreeing to the last
+ulp; the perceptron removes the bet entirely.
+
+Features come from the Gopher metric fragments
+(operators/text_analysis.gopher_metrics_sql) so the Spark builder and
+the DuckDB oracle derive (x, y) from ONE template. The per-iteration
+algebra (margin, gradient sums, update) is emitted here as
+dialect-neutral SQL strings shared verbatim by both engines — the
+anti-drift move CLAUDE.md mandates for hand-mirrored recipes.
+
+Scale (100 TB posture): each iteration is one filtered map-side
+partial aggregate over the persisted feature projection (4 decimal
+sums + a count shuffle ONE row per partition), then a 4-double driver
+round-trip that re-enters the next round as plan literals — the
+classic distributed-GD shape with a bounded driver payload (the BPE
+winner-selection precedent). Feature extraction runs once (persisted,
+multi-consumer rule); each round is an independent flat job, so plan
+depth never grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fegis_spark.operators.text_analysis import gopher_metrics_sql
+
+#: literal constants — spelled identically in both dialects so neither
+#: engine re-derives them (the 1-0.7 != 0.3 IEEE lesson, CLAUDE.md).
+#: E-notation, NOT "0.01": plain decimal-point literals parse as
+#: DECIMAL in both engines and decimal DIVISION widens to different
+#: scales per engine (the R4 class) — 1e-2 / 3e0 is double IEEE
+#: division, bit-identical everywhere.
+PERC_LR = "1e-2"
+PERC_ITERS = 12
+
+#: dialect-neutral per-iteration algebra, shared verbatim by the Spark
+#: builder and the DuckDB oracle. Column contract: features x1..x4
+#: with label y in {1.0, -1.0}; current weights w1..w4; n = corpus
+#: row count (constant across iterations).
+PERC_MARGIN = "(y * (((w1 * x1 + w2 * x2) + w3 * x3) + w4 * x4))"
+#: gradient sums run in EXACT INTEGER micro-unit space (yi = ±1
+#: BIGINT, x{j}q = 1e6-quantized feature): a DECIMAL(38,18) transit of
+#: the float products hit its double->decimal midpoint class here
+#: (w3 diverged in the last ulp at sf0.01 — the label_centroids
+#: lesson, CLAUDE.md r7 gotchas), while integer sums have no rounding
+#: at all. CAST of the sum back to DOUBLE is exact below 2^53; at
+#: >9e18 total micro-units (≫ any real corpus: |x|<=~1 so that is
+#: ~1e13 rows) widen the SUM through DECIMAL(38,0) on both sides.
+PERC_GRAD = {
+    j: f"coalesce(CAST(SUM(yi * x{j}q) AS DOUBLE), 0.0)" for j in (1, 2, 3, 4)
+}
+
+
+def perc_update(j: int, t: int) -> str:
+    """Update fragment for weight j at iteration t: 1/t step decay
+    (the measured difference between oscillating forever and 98-99%
+    train accuracy by iteration 12 on this corpus — constant-lr batch
+    perceptron flip-flops between two states). The decayed rate is a
+    per-iteration double-literal expression ({lr} / {t}e0), so neither
+    engine re-derives it (CLAUDE.md derived-constant rule)."""
+    return f"w{j} + ({PERC_LR} / {t}e0) * ((g{j} / 1e6) / CAST(n AS DOUBLE))"
+
+
+def perceptron_features(text_expr: str, *, spark: bool) -> dict[str, str]:
+    """(x1..x4, x1q..x4q, y, yi) fragments over a text column, per
+    dialect. Features are scaled into ~[0,1] by literal constant
+    divisions — x2 = n_words/100, x3 = 6dp-rounded mean word length
+    /10, x4 = stopword hits /2 — then quantized to 1e6 integer
+    micro-units (x{j}q), with the double form x{j} derived back from
+    the SAME integer; y/yi are the Gopher keep verdict as ±1 double /
+    ±1 BIGINT. The scaling is load-bearing for convergence —
+    unscaled, mean_word_len (~4.5) drowns the word-count and stopword
+    signals and training oscillates (measured).
+    frac_alpha/symbol_ratio are constant on the synthetic corpus
+    (vacuous features) and excluded — see the catalog query
+    docstring."""
+    m = gopher_metrics_sql(text_expr, spark=spark)
+    raw = {
+        1: "1e0",
+        2: f"(CAST({m['n_words']} AS DOUBLE) / 1e2)",
+        3: f"({m['mean_word_len']} / 1e1)",
+        4: f"(CAST({m['stopword_hits']} AS DOUBLE) / 2e0)",
+    }
+    cols: dict[str, str] = {}
+    for j, r in raw.items():
+        # the feature IS its 1e6-quantized value: x{j}q feeds the
+        # exact-integer gradient sums, x{j} (= x{j}q/1e6 as a double)
+        # feeds the margin — one definition, no float/decimal casts
+        cols[f"x{j}q"] = f"CAST(round({r} * 1e6) AS BIGINT)"
+        cols[f"x{j}"] = f"(CAST(CAST(round({r} * 1e6) AS BIGINT) AS DOUBLE) / 1e6)"
+    cols["y"] = f"(CASE WHEN {m['keep']} = 1 THEN 1e0 ELSE -1e0 END)"
+    cols["yi"] = (
+        f"(CASE WHEN {m['keep']} = 1 THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(-1 AS BIGINT) END)"
+    )
+    return cols
+
+
+def perceptron_train(
+    docs: DataFrame, text_col: str = "text", iters: int = PERC_ITERS
+) -> DataFrame:
+    """Batch-perceptron training loop; returns one row per iteration:
+    (iter, n_errors, w1..w4) where n_errors counts margin<=0 rows
+    BEFORE that iteration's update and w1..w4 are the weights AFTER
+    it. Weights are emitted unrounded (bit-identical folds, the
+    cusum_batch rule). Iteration 1 starts from w=0, so n_errors at
+    iter 1 equals the corpus size (margin is exactly 0).
+
+    Driver loop shape (the BPE-winner precedent, operators/bpe.py):
+    each round's error count + gradient sums are ONE distributed agg
+    over the persisted feature projection; only the 1-row (4 doubles)
+    result crosses to the driver, where the update applies in Python
+    floats — IEEE doubles with the SAME association and literals as
+    perc_update, so the trajectory is bit-identical to an all-engine
+    evaluation. (An earlier all-in-plan form chained each round's
+    1-row weight frame through broadcast joins; every broadcast
+    re-executed all prior rounds — O(k^2) stages and minutes of wall
+    time vs seconds for this shape.)"""
+    from pyspark import StorageLevel
+
+    cols = perceptron_features(text_col, spark=True)
+    f = docs.select(
+        *[F.expr(v).alias(k) for k, v in cols.items()]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    n = f.count()  # materializes the persist; bounded 1-value action
+    w = [0.0, 0.0, 0.0, 0.0]
+    lr = 0.01  # == PERC_LR (1e-2): same double, Python literal form
+    rows = []
+    for t in range(1, iters + 1):
+        # weights re-enter the plan as double literals so the shared
+        # PERC_MARGIN string applies verbatim (no hand-mirrored margin)
+        wf = f.withColumns({f"w{j}": F.lit(w[j - 1]) for j in (1, 2, 3, 4)})
+        # global agg over the misclassified set: always one row, even
+        # when the set is empty (err=0, zero gradient via coalesce) —
+        # exactly the oracle's COUNT-over-empty CTE
+        stats = (
+            wf.filter(F.expr(PERC_MARGIN) <= 0.0)
+            .agg(
+                F.count("*").alias("err"),
+                *[F.expr(PERC_GRAD[j]).alias(f"g{j}") for j in (1, 2, 3, 4)],
+            )
+            .collect()[0]
+        )
+        # perc_update in Python floats: w + (lr / t) * (g / n), same
+        # IEEE ops, same order, same literal values as the SQL string
+        w = [
+            w[j - 1] + (lr / t) * ((stats[f"g{j}"] / 1e6) / float(n))
+            for j in (1, 2, 3, 4)
+        ]
+        rows.append((t, stats["err"], w[0], w[1], w[2], w[3]))
+    f.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "iter bigint, n_errors bigint, w1 double, w2 double, w3 double, w4 double",
+    )
+
+
+def perceptron_train_oracle(iters: int = PERC_ITERS) -> str:
+    """DuckDB restatement: the SAME feature fragments (DuckDB dialect
+    of the shared Gopher template) and the SAME algebra strings
+    (PERC_MARGIN / PERC_GRAD / perc_update interpolated verbatim), as
+    an unrolled MATERIALIZED CTE chain (plain CTEs inline
+    exponentially across iterations — the MMR lesson, CLAUDE.md)."""
+    cols = perceptron_features("text", spark=False)
+    x = ",\n             ".join(f"{v} AS {k}" for k, v in cols.items())
+    parts = [
+        f"""f AS MATERIALIZED (
+      SELECT {x}
+      FROM documents
+    ), tot AS MATERIALIZED (SELECT COUNT(*) AS n FROM f),
+    w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"""
+    ]
+    for t in range(1, iters + 1):
+        g = ",\n             ".join(
+            f"{PERC_GRAD[j]} AS g{j}" for j in (1, 2, 3, 4)
+        )
+        u = ", ".join(f"{perc_update(j, t)} AS w{j}" for j in (1, 2, 3, 4))
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+      SELECT COUNT(*) AS err,
+             {g}
+      FROM f CROSS JOIN w{t - 1}
+      WHERE {PERC_MARGIN} <= 0.0
+    ), w{t} AS MATERIALIZED (
+      SELECT {u} FROM w{t - 1} CROSS JOIN s{t} CROSS JOIN tot
+    )"""
+        )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS iter, CAST(s{t}.err AS BIGINT) AS n_errors, "
+        f"w{t}.w1, w{t}.w2, w{t}.w3, w{t}.w4 FROM s{t} CROSS JOIN w{t}"
+        for t in range(1, iters + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + rows

