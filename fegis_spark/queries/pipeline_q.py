@@ -1119,3 +1119,82 @@ def curation_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("pack_chars"),
         F.sum(F.col("q").cast("decimal(38,6)")).cast("double").alias("sum_q"),
     )
+
+
+from fegis_spark.queries.vector_q import _cos_pair  # noqa: E402
+
+#: semantic-contamination decision threshold (corpus max pairwise
+#: cosine is ~0.51, so 0.35 fires on real rows at every sf)
+SEMCONTAM_TAU = 0.35
+#: eval panel = the first 8 vectors (the IVF-audit panel convention)
+SEMCONTAM_PANEL = 8
+
+
+@register(
+    "contamination_semantic",
+    oracle=f"""
+    WITH p AS MATERIALIZED (
+      SELECT vec_id AS eval_id, embedding FROM embeddings
+      WHERE vec_id < {SEMCONTAM_PANEL}
+    ), c AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id >= {SEMCONTAM_PANEL}
+    ), scored AS (
+      SELECT c.vec_id, p.eval_id,
+             {_cos_pair('c.embedding', 'p.embedding')} AS s
+      FROM c CROSS JOIN p
+    ), best AS (
+      SELECT vec_id, eval_id, s,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, eval_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, CAST(eval_id AS BIGINT) AS best_eval_id,
+           round(s, 6) AS best_score,
+           CASE WHEN s >= {SEMCONTAM_TAU} THEN 1 ELSE 0 END AS contaminated
+    FROM best WHERE rn = 1
+    """,
+    covers=("[EXT]-contamination-semantic", "K1"),
+)
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] semantic decontamination: the embedding-space companion
+    to the n-gram contamination_check — paraphrased eval leakage that
+    shares no 8-gram still lands next to the benchmark in embedding
+    space (the modern eval-dedup practice alongside lexical overlap).
+    Every corpus vector is scored against the broadcast eval panel
+    (first {SEMCONTAM_PANEL} vectors, the IVF-audit convention); the
+    output is the per-vector verdict table: nearest eval doc
+    ((cosine DESC, eval_id) total order), its score, contaminated
+    flag as INT.
+
+    100 TB posture: panel is benchmark-sized (thousands of rows at
+    most) -> broadcast; the corpus streams map-side through the
+    crossJoin and collapses via ONE partial-aggregating
+    max(struct(score, -eval_id)) per vector — no window sort, no
+    corpus shuffle beyond the final per-vector agg (house rule:
+    min/max(struct) over groupBy+join-back)."""
+    from fegis_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    panel = emb.filter(F.col("vec_id") < SEMCONTAM_PANEL).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("__pv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= SEMCONTAM_PANEL).select(
+        "vec_id", F.col("embedding").alias("__cv")
+    )
+    scored = corpus.crossJoin(F.broadcast(panel)).withColumn(
+        "s", cosine(F.col("__cv"), F.col("__pv"))
+    )
+    st = F.max(
+        F.struct(F.col("s").alias("s"), (-F.col("eval_id")).alias("nid"))
+    ).alias("st")
+    return (
+        scored.groupBy("vec_id")
+        .agg(st)
+        .select(
+            "vec_id",
+            (-F.col("st.nid")).cast("bigint").alias("best_eval_id"),
+            F.round("st.s", 6).alias("best_score"),
+            (F.col("st.s") >= SEMCONTAM_TAU).cast("int").alias("contaminated"),
+        )
+    )
