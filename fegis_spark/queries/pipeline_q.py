@@ -1198,3 +1198,170 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("st.s") >= SEMCONTAM_TAU).cast("int").alias("contaminated"),
         )
     )
+
+
+#: source-overlap geometry: 3-token grams (phrase-level overlap; the
+#: 8-gram contamination geometry is near-vacuous ACROSS synthetic
+#: sources, while vocabulary-adjacent 3-grams give a non-degenerate
+#: matrix at every sf — 190 pairs, shared counts 50-150 at sf0.01).
+OVERLAP_NGRAM = 3
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH base AS (
+      SELECT source,
+             list_distinct(list_transform(range(0, len(tok)-{OVERLAP_NGRAM - 1}),
+                           i -> array_to_string(list_slice(tok, i+1, i+{OVERLAP_NGRAM}), ' '))) AS sh
+      FROM (SELECT source, {duck_tokens('text')} AS tok FROM documents)
+      WHERE len(tok) >= {OVERLAP_NGRAM}
+    ), g AS (
+      SELECT DISTINCT source, md5(g) AS h
+      FROM (SELECT source, unnest(sh) AS g FROM base)
+    ), counts AS (
+      SELECT source, COUNT(*) AS n FROM g GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b, ca.n AS n_a, cb.n AS n_b, p.n_shared,
+           round(p.n_shared / CAST(ca.n + cb.n - p.n_shared AS DOUBLE), 6) AS jaccard,
+           round(p.n_shared / CAST(ca.n AS DOUBLE), 6) AS cont_a_in_b,
+           round(p.n_shared / CAST(cb.n AS DOUBLE), 6) AS cont_b_in_a
+    FROM pairs p
+    JOIN counts ca ON p.src_a = ca.source
+    JOIN counts cb ON p.src_b = cb.source
+    """,
+    covers=("[EXT]-source-overlap", "K9-jaccard"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] pairwise cross-source corpus-overlap matrix: for every
+    source pair, EXACT distinct-{OVERLAP_NGRAM}-gram Jaccard plus both
+    directed containments ("how much of A is inside B") — the corpus-
+    curation tool that decides which web dumps are redundant
+    subsets/supersets of each other before mixing (the CCNet /
+    RefinedWeb source-triage step).
+
+    100 TB posture: the corpus collapses FIRST to distinct
+    (source, md5(gram)) — one hash-agg shuffle, after which every
+    gram key carries at most |sources| rows, so the self-join fan-out
+    is bounded by sources² per key (never doc-pair quadratic); the
+    per-source totals are a |sources|-row broadcast. The gram string
+    itself never shuffles twice — join keys are fixed-width md5. The
+    distinct projection is persisted once and feeds all three
+    consumers (counts + both join sides)."""
+    from pyspark import StorageLevel
+    from fegis_spark.operators.dedup import with_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs, "text", "source", n=OVERLAP_NGRAM)
+    g = (
+        sh.select(F.col("doc").alias("source"), F.explode("sh").alias("g"))
+        .select("source", F.md5("g").alias("h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = g.groupBy("source").agg(F.count("*").alias("n"))
+    pairs = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ca = F.broadcast(counts.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")))
+    cb = F.broadcast(counts.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")))
+    return (
+        pairs.join(ca, "src_a")
+        .join(cb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("n_shared") / F.col("n_a").cast("double"), 6).alias(
+                "cont_a_in_b"
+            ),
+            F.round(F.col("n_shared") / F.col("n_b").cast("double"), 6).alias(
+                "cont_b_in_a"
+            ),
+        )
+    )
+
+
+#: length-bucket ladder for padded-batch training; the last boundary
+#: is the model context cap — longer docs TRUNCATE to it (non-vacuous
+#: at every sf: documents.n_chars tops out a bit above 512).
+PAD_BUCKETS = (64, 128, 256, 512)
+
+
+def _pad_bucket_sql(col: str) -> str:
+    """Shared CASE ladder (both engines) mapping a length to the
+    smallest bucket boundary >= it, capped at the last boundary."""
+    arms = " ".join(
+        f"WHEN {col} <= {b} THEN {b}" for b in PAD_BUCKETS[:-1]
+    )
+    return f"CASE {arms} ELSE {PAD_BUCKETS[-1]} END"
+
+
+@register(
+    "pack_padding_audit",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_pad_bucket_sql('n_chars')} AS bucket_len,
+             LEAST(n_chars, {PAD_BUCKETS[-1]}) AS eff_len,
+             n_chars
+      FROM documents
+    )
+    SELECT bucket_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(eff_len) AS BIGINT) AS real_chars,
+           CAST(SUM(bucket_len - eff_len) AS BIGINT) AS pad_chars,
+           CAST(SUM(n_chars - eff_len) AS BIGINT) AS trunc_chars,
+           round(SUM(bucket_len - eff_len) / CAST(COUNT(*) * bucket_len AS DOUBLE), 6) AS pad_frac
+    FROM b GROUP BY bucket_len
+    """,
+    covers=("[EXT]-packing-audit", "[EXT]-packing"),
+)
+def pack_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] padded-batch efficiency audit: bucket every document into
+    the smallest power-of-two length boundary {PAD_BUCKETS} (cap =
+    context length; longer docs truncate) and report, per bucket, the
+    real/padding/truncated character mass and the padding fraction —
+    the number that tells you whether bucketed batching wastes 5% or
+    40% of your accelerator FLOPs, and what a boundary change buys.
+    Companion to pack_sequences (packing ELIMINATES padding; this
+    audit prices the simpler padded-batch regime against it).
+
+    100 TB posture: pure map-side CASE projection + ONE partial
+    aggregate down to |buckets| rows — no join, no window, nothing
+    leaves the scan until the 4-row final agg. All masses are exact
+    integer sums; the single ratio divides two exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    cap = PAD_BUCKETS[-1]
+    b = docs.select(
+        F.expr(_pad_bucket_sql("n_chars")).alias("bucket_len"),
+        F.least(F.col("n_chars"), F.lit(cap)).alias("eff_len"),
+        "n_chars",
+    )
+    return b.groupBy("bucket_len").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("eff_len").cast("bigint").alias("real_chars"),
+        F.sum(F.col("bucket_len") - F.col("eff_len")).cast("bigint").alias("pad_chars"),
+        F.sum(F.col("n_chars") - F.col("eff_len")).cast("bigint").alias("trunc_chars"),
+        F.round(
+            F.sum(F.col("bucket_len") - F.col("eff_len"))
+            / (F.count("*") * F.first("bucket_len")).cast("double"),
+            6,
+        ).alias("pad_frac"),
+    )

@@ -1672,3 +1672,93 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy by iteration 12 at every sf (errors 5000 -> 99 at
     sf0.1)."""
     return perceptron_train(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH m AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    dd AS (
+      SELECT doc_id,
+             LEAST(9, CAST(floor(doc_id * 10.0 / m) AS BIGINT)) AS decile,
+             tok
+      FROM (SELECT doc_id, {{tok}} AS tok FROM documents), m
+    ),
+    tokc AS (
+      SELECT decile, CAST(SUM(len(tok)) AS BIGINT) AS new_tokens
+      FROM dd GROUP BY decile
+    ),
+    firsts AS (
+      SELECT w, MIN(decile) AS decile
+      FROM (SELECT decile, unnest(tok) AS w FROM dd)
+      GROUP BY w
+    ),
+    newt AS (SELECT decile, COUNT(*) AS new_types FROM firsts GROUP BY decile)
+    SELECT t.decile,
+           CAST(SUM(t.new_tokens) OVER w AS BIGINT) AS n_tokens_cum,
+           CAST(SUM(COALESCE(n.new_types, 0)) OVER w AS BIGINT) AS n_types_cum,
+           round(COALESCE(n.new_types, 0) * 1000.0 / nullif(t.new_tokens, 0), 6)
+             AS new_types_per_1k
+    FROM tokc t LEFT JOIN newt n ON t.decile = n.decile
+    WINDOW w AS (ORDER BY t.decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """.format(tok=duck_tokens("text")),
+    covers=("[EXT]-vocab-growth", "§2.4-cumulative-distinct"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Heaps'-law vocabulary-growth curve: stream the corpus in
+    deterministic doc_id order, checkpoint at 10 equal doc_id deciles,
+    and report cumulative token mass, cumulative distinct vocabulary,
+    and the marginal new-types-per-1k-tokens rate per decile — the
+    corpus-health audit that distinguishes naturally-growing text
+    (sublinear, declining marginal rate per Heaps' law) from template
+    spam (rate collapses) or synthetic noise (rate stays flat).
+
+    100 TB posture: the windowed-COUNT-DISTINCT trap is avoided the
+    same way as cumulative_unique_users — first-seen decomposition:
+    each word reduces to MIN(decile) in one vocab-sized hash-agg
+    (decile is monotone in doc_id, so MIN(decile) == decile of
+    MIN(doc_id) without carrying doc ids), token mass partial-aggs to
+    10 rows map-side, and the only window runs over the 10-row decile
+    table. The tokenized projection is persisted once and feeds both
+    the token-mass agg and the vocabulary explode (one corpus scan).
+    All outputs are exact integers except one integer-ratio rate,
+    nullif-guarded on both sides."""
+    from pyspark import StorageLevel
+    from fegis_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg((F.max("doc_id") + 1).alias("m"))
+    dd = (
+        docs.crossJoin(F.broadcast(m))
+        .select(
+            F.least(
+                F.lit(9),
+                F.floor(F.col("doc_id") * 10.0 / F.col("m")).cast("bigint"),
+            ).alias("decile"),
+            tokens(F.col("text")).alias("tok"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tokc = dd.groupBy("decile").agg(
+        F.sum(F.size("tok")).cast("bigint").alias("new_tokens")
+    )
+    firsts = (
+        dd.select("decile", F.explode("tok").alias("w"))
+        .groupBy("w")
+        .agg(F.min("decile").alias("decile"))
+    )
+    newt = firsts.groupBy("decile").agg(F.count("*").alias("new_types"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    joined = tokc.join(newt, "decile", "left").select(
+        "decile",
+        "new_tokens",
+        F.coalesce("new_types", F.lit(0)).alias("new_types"),
+    )
+    return joined.select(
+        "decile",
+        F.sum("new_tokens").over(w).cast("bigint").alias("n_tokens_cum"),
+        F.sum("new_types").over(w).cast("bigint").alias("n_types_cum"),
+        F.round(
+            F.col("new_types") * 1000.0 / F.nullif(F.col("new_tokens"), F.lit(0)), 6
+        ).alias("new_types_per_1k"),
+    )
