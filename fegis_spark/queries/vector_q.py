@@ -756,3 +756,152 @@ def ann_ivf_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "corpus_id", F.round("score", 6).alias("score"),
         F.col("rank").cast("bigint").alias("rank"),
     )
+
+
+#: recall-curve geometry: 8 panel queries, true top-10, probe ladder
+#: up to the full n_lists=16 scan (whose recall-1.0 row anchors the
+#: curve and proves the truth/candidate plumbing agrees end-to-end).
+ANN_CURVE_PROBES = (1, 2, 4, 8, 16)
+ANN_CURVE_K = 10
+ANN_CURVE_PANEL = 8
+
+
+def _ann_curve_oracle() -> str:
+    """DuckDB restatement of ann_recall_curve: same literal centroids
+    and exact-integer routing as _ivfp_oracle, brute-force true top-k
+    per panel query, probe rank per (query, list), then conditional
+    hit sums over the literal probe ladder."""
+    from fegis_spark.operators.knn import IVFP_LISTS, ivfp_dots_sql
+
+    dots = ivfp_dots_sql("embedding", 64)
+    cos = _cos_pair("c.cv", "q.qv")
+    probes_values = ", ".join(f"({p})" for p in ANN_CURVE_PROBES)
+    denom = ANN_CURVE_PANEL * ANN_CURVE_K
+    return f"""
+    WITH cq AS MATERIALIZED (
+      SELECT vec_id, embedding, {dots} AS dots FROM embeddings
+    ), corp AS (
+      SELECT vec_id AS corpus_id, embedding AS cv,
+             CAST(list_position(dots, list_max(dots)) - 1 AS INT) AS list_id
+      FROM cq
+    ), panel AS (
+      SELECT vec_id AS query_id, embedding AS qv, dots
+      FROM cq WHERE vec_id < {ANN_CURVE_PANEL}
+    ), pr AS MATERIALIZED (
+      SELECT query_id, CAST(r.range AS INT) AS list_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY dots[CAST(r.range AS INT) + 1] DESC,
+                        CAST(r.range AS INT)) AS probe_rank
+      FROM panel CROSS JOIN range(0, {IVFP_LISTS}) r
+    ), truth AS (
+      SELECT query_id, corpus_id, list_id FROM (
+        SELECT q.query_id, c.corpus_id, c.list_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {cos} DESC, c.corpus_id) AS rank
+        FROM corp c CROSS JOIN panel q
+        WHERE c.corpus_id <> q.query_id
+      ) WHERE rank <= {ANN_CURVE_K}
+    ), hits AS (
+      SELECT t.query_id, pr.probe_rank
+      FROM truth t JOIN pr ON t.query_id = pr.query_id
+                          AND t.list_id = pr.list_id
+    )
+    SELECT n_probe,
+           CAST(SUM(CASE WHEN probe_rank <= n_probe THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits,
+           round(SUM(CASE WHEN probe_rank <= n_probe THEN 1 ELSE 0 END)
+                 / {denom}.0, 6) AS recall,
+           round(n_probe / {IVFP_LISTS}.0, 6) AS scan_frac
+    FROM hits CROSS JOIN (VALUES {probes_values}) AS pv(n_probe)
+    GROUP BY n_probe
+    """
+
+
+@register(
+    "ann_recall_curve",
+    oracle=_ann_curve_oracle(),
+    covers=("K1-approx", "[EXT]-ann"),
+)
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] IVF recall-vs-probes tuning curve: recall@{ANN_CURVE_K}
+    of the portable-IVF path at every n_probe in {ANN_CURVE_PROBES},
+    in ONE pass — the artifact that picks the recall/cost operating
+    point (n_probe/n_lists IS the fraction of the corpus scanned, so
+    the curve prices recall in scan I/O directly). The full-scan row
+    (n_probe = n_lists) must read recall 1.0, anchoring the plumbing.
+
+    Key identity making this one cheap query instead of
+    len(probe-ladder) re-runs: with exact re-ranking, a true top-k
+    neighbor is recalled iff its LIST is probed (anything beating it
+    among candidates also beats it globally, and there are < k such) —
+    so per (true-neighbor, query) only the neighbor list's probe RANK
+    matters, and every ladder point is a conditional sum over the same
+    {ANN_CURVE_PANEL}x{ANN_CURVE_K}-row hit table.
+
+    100 TB posture: the corpus is scanned once for routing + once for
+    the brute-force truth of a benchmark-sized panel (the same
+    sample-truth pattern as dedup_minhash_eval — the panel is
+    broadcast, truth per query is a TakeOrdered-style window over
+    panel x corpus scores); everything after the truth top-k collapse
+    is bounded by panel x k rows."""
+    from fegis_spark.functions.vector import cosine
+    from fegis_spark.operators.knn import IVFP_LISTS, ivfp_dots_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dots = ivfp_dots_expr("embedding", 64)
+    cq = emb.select("vec_id", "embedding", F.expr(dots).alias("__dots"))
+    corp = cq.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("__cv"),
+        F.expr(
+            "CAST(array_position(__dots, array_max(__dots)) - 1 AS INT)"
+        ).alias("list_id"),
+    )
+    panel = cq.filter(F.col("vec_id") < ANN_CURVE_PANEL).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        "__dots",
+    )
+    wpr = Window.partitionBy("query_id").orderBy(F.desc("__dot"), F.col("list_id"))
+    pr = (
+        panel.select(
+            "query_id", F.posexplode("__dots").alias("list_id", "__dot")
+        )
+        .withColumn("probe_rank", F.row_number().over(wpr))
+        .select("query_id", F.col("list_id").cast("int").alias("list_id"), "probe_rank")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("__score"), F.col("corpus_id")
+    )
+    truth = (
+        corp.crossJoin(F.broadcast(panel.select("query_id", "__qv")))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("__score", cosine(F.col("__cv"), F.col("__qv")))
+        .withColumn("rank", F.row_number().over(wt))
+        .filter(F.col("rank") <= ANN_CURVE_K)
+        .select("query_id", "corpus_id", "list_id")
+    )
+    hits = truth.join(F.broadcast(pr), ["query_id", "list_id"])
+    ladder = F.explode(
+        F.array(*[F.lit(p) for p in ANN_CURVE_PROBES])
+    ).alias("n_probe")
+    denom = ANN_CURVE_PANEL * ANN_CURVE_K
+    return (
+        hits.select("probe_rank", ladder)
+        .groupBy("n_probe")
+        .agg(
+            F.sum((F.col("probe_rank") <= F.col("n_probe")).cast("int"))
+            .cast("bigint")
+            .alias("hits"),
+        )
+        .select(
+            "n_probe",
+            "hits",
+            F.round(F.col("hits") / F.lit(float(denom)), 6).alias("recall"),
+            F.round(F.col("n_probe") / F.lit(float(IVFP_LISTS)), 6).alias(
+                "scan_frac"
+            ),
+        )
+    )
