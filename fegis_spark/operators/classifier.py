@@ -53,7 +53,8 @@ PERC_ITERS = 12
 #: builder and the DuckDB oracle. Column contract: features x1..x4
 #: with label y in {1.0, -1.0}; current weights w1..w4; n = corpus
 #: row count (constant across iterations).
-PERC_MARGIN = "(y * (((w1 * x1 + w2 * x2) + w3 * x3) + w4 * x4))"
+PERC_SCORE = "(((w1 * x1 + w2 * x2) + w3 * x3) + w4 * x4)"
+PERC_MARGIN = f"(y * {PERC_SCORE})"
 #: gradient sums run in EXACT INTEGER micro-unit space (yi = ±1
 #: BIGINT, x{j}q = 1e6-quantized feature): a DECIMAL(38,18) transit of
 #: the float products hit its double->decimal midpoint class here
@@ -132,6 +133,21 @@ def perceptron_train(
     1-row weight frame through broadcast joins; every broadcast
     re-executed all prior rounds — O(k^2) stages and minutes of wall
     time vs seconds for this shape.)"""
+    rows, _, f = _train(docs, text_col, iters)
+    f.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "iter bigint, n_errors bigint, w1 double, w2 double, w3 double, w4 double",
+    )
+
+
+def _train(
+    docs: DataFrame, text_col: str, iters: int
+) -> tuple[list, list[float], DataFrame]:
+    """The shared driver loop: returns (trajectory rows, final
+    weights, persisted feature projection). The CALLER owns the
+    persist — perceptron_train unpersists immediately;
+    perceptron_calibration keeps it for the scoring pass."""
     from pyspark import StorageLevel
 
     cols = perceptron_features(text_col, spark=True)
@@ -165,19 +181,13 @@ def perceptron_train(
             for j in (1, 2, 3, 4)
         ]
         rows.append((t, stats["err"], w[0], w[1], w[2], w[3]))
-    f.unpersist()
-    return docs.sparkSession.createDataFrame(
-        rows,
-        "iter bigint, n_errors bigint, w1 double, w2 double, w3 double, w4 double",
-    )
+    return rows, w, f
 
 
-def perceptron_train_oracle(iters: int = PERC_ITERS) -> str:
-    """DuckDB restatement: the SAME feature fragments (DuckDB dialect
-    of the shared Gopher template) and the SAME algebra strings
-    (PERC_MARGIN / PERC_GRAD / perc_update interpolated verbatim), as
-    an unrolled MATERIALIZED CTE chain (plain CTEs inline
-    exponentially across iterations — the MMR lesson, CLAUDE.md)."""
+def _oracle_ctes(iters: int) -> str:
+    """The unrolled MATERIALIZED training-CTE chain (f, tot, w0,
+    s1..s{iters}, w1..w{iters}) shared by the trajectory oracle and
+    the calibration oracle."""
     cols = perceptron_features("text", spark=False)
     x = ",\n             ".join(f"{v} AS {k}" for k, v in cols.items())
     parts = [
@@ -202,9 +212,99 @@ def perceptron_train_oracle(iters: int = PERC_ITERS) -> str:
       SELECT {u} FROM w{t - 1} CROSS JOIN s{t} CROSS JOIN tot
     )"""
         )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def perceptron_train_oracle(iters: int = PERC_ITERS) -> str:
+    """DuckDB restatement: the SAME feature fragments (DuckDB dialect
+    of the shared Gopher template) and the SAME algebra strings
+    (PERC_MARGIN / PERC_GRAD / perc_update interpolated verbatim), as
+    an unrolled MATERIALIZED CTE chain (plain CTEs inline
+    exponentially across iterations — the MMR lesson, CLAUDE.md)."""
     rows = "\n    UNION ALL ".join(
         f"SELECT CAST({t} AS BIGINT) AS iter, CAST(s{t}.err AS BIGINT) AS n_errors, "
         f"w{t}.w1, w{t}.w2, w{t}.w3, w{t}.w4 FROM s{t} CROSS JOIN w{t}"
         for t in range(1, iters + 1)
     )
-    return "WITH " + ",\n    ".join(parts) + "\n    " + rows
+    return _oracle_ctes(iters) + "\n    " + rows
+
+
+#: reliability-diagram bin edges in score micro-units. Fixed LITERAL
+#: edges (not rank deciles): the binning is then a pure map-side CASE
+#: at any corpus size — no global sort/window — and the trained score
+#: distribution is sf-stable on this corpus (measured range ≈
+#: [-2300, 950] micro-units at sf0.001 AND sf0.01), so every bin is
+#: occupied at every sf.
+CALIB_EDGES = (-2000, -1500, -1000, -500, 0, 250, 500, 750)
+
+
+def calib_bin_sql(s: str) -> str:
+    """Shared CASE ladder (both dialects) mapping a micro-unit score
+    expression to its calibration bin index."""
+    arms = " ".join(
+        f"WHEN {s} < {e} THEN {i}" for i, e in enumerate(CALIB_EDGES)
+    )
+    return f"CASE {arms} ELSE {len(CALIB_EDGES)} END"
+
+
+#: micro-unit quantization of the trained score (the SRP integer
+#: recipe: both engines round doubles half-away-from-zero).
+_SCORE_Q = f"CAST(round({PERC_SCORE} * 1e6) AS BIGINT)"
+
+
+def perceptron_calibration(
+    docs: DataFrame, text_col: str = "text", iters: int = PERC_ITERS
+) -> DataFrame:
+    """Reliability diagram of the trained classifier: train (same
+    driver loop as perceptron_train), score EVERY document with the
+    final weights, bin scores into the fixed CALIB_EDGES ladder, and
+    report per bin the doc count, actual Gopher keep count, keep
+    rate, and the exact integer micro-unit score mass (sum + count
+    instead of a rounded mean — the R6 lint rule). A calibrated model
+    reads monotone keep_rate in bin index.
+
+    Scale: training cost is perceptron_train's; the scoring pass is
+    one map-side projection + ONE |bins|-row partial agg over the
+    feature projection persisted by the training loop (no second
+    feature extraction)."""
+    _, w, f = _train(docs, text_col, iters)
+    wf = f.withColumns({f"w{j}": F.lit(w[j - 1]) for j in (1, 2, 3, 4)})
+    return (
+        wf.select("y", F.expr(_SCORE_Q).alias("s"))
+        .select(F.expr(calib_bin_sql("s")).alias("bin"), "y", "s")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN y > 0e0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.sum("s").cast("bigint").alias("score_micro_sum"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_keep",
+            F.round(F.col("n_keep") / F.col("n_docs").cast("double"), 6).alias(
+                "keep_rate"
+            ),
+            "score_micro_sum",
+        )
+    )
+
+
+def perceptron_calibration_oracle(iters: int = PERC_ITERS) -> str:
+    """DuckDB twin of perceptron_calibration: the same training CTE
+    chain, then the same quantize → CASE-bin → agg tail with weights
+    drawn from w{iters} (bit-identical to the driver-loop floats per
+    the trajectory proof)."""
+    return f"""{_oracle_ctes(iters)}
+    SELECT bin, n_docs, n_keep,
+           round(n_keep / CAST(n_docs AS DOUBLE), 6) AS keep_rate,
+           score_micro_sum
+    FROM (
+      SELECT {calib_bin_sql('s')} AS bin, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN y > 0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             CAST(SUM(s) AS BIGINT) AS score_micro_sum
+      FROM (SELECT y, {_SCORE_Q} AS s FROM f CROSS JOIN w{iters})
+      GROUP BY 1
+    )"""

@@ -973,3 +973,69 @@ def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").cast("bigint").alias("sum_dist"),
         F.sum((F.col("d") <= 16).cast("int")).cast("bigint").alias("n_close"),
     )
+
+
+@register(
+    "dedup_attribution",
+    oracle=f"""
+    WITH {_mh_pipeline_cte('documents')}, cand AS (
+      SELECT DISTINCT l.doc AS a, r.doc AS b
+      FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc < r.doc
+    ), {_MH_VERIFY_CTE},
+    dup AS (SELECT a, b FROM ver WHERE jaccard >= 0.5),
+    keep AS (SELECT b AS dropped, MIN(a) AS keeper FROM dup GROUP BY b)
+    SELECT dk.source AS src_keep, dd.source AS src_drop,
+           COUNT(*) AS n_docs,
+           CAST(SUM(dd.n_chars) AS BIGINT) AS chars_dropped
+    FROM keep k
+    JOIN documents dk ON dk.doc_id = k.keeper
+    JOIN documents dd ON dd.doc_id = k.dropped
+    GROUP BY 1, 2
+    """,
+    covers=("K9-minhash", "[EXT]-source-overlap"),
+)
+def dedup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] dedup-flow attribution matrix: for every near-dup doc the
+    portable MinHash pipeline would drop (min-id partner convention —
+    the pairwise twin of dedup_keep_best's cluster rule), count the
+    dropped docs and their character mass per (keeper source, dropped
+    source) — the governance table telling you WHICH sources lose
+    content to WHICH in dedup ("B is mostly copies of A"), the
+    decision input behind CCNet-style source ordering. Transitive
+    cluster attribution is dedup_components' job; this is the
+    per-pair flow.
+
+    100 TB posture: everything through `ver` is exactly
+    dedup_minhash_portable's banded plan (at production scale swap in
+    the capped variant); the pair table collapses to one keeper per
+    dropped doc (tiny), which joins back to `documents` twice as a
+    BROADCAST — the corpus is never shuffled for the attribution
+    itself, and the output is bounded by sources²."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_portable(
+        docs, "text", "doc_id",
+        num_hashes=16, bands=4, ngram=3, jaccard_threshold=0.5,
+    )
+    keep = (
+        pairs.groupBy("b")
+        .agg(F.min("a").alias("keeper"))
+        .withColumnRenamed("b", "dropped")
+    )
+    src = docs.select("doc_id", "source", "n_chars")
+    return (
+        src.alias("dk")
+        .join(
+            F.broadcast(keep.alias("k")),
+            F.col("dk.doc_id") == F.col("k.keeper"),
+        )
+        .select("k.dropped", F.col("dk.source").alias("src_keep"))
+        .join(
+            src.alias("dd").withColumnRenamed("source", "src_drop"),
+            F.col("dropped") == F.col("dd.doc_id"),
+        )
+        .groupBy("src_keep", "src_drop")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_dropped"),
+        )
+    )

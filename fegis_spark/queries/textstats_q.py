@@ -1762,3 +1762,32 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("new_types") * 1000.0 / F.nullif(F.col("new_tokens"), F.lit(0)), 6
         ).alias("new_types_per_1k"),
     )
+
+
+from fegis_spark.operators.classifier import (  # noqa: E402
+    perceptron_calibration,
+    perceptron_calibration_oracle,
+)
+
+
+@register(
+    "classifier_calibration",
+    oracle=perceptron_calibration_oracle(),
+    covers=("[EXT]-quality-classifier", "[EXT]-quality"),
+)
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] reliability diagram for the trained quality classifier:
+    score every document with quality_classifier_train's final
+    weights, bin scores into fixed literal micro-unit edges, report
+    per-bin doc count / actual Gopher-keep count / keep rate / exact
+    score mass. A calibrated filter reads monotone keep_rate across
+    bins — the audit that turns 'the classifier trains' into 'the
+    classifier's score is a usable keep-probability proxy'.
+
+    100 TB posture: fixed LITERAL bin edges keep the binning a pure
+    map-side CASE (no global rank window); the scoring pass reuses
+    the feature projection the training loop already persisted, so
+    calibration adds one projection + one |bins|-row agg to the
+    training cost. Oracle replays training AND scoring end-to-end
+    (operators/classifier.py)."""
+    return perceptron_calibration(load_table(spark, sf_dir, "documents"))
