@@ -142,17 +142,19 @@ def perceptron_train(
 
 
 def _train(
-    docs: DataFrame, text_col: str, iters: int
+    docs: DataFrame, text_col: str, iters: int, extra_cols: tuple[str, ...] = ()
 ) -> tuple[list, list[float], DataFrame]:
     """The shared driver loop: returns (trajectory rows, final
     weights, persisted feature projection). The CALLER owns the
     persist — perceptron_train unpersists immediately;
-    perceptron_calibration keeps it for the scoring pass."""
+    perceptron_calibration keeps it for the scoring pass.
+    `extra_cols` carries identity columns (e.g. doc_id for the pruning
+    selector) through the projection; the training aggs ignore them."""
     from pyspark import StorageLevel
 
     cols = perceptron_features(text_col, spark=True)
     f = docs.select(
-        *[F.expr(v).alias(k) for k, v in cols.items()]
+        *extra_cols, *[F.expr(v).alias(k) for k, v in cols.items()]
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     n = f.count()  # materializes the persist; bounded 1-value action
@@ -307,4 +309,64 @@ def perceptron_calibration_oracle(iters: int = PERC_ITERS) -> str:
              CAST(SUM(s) AS BIGINT) AS score_micro_sum
       FROM (SELECT y, {_SCORE_Q} AS s FROM f CROSS JOIN w{iters})
       GROUP BY 1
+    )"""
+
+
+#: hard-example quota for the pruning selector.
+PRUNE_K = 50
+
+
+def perceptron_hard_examples(
+    docs: DataFrame, text_col: str = "text", k: int = PRUNE_K,
+    iters: int = PERC_ITERS,
+) -> DataFrame:
+    """Margin-based data pruning (the keep-hard-examples rule of
+    Sorscher et al. 2022, 'Beyond neural scaling laws'): train the
+    quality perceptron, score every document, and keep the k docs
+    with the SMALLEST |score| — the boundary examples a downstream
+    model learns most from; everything far from the boundary is
+    redundant easy mass. Output (doc_id, y, score_micro, rank) under
+    the exact total order (|score_micro|, doc_id) — score_micro is an
+    integer, so the order has no float ties to break.
+
+    Scale: global bottom-k = orderBy+limit fuses to
+    TakeOrderedAndProject (per-partition heaps, driver merges k rows
+    — never a global sort); the rank column is re-derived on the
+    k-row result, not the corpus."""
+    _, w, f = _train(docs, text_col, iters, extra_cols=("doc_id",))
+    wf = f.withColumns({f"w{j}": F.lit(w[j - 1]) for j in (1, 2, 3, 4)})
+    scored = wf.select(
+        "doc_id",
+        F.col("yi").alias("y"),
+        F.expr(_SCORE_Q).alias("score_micro"),
+    ).withColumn("abs_s", F.abs(F.col("score_micro")))
+    top = scored.orderBy("abs_s", "doc_id").limit(k)
+    from pyspark.sql import Window
+
+    wr = Window.orderBy("abs_s", "doc_id")  # k-row window, not corpus
+    return (
+        top.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .select("doc_id", "y", "score_micro", "rank")
+    )
+
+
+def perceptron_hard_examples_oracle(
+    k: int = PRUNE_K, iters: int = PERC_ITERS
+) -> str:
+    """DuckDB twin of perceptron_hard_examples: training CTE chain,
+    features re-derived WITH doc_id from the same shared fragments,
+    bottom-k under the exact integer (|score_micro|, doc_id) order."""
+    cols = perceptron_features("text", spark=False)
+    x = ",\n             ".join(f"{v} AS {c}" for c, v in cols.items())
+    return f"""{_oracle_ctes(iters)},
+    fd AS (
+      SELECT doc_id, {x}
+      FROM documents
+    )
+    SELECT doc_id, y, score_micro,
+           row_number() OVER (ORDER BY abs(score_micro), doc_id) AS rank
+    FROM (
+      SELECT fd.doc_id, fd.yi AS y, {_SCORE_Q} AS score_micro
+      FROM fd CROSS JOIN w{iters}
+      ORDER BY abs({_SCORE_Q}), fd.doc_id LIMIT {k}
     )"""

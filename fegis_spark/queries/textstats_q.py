@@ -1791,3 +1791,29 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     training cost. Oracle replays training AND scoring end-to-end
     (operators/classifier.py)."""
     return perceptron_calibration(load_table(spark, sf_dir, "documents"))
+
+
+from fegis_spark.operators.classifier import (  # noqa: E402
+    perceptron_hard_examples,
+    perceptron_hard_examples_oracle,
+)
+
+
+@register(
+    "pruning_hard_examples",
+    oracle=perceptron_hard_examples_oracle(),
+    covers=("[EXT]-quality-classifier", "O1-topk"),
+)
+def pruning_hard_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] margin-based data pruning (keep-hard-examples rule,
+    Sorscher et al. 2022): the 50 documents nearest the trained
+    quality classifier's decision boundary under the exact integer
+    (|score_micro|, doc_id) total order — the examples that carry the
+    most training signal, and the selection a pruning pipeline feeds
+    back into the mixture. Training + scoring + selection are all
+    replayed by the DuckDB oracle.
+
+    100 TB posture: the global bottom-k fuses to
+    TakeOrderedAndProject (per-partition heaps, k-row driver merge —
+    no global sort); rank is re-derived on the k-row result only."""
+    return perceptron_hard_examples(load_table(spark, sf_dir, "documents"))

@@ -905,3 +905,159 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _label_sep_oracle() -> str:
+    """DuckDB restatement of label_separation_audit. Centroids are
+    exact-integer micro-unit sums divided once into doubles (the
+    label_centroids recipe, all 64 dims); every cross-dim reduction is
+    a sequential list fold (the _cos_pair determinism argument), so
+    both engines see bit-identical doubles end-to-end."""
+    fold_sq = (
+        "list_aggregate(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    )
+    d_ab = "sqrt(" + fold_sq.format(a="a.c", b="b.c") + ")"
+    d_vec = "sqrt(" + fold_sq.format(
+        a="CAST(e.embedding AS DOUBLE[])", b="ct.c"
+    ) + ")"
+    return f"""
+    WITH q AS (
+      SELECT label, dim,
+             -- lint: allow R3 (BIGINT summand — exact integer micro-units)
+             CAST(SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT) AS qs,
+             COUNT(*) AS n
+      FROM (
+        SELECT label, CAST(r.range AS INT) AS dim,
+               CAST(embedding[CAST(r.range AS INT)] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN range(1, 65) r
+      ) GROUP BY label, dim
+    ), centq AS (
+      SELECT label, MAX(n) AS n, list(qs ORDER BY dim) AS ql
+      FROM q GROUP BY label
+    ), cent AS (
+      SELECT label, n,
+             list_transform(ql, v -> CAST(v AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)) AS c
+      FROM centq
+    ), nearest AS (
+      SELECT la AS label, lb AS nearest_label, d FROM (
+        SELECT a.label AS la, b.label AS lb, {d_ab} AS d,
+               row_number() OVER (PARTITION BY a.label
+                                  ORDER BY {d_ab}, b.label) AS rn
+        FROM cent a JOIN cent b ON a.label <> b.label
+      ) WHERE rn = 1
+    ), intra AS (
+      SELECT e.label,
+             COUNT(*) AS n,
+             -- lint: allow R3 (BIGINT summand — exact integer micro-units)
+             CAST(SUM(CAST(round({d_vec} * 1e6) AS BIGINT)) AS BIGINT) AS intra_qsum
+      FROM embeddings e JOIN cent ct ON e.label = ct.label
+      GROUP BY e.label
+    )
+    SELECT i.label, i.n, i.intra_qsum, nr.nearest_label,
+           round(nr.d, 6) AS nearest_dist,
+           round(((nr.d * CAST(i.n AS DOUBLE)) * 1e6)
+                 / nullif(CAST(i.intra_qsum AS DOUBLE), 0e0), 6) AS separation
+    FROM intra i JOIN nearest nr ON i.label = nr.label
+    """
+
+
+@register(
+    "label_separation_audit",
+    oracle=_label_sep_oracle(),
+    covers=("[EXT]-centroids", "K9-embedding"),
+)
+def label_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] embedding label-separation audit (Davies-Bouldin-style):
+    per label, the exact micro-unit mass of intra-class distances to
+    the label centroid, the NEAREST other centroid and its distance,
+    and the separation ratio nearest_dist / mean_intra_scatter — the
+    'are these labels actually separable in embedding space' gate run
+    before training a classifier head or trusting label-balanced
+    sampling. separation >> 1 = compact well-separated classes; ~1 =
+    overlapping.
+
+    Determinism: centroids from exact-integer micro-unit sums (the
+    label_centroids recipe, all 64 dims); every cross-dim reduction is
+    a sequential array fold so both engines see identical doubles;
+    the corpus-sized intra mean rides an exact integer sum + count
+    (R6 rule), with the division deferred to the constant-size output.
+
+    100 TB posture: one corpus explode collapsing to |labels|x|dims|
+    integer cells (map-side partial agg), centroid table is
+    |labels| rows -> broadcast back for the intra pass (second corpus
+    scan, no shuffle beyond the |labels|-row agg); the pairwise
+    centroid join is |labels|² rows on the driver-side scale."""
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x"),
+    ).withColumn("dim", F.col("d0") + 1)
+    q = ex.groupBy("label", "dim").agg(
+        F.sum(F.round(F.col("x") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("qs"),
+        F.count("*").alias("n"),
+    )
+    cent = (
+        q.groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.array_sort(F.collect_list(F.struct("dim", "qs"))).alias("sq"),
+        )
+        .select(
+            "label",
+            "n",
+            F.expr(
+                "transform(sq, s -> CAST(s.qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))"
+            ).alias("c"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    fold_sq = (
+        "aggregate(zip_with({a}, {b}, (u, v) -> (u - v) * (u - v)), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    d_ab = "sqrt(" + fold_sq.format(a="ca", b="cb") + ")"
+    pairs = (
+        cent.select(F.col("label").alias("la"), F.col("c").alias("ca"))
+        .join(
+            cent.select(F.col("label").alias("lb"), F.col("c").alias("cb")),
+            F.col("la") != F.col("lb"),
+        )
+        .withColumn("d", F.expr(d_ab))
+    )
+    wn = Window.partitionBy("la").orderBy("d", "lb")
+    nearest = (
+        pairs.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(F.col("la").alias("label"), F.col("lb").alias("nearest_label"), "d")
+    )
+    d_vec = "sqrt(" + fold_sq.format(
+        a="CAST(embedding AS ARRAY<DOUBLE>)", b="c"
+    ) + ")"
+    intra = (
+        emb.join(F.broadcast(cent.select("label", "c")), "label")
+        .select("label", F.expr(d_vec).alias("dist"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("dist") * 1e6).cast("bigint"))
+            .cast("bigint")
+            .alias("intra_qsum"),
+        )
+    )
+    return intra.join(F.broadcast(nearest), "label").select(
+        "label",
+        "n",
+        "intra_qsum",
+        "nearest_label",
+        F.round("d", 6).alias("nearest_dist"),
+        F.round(
+            (F.col("d") * F.col("n").cast("double") * F.lit(1e6))
+            / F.nullif(F.col("intra_qsum").cast("double"), F.lit(0e0)),
+            6,
+        ).alias("separation"),
+    )
