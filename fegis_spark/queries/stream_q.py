@@ -440,3 +440,78 @@ def cusum_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_events long, cusum_pos double, cusum_neg double, "
         "drifted boolean",
     )
+
+
+#: constructed out-of-orderness for the watermark audit: every 5th
+#: event arrives with its timestamp shifted back (event_id % 40)
+#: minutes — the testdata stream is perfectly ordered (probed: zero
+#: inversions at sf0.01), so lateness is INJECTED deterministically on
+#: both engines (the duck_hot_docs pattern) to keep every bucket
+#: occupied at every sf.
+_LATE_SHIFT = "CASE WHEN event_id % 5 = 0 THEN (event_id % 40) * 60000000 ELSE 0 END"
+#: bucket ladder in micros: on-time / <=1m / <=5m / <=15m / beyond.
+_LATE_BUCKET = """CASE WHEN late_us = 0 THEN 0
+              WHEN late_us <= 60000000 THEN 1
+              WHEN late_us <= 300000000 THEN 2
+              WHEN late_us <= 900000000 THEN 3
+              ELSE 4 END"""
+
+
+@register(
+    "watermark_lateness_audit",
+    oracle=f"""
+    WITH late AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) - {_LATE_SHIFT} AS m
+      FROM events
+    ), x AS (
+      SELECT greatest(0, coalesce(max(m) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - m, 0)) AS late_us
+      FROM late
+    )
+    SELECT bucket, COUNT(*) AS n_events, CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM (SELECT {_LATE_BUCKET} AS bucket, late_us FROM x)
+    GROUP BY bucket
+    """,
+    covers=("§2.10-watermark", "§2.5-window"),
+)
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 watermark-delay audit: per-key (user) event-time lateness
+    vs the arrival-order running maximum, bucketed into the candidate
+    watermark delays (on-time / 1m / 5m / 15m / beyond) — the
+    histogram that picks `withWatermark`'s delay: every bucket above
+    the chosen delay is state the stream would DROP as too-late. The
+    testdata stream is perfectly ordered, so out-of-orderness is
+    injected deterministically on both engines (every 5th event shifts
+    back event_id%40 minutes — the constructed-corpus pattern).
+
+    All arithmetic is exact integer micros (unix_micros/epoch_us);
+    the only window is per-user arrival-order — one key shuffle, no
+    global sort; output is a 5-row histogram."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        F.unix_micros(F.col("ts").cast("timestamp")) - F.expr(_LATE_SHIFT)
+    ).alias("m")
+    late = ev.select("user_id", "event_id", m)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = late.select(
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.coalesce(F.max("m").over(w) - F.col("m"), F.lit(0).cast("bigint")),
+        ).alias("late_us")
+    )
+    return (
+        x.select(F.expr(_LATE_BUCKET).alias("bucket"), "late_us")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("late_us").cast("bigint").alias("max_late_us"),
+        )
+    )
