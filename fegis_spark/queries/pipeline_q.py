@@ -833,30 +833,22 @@ def split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_checksums",
-    oracle=f"""
-    SELECT {_hash_bucket_sql('doc_id')} AS bucket,
+def _manifest_sql(src: str) -> str:
+    """DuckDB bucket-XOR manifest over `src` — the ONE recipe string
+    both corpus_checksums and checksum_drift_detect interpolate (the
+    shared-fragment anti-drift rule)."""
+    return f"""SELECT {_hash_bucket_sql('doc_id')} AS bucket,
            COUNT(*) AS n_docs,
            bit_xor(CAST(('0x' || substr(md5(
              CAST(doc_id AS VARCHAR) || ':' ||
              lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
            ), 1, 15)) AS BIGINT)) AS xor_hash
-    FROM documents
-    GROUP BY 1
-    """,
-    covers=("[EXT]-checksums",),
-)
-def corpus_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] order-independent corpus integrity manifest: per md5
-    bucket, the XOR of each document's (id || normalized-content) hash
-    — XOR is commutative/associative, so the checksum is identical for
-    any partitioning, engine, or visit order, and any single changed /
-    dropped / duplicated document flips its bucket's value. The
-    cheap cross-system answer to 'did the export/copy/migration
-    preserve the corpus byte-for-byte' (compare 100 rows, not 100 TB).
-    One hash-agg shuffle over 100 bucket keys, map-side combined."""
-    docs = load_table(spark, sf_dir, "documents")
+    FROM {src}
+    GROUP BY 1"""
+
+
+def _manifest(docs: DataFrame) -> DataFrame:
+    """Spark twin of _manifest_sql: (bucket, n_docs, xor_hash)."""
     h = F.conv(
         F.substring(
             F.md5(
@@ -878,6 +870,88 @@ def corpus_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.bit_xor("h").alias("xor_hash"),
+        )
+    )
+
+
+@register(
+    "corpus_checksums",
+    oracle=_manifest_sql("documents"),
+    covers=("[EXT]-checksums",),
+)
+def corpus_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] order-independent corpus integrity manifest: per md5
+    bucket, the XOR of each document's (id || normalized-content) hash
+    — XOR is commutative/associative, so the checksum is identical for
+    any partitioning, engine, or visit order, and any single changed /
+    dropped / duplicated document flips its bucket's value. The
+    cheap cross-system answer to 'did the export/copy/migration
+    preserve the corpus byte-for-byte' (compare 100 rows, not 100 TB).
+    One hash-agg shuffle over 100 bucket keys, map-side combined."""
+    return _manifest(load_table(spark, sf_dir, "documents"))
+
+
+#: constructed corruption for the drift detector: every 97th doc gets
+#: one appended token (content flip), every 101st disappears (loss) —
+#: deterministic on both engines, ~5+5 docs at sf0.01 so a handful of
+#: buckets drift while most stay clean at every sf.
+_DRIFT_CURR_SQL = """SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN text || ' x' ELSE text END AS text
+    FROM documents WHERE doc_id % 101 <> 0"""
+
+
+@register(
+    "checksum_drift_detect",
+    oracle=f"""
+    WITH curr AS ({_DRIFT_CURR_SQL}),
+    mb AS ({_manifest_sql('documents')}),
+    mc AS ({_manifest_sql('curr')})
+    SELECT COALESCE(mb.bucket, mc.bucket) AS bucket,
+           COALESCE(mb.n_docs, 0) AS n_base,
+           COALESCE(mc.n_docs, 0) AS n_curr,
+           COALESCE(mb.n_docs, 0) - COALESCE(mc.n_docs, 0) AS n_delta
+    FROM mb FULL OUTER JOIN mc ON mb.bucket = mc.bucket
+    WHERE mb.xor_hash IS DISTINCT FROM mc.xor_hash
+       OR mb.n_docs IS DISTINCT FROM mc.n_docs
+    """,
+    covers=("[EXT]-checksums", "§2.9-setops"),
+)
+def checksum_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] manifest-diff corruption detector: build the bucket-XOR
+    manifest of the corpus and of a deterministically corrupted twin
+    (every 97th doc modified, every 101st dropped — the constructed-
+    corpus pattern), full-outer join the two 100-row manifests, and
+    emit ONLY the drifted buckets with their doc-count delta — the
+    repair scope. This is the operational use of corpus_checksums:
+    after a copy/migration/compaction, compare manifests (100 rows)
+    and re-scan only the buckets that disagree, never the 100 TB.
+
+    Scale: two manifest aggs (each one 100-key hash-agg, map-side
+    combined) + a 100-row join; the corrupted side here is derived
+    in-plan, in production it is the other system's manifest."""
+    docs = load_table(spark, sf_dir, "documents")
+    curr = docs.filter(F.col("doc_id") % 101 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit(" x"))
+        ).otherwise(F.col("text")),
+    )
+    mb = _manifest(docs)
+    mc = _manifest(curr)
+    j = mb.alias("b").join(mc.alias("c"), "bucket", "full")
+    return (
+        j.filter(
+            F.expr("b.xor_hash IS DISTINCT FROM c.xor_hash")
+            | F.expr("b.n_docs IS DISTINCT FROM c.n_docs")
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.col("b.n_docs"), F.lit(0)).alias("n_base"),
+            F.coalesce(F.col("c.n_docs"), F.lit(0)).alias("n_curr"),
+            (
+                F.coalesce(F.col("b.n_docs"), F.lit(0))
+                - F.coalesce(F.col("c.n_docs"), F.lit(0))
+            ).alias("n_delta"),
         )
     )
 
