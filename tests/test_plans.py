@@ -278,3 +278,36 @@ def test_curation_flagship_has_no_smj_or_cartesian(spark, cat):
     p = formatted_plan(spark, cat, "curation_flagship")
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p
+
+
+def test_pruning_bottom_k_fuses(spark, cat):
+    """The hard-example selector's global bottom-k must fuse to
+    TakeOrderedAndProject (per-partition heaps) — a global Sort here
+    would funnel the corpus through one range partition."""
+    p = formatted_plan(spark, cat, "pruning_hard_examples")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_source_overlap_join_is_hash_not_cartesian(spark, cat):
+    """The cross-source gram self-join must stay an equi-join on the
+    md5 key (fan-out bounded by sources² per key) with the per-source
+    totals broadcast — never a cartesian of the gram tables."""
+    p = formatted_plan(spark, cat, "source_overlap_matrix")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_padding_audit_is_one_agg(spark, cat):
+    """Pure projection + one partial/final agg: no window, no join."""
+    p = formatted_plan(spark, cat, "pack_padding_audit")
+    assert "Window" not in p, p
+    assert "Join" not in p, p
+
+
+def test_watermark_audit_window_is_user_partitioned(spark, cat):
+    """The lateness running-max must ride a user_id hash exchange —
+    a global arrival-order window would funnel the stream."""
+    p = formatted_plan(spark, cat, "watermark_lateness_audit")
+    assert "hashpartitioning(user_id" in p, p
+    assert "SinglePartition" not in p, p
