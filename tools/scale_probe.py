@@ -178,7 +178,42 @@ def probes(spark, sf_dir: str) -> dict:
         # band-collision rate constant; candidate join + popcount agg
         # must scale with the code table
         "srp_blocked_hamming": _srp_probe(spark, sf_dir),
+        # cross-source overlap: distinct-collapse then gram self-join
+        # with per-key fan-out bounded by |sources| — perturbed copies
+        # add disjoint grams, so join output stays ~linear in corpus
+        "source_overlap": _source_overlap_probe(spark, sf_dir),
+        # vocab growth: first-seen decomposition — the only corpus-
+        # sized shuffles are the token-mass agg and the vocab-sized
+        # MIN(decile) agg; must track the token stream
+        "vocab_growth": _vocab_growth_probe(spark, sf_dir),
+        # label separation: 64x explode to |labels|x|dims| cells +
+        # broadcast centroid join-back; two linear corpus passes
+        "label_separation": _label_sep_probe(spark, sf_dir),
     }
+
+
+def _source_overlap_probe(spark, sf_dir: str):
+    from fegis_spark.queries.pipeline_q import source_overlap_matrix
+
+    return source_overlap_matrix(spark, sf_dir).agg(
+        F.count("*").alias("n"), F.sum("n_shared").alias("s")
+    )
+
+
+def _vocab_growth_probe(spark, sf_dir: str):
+    from fegis_spark.queries.textstats_q import vocab_growth_curve
+
+    return vocab_growth_curve(spark, sf_dir).agg(
+        F.count("*").alias("n"), F.max("n_types_cum").alias("v")
+    )
+
+
+def _label_sep_probe(spark, sf_dir: str):
+    from fegis_spark.queries.vector_q import label_separation_audit
+
+    return label_separation_audit(spark, sf_dir).agg(
+        F.count("*").alias("n")
+    )
 
 
 def _winnow_probe(docs):
@@ -235,11 +270,20 @@ def time_all(spark, sf_dir: str) -> dict[str, float]:
     spark.catalog.clearCache()  # operators persist intermediates
     out = {}
     for name in names:
-        df = probes(spark, sf_dir)[name]  # fresh persist registration
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+        # best-of-2: single measurements occasionally catch a GC pause
+        # or shuffle-service hiccup and read 5-10x high on ONE query
+        # per run (observed bm25 1.0s -> 8.4s between otherwise-clean
+        # runs); min over two fresh-plan timings is the standard
+        # wall-noise floor and what the committed ratios report
+        best = None
+        for _ in range(2):
+            df = probes(spark, sf_dir)[name]  # fresh persist registration
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        out[name] = round(best, 3)
     return out
 
 
