@@ -193,3 +193,66 @@ def filter_match_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("also_substring"),
     )
+
+
+#: constructed corruption for the quarantine parser: every 13th event
+#: ships malformed JSON (the testdata props column is always valid, so
+#: corruption is injected deterministically on both engines — the
+#: constructed-corpus pattern).
+_JSON_CORRUPT = (
+    "CASE WHEN event_id % 13 = 0 THEN '{broken' ELSE props END"
+)
+
+
+@register(
+    "json_quarantine_parse",
+    oracle=f"""
+    WITH raw AS (
+      SELECT event_type, {_JSON_CORRUPT} AS p FROM events
+    ), parsed AS (
+      SELECT event_type,
+             CASE WHEN json_valid(p)
+                  THEN CAST(json_extract_string(p, '$.k') AS BIGINT)
+                  ELSE NULL END AS k,
+             CASE WHEN json_valid(p) THEN 0 ELSE 1 END AS corrupt
+      FROM raw
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+           CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS k_sum,
+           round(SUM(corrupt) / CAST(COUNT(*) AS DOUBLE), 6) AS corrupt_rate
+    FROM parsed GROUP BY event_type
+    """,
+    covers=("T12", "F10"),
+)
+def json_quarantine_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12/F10 corrupt-record quarantine: parse a JSON payload column
+    under PERMISSIVE semantics — malformed rows yield NULL and are
+    counted into a per-type quarantine tally instead of failing the
+    job — the ingestion-hardening move for semi-structured feeds
+    (spark.read.json's corrupt-record column, expressed over an
+    already-loaded string column). Every 13th event is injected with
+    malformed JSON on both engines so the quarantine path is
+    non-vacuous at every sf.
+
+    Validity probe: get_json_object(p, '$') IS NULL on Spark ==
+    NOT json_valid(p) on DuckDB for this data (whole-document
+    extraction fails exactly on malformed input). Pure projection +
+    one |event_types|-row agg; map-only at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.expr(_JSON_CORRUPT)
+    valid = F.get_json_object(p, "$").isNotNull()
+    parsed = ev.select(
+        "event_type",
+        F.when(valid, F.get_json_object(p, "$.k").cast("bigint")).alias("k"),
+        F.when(valid, 0).otherwise(1).alias("corrupt"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("corrupt").cast("bigint").alias("n_corrupt"),
+        F.sum(F.coalesce("k", F.lit(0))).cast("bigint").alias("k_sum"),
+        F.round(
+            F.sum("corrupt") / F.count("*").cast("double"), 6
+        ).alias("corrupt_rate"),
+    )

@@ -699,10 +699,10 @@ def apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(F.broadcast(dels), "doc_id", "left_anti")
 
 
-@register(
-    "scd2_intervals",
-    oracle="""
-    WITH changes AS (
+#: shared SCD2 interval CTE chain (state-change collapse -> validity
+#: intervals) — interpolated by BOTH the history oracle and the as-of
+#: snapshot oracle (anti-drift rule).
+_SCD2_CTE = """changes AS (
       SELECT user_id, event_type, ts, event_id FROM (
         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
                lag(event_type) OVER (
@@ -710,26 +710,21 @@ def apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS prev
         FROM events
       ) WHERE prev IS NULL OR event_type <> prev
-    )
-    SELECT user_id, event_type, ts AS valid_from,
-           lead(ts) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-           ) AS valid_to,
-           CASE WHEN lead(ts) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-           ) IS NULL THEN 1 ELSE 0 END AS is_current
-    FROM changes
-    """,
-    covers=("[EXT]-scd2", "§2.5-lead"),
-)
-def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] SCD-type-2 history build: collapse each user's event
-    stream into state-change validity intervals [valid_from, valid_to)
-    — lag() drops repeats of the same state, lead() closes each
-    interval at the next change (NULL = current row). Two windows over
-    the same user partitioning (one exchange; the second window reuses
-    the sort); the standard dimension-history reconstruction."""
-    e = load_table(spark, sf_dir, "events")
+    ), intervals AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS valid_to,
+             CASE WHEN lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM changes
+    )"""
+
+
+def _scd2_frame(e: DataFrame) -> DataFrame:
+    """Spark twin of _SCD2_CTE: (user_id, event_type, valid_from,
+    valid_to, is_current)."""
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").cast("timestamp"), F.col("event_id")
     )
@@ -753,6 +748,61 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "scd2_intervals",
+    oracle=f"""
+    WITH {_SCD2_CTE}
+    SELECT user_id, event_type, valid_from, valid_to, is_current
+    FROM intervals
+    """,
+    covers=("[EXT]-scd2", "§2.5-lead"),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SCD-type-2 history build: collapse each user's event
+    stream into state-change validity intervals [valid_from, valid_to)
+    — lag() drops repeats of the same state, lead() closes each
+    interval at the next change (NULL = current row). Two windows over
+    the same user partitioning (one exchange; the second window reuses
+    the sort); the standard dimension-history reconstruction."""
+    return _scd2_frame(load_table(spark, sf_dir, "events"))
+
+
+#: literal as-of instant for the snapshot read: mid-range of the
+#: events table's Jan-2024 span at every sf.
+_SCD2_ASOF = "2024-01-15 00:00:00"
+
+
+@register(
+    "scd2_asof_snapshot",
+    oracle=f"""
+    WITH {_SCD2_CTE}
+    SELECT user_id, event_type AS state_at, valid_from
+    FROM intervals
+    WHERE valid_from <= TIMESTAMP '{_SCD2_ASOF}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SCD2_ASOF}')
+    """,
+    covers=("[EXT]-scd2-asof", "[EXT]-scd2", "§2.6-asof"),
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] time-travel read over the SCD2 history: each user's state
+    AS OF a literal instant — the interval covering T (valid_from <=
+    T < valid_to, open current rows included). The consumer side of
+    scd2_intervals: dimension history answers 'what did the world look
+    like on Jan 15' without storing a snapshot per day. Both oracles
+    interpolate ONE shared interval CTE, so the history recipe cannot
+    drift from its reader.
+
+    Scale: same one-exchange double window as scd2_intervals, then a
+    pure filter — at a warehouse this is a partition-pruned read of
+    the stored interval table instead."""
+    iv = _scd2_frame(load_table(spark, sf_dir, "events"))
+    t = F.lit(_SCD2_ASOF).cast("timestamp")
+    return iv.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", F.col("event_type").alias("state_at"), "valid_from")
 
 
 @register(
