@@ -6,7 +6,6 @@ equality; these pin the SEMANTIC claims the docstrings make."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
