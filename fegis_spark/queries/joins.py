@@ -1236,3 +1236,111 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), F.col("part"))
         .limit(PR_TOPK)
     )
+
+
+#: shared distinct (order, part) CTE for the co-purchase family.
+_PL_CTE = "pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)"
+
+
+@register(
+    "basket_association_rules",
+    oracle=f"""
+    WITH {_PL_CTE},
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM pl),
+    ic AS (SELECT l_partkey, COUNT(*) AS n_item FROM pl GROUP BY 1),
+    pc AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+      FROM pl a JOIN pl b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {COPURCHASE_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, n_ab,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           round(n_ab / CAST(t.n AS DOUBLE), 6) AS support,
+           round(n_ab / CAST(ia.n_item AS DOUBLE), 6) AS conf_a_to_b,
+           round(n_ab / CAST(ib.n_item AS DOUBLE), 6) AS conf_b_to_a,
+           round((n_ab * CAST(t.n AS DOUBLE))
+                 / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6)
+             AS lift
+    FROM pc
+    JOIN ic ia ON pc.part_a = ia.l_partkey
+    JOIN ic ib ON pc.part_b = ib.l_partkey
+    CROSS JOIN tot t
+    """,
+    covers=("[EXT]-association-rules", "[EXT]-copurchase"),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] association-rule mining over order baskets: for every
+    frequent co-purchase pair, support, both directed confidences, and
+    lift — the classic market-basket triple (Agrawal & Srikant 1994)
+    that turns raw pair counts into 'buyers of A are k× likelier to
+    buy B'. lift > 1 = genuine affinity; ~1 = popularity coincidence.
+
+    Scale: ONE persisted basket table (collect_set per order) feeds
+    all three consumers — in-row HOF pairing (bounded <= C(7,2) per
+    basket, no join), per-item order counts, and the 1-row order
+    total; item counts are a dimension-sized broadcast onto the pair
+    table; every metric is a ratio of exact integers rounded once."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda x: F.transform(
+                    "parts",
+                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                ),
+            )
+        ),
+        lambda s: s["part_a"] < s["part_b"],
+    )
+    pc = (
+        baskets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= COPURCHASE_MIN_SUPPORT)
+    )
+    ic = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n"))
+    ia = F.broadcast(
+        ic.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    )
+    ib = F.broadcast(
+        ic.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    )
+    return (
+        pc.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_ab") / F.col("n").cast("double"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("n_ab") / F.col("n_b").cast("double"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                (F.col("n_ab") * F.col("n").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
