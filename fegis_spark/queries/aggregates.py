@@ -344,22 +344,51 @@ def argmax_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "funnel_conversion",
-    oracle="""
-    WITH v AS (
+#: shared ordered-funnel CTE chain (first view -> later first click ->
+#: later first purchase, per user) — interpolated by BOTH the
+#: conversion-count oracle and the latency-percentile oracle.
+_FUNNEL_CTE = """v AS (
       SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
     ), c AS (
-      SELECT e.user_id, min(e.ts) AS t2
+      SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
       FROM events e JOIN v ON e.user_id = v.user_id
       WHERE e.event_type = 'click' AND e.ts > v.t1
       GROUP BY e.user_id
     ), p AS (
-      SELECT e.user_id, min(e.ts) AS t3
+      SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2
       FROM events e JOIN c ON e.user_id = c.user_id
       WHERE e.event_type = 'purchase' AND e.ts > c.t2
       GROUP BY e.user_id
+    )"""
+
+
+def _funnel_stages(ev: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Spark twin of _FUNNEL_CTE: (v, c, p) stage frames; c carries t1
+    and p carries t2 so latency joins need no extra pass."""
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
     )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+    return v, c, p
+
+
+@register(
+    "funnel_conversion",
+    oracle=f"""
+    WITH {_FUNNEL_CTE}
     SELECT (SELECT count(*) FROM v) AS n_viewed,
            (SELECT count(*) FROM c) AS n_clicked_after,
            (SELECT count(*) FROM p) AS n_purchased_after
@@ -374,27 +403,67 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout runs the whole funnel shuffle-free; stage frontiers only
     shrink, so every join's right side is smaller than the last."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("t1")
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
+    v, c, p = _funnel_stages(ev)
     return (
         v.agg(F.count("*").alias("n_viewed"))
         .crossJoin(c.agg(F.count("*").alias("n_clicked_after")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_after")))
+    )
+
+
+def _lat_agg_sql(src: str, a: str, b: str, label: str) -> str:
+    """One latency-transition aggregate (shared fragment): exact
+    integer micros deltas, percentile interpolation via the proven
+    percentile==quantile_cont pair, seconds at 6 dp."""
+    d = f"(epoch_us(CAST({b} AS TIMESTAMP)) - epoch_us(CAST({a} AS TIMESTAMP)))"
+    return f"""SELECT '{label}' AS transition, COUNT(*) AS n_users,
+           round(quantile_cont({d}, 0.25) / 1e6, 6) AS p25_s,
+           round(quantile_cont({d}, 0.5) / 1e6, 6) AS p50_s,
+           round(quantile_cont({d}, 0.9) / 1e6, 6) AS p90_s,
+           round(CAST(MAX({d}) AS DOUBLE) / 1e6, 6) AS max_s
+    FROM {src}"""
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle=f"""
+    WITH {_FUNNEL_CTE}
+    {_lat_agg_sql('c', 't1', 't2', 'view_to_click')}
+    UNION ALL
+    {_lat_agg_sql('p', 't2', 't3', 'click_to_purchase')}
+    """,
+    covers=("[EXT]-funnel", "§2.4-quantiles"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] funnel conversion-latency distribution: for each stage
+    transition (first view -> first later click, first click -> first
+    later purchase), the p25/p50/p90/max time-to-convert in seconds —
+    the number that turns 'X% convert' into 'and it takes them N
+    hours', which is what sets attribution windows and retargeting
+    delays. Both funnel oracles interpolate ONE shared stage CTE.
+
+    Determinism: deltas are exact integer micros; percentiles use the
+    proven Spark percentile == DuckDB quantile_cont pair; output
+    rounds once to 6 dp. Scale: same shrinking user_id-keyed joins as
+    funnel_conversion, then two constant-size aggregates."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    _, c, p = _funnel_stages(ev)
+
+    def lat(df: DataFrame, a: str, b: str, label: str) -> DataFrame:
+        d = F.unix_micros(F.col(b).cast("timestamp")) - F.unix_micros(
+            F.col(a).cast("timestamp")
+        )
+        x = df.select(d.alias("d"))
+        return x.agg(
+            F.count("*").alias("n_users"),
+            F.round(F.expr("percentile(d, 0.25)") / 1e6, 6).alias("p25_s"),
+            F.round(F.expr("percentile(d, 0.5)") / 1e6, 6).alias("p50_s"),
+            F.round(F.expr("percentile(d, 0.9)") / 1e6, 6).alias("p90_s"),
+            F.round(F.max("d").cast("double") / 1e6, 6).alias("max_s"),
+        ).select(F.lit(label).alias("transition"), "*")
+
+    return lat(c, "t1", "t2", "view_to_click").unionAll(
+        lat(p, "t2", "t3", "click_to_purchase")
     )
 
 

@@ -1439,3 +1439,91 @@ def pack_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pad_frac"),
     )
+
+
+@register(
+    "packing_vs_padding_savings",
+    oracle=f"""
+    WITH pads AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS real_chars,
+             CAST(SUM(LEAST(n_chars, {PAD_BUCKETS[-1]})) AS BIGINT) AS real_capped,
+             CAST(SUM({_pad_bucket_sql('n_chars')}) AS BIGINT) AS padded
+      FROM documents
+    ), packs AS (
+      SELECT CAST(SUM(mx + 1) * {PACK_BUDGET} AS BIGINT) AS packed FROM (
+        SELECT lang,
+               MAX(CAST(floor(run / {PACK_BUDGET}.0) AS BIGINT)) AS mx
+        FROM (
+          SELECT lang,
+                 COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+          FROM documents
+        ) GROUP BY lang
+      )
+    )
+    SELECT n_docs, real_chars,
+           padded AS padded_slot_chars,
+           packed AS packed_slot_chars,
+           round(real_capped / CAST(padded AS DOUBLE), 6) AS util_padded,
+           round(real_chars / CAST(packed AS DOUBLE), 6) AS util_packed,
+           round((padded - packed) / CAST(padded AS DOUBLE), 6) AS savings_frac
+    FROM pads, packs
+    """,
+    covers=("[EXT]-packing", "[EXT]-packing-audit"),
+)
+def packing_vs_padding_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the one-row 'so what' of the packing family: total slot
+    characters a padded-batch regime consumes (bucket ladder, cap
+    truncates) vs what greedy packing consumes (packs x budget), their
+    utilizations, and the accelerator-time savings fraction packing
+    buys. Interpolates the SAME bucket ladder as pack_padding_audit
+    and the same running-sum recipe as pack_sequences, so the summary
+    cannot drift from the audits it summarizes.
+
+    Scale: one map-side agg (padded side) + the per-lang packing
+    window collapsed to |langs| maxima; the final join is 1 row x
+    1 row. Exact integer masses; three ratios rounded once."""
+    docs = load_table(spark, sf_dir, "documents")
+    cap = PAD_BUCKETS[-1]
+    pads = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("real_chars"),
+        F.sum(F.least(F.col("n_chars"), F.lit(cap))).cast("bigint").alias(
+            "real_capped"
+        ),
+        F.sum(F.expr(_pad_bucket_sql("n_chars"))).cast("bigint").alias("padded"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packs = (
+        docs.select(
+            "lang",
+            F.floor(
+                F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+                / float(PACK_BUDGET)
+            ).alias("pk"),
+        )
+        .groupBy("lang")
+        .agg(F.max("pk").alias("mx"))
+        .agg((F.sum(F.col("mx") + 1) * PACK_BUDGET).cast("bigint").alias("packed"))
+    )
+    return pads.crossJoin(F.broadcast(packs)).select(
+        "n_docs",
+        "real_chars",
+        F.col("padded").alias("padded_slot_chars"),
+        F.col("packed").alias("packed_slot_chars"),
+        F.round(F.col("real_capped") / F.col("padded").cast("double"), 6).alias(
+            "util_padded"
+        ),
+        F.round(F.col("real_chars") / F.col("packed").cast("double"), 6).alias(
+            "util_packed"
+        ),
+        F.round(
+            (F.col("padded") - F.col("packed")) / F.col("padded").cast("double"), 6
+        ).alias("savings_frac"),
+    )
