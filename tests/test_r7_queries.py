@@ -148,3 +148,51 @@ def test_checksum_drift_buckets_attributed(spark):
     }
     got = {r["bucket"] for r in checksum_drift_detect(spark, SF_DIR).collect()}
     assert got == expected and expected
+
+
+def test_funnel_latency_consistent_with_counts(spark):
+    """The latency query's per-transition user counts must equal the
+    conversion query's stage counts — both interpolate one shared
+    stage recipe, and this pins the Spark twins to each other too."""
+    from fegis_spark.queries.aggregates import (
+        funnel_conversion,
+        funnel_time_to_convert,
+    )
+
+    counts = funnel_conversion(spark, SF_DIR).collect()[0]
+    lat = {r["transition"]: r for r in funnel_time_to_convert(spark, SF_DIR).collect()}
+    assert lat["view_to_click"]["n_users"] == counts["n_clicked_after"]
+    assert lat["click_to_purchase"]["n_users"] == counts["n_purchased_after"]
+    for r in lat.values():
+        assert 0 < r["p25_s"] <= r["p50_s"] <= r["p90_s"] <= r["max_s"]
+
+
+def test_savings_consistent_with_padding_audit(spark):
+    """The one-row savings summary must reproduce the padding audit's
+    bucket totals exactly (same interpolated ladder)."""
+    from fegis_spark.queries.pipeline_q import (
+        pack_padding_audit,
+        packing_vs_padding_savings,
+    )
+
+    buckets = pack_padding_audit(spark, SF_DIR).collect()
+    row = packing_vs_padding_savings(spark, SF_DIR).collect()[0]
+    assert row["padded_slot_chars"] == sum(
+        r["n_docs"] * r["bucket_len"] for r in buckets
+    )
+    assert row["n_docs"] == sum(r["n_docs"] for r in buckets)
+    assert 0.0 < row["util_packed"] <= 1.0 and 0.0 < row["util_padded"] <= 1.0
+
+
+def test_association_rules_math(spark):
+    """Confidence/lift must be recomputable from the emitted integer
+    counts; pair support can never exceed either item's support."""
+    from fegis_spark.queries.joins import basket_association_rules
+
+    rows = basket_association_rules(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_ab"] <= min(r["n_a"], r["n_b"])
+        assert r["conf_a_to_b"] == round(r["n_ab"] / r["n_a"], 6)
+        assert r["conf_b_to_a"] == round(r["n_ab"] / r["n_b"], 6)
+        assert r["lift"] > 0.0
