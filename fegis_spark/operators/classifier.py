@@ -282,15 +282,10 @@ def perceptron_calibration(
             .alias("n_keep"),
             F.sum("s").cast("bigint").alias("score_micro_sum"),
         )
-        .select(
-            "bin",
-            "n_docs",
-            "n_keep",
-            F.round(F.col("n_keep") / F.col("n_docs").cast("double"), 6).alias(
-                "keep_rate"
-            ),
-            "score_micro_sum",
-        )
+        # no rounded keep_rate column: round(n_keep/n_docs, 6) is the
+        # .5e-6 midpoint tie-break class when a bin's n_docs divides
+        # the 6dp grid — consumers divide the exact integers
+        .select("bin", "n_docs", "n_keep", "score_micro_sum")
     )
 
 
@@ -300,9 +295,7 @@ def perceptron_calibration_oracle(iters: int = PERC_ITERS) -> str:
     drawn from w{iters} (bit-identical to the driver-loop floats per
     the trajectory proof)."""
     return f"""{_oracle_ctes(iters)}
-    SELECT bin, n_docs, n_keep,
-           round(n_keep / CAST(n_docs AS DOUBLE), 6) AS keep_rate,
-           score_micro_sum
+    SELECT bin, n_docs, n_keep, score_micro_sum
     FROM (
       SELECT {calib_bin_sql('s')} AS bin, COUNT(*) AS n_docs,
              CAST(SUM(CASE WHEN y > 0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,

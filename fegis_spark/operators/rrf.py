@@ -115,10 +115,11 @@ def rrf_fuse(
             F.coalesce("r_lex", F.lit(1)).cast("bigint").alias("r_lex"),
         )
         .withColumn(
+            # UNROUNDED: ranks are exact integers, so the reciprocal
+            # sum is a bit-identical IEEE double on both engines;
+            # round(x, 6) would put it in the midpoint tie-break class
             "rrf",
-            F.round(
-                1.0 / (rrf_k + F.col("r_dense")) + 1.0 / (rrf_k + F.col("r_lex")), 6
-            ),
+            1.0 / (rrf_k + F.col("r_dense")) + 1.0 / (rrf_k + F.col("r_lex")),
         )
     )
     return fused.orderBy(F.desc("rrf"), F.col("id")).limit(k).select(
@@ -178,12 +179,10 @@ def rrf_fuse_pooled(
         .groupBy("id")
         .agg(F.max("r_dense").alias("r_dense"), F.max("r_lex").alias("r_lex"))
         .withColumn(
+            # UNROUNDED bit-identical reciprocal-rank sum (see rrf_fuse)
             "rrf",
-            F.round(
-                F.coalesce(1.0 / (rrf_k + F.col("r_dense")), F.lit(0.0))
-                + F.coalesce(1.0 / (rrf_k + F.col("r_lex")), F.lit(0.0)),
-                6,
-            ),
+            F.coalesce(1.0 / (rrf_k + F.col("r_dense")), F.lit(0.0))
+            + F.coalesce(1.0 / (rrf_k + F.col("r_lex")), F.lit(0.0)),
         )
     )
     return fused.orderBy(F.desc("rrf"), F.col("id")).limit(k).select(

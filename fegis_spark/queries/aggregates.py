@@ -198,10 +198,10 @@ def hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
            CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
-           round((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+           (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
                   - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
                     * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
-                 / nullif(COUNT(*) - 1, 0), 6) AS variance
+                 / nullif(COUNT(*) - 1, 0) AS variance
     FROM lineitem GROUP BY l_returnflag
     """,
     covers=("§2.4-stats",),
@@ -218,9 +218,10 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"),
         s1.alias("s1"),
         s2.alias("s2"),
-        F.round((s2 - s1 * s1 / n) / F.nullif(n - 1, F.lit(0)), 6).alias(
-            "variance"
-        ),
+        # UNROUNDED: every operand is a decimal-exact sum cast to an
+        # identical double, so the IEEE chain is bit-identical on both
+        # engines; round(x, 6) would reintroduce the midpoint class
+        ((s2 - s1 * s1 / n) / F.nullif(n - 1, F.lit(0))).alias("variance"),
     )
 
 
@@ -581,7 +582,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT prev_type, CAST(SUM(n) AS BIGINT) AS ctx_n FROM pairs GROUP BY prev_type
     )
     SELECT p.prev_type, p.event_type, p.n,
-           round(p.n / c.ctx_n, 6) AS prob
+           p.n / CAST(c.ctx_n AS DOUBLE) AS prob
     FROM pairs p JOIN ctx c USING (prev_type)
     """,
     covers=("[EXT]-transitions",),
@@ -598,7 +599,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     no second corpus scan — and broadcast back. Transition-matrix
     cardinality is |event_types|^2, so everything after the first agg
     is constant-size regardless of corpus scale. n/ctx_n is exact
-    integer-ratio division (no dsum needed), rounded to 6 dp."""
+    integer-ratio division (no dsum needed), emitted unrounded —
+    the IEEE divide is bit-identical cross-engine."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").cast("timestamp"), F.col("event_id")
@@ -623,7 +625,9 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_type",
             "event_type",
             "n",
-            F.round(F.col("n") / F.col("ctx_n"), 6).alias("prob"),
+            # UNROUNDED exact-integer ratio (bit-identical IEEE
+            # divide); see CLAUDE.md on the round(k/n, 6) midpoint class
+            (F.col("n") / F.col("ctx_n").cast("double")).alias("prob"),
         )
     )
 
@@ -748,8 +752,11 @@ HIST_LO, HIST_HI = 0.0, 500.0
     "value_histogram",
     oracle=f"""
     SELECT bucket,
-           round({HIST_LO} + bucket * {(HIST_HI - HIST_LO) / HIST_BUCKETS}, 6) AS lo,
-           round({HIST_LO} + (bucket + 1) * {(HIST_HI - HIST_LO) / HIST_BUCKETS}, 6) AS hi,
+           -- CAST: DuckDB parses the width literal as DECIMAL, which
+           -- would propagate a Decimal-typed column the driver's
+           -- type-sensitive hash can't match against Spark's DOUBLE
+           CAST({HIST_LO} + bucket * {(HIST_HI - HIST_LO) / HIST_BUCKETS} AS DOUBLE) AS lo,
+           CAST({HIST_LO} + (bucket + 1) * {(HIST_HI - HIST_LO) / HIST_BUCKETS} AS DOUBLE) AS hi,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
     FROM (
@@ -780,8 +787,10 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
         .select(
             "bucket",
-            F.round(F.lit(HIST_LO) + F.col("bucket") * width, 6).alias("lo"),
-            F.round(F.lit(HIST_LO) + (F.col("bucket") + 1) * width, 6).alias("hi"),
+            # bucket * 25.0 is exact in double for every bucket index —
+            # no round needed on either side
+            (F.lit(HIST_LO) + F.col("bucket") * width).alias("lo"),
+            (F.lit(HIST_LO) + (F.col("bucket") + 1) * width).alias("hi"),
             "n",
             "total_value",
         )

@@ -1022,13 +1022,19 @@ def dedup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("b", "dropped")
     )
     src = docs.select("doc_id", "source", "n_chars")
-    return (
+    # the (dropped, src_keep) frame is keeper-join output — one row per
+    # dropped doc, tiny — so BOTH corpus joins build a broadcast side
+    # and the corpus itself never shuffles for the attribution
+    attributed = (
         src.alias("dk")
         .join(
             F.broadcast(keep.alias("k")),
             F.col("dk.doc_id") == F.col("k.keeper"),
         )
         .select("k.dropped", F.col("dk.source").alias("src_keep"))
+    )
+    return (
+        F.broadcast(attributed)
         .join(
             src.alias("dd").withColumnRenamed("source", "src_drop"),
             F.col("dropped") == F.col("dd.doc_id"),

@@ -220,8 +220,7 @@ _JSON_CORRUPT = (
     SELECT event_type,
            COUNT(*) AS n_rows,
            CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
-           CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS k_sum,
-           round(SUM(corrupt) / CAST(COUNT(*) AS DOUBLE), 6) AS corrupt_rate
+           CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS k_sum
     FROM parsed GROUP BY event_type
     """,
     covers=("T12", "F10"),
@@ -248,11 +247,11 @@ def json_quarantine_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(valid, F.get_json_object(p, "$.k").cast("bigint")).alias("k"),
         F.when(valid, 0).otherwise(1).alias("corrupt"),
     )
+    # no rounded corrupt_rate column: round(count_ratio, 6) is the
+    # .5e-6 midpoint tie-break class — consumers divide the exact
+    # integers n_corrupt / n_rows themselves
     return parsed.groupBy("event_type").agg(
         F.count("*").alias("n_rows"),
         F.sum("corrupt").cast("bigint").alias("n_corrupt"),
         F.sum(F.coalesce("k", F.lit(0))).cast("bigint").alias("k_sum"),
-        F.round(
-            F.sum("corrupt") / F.count("*").cast("double"), 6
-        ).alias("corrupt_rate"),
     )

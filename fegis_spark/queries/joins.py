@@ -809,11 +809,11 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_revenue",
     oracle="""
     SELECT CAST(ts_month AS DATE) AS month,
-           round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+           100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
-                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE),
-                 6) AS promo_pct,
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+             AS promo_pct,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
              AS total_revenue
     FROM (
@@ -842,7 +842,11 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("month", F.date_trunc("month", F.col("l_shipdate").cast("timestamp")).cast("date"))
         .groupBy("month")
         .agg(
-            F.round(100.0 * dsum(promo) / dsum(rev), 6).alias("promo_pct"),
+            # UNROUNDED: both operands are decimal-exact sums cast to
+            # identical doubles, so the IEEE divide is bit-identical on
+            # both engines; round(x, 6) would reintroduce the midpoint
+            # tie-break class for nothing
+            (F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_pct"),
             dsum(rev).alias("total_revenue"),
         )
     )
@@ -1256,11 +1260,11 @@ _PL_CTE = "pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)"
     )
     SELECT part_a, part_b, n_ab,
            ia.n_item AS n_a, ib.n_item AS n_b,
-           round(n_ab / CAST(t.n AS DOUBLE), 6) AS support,
-           round(n_ab / CAST(ia.n_item AS DOUBLE), 6) AS conf_a_to_b,
-           round(n_ab / CAST(ib.n_item AS DOUBLE), 6) AS conf_b_to_a,
-           round((n_ab * CAST(t.n AS DOUBLE))
-                 / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6)
+           n_ab / CAST(t.n AS DOUBLE) AS support,
+           n_ab / CAST(ia.n_item AS DOUBLE) AS conf_a_to_b,
+           n_ab / CAST(ib.n_item AS DOUBLE) AS conf_b_to_a,
+           (n_ab * CAST(t.n AS DOUBLE))
+                 / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
              AS lift
     FROM pc
     JOIN ic ia ON pc.part_a = ia.l_partkey
@@ -1280,7 +1284,8 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three consumers — in-row HOF pairing (bounded <= C(7,2) per
     basket, no join), per-item order counts, and the 1-row order
     total; item counts are a dimension-sized broadcast onto the pair
-    table; every metric is a ratio of exact integers rounded once."""
+    table; every metric is an unrounded bit-identical IEEE ratio of
+    exact integers."""
     from pyspark import StorageLevel
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1330,17 +1335,14 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ab",
             "n_a",
             "n_b",
-            F.round(F.col("n_ab") / F.col("n").cast("double"), 6).alias("support"),
-            F.round(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias(
-                "conf_a_to_b"
-            ),
-            F.round(F.col("n_ab") / F.col("n_b").cast("double"), 6).alias(
-                "conf_b_to_a"
-            ),
-            F.round(
+            # UNROUNDED exact-integer ratios (bit-identical IEEE
+            # ops); see CLAUDE.md on the round(k/n, 6) midpoint class
+            (F.col("n_ab") / F.col("n").cast("double")).alias("support"),
+            (F.col("n_ab") / F.col("n_a").cast("double")).alias("conf_a_to_b"),
+            (F.col("n_ab") / F.col("n_b").cast("double")).alias("conf_b_to_a"),
+            (
                 (F.col("n_ab") * F.col("n").cast("double"))
-                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
-                6,
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ).alias("lift"),
         )
     )

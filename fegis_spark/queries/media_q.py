@@ -77,7 +77,17 @@ def _r6(x: float) -> Decimal:
 
 
 def _values_sql(cols: list[str], rows: list[tuple]) -> str:
-    body = ",\n      ".join("(" + ", ".join(str(v) for v in r) + ")" for r in rows)
+    # Decimal cells must ship as DOUBLE literals: a bare 53.632813 in
+    # a VALUES table is typed DECIMAL by DuckDB, and a Decimal-typed
+    # output column can't hash-match Spark's DOUBLE at the driver
+    def fmt(v) -> str:
+        if isinstance(v, Decimal):
+            return f"CAST({v} AS DOUBLE)"
+        return str(v)
+
+    body = ",\n      ".join(
+        "(" + ", ".join(fmt(v) for v in r) + ")" for r in rows
+    )
     return (
         f"SELECT * FROM (VALUES\n      {body}\n    ) AS t({', '.join(cols)})"
     )

@@ -562,8 +562,8 @@ from fegis_spark.operators.text_analysis import quality_score_sql  # noqa: E402
       FROM documents
     )
     SELECT lang, COUNT(*) AS n_kept,
-           round(CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_kept_quality
+           CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_kept_quality
     FROM scored
     WHERE bucket < CAST(floor(quality * 100) AS BIGINT)
     GROUP BY lang
@@ -592,10 +592,12 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_kept"),
-        F.round(
-            F.sum(F.col("quality").cast("decimal(38,6)")).cast("double") / F.count("*"),
-            6,
-        ).alias("avg_kept_quality"),
+        # decimal-exact SUM + count, not round(mean, 6): when n_kept
+        # divides the 6dp grid the mean can land exactly on a .5e-6
+        # midpoint where the engines' tie-breaks diverge (r5/r7 class)
+        F.sum(F.col("quality").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_kept_quality"),
     )
 
 
@@ -961,13 +963,13 @@ def checksum_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT COUNT(*) AS n_rows,
-             SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS v_empty,
-             SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS v_nchars,
-             SUM(CASE WHEN lang NOT IN ('en','fr','es','de','zh') THEN 1 ELSE 0 END)
+             CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+             CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS v_nchars,
+             CAST(SUM(CASE WHEN lang NOT IN ('en','fr','es','de','zh') THEN 1 ELSE 0 END) AS BIGINT)
                AS v_lang,
-             SUM(CASE WHEN NOT regexp_full_match(source, 'src[0-9]+') THEN 1 ELSE 0 END)
+             CAST(SUM(CASE WHEN NOT regexp_full_match(source, 'src[0-9]+') THEN 1 ELSE 0 END) AS BIGINT)
                AS v_source,
-             SUM(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS v_pos,
+             CAST(SUM(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_pos,
              COUNT(*) - COUNT(DISTINCT doc_id) AS v_unique
       FROM documents
     )
@@ -1301,9 +1303,9 @@ OVERLAP_NGRAM = 3
       GROUP BY 1, 2
     )
     SELECT p.src_a, p.src_b, ca.n AS n_a, cb.n AS n_b, p.n_shared,
-           round(p.n_shared / CAST(ca.n + cb.n - p.n_shared AS DOUBLE), 6) AS jaccard,
-           round(p.n_shared / CAST(ca.n AS DOUBLE), 6) AS cont_a_in_b,
-           round(p.n_shared / CAST(cb.n AS DOUBLE), 6) AS cont_b_in_a
+           p.n_shared / CAST(ca.n + cb.n - p.n_shared AS DOUBLE) AS jaccard,
+           p.n_shared / CAST(ca.n AS DOUBLE) AS cont_a_in_b,
+           p.n_shared / CAST(cb.n AS DOUBLE) AS cont_b_in_a
     FROM pairs p
     JOIN counts ca ON p.src_a = ca.source
     JOIN counts cb ON p.src_b = cb.source
@@ -1358,17 +1360,14 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             "n_shared",
-            F.round(
+            # UNROUNDED exact-integer ratios (bit-identical IEEE
+            # divide); see CLAUDE.md on the round(k/n, 6) midpoint class
+            (
                 F.col("n_shared")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
-                6,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
             ).alias("jaccard"),
-            F.round(F.col("n_shared") / F.col("n_a").cast("double"), 6).alias(
-                "cont_a_in_b"
-            ),
-            F.round(F.col("n_shared") / F.col("n_b").cast("double"), 6).alias(
-                "cont_b_in_a"
-            ),
+            (F.col("n_shared") / F.col("n_a").cast("double")).alias("cont_a_in_b"),
+            (F.col("n_shared") / F.col("n_b").cast("double")).alias("cont_b_in_a"),
         )
     )
 
@@ -1466,9 +1465,9 @@ def pack_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_docs, real_chars,
            padded AS padded_slot_chars,
            packed AS packed_slot_chars,
-           round(real_capped / CAST(padded AS DOUBLE), 6) AS util_padded,
-           round(real_chars / CAST(packed AS DOUBLE), 6) AS util_packed,
-           round((padded - packed) / CAST(padded AS DOUBLE), 6) AS savings_frac
+           real_capped / CAST(padded AS DOUBLE) AS util_padded,
+           real_chars / CAST(packed AS DOUBLE) AS util_packed,
+           (padded - packed) / CAST(padded AS DOUBLE) AS savings_frac
     FROM pads, packs
     """,
     covers=("[EXT]-packing", "[EXT]-packing-audit"),
@@ -1484,7 +1483,8 @@ def packing_vs_padding_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side agg (padded side) + the per-lang packing
     window collapsed to |langs| maxima; the final join is 1 row x
-    1 row. Exact integer masses; three ratios rounded once."""
+    1 row. Exact integer masses; the three ratios are unrounded
+    bit-identical IEEE divides."""
     docs = load_table(spark, sf_dir, "documents")
     cap = PAD_BUCKETS[-1]
     pads = docs.agg(
@@ -1517,13 +1517,11 @@ def packing_vs_padding_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "real_chars",
         F.col("padded").alias("padded_slot_chars"),
         F.col("packed").alias("packed_slot_chars"),
-        F.round(F.col("real_capped") / F.col("padded").cast("double"), 6).alias(
-            "util_padded"
-        ),
-        F.round(F.col("real_chars") / F.col("packed").cast("double"), 6).alias(
-            "util_packed"
-        ),
-        F.round(
-            (F.col("padded") - F.col("packed")) / F.col("padded").cast("double"), 6
+        # UNROUNDED exact-integer ratios (bit-identical IEEE divide);
+        # see CLAUDE.md on the round(k/n, 6) midpoint class
+        (F.col("real_capped") / F.col("padded").cast("double")).alias("util_padded"),
+        (F.col("real_chars") / F.col("packed").cast("double")).alias("util_packed"),
+        (
+            (F.col("padded") - F.col("packed")) / F.col("padded").cast("double")
         ).alias("savings_frac"),
     )

@@ -45,9 +45,9 @@ def _lex_sql(c: str) -> str:
       FROM scored
     )
     SELECT id, r_dense, r_lex,
-           round(1.0/(60 + r_dense) + 1.0/(60 + r_lex), 6) AS rrf
+           1.0/(60 + r_dense) + 1.0/(60 + r_lex) AS rrf
     FROM ranked
-    ORDER BY round(1.0/(60 + r_dense) + 1.0/(60 + r_lex), 6) DESC, id
+    ORDER BY 1.0/(60 + r_dense) + 1.0/(60 + r_lex) DESC, id
     LIMIT 10
     """,
     covers=("K5", "K6"),
@@ -129,7 +129,7 @@ def search_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored ORDER BY lex DESC, id LIMIT 100
     ), fused AS (
       SELECT COALESCE(dp.id, lp.id) AS id, dp.r_dense, lp.r_lex,
-             round(COALESCE(1.0/(60 + dp.r_dense), 0) + COALESCE(1.0/(60 + lp.r_lex), 0), 6) AS rrf
+             COALESCE(1.0/(60 + dp.r_dense), 0) + COALESCE(1.0/(60 + lp.r_lex), 0) AS rrf
       FROM dp FULL OUTER JOIN lp ON dp.id = lp.id
     )
     SELECT id, r_dense, r_lex, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10
@@ -259,9 +259,9 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored WHERE bm25 > 0 ORDER BY bm25 DESC, id LIMIT 100
     )
     SELECT COALESCE(dp.id, lp.id) AS id, dp.r_dense, lp.r_bm25,
-           round(COALESCE(1.0/(60 + dp.r_dense), 0) + COALESCE(1.0/(60 + lp.r_bm25), 0), 6) AS rrf
+           COALESCE(1.0/(60 + dp.r_dense), 0) + COALESCE(1.0/(60 + lp.r_bm25), 0) AS rrf
     FROM dp FULL OUTER JOIN lp ON dp.id = lp.id
-    ORDER BY round(COALESCE(1.0/(60 + dp.r_dense), 0) + COALESCE(1.0/(60 + lp.r_bm25), 0), 6) DESC,
+    ORDER BY COALESCE(1.0/(60 + dp.r_dense), 0) + COALESCE(1.0/(60 + lp.r_bm25), 0) DESC,
              COALESCE(dp.id, lp.id)
     LIMIT 10
     """,
@@ -311,12 +311,11 @@ def rrf_hybrid_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id")
         .agg(F.max("r_dense").alias("r_dense"), F.max("r_bm25").alias("r_bm25"))
         .withColumn(
+            # UNROUNDED bit-identical reciprocal-rank sum (see
+            # operators/rrf.py on the round(x, 6) midpoint class)
             "rrf",
-            F.round(
-                F.coalesce(1.0 / (60 + F.col("r_dense")), F.lit(0.0))
-                + F.coalesce(1.0 / (60 + F.col("r_bm25")), F.lit(0.0)),
-                6,
-            ),
+            F.coalesce(1.0 / (60 + F.col("r_dense")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_bm25")), F.lit(0.0)),
         )
     )
     return fused.orderBy(F.desc("rrf"), F.col("id")).limit(10).select(

@@ -424,7 +424,7 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_repetition",
     oracle=f"""
     SELECT doc_id, n_grams, n_distinct,
-           round(1.0 - n_distinct / CAST(n_grams AS DOUBLE), 6) AS repetition
+           1.0 - n_distinct / CAST(n_grams AS DOUBLE) AS repetition
     FROM (
       SELECT doc_id,
              len(tok) - 2 AS n_grams,
@@ -458,9 +458,12 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct("g")).cast("bigint").alias("n_distinct"),
         )
     )
+    # UNROUNDED: exact-integer operands make the IEEE divide/subtract
+    # bit-identical cross-engine; round(x, 6) would put the ratio in
+    # the .5e-6 midpoint tie-break class
     return out.withColumn(
         "repetition",
-        F.round(1.0 - F.col("n_distinct") / F.col("n_grams").cast("double"), 6),
+        1.0 - F.col("n_distinct") / F.col("n_grams").cast("double"),
     )
 
 
@@ -539,8 +542,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (SELECT g, count(*) AS n_docs FROM ex GROUP BY g)
     SELECT doc,
            count(*) AS n_grams,
-           round(CAST(SUM(CASE WHEN n_docs = 1 THEN 1.0 ELSE 0.0 END)  -- lint: allow R3 (0/1-valued, fp-exact)
-                      AS DOUBLE) / count(*), 6) AS novelty
+           CAST(SUM(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
     FROM ex JOIN freq USING (g)
     GROUP BY doc
     """,
@@ -563,11 +565,12 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc")
         .agg(
             F.count("*").alias("n_grams"),
-            F.round(
-                F.sum(F.when(F.col("n_docs") == 1, 1.0).otherwise(0.0)).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("novelty"),
+            # exact integer numerator, not round(ratio, 6): a count
+            # ratio can land on a .5e-6 midpoint where the engines'
+            # rounding tie-breaks diverge (the r5/r7 midpoint class)
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
         )
     )
 
@@ -900,7 +903,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_n FROM cells GROUP BY lang
     )
     SELECT c.lang, c.predicted_lang, c.n,
-           round(c.n / t.lang_n, 6) AS frac
+           c.n / CAST(t.lang_n AS DOUBLE) AS frac
     FROM cells c JOIN tot t USING (lang)
     """,
     covers=("[EXT]-langid",),
@@ -922,8 +925,13 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = cells.groupBy("lang").agg(F.sum("n").cast("bigint").alias("lang_n"))
+    # UNROUNDED exact-integer ratio (bit-identical IEEE divide); see
+    # CLAUDE.md on the round(k/n, 6) midpoint class
     return cells.join(F.broadcast(tot), "lang").select(
-        "lang", "predicted_lang", "n", F.round(F.col("n") / F.col("lang_n"), 6).alias("frac")
+        "lang",
+        "predicted_lang",
+        "n",
+        (F.col("n") / F.col("lang_n").cast("double")).alias("frac"),
     )
 
 
@@ -934,9 +942,9 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, {quality_score_sql('text')} AS quality FROM documents
     )
     SELECT doc_id, source, quality,
-           round(PERCENT_RANK() OVER (
+           PERCENT_RANK() OVER (
              PARTITION BY source ORDER BY quality, doc_id
-           ), 6) AS q_rank
+           ) AS q_rank
     FROM scored
     """,
     covers=("[EXT]-quality", "§2.5-window"),
@@ -955,7 +963,9 @@ def quality_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", quality_score_expr("text").alias("quality")
     )
     w = Window.partitionBy("source").orderBy("quality", "doc_id")
-    return scored.withColumn("q_rank", F.round(F.percent_rank().over(w), 6))
+    # UNROUNDED: percent_rank is (rank-1)/(n-1) on exact integers —
+    # bit-identical IEEE divide on both engines (midpoint class)
+    return scored.withColumn("q_rank", F.percent_rank().over(w))
 
 
 #: BPE merge application as a list_reduce string fold — valid because
@@ -1219,16 +1229,16 @@ def augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'split_' || CASE WHEN bucket < 80 THEN 'train'
                               WHEN bucket < 90 THEN 'val'
                               ELSE 'test' END || '_frac' AS metric,
-             round(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM base), 6) AS value
+             COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM base) AS value
       FROM base GROUP BY 1
     )
     SELECT metric, value FROM (
       SELECT 'n_docs' AS metric, n_docs AS value FROM overall
-      UNION ALL SELECT 'exact_dup_rate', round(1.0 - n_distinct / n_docs, 6) FROM overall
-      UNION ALL SELECT 'gopher_keep_rate', round(n_keep / n_docs, 6) FROM overall
-      UNION ALL SELECT 'mean_quality', round(q_sum / n_docs, 6) FROM overall
+      UNION ALL SELECT 'exact_dup_rate', 1.0 - n_distinct / n_docs FROM overall
+      UNION ALL SELECT 'gopher_keep_rate', n_keep / n_docs FROM overall
+      UNION ALL SELECT 'mean_quality', q_sum / n_docs FROM overall
       UNION ALL SELECT 'total_tokens_ws', tok_sum FROM overall
-      UNION ALL SELECT 'mean_doc_tokens', round(tok_sum / n_docs, 6) FROM overall
+      UNION ALL SELECT 'mean_doc_tokens', tok_sum / n_docs FROM overall
       UNION ALL SELECT 'lang_entropy_nats', entropy FROM lang_e
       UNION ALL SELECT metric, value FROM splits
     )
@@ -1273,14 +1283,18 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("q").cast("decimal(38,6)")).cast("double").alias("q_sum"),
         F.sum("n_tok").cast("double").alias("tok_sum"),
     )
+    # ratio metrics are UNROUNDED: every operand is an exact integer
+    # or decimal-exact sum cast to an identical double, so the IEEE
+    # divides are bit-identical cross-engine; round(x, 6) would put
+    # each back in the .5e-6 midpoint tie-break class
     rows = overall.selectExpr(
         "stack(6, "
         "'n_docs', n_docs, "
-        "'exact_dup_rate', round(1.0 - n_distinct / n_docs, 6), "
-        "'gopher_keep_rate', round(n_keep / n_docs, 6), "
-        "'mean_quality', round(q_sum / n_docs, 6), "
+        "'exact_dup_rate', 1.0 - n_distinct / n_docs, "
+        "'gopher_keep_rate', n_keep / n_docs, "
+        "'mean_quality', q_sum / n_docs, "
         "'total_tokens_ws', tok_sum, "
-        "'mean_doc_tokens', round(tok_sum / n_docs, 6)"
+        "'mean_doc_tokens', tok_sum / n_docs"
         ") AS (metric, value)"
     )
     lang_counts = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
@@ -1305,7 +1319,7 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select(
             F.concat(F.lit("split_"), F.col("s"), F.lit("_frac")).alias("metric"),
-            F.round(F.col("n") / F.col("t").cast("double"), 6).alias("value"),
+            (F.col("n") / F.col("t").cast("double")).alias("value"),
         )
     )
     return rows.unionAll(entropy).unionAll(splits)
@@ -1515,7 +1529,7 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS b
       FROM scored GROUP BY q
     ),
-    tot AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM counts),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM counts),
     cdf AS (
       SELECT q,
              SUM(a) OVER w / nullif(CAST(t.na AS DOUBLE), 0) AS fa,

@@ -282,7 +282,7 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            round(scale, 6) AS scale,
-           list_aggregate(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)), 'sum') AS qsum,
+           CAST(list_aggregate(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS qsum,
            list_min(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT))) AS qmin,
            list_max(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT))) AS qmax
     FROM (

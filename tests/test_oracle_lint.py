@@ -59,3 +59,60 @@ def test_subquery_order_by_without_limit_not_flagged():
     # the inner ORDER BY closes before any LIMIT; the outer LIMIT has no
     # ORDER BY at all — neither is a top-k
     assert not lint_sql("q", sql)
+
+
+def test_r6_collapsed_scan_catches_multiline_rounded_mean():
+    # a rounded decimal-transit mean split across lines escapes the
+    # per-line regex; the collapsed pass must still flag it (r7 advisor)
+    sql = (
+        "SELECT round(\n"
+        "  CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE)\n"
+        "  / COUNT(*), 6) AS m FROM t GROUP BY g"
+    )
+    assert any("R6" in f for f in lint_sql("q", sql))
+    # allow marker anywhere in the query suppresses the collapsed pass
+    assert not lint_sql("q", sql + " -- lint: allow R6 (reason)")
+
+
+def test_r6_collapsed_scan_catches_rounded_count_ratio():
+    sql = (
+        "SELECT round(\n"
+        "  SUM(CASE WHEN bad THEN 1 ELSE 0 END)\n"
+        "  / CAST(COUNT(*) AS DOUBLE), 6) AS rate FROM t GROUP BY g"
+    )
+    assert any("R6" in f for f in lint_sql("q", sql))
+
+
+def test_r6_unrounded_ratio_not_flagged():
+    sql = (
+        "SELECT CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)"
+        " AS m FROM t GROUP BY g"
+    )
+    assert not lint_sql("q", sql)
+
+
+def test_r7_flags_widened_integer_sum():
+    # DuckDB widens SUM(int) to HUGEINT -> Arrow decimal128(38,0),
+    # which the driver's type-sensitive hash can never match against
+    # Spark's BIGINT (the r7 quantize_embeddings driver FAIL)
+    from types import SimpleNamespace
+
+    from tools.oracle_lint import typed_findings
+
+    bad = {"fx": SimpleNamespace(oracle="SELECT SUM(n_chars) AS s FROM documents")}
+    out = typed_findings(bad)
+    assert out and "R7" in out[0] and "HUGEINT" in out[0]
+
+    good = {
+        "fx": SimpleNamespace(
+            oracle="SELECT CAST(SUM(n_chars) AS BIGINT) AS s FROM documents"
+        )
+    }
+    assert not typed_findings(good)
+
+    allowed = {
+        "fx": SimpleNamespace(
+            oracle="SELECT SUM(n_chars) AS s FROM documents -- lint: allow R7"
+        )
+    }
+    assert not typed_findings(allowed)

@@ -124,7 +124,9 @@ def test_calibration_keep_rate_monotone(spark):
     rows = sorted(
         classifier_calibration(spark, SF_DIR).collect(), key=lambda r: r["bin"]
     )
-    rates = [r["keep_rate"] for r in rows]
+    # keep_rate column was dropped (rounded count-ratio midpoint
+    # class); derive it from the exact integers the query emits
+    rates = [r["n_keep"] / r["n_docs"] for r in rows]
     assert rates == sorted(rates)
     assert rates[0] == 0.0 and rates[-1] == 1.0
 
@@ -193,6 +195,8 @@ def test_association_rules_math(spark):
     assert rows
     for r in rows:
         assert 0 < r["n_ab"] <= min(r["n_a"], r["n_b"])
-        assert r["conf_a_to_b"] == round(r["n_ab"] / r["n_a"], 6)
-        assert r["conf_b_to_a"] == round(r["n_ab"] / r["n_b"], 6)
+        # ratios are emitted UNROUNDED since r8 (midpoint class) —
+        # exactly the IEEE quotient of the emitted integers
+        assert r["conf_a_to_b"] == r["n_ab"] / r["n_a"]
+        assert r["conf_b_to_a"] == r["n_ab"] / r["n_b"]
         assert r["lift"] > 0.0

@@ -159,9 +159,7 @@ def test_rrf_fuse_matches_corpus_wide_windows(spark):
         )
         .withColumn(
             "rrf",
-            F.round(
-                1.0 / (RRF_K + F.col("r_dense")) + 1.0 / (RRF_K + F.col("r_lex")), 6
-            ),
+            1.0 / (RRF_K + F.col("r_dense")) + 1.0 / (RRF_K + F.col("r_lex")),
         )
         .orderBy(F.desc("rrf"), F.col("id"))
         .limit(10)

@@ -6,7 +6,16 @@ values. Stricter than a hash: exact value equality after normalization
 (floats compared exactly; any mismatch prints the worst offender so the
 query can be made deterministic, not fuzzed).
 
-Usage: python tools/check_correctness.py [--sf DIR] [name ...]
+Type-STRICT by default (r8, after the r7 driver FAIL on
+quantize_embeddings): the driver's value hash is type-sensitive, so a
+DuckDB HUGEINT/Decimal cell never hash-matches a Spark BIGINT even when
+the values are numerically equal. Strict mode therefore tags every
+scalar with its type class (bool / int / float / Decimal distinct)
+before comparing; values within a class still compare numerically
+(Decimal scale alone doesn't differ). `--loose` restores the pre-r8
+numeric-only comparison for debugging.
+
+Usage: python tools/check_correctness.py [--sf DIR] [--loose] [name ...]
 """
 
 from __future__ import annotations
@@ -26,15 +35,24 @@ from fegis_spark.model import TABLES  # noqa: E402
 from fegis_spark.session import configure_for_oracle, get_spark  # noqa: E402
 
 
+STRICT = True
+
+
 def norm_cell(v):
     if isinstance(v, Decimal):
-        return float(v)
+        return ("dec", v) if STRICT else float(v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
+    if isinstance(v, bool):
+        return ("bool", v) if STRICT else v
+    if isinstance(v, int):
+        return ("int", v) if STRICT else v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("float", "NaN") if STRICT else "NaN"
+        return ("float", v) if STRICT else v
     if isinstance(v, list):
         return tuple(norm_cell(x) for x in v)
     if isinstance(v, dict):
@@ -54,7 +72,14 @@ def compare(name: str, spark_df, con, sql: str) -> list[str]:
     s_cols = spark_df.columns
     rel = con.sql(sql)
     d_cols = rel.columns
-    d_rows = rel.fetchall()
+    if STRICT:
+        # Driver-faithful: the driver hashes the DuckDB result through
+        # Arrow, where HUGEINT surfaces as decimal128(38,0) → Decimal.
+        # fetchall() would fold it to Python int and mask the class.
+        tbl = rel.fetch_arrow_table()
+        d_rows = [tuple(d[c] for c in d_cols) for d in tbl.to_pylist()]
+    else:
+        d_rows = rel.fetchall()
     if sorted(s_cols) != sorted(d_cols):
         errs.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return errs
@@ -75,8 +100,15 @@ def compare(name: str, spark_df, con, sql: str) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--loose",
+        action="store_true",
+        help="pre-r8 numeric-only comparison (Decimal folded to float)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    global STRICT
+    STRICT = not args.loose
 
     con = duckdb.connect()
     for t in TABLES:

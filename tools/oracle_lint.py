@@ -19,9 +19,21 @@ environment-dependent values:
       6dp-grid values can land EXACTLY on a .5e-6 midpoint where the
       engines' rounding tie-breaks diverge (hit in text_kn_logprob r5
       and dsir_importance r7). Emit the decimal-exact SUM + count.
+      Also flags round(<integer-count SUM> / COUNT) — the same
+      midpoint class for count ratios (r8, per advisor). Scanned both
+      per-line AND over a whitespace-collapsed form so multi-line
+      formatting can't defeat the rule.
+  R7  oracle output column typed HUGEINT/UHUGEINT — DuckDB widens
+      integer SUM / list_aggregate('sum') to INT128, which reaches the
+      driver's type-sensitive value hash as Arrow decimal128(38,0)
+      and can NEVER match Spark's BIGINT even when values are equal
+      (the r7 quantize_embeddings driver FAIL). Detected by BINDING
+      each oracle in DuckDB (no execution) and inspecting result
+      types. Fix: CAST(... AS BIGINT) at the output site.
 
 Heuristic (regex over SQL text), so false positives are possible:
-suppress a finding by adding `-- lint: allow RN` on the same line.
+suppress a finding by adding `-- lint: allow RN` on the same line
+(R6-collapsed and R7 accept the marker anywhere in the query).
 Exit 1 on any unsuppressed finding; run in CI next to the gate.
 """
 
@@ -45,6 +57,16 @@ DOUBLE_SUM = re.compile(
 DEC_MUL = re.compile(r"DECIMAL\s*\([^)]*\)\s*\)?\s*\*", re.I)
 ROUNDED_MEAN = re.compile(
     r"round\s*\(.*SUM\s*\(\s*CAST[^)]*DECIMAL[^/]*/\s*COUNT", re.I
+)
+# collapsed-text forms (span-capped so unrelated round()/SUM()/COUNT()
+# pairs far apart in a big query don't cross-match):
+ROUNDED_MEAN_ANYFMT = re.compile(
+    r"round\s*\([^;]{0,200}?SUM\s*\(\s*CAST[^)]*DECIMAL[^/]{0,200}?/\s*[^,;]{0,80}?COUNT",
+    re.I,
+)
+ROUNDED_COUNT_RATIO = re.compile(
+    r"round\s*\([^;]{0,160}?SUM\s*\(\s*CASE[^;]{0,160}?/\s*[^,;]{0,80}?COUNT",
+    re.I,
 )
 ALLOW = re.compile(r"--\s*lint:\s*allow\s+(R\d)")
 
@@ -116,12 +138,61 @@ def lint_sql(name: str, sql: str) -> list[str]:
     for clause, ctx in _topk_clauses(sql):
         if len(_split_depth0(clause)) < 2 and not _allowed(ctx, "R5"):
             findings.append(f"{name}: R5 top-k with single-key ORDER BY (no tiebreak)")
+    # R6 over a whitespace-collapsed form: a rounded mean formatted
+    # across lines escapes the per-line regex (advisor r7 finding).
+    # Only fires when the per-line pass found nothing, and an allow
+    # marker anywhere in the query suppresses it (line position is
+    # meaningless after collapsing).
+    if not any(" R6 " in f for f in findings) and not _allowed(sql, "R6"):
+        collapsed = re.sub(r"--[^\n]*", "", sql)  # drop comments first
+        collapsed = re.sub(r"\s+", " ", collapsed)
+        for rx, what in (
+            (ROUNDED_MEAN_ANYFMT, "rounded decimal-transit mean"),
+            (ROUNDED_COUNT_RATIO, "rounded integer-count ratio"),
+        ):
+            m = rx.search(collapsed)
+            if m:
+                findings.append(
+                    f"{name}: R6 {what} (collapsed scan) `{m.group(0)[:90]}`"
+                )
     return findings
+
+
+def typed_findings(entries, sf: str = "/root/testdata/sf0.001") -> list[str]:
+    """R7: bind every oracle in DuckDB (no execution) and flag output
+    columns typed HUGEINT/UHUGEINT — they reach the driver's
+    type-sensitive hash as Arrow decimal128(38,0) and can never match
+    Spark's BIGINT (the r7 quantize_embeddings driver FAIL)."""
+    import duckdb
+
+    from fegis_spark.model import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    out = []
+    for name, e in sorted(entries.items()):
+        if e.oracle is None or _allowed(e.oracle, "R7"):
+            continue
+        try:
+            rel = con.sql(e.oracle)
+            cols, types = rel.columns, [str(t).upper() for t in rel.types]
+        except Exception as ex:  # noqa: BLE001
+            out.append(f"{name}: R7 oracle bind error {type(ex).__name__}: {str(ex)[:90]}")
+            continue
+        for col, ty in zip(cols, types):
+            if "HUGEINT" in ty:
+                out.append(
+                    f"{name}: R7 oracle output `{col}` typed {ty} — cast to BIGINT"
+                )
+    return out
 
 
 def main() -> int:
     findings: list[str] = []
-    for name, e in sorted(catalog().items()):
+    entries = catalog()
+    findings.extend(typed_findings(entries))
+    for name, e in sorted(entries.items()):
         if e.oracle is not None:
             findings.extend(lint_sql(name, e.oracle))
         # builder-side nondeterminism: source-level scan
