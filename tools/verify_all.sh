@@ -24,8 +24,11 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python bench.py 2>/dev/null | tail -1
 echo "== 4/7 pytest =="
 python -m pytest tests/ -q 2>/dev/null | tail -1
 
-echo "== 5/7 oracle lint =="
+echo "== 5/7 oracle lint + typed-schema parity =="
 python tools/oracle_lint.py 2>/dev/null
+# Spark-dtype vs DuckDB-bound-type class matrix (the r7 driver FAIL
+# class: HUGEINT/DECIMAL oracle outputs vs Spark BIGINT/DOUBLE)
+python tools/type_audit.py 2>/dev/null | tail -1
 
 echo "== 6/7 coverage + plan reports =="
 python tools/coverage_report.py 2>/dev/null
