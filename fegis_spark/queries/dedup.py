@@ -1045,3 +1045,55 @@ def dedup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("chars_dropped"),
         )
     )
+
+
+@register(
+    "dedup_cluster_profile",
+    oracle="WITH RECURSIVE "
+    + _EDGES_SQL.strip().removeprefix("WITH ")
+    + """,
+    nodes AS (SELECT a AS n FROM edges UNION SELECT b FROM edges),
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    cc(n, lbl) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT u.b, cc.lbl FROM cc JOIN und u ON cc.n = u.a WHERE cc.lbl < u.b
+    ),
+    comp AS (SELECT n AS node, MIN(lbl) AS component FROM cc GROUP BY n),
+    sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+    SELECT sz AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(sz - 1) AS BIGINT) AS docs_droppable
+    FROM sizes GROUP BY sz
+    """,
+    covers=("K9-components", "[EXT]-report"),
+)
+def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] duplicate-cluster size profile: the governance summary a
+    dedup owner reads before pulling the trigger — how many clusters
+    of each size exist and how many documents a keep-one-per-cluster
+    policy would drop. A long tail of pairs is routine; a single giant
+    cluster means a boilerplate template is eating the corpus (and is
+    exactly what the capped-LSH machinery routes around). Same
+    pair graph + components as dedup_components, then two tiny
+    aggregations; the profile is |distinct sizes| rows regardless of
+    corpus scale."""
+    from fegis_spark.operators.dedup import connected_components
+
+    edges = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        ["lang", "source"],
+        ngram=3,
+        threshold=0.1,
+    )
+    sizes = (
+        connected_components(edges)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("sz") - 1).cast("bigint").alias("docs_droppable"),
+    )

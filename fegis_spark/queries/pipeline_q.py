@@ -616,7 +616,7 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (
              WHERE {_hash_bucket_sql('d.doc_id', 10000)} < rate * 10000
            ) AS n_kept,
-           round(r.rate, 6) AS rate
+           r.rate AS rate
     FROM documents d JOIN rates r USING (source)
     GROUP BY d.source, r.n_orig, r.rate
     """,
@@ -651,7 +651,11 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_kept")
         )
-        .select("source", "n_orig", "n_kept", F.round("rate", 6).alias("rate"))
+        # rate emitted UNROUNDED: sqrt is IEEE-correctly-rounded in
+        # both engines over the identical exact-integer ratio, so the
+        # double is bit-identical; round(x, 6) would reintroduce the
+        # midpoint tie-break class
+        .select("source", "n_orig", "n_kept", "rate")
     )
 
 

@@ -1831,3 +1831,119 @@ def pruning_hard_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition heaps, k-row driver merge —
     no global sort); rank is re-derived on the k-row result only."""
     return perceptron_hard_examples(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=f"""
+    SELECT lang, n_docs, tok_ws, tok_bpe,
+           tok_bpe / CAST(nullif(tok_ws, 0) AS DOUBLE) AS fertility
+    FROM (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM({TOKEN_COUNT_WS_SQL.format(c='text')}) AS BIGINT) AS tok_ws,
+             CAST(SUM({TOKEN_COUNT_BPE_SQL.format(c='text')}) AS BIGINT) AS tok_bpe
+      FROM documents GROUP BY lang
+    )
+    """,
+    covers=("[EXT]-fertility", "[EXT]-tokens"),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tokenizer fertility by language: BPE-ish sub-word tokens
+    per whitespace word — the standard multilingual-tokenizer budget
+    metric (a fertility of 2 means the context window holds half as
+    many words). Scripts the ASCII \\w pre-tokenizer can't segment
+    (zh) surface as high fertility — exactly the signal that drives
+    per-language token budgeting and vocab allocation in a training
+    mix. Exact integer sums (CAST to BIGINT — DuckDB widens integer
+    SUM to HUGEINT); fertility is the unrounded bit-identical IEEE
+    quotient, nullif-guarded like every ratio denominator.
+
+    Scale: pure map-side projection into a |langs|-row partial+final
+    agg — one shuffle of a few grouped rows, zero joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(F.col("text"))).cast("bigint").alias("tok_ws"),
+        F.sum(token_count_bpe_ish(F.col("text"))).cast("bigint").alias("tok_bpe"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "tok_ws",
+        "tok_bpe",
+        (
+            F.col("tok_bpe")
+            / F.nullif(F.col("tok_ws"), F.lit(0)).cast("double")
+        ).alias("fertility"),
+    )
+
+
+#: constructed encoding corruption for the mojibake scanner: the
+#: testdata corpus is clean ASCII, so corruption is injected
+#: deterministically on both engines (the constructed-corpus pattern,
+#: same as json_quarantine_parse). Every 7th doc gets UTF-8-as-Latin-1
+#: mojibake ('Ã©' = é double-encoded, 'â€”' = em-dash double-encoded);
+#: every 13th (not also 7th) gets a U+FFFD replacement char — the two
+#: corruption classes an encoding-triage pass separates.
+_MOJIBAKE_CORRUPT = (
+    "CASE WHEN doc_id % 7 = 0"
+    " THEN text || ' cafÃ© naÃ¯ve â€” rÃ©sumÃ©'"
+    " WHEN doc_id % 13 = 0 THEN text || ' seg' || chr(65533) || 'ment'"
+    " ELSE text END"
+)
+
+
+@register(
+    "text_mojibake_scan",
+    oracle=f"""
+    WITH raw AS (
+      SELECT source, {_MOJIBAKE_CORRUPT} AS t FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN contains(t, 'Ã') OR contains(t, 'â€')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake_docs,
+           CAST(SUM(length(t) - length(replace(t, 'Ã', ''))) AS BIGINT)
+             AS mojibake_hits,
+           CAST(SUM(CASE WHEN contains(t, chr(65533)) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_replacement_docs
+    FROM raw GROUP BY source
+    """,
+    covers=("[EXT]-mojibake", "[EXT]-quality"),
+)
+def text_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] encoding-corruption triage (ftfy-style detection, scan
+    side): per source, count documents carrying UTF-8-as-Latin-1
+    mojibake markers ('Ã' + continuation, 'â€' sequences) and U+FFFD
+    replacement characters — the two classes a crawl-ingest pass
+    routes to re-decode vs drop. The corpus text is clean, so
+    corruption is injected deterministically on both engines (see
+    _MOJIBAKE_CORRUPT; the json_quarantine_parse pattern), making the
+    detector non-vacuous at every sf. Marker counting is the
+    1-char-marker length-replace recipe; both engines count length()
+    in characters.
+
+    Scale: pure projection + |sources|-row agg, map-side combined —
+    zero joins, zero windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr(_MOJIBAKE_CORRUPT)
+    has_moji = F.expr(
+        f"contains({_MOJIBAKE_CORRUPT}, 'Ã') OR contains({_MOJIBAKE_CORRUPT}, 'â€')"
+    )
+    return (
+        docs.select(
+            "source",
+            F.when(has_moji, 1).otherwise(0).alias("moji"),
+            (F.length(t) - F.length(F.replace(t, F.lit("Ã"), F.lit("")))).alias(
+                "hits"
+            ),
+            F.when(t.contains(F.chr(F.lit(65533))), 1).otherwise(0).alias("repl"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("moji").cast("bigint").alias("n_mojibake_docs"),
+            F.sum("hits").cast("bigint").alias("mojibake_hits"),
+            F.sum("repl").cast("bigint").alias("n_replacement_docs"),
+        )
+    )

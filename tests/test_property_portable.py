@@ -270,3 +270,36 @@ def test_ivfp_routing_engine_agreement(spark, vecs):
         ).fetchall()
     }
     assert got_s == got_d
+
+
+def test_round_midpoint_divergence_is_real(spark):
+    """Pin the WHY of the repo-wide no-round(k/n) convention: on a
+    double whose shortest decimal repr lands on a rounding midpoint
+    but whose binary value sits below it (0.285 = 0.28499999999...),
+    Spark rounds the shortest repr HALF_UP (0.29) while DuckDB rounds
+    the binary value (0.28). The engines genuinely DIVERGE — any
+    oracle-checked round(ratio) output is therefore a latent hash
+    flake (the r5 text_kn_logprob and r7 dsir_importance incidents).
+    If an engine upgrade ever makes this assertion fail, the ban can
+    be revisited."""
+    s = spark.sql("SELECT round(0.285d, 2) AS a, round(0.145d, 2) AS b").collect()[0]
+    con = duckdb.connect()
+    d = con.sql("SELECT round(0.285e0, 2) AS a, round(0.145e0, 2) AS b").fetchall()[0]
+    assert (s["a"], s["b"]) == (0.29, 0.15)  # shortest-repr HALF_UP
+    assert d == (0.28, 0.14)  # binary-value rounding
+
+
+def test_unrounded_integer_ratio_engine_agreement(spark):
+    """The sanctioned replacement — emitting the UNROUNDED quotient of
+    exact integers — is bit-identical across engines (IEEE-correct
+    division), including the k/n values that sit on rounding
+    midpoints."""
+    pairs = [(57, 200), (29, 200), (1, 3), (22, 7), (1, 2000000), (999999, 7000000)]
+    sel = ", ".join(
+        f"CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE) AS r{i}"
+        for i, (k, n) in enumerate(pairs)
+    )
+    s = spark.sql(f"SELECT {sel}").collect()[0]
+    con = duckdb.connect()
+    d = con.sql(f"SELECT {sel}").fetchall()[0]
+    assert tuple(s) == d == tuple(k / n for k, n in pairs)
