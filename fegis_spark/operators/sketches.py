@@ -76,3 +76,62 @@ def heavy_hitters(items: DataFrame, col: str = "t", k: int = 50) -> DataFrame:
         .select("t", "cnt")
         .orderBy(F.desc("cnt"), "t")
     )
+
+
+#: Count-Min Sketch geometry: d independent hash rows × w buckets.
+#: With w=512 the additive overestimate bound is e·n/w per row and the
+#: min over d=4 rows holds with prob ≥ 1-e^-4 — at any corpus size the
+#: sketch stays d·w counters per partition before the merge.
+CMS_D = 4
+CMS_W = 512
+
+
+def cms_bucket(col: F.Column, row: F.Column, w: int = CMS_W) -> F.Column:
+    """Bucket of `col` under hash row `row`: the repo's portable md5
+    recipe over 'r:value' (independent rows come from the salt)."""
+    key = F.concat(row.cast("string"), F.lit(":"), col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % w
+
+
+def cms_bucket_sql(col: str, row: str, w: int = CMS_W) -> str:
+    """DuckDB twin of cms_bucket (same md5 sub-stream recipe)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({row} AS VARCHAR) || ':' ||"
+        f" CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT) % {w}"
+    )
+
+
+def cms_build(items: DataFrame, col: str = "t", d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Count-Min Sketch of `items[col]` as a (r, bucket, cnt) table
+    (≤ d·w rows). The stream fans out ×d map-side, but partial
+    aggregation caps the shuffle at partitions·d·w rows — the whole
+    point of a CMS at 100 TB: corpus-size input, constant-size state.
+    Deterministic (md5 hashing, integer counts) and therefore
+    oracle-checkable, unlike a seeded-RNG sketch."""
+    spark = items.sparkSession
+    rows = spark.range(d).select(F.col("id").cast("int").alias("r"))
+    stream = items.select(F.col(col).alias("t"))
+    return (
+        stream.crossJoin(F.broadcast(rows))
+        .select("r", cms_bucket(F.col("t"), F.col("r"), w).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(cms: DataFrame, terms: DataFrame, col: str = "t",
+                 d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Point-query the sketch for every row of `terms[col]`:
+    est = min over hash rows of the addressed counter (missing
+    counter = 0). Both sides of the join are tiny (≤ d·w sketch,
+    |terms|·d probes) — broadcast, never a corpus shuffle."""
+    spark = terms.sparkSession
+    rows = spark.range(d).select(F.col("id").cast("int").alias("r"))
+    probes = terms.select(F.col(col).alias("t")).crossJoin(
+        F.broadcast(rows)
+    ).select("t", "r", cms_bucket(F.col("t"), F.col("r"), w).alias("bucket"))
+    return (
+        probes.join(F.broadcast(cms), ["r", "bucket"], "left")
+        .groupBy("t")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est_n"))
+    )

@@ -1947,3 +1947,85 @@ def text_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("repl").cast("bigint").alias("n_replacement_docs"),
         )
     )
+
+
+from fegis_spark.operators.sketches import (  # noqa: E402
+    CMS_D,
+    CMS_W,
+    cms_bucket_sql,
+    cms_build,
+    cms_estimate,
+)
+
+_CMS_ROWS_SQL = "(SELECT * FROM (VALUES (0), (1), (2), (3)) v(r))"
+
+
+@register(
+    "cms_heavy_hitters_audit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({duck_tokens('text')}) AS t FROM documents
+    ), cnt AS (
+      SELECT t, count(*) AS c FROM tok GROUP BY t
+    ), top AS (
+      SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 20
+    ), cms AS (
+      SELECT r, {cms_bucket_sql('t', 'r')} AS bucket, count(*) AS cnt
+      FROM tok CROSS JOIN {_CMS_ROWS_SQL} GROUP BY 1, 2
+    ), probe AS (
+      SELECT top.t, top.c, v.r, {cms_bucket_sql('top.t', 'v.r')} AS bucket
+      FROM top CROSS JOIN {_CMS_ROWS_SQL} v
+    ), est AS (
+      SELECT p.t, MIN(COALESCE(cms.cnt, 0)) AS est_n
+      FROM probe p LEFT JOIN cms ON cms.r = p.r AND cms.bucket = p.bucket
+      GROUP BY p.t
+    )
+    SELECT top.t, CAST(top.c AS BIGINT) AS true_n,
+           CAST(est.est_n AS BIGINT) AS est_n,
+           est.est_n >= top.c AS overestimate_ok,
+           CAST(est.est_n - top.c AS BIGINT) AS overcount
+    FROM top JOIN est USING (t)
+    """,
+    covers=("[EXT]-cms", "[EXT]-heavy-hitters"),
+)
+def cms_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Count-Min Sketch audit (Cormode & Muthukrishnan 2005):
+    build a {CMS_D}x{CMS_W} CMS over the corpus token stream, point-
+    query it for the exact top-20 tokens, and emit estimate vs truth
+    with the one-sided-error invariant (a CMS can only OVERcount) as
+    an oracle-asserted boolean per row — the trust-but-verify audit
+    you run on a sample before relying on sketch counts fleet-wide,
+    exactly like hll_error_audit does for distinct counts. md5
+    sub-stream hashing makes the sketch deterministic and therefore
+    value-checkable cross-engine — no seeded RNG.
+
+    Scale: the token stream fans out x{CMS_D} map-side but partial
+    aggregation caps the CMS shuffle at partitions*d*w rows; the
+    probe/estimate side is broadcast-only. Corpus-size input,
+    constant-size state — the CMS contract. (The exact top-20 side
+    reuses the vocabulary hash-agg; at 100 TB you'd feed the sketch's
+    own candidates or text_heavy_hitters' Misra-Gries instead.)"""
+    from fegis_spark.operators.dedup import tokens
+    from fegis_spark.operators.topk import ranked_topk
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    # one token-stream projection feeds BOTH the exact count and the
+    # sketch build — persist so the corpus scans once
+    stream = docs.select(F.explode(tokens(F.col("text"))).alias("t")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cnt = stream.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = ranked_topk(cnt, "c", "t", 20, "rk").drop("rk")
+    cms = cms_build(stream, "t")
+    est = cms_estimate(cms, top, "t")
+    return (
+        top.join(F.broadcast(est), "t")
+        .select(
+            "t",
+            F.col("c").cast("bigint").alias("true_n"),
+            "est_n",
+            (F.col("est_n") >= F.col("c")).alias("overestimate_ok"),
+            (F.col("est_n") - F.col("c")).cast("bigint").alias("overcount"),
+        )
+    )

@@ -99,3 +99,35 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[0] == (ln2, 3)
     assert got[1] == (ln2, 2)
     assert 2 not in got
+
+
+def test_cms_overestimates_and_is_exact_when_wide(spark):
+    """CMS invariants on constructed data: (1) est >= true count for
+    every queried item (one-sided error); (2) with w far above the
+    vocabulary size and no collisions the estimate is EXACT for items
+    whose 4 buckets are collision-free — checked by asserting the est
+    of every item equals truth OR overestimates, and at least one item
+    is exact (vocab 26 << w 512 makes all-collisions vanishingly
+    unlikely and deterministic given md5)."""
+    import string
+
+    from fegis_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = [(c,) for i, c in enumerate(string.ascii_lowercase) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "t string")
+    truth = {c: i + 1 for i, c in enumerate(string.ascii_lowercase)}
+    cms = cms_build(df, "t")
+    est = {
+        r["t"]: r["est_n"]
+        for r in cms_estimate(cms, df.select("t").distinct(), "t").collect()
+    }
+    assert set(est) == set(truth)
+    assert all(est[t] >= truth[t] for t in truth)
+    assert any(est[t] == truth[t] for t in truth)
+    # total mass conservation per hash row: every row of the sketch
+    # sums to the stream length
+    per_row = {
+        r["r"]: r["s"]
+        for r in cms.groupBy("r").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert all(v == len(rows) for v in per_row.values())
