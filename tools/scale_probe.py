@@ -189,7 +189,21 @@ def probes(spark, sf_dir: str) -> dict:
         # label separation: 64x explode to |labels|x|dims| cells +
         # broadcast centroid join-back; two linear corpus passes
         "label_separation": _label_sep_probe(spark, sf_dir),
+        # Count-Min Sketch build: token stream fans out x4 map-side
+        # but partial agg caps the shuffle at partitions*d*w rows —
+        # wall must track the token scan, never the fan-out
+        "cms_build": _cms_probe(docs),
     }
+
+
+def _cms_probe(docs):
+    from fegis_spark.operators.dedup import tokens
+    from fegis_spark.operators.sketches import cms_build
+
+    stream = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    return cms_build(stream, "t").agg(
+        F.count("*").alias("cells"), F.sum("cnt").alias("mass")
+    )
 
 
 def _source_overlap_probe(spark, sf_dir: str):
