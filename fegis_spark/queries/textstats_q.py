@@ -2029,3 +2029,91 @@ def cms_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") - F.col("c")).cast("bigint").alias("overcount"),
         )
     )
+
+
+_DRIFT_HALF_SQL = (
+    "CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 100 < 50 THEN 1 ELSE 0 END"
+)
+
+
+@register(
+    "vocab_drift_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT {_DRIFT_HALF_SQL} AS half, unnest({duck_tokens('text')}) AS t
+      FROM documents
+    ), counts AS (
+      SELECT t,
+             CAST(SUM(half) AS BIGINT) AS ca,
+             CAST(SUM(1 - half) AS BIGINT) AS cb
+      FROM tok GROUP BY t
+    ), tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+             COUNT(*) AS v
+      FROM counts
+    ), scored AS (
+      SELECT t, ca, cb,
+             ((ca + 1) * (nb + v)) / CAST((cb + 1) * (na + v) AS DOUBLE)
+               AS odds_ratio
+      FROM counts CROSS JOIN tot
+    )
+    SELECT t, ca, cb, odds_ratio FROM scored
+    ORDER BY odds_ratio DESC, t LIMIT 15
+    """,
+    covers=("[EXT]-vocab-drift", "[EXT]-heavy-hitters"),
+)
+def vocab_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] vocabulary drift report: the 15 terms whose add-1-smoothed
+    frequency odds shift most between two deterministic md5 halves of
+    the corpus — the snapshot-over-snapshot monitoring query that
+    surfaces topic/source shift as named terms (new boilerplate, a
+    crawler picking up a new domain) rather than as an opaque
+    distribution statistic (quality_ks_drift's job). In production the
+    halves are two corpus snapshots; the md5 split makes the query
+    self-contained and non-vacuous at every sf.
+
+    Portability: the smoothed odds ratio is the UNROUNDED quotient of
+    two exact BIGINT cross-products ((ca+1)(nb+V) vs (cb+1)(na+V) —
+    bounded far below 2^53), so the score is bit-identical
+    cross-engine with no ln() involved and the top-k order is total
+    ((ratio, t) tiebreak).
+
+    Scale: one token hash-agg (map-side combined to the vocab), a
+    1-row totals broadcast, TakeOrderedAndProject for the top-k — the
+    vocabulary never sorts globally."""
+    from fegis_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Spark spelling of _DRIFT_HALF_SQL's md5 bucket (the repo recipe)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    half = F.when(bucket < 50, 1).otherwise(0)
+    tok = docs.select(
+        half.alias("half"), F.explode(tokens(F.col("text"))).alias("t")
+    )
+    counts = tok.groupBy("t").agg(
+        F.sum("half").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("half")).cast("bigint").alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "ca",
+        "cb",
+        (
+            ((F.col("ca") + 1) * (F.col("nb") + F.col("v")))
+            / ((F.col("cb") + 1) * (F.col("na") + F.col("v"))).cast("double")
+        ).alias("odds_ratio"),
+    )
+    # orderBy+limit fuses to TakeOrderedAndProject (per-partition
+    # heaps) and keeps the count columns — no rank window needed
+    return scored.orderBy(F.desc("odds_ratio"), "t").limit(15).select(
+        "t", "ca", "cb", "odds_ratio"
+    )
