@@ -116,3 +116,21 @@ def test_r7_flags_widened_integer_sum():
         )
     }
     assert not typed_findings(allowed)
+
+
+def test_type_audit_class_mapping():
+    """The typed-schema audit's class map must fold engine spellings to
+    the Python classes the driver's hash sees — int widths together,
+    HUGEINT with DECIMAL (Arrow decimal128), array forms recursing."""
+    from tools.type_audit import _class_of
+
+    assert _class_of("bigint") == _class_of("INTEGER") == "int"
+    assert _class_of("HUGEINT") == _class_of("DECIMAL(38,6)") == "decimal"
+    assert _class_of("decimal(38,6)") == "decimal"
+    assert _class_of("double") == _class_of("FLOAT") == "float"
+    assert _class_of("string") == _class_of("VARCHAR") == "str"
+    assert _class_of("timestamp_ntz") == _class_of("TIMESTAMP") == "timestamp"
+    assert _class_of("array<double>") == _class_of("DOUBLE[]") == "list<float>"
+    assert _class_of("array<bigint>") == "list<int>"
+    assert _class_of("BIGINT[]") == "list<int>"
+    assert _class_of("boolean") == _class_of("BOOLEAN") == "bool"
