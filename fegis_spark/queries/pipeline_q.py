@@ -225,9 +225,10 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_WINDOW, CDC_DIVISOR = 4, 16
 
 
-@register(
-    "cdc_chunk_documents",
-    oracle=f"""
+#: DuckDB twin of cdc_chunks as a reusable SELECT body (shared by the
+#: chunking query and the chunk-level dedup-mass query so the chunk
+#: geometry cannot drift between them).
+_CDC_CHUNKS_SQL = f"""
     WITH base AS (
       SELECT doc_id, {duck_tokens('text')} AS tok FROM documents
     ), b AS (
@@ -252,7 +253,12 @@ CDC_WINDOW, CDC_DIVISOR = 4, 16
              list_slice(tok, bounds[j + 1] + 1, bounds[j + 2]), ' '))
              AS chunk_hash
     FROM b, unnest(range(0, len(bounds) - 1)) AS t(j)
-    """,
+"""
+
+
+@register(
+    "cdc_chunk_documents",
+    oracle=_CDC_CHUNKS_SQL,
     covers=("[EXT]-cdc-chunking", "§2.8-explode"),
 )
 def cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1528,4 +1534,66 @@ def packing_vs_padding_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("padded") - F.col("packed")) / F.col("padded").cast("double")
         ).alias("savings_frac"),
+    )
+
+
+@register(
+    "dedup_chunk_mass",
+    oracle=f"""
+    WITH chunks AS ({_CDC_CHUNKS_SQL}),
+    freq AS (
+      SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd
+      FROM chunks GROUP BY chunk_hash
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(c.n_tok) AS BIGINT) AS n_tok,
+           CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN f.nd >= 2 THEN c.n_tok ELSE 0 END) AS BIGINT)
+             AS dup_tok
+    FROM chunks c JOIN freq f USING (chunk_hash)
+    GROUP BY c.doc_id
+    HAVING SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) > 0
+    """,
+    covers=("[EXT]-chunk-dedup", "[EXT]-cdc-chunking", "K9-exact"),
+)
+def dedup_chunk_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] chunk-level cross-document duplication mass (the
+    paragraph-dedup shape of Dolma / RefinedWeb, re-expressed over
+    content-defined chunks since the corpus is single-line): for every
+    document carrying at least one chunk that also appears in ANOTHER
+    document, its total and duplicated chunk/token mass — the
+    sub-document complement of whole-doc dedup that catches shared
+    boilerplate blocks inside otherwise-distinct pages. Content-
+    defined boundaries make the chunk hashes edit-robust, so inserted
+    sentences don't hide the shared block (see cdc_chunk_documents).
+
+    Scale: the chunk table (md5 keys, uniform) persists and feeds both
+    the cross-doc frequency hash-agg and the join-back — the same
+    gram-join family as doc_novelty/boilerplate (16x probe band
+    <=7.4); output is bounded by docs-with-shared-chunks. Cross-doc
+    frequency uses COUNT(DISTINCT doc_id), so within-doc repetition
+    (doc_repetition's job) never inflates it."""
+    from pyspark import StorageLevel
+
+    chunks = cdc_chunks(load_table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    freq = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        chunks.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tok").cast("bigint").alias("n_tok"),
+            F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_tok"),
+        )
+        .filter(F.col("n_dup_chunks") > 0)
     )
