@@ -1061,3 +1061,65 @@ def label_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("separation"),
     )
+
+
+#: per-element micro-unit quantizer for the norm audit (the SRP
+#: integer recipe — both engines round doubles half-away-from-zero, so
+#: the BIGINT is exact cross-engine; never a decimal cast on floats).
+_NORM_Q_SPARK = (
+    "aggregate(transform(embedding,"
+    " x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)),"
+    " CAST(0 AS BIGINT), (a, v) -> a + v * v)"
+)
+_NORM_Q_DUCK = (
+    "CAST(list_aggregate(list_transform(embedding,"
+    " x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
+    " * CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), 'sum')"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "embedding_norm_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT label, {_NORM_Q_DUCK} AS sumsq_q FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN sumsq_q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_vecs,
+           MIN(sumsq_q) AS min_sumsq_q,
+           MAX(sumsq_q) AS max_sumsq_q,
+           CAST(SUM(sumsq_q) AS BIGINT) AS total_sumsq_q
+    FROM q GROUP BY label
+    """,
+    covers=("[EXT]-norm-audit", "[EXT]-centroids"),
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] embedding-norm health audit: per label, vector count,
+    zero-vector count, and min/max/total squared L2 norm in exact
+    micro-unit integers — the upstream-failure detector for an
+    embedding pipeline (an embedder emitting zeros or collapsing
+    norms poisons every cosine downstream; you want the audit to fire
+    BEFORE ANN indexes are built from the batch). Quantizing each
+    element to micro-units makes every emitted number an exact BIGINT
+    both engines agree on bit-for-bit — no float accumulation-order
+    dependence, unlike a naive SUM(x*x).
+
+    Scale: one map-side HOF projection into a |labels|-row agg — zero
+    joins. total_sumsq_q fits BIGINT to ~10^18 (≈10^4 unit-norm
+    vectors of dim 64 per label at micro-unit scale is ~10^13); at
+    100 TB route the total through DECIMAL(38,0) transit per the
+    money-column recipe, or drop it and keep min/max/counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("label", F.expr(_NORM_Q_SPARK).alias("sumsq_q"))
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("sumsq_q") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_vecs"),
+        F.min("sumsq_q").alias("min_sumsq_q"),
+        F.max("sumsq_q").alias("max_sumsq_q"),
+        F.sum("sumsq_q").cast("bigint").alias("total_sumsq_q"),
+    )
