@@ -27,9 +27,11 @@ spark.catalog.clearCache() (the repo-wide cache-ownership policy; the
 same note sits on every persisting operator).
 
 Determinism: all per-row math IEEE double; avgdl goes through
-DECIMAL(38,6) (partition-order-proof mean); scores rounded to 6 dp;
-top-k carries an id tiebreak. The DuckDB oracle restates the identical
-arithmetic (queries/search_q.py).
+DECIMAL(38,6) (partition-order-proof mean); idf goes through
+portable_ln (sqlfrag.py — bit-identical across engines, unlike native
+ln), so scores ship UNROUNDED and still hash-match; top-k carries an
+id tiebreak. The DuckDB oracle restates the identical arithmetic
+(queries/search_q.py).
 """
 
 from __future__ import annotations
@@ -77,37 +79,53 @@ def bm25_scores(
         *[_term_tf(tok, t).cast("double").alias(f"tf{i}") for i, t in enumerate(qterms)],
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    base_stats = tfs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(38,6)")).cast("double") / F.count("*")
+        ).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("double")).alias(f"df{i}")
+            for i in range(len(qterms))
+        ],
+    )
+    # idf is a function of the 1-row stats alone, so it is computed
+    # ONCE there (not per corpus row) via portable_ln (sqlfrag.py),
+    # which is bit-identical across engines — native ln is 1 ulp off
+    # glibc on ~2.5% of inputs (the midpoint flake class); with every
+    # operand now identical cross-engine the score ships UNROUNDED
+    from fegis_spark.queries.sqlfrag import portable_ln
+
+    n = len(qterms)
     stats = F.broadcast(
-        tfs.agg(
-            F.count("*").cast("double").alias("n_docs"),
-            (
-                F.sum(F.col("dl").cast("decimal(38,6)")).cast("double") / F.count("*")
-            ).alias("avgdl"),
+        base_stats.select(
+            "avgdl",
             *[
-                F.sum((F.col(f"tf{i}") > 0).cast("double")).alias(f"df{i}")
-                for i in range(len(qterms))
+                (
+                    1.0
+                    + (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+                    / (F.col(f"df{i}") + 0.5)
+                ).alias(f"arg{i}")
+                for i in range(n)
             ],
+        ).select(
+            "avgdl",
+            *[F.expr(portable_ln(f"arg{i}", spark=True)).alias(f"idf{i}") for i in range(n)],
         )
     )
-
-    def idf(i: int) -> Column:
-        return F.log(
-            1.0
-            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
-        )
 
     def term_score(i: int) -> Column:
         tf = F.col(f"tf{i}")
         norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-        return idf(i) * tf * (k1 + 1.0) / norm
+        return F.col(f"idf{i}") * tf * (k1 + 1.0) / norm
 
     score = None
-    for i in range(len(qterms)):
+    for i in range(n):
         s = term_score(i)
         score = s if score is None else score + s
     return (
         tfs.crossJoin(stats)
-        .select("id", F.round(score, 6).alias("score"))
+        .select("id", score.alias("score"))
         .filter(F.col("score") > 0)
     )
 

@@ -415,13 +415,23 @@ def unigram_logprob(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     total = vocab.agg(F.sum("cnt").alias("n"))
-    if broadcast_vocab:
-        vocab, total = F.broadcast(vocab), F.broadcast(total)
-    scored = (
-        tok.join(vocab, "t")
-        .crossJoin(total)
-        .withColumn("nl", -F.log(F.col("cnt") / F.col("n")))
+    # -ln p(t) is a function of the TOKEN TYPE alone, so it collapses
+    # onto the vocab table: portable_ln (sqlfrag.py — bit-identical
+    # cross-engine, unlike native ln's 1-ulp divergence) runs once per
+    # distinct token, not once per occurrence, and rides the broadcast
+    from fegis_spark.queries.sqlfrag import portable_ln
+
+    nlv = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("p"),
+        )
+        .select("t", (-F.expr(portable_ln("p", spark=True))).alias("nl"))
     )
+    if broadcast_vocab:
+        nlv = F.broadcast(nlv)
+    scored = tok.join(nlv, "t")
     return scored.groupBy("doc").agg(
         # decimal-exact SUM + count, not a rounded mean: sum/count can
         # land exactly on a .5e-6 midpoint where the engines' rounding
@@ -482,16 +492,24 @@ def bigram_logprob(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ctx = vocab.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
-    # project before hinting so the broadcast hint sits directly on the
-    # join build side (a hint buried under a later Project can be lost)
-    vocab = vocab.select("b", "cnt")
-    if broadcast_vocab:
-        vocab, ctx = F.broadcast(vocab), F.broadcast(ctx)
-    scored = (
-        bg.join(vocab, "b")
-        .join(ctx, "w1")
-        .withColumn("nl", -F.log(F.col("cnt") / F.col("ctx")))
+    # -ln P(w2|w1) is a function of the BIGRAM TYPE alone (b encodes
+    # w1), so it collapses onto the bigram vocab: portable_ln
+    # (bit-identical cross-engine) runs once per distinct bigram, and
+    # the corpus-side plan needs ONE broadcast join on b instead of
+    # the former two (b, then w1)
+    from fegis_spark.queries.sqlfrag import portable_ln
+
+    nlv = (
+        vocab.join(ctx, "w1")
+        .select(
+            "b",
+            (F.col("cnt").cast("double") / F.col("ctx").cast("double")).alias("p"),
+        )
+        .select("b", (-F.expr(portable_ln("p", spark=True))).alias("nl"))
     )
+    if broadcast_vocab:
+        nlv = F.broadcast(nlv)
+    scored = bg.join(nlv, "b")
     return scored.groupBy("doc").agg(
         F.sum(F.col("nl").cast("decimal(38,6)"))
         .cast("double")
@@ -767,6 +785,18 @@ def line_shape_metrics(col: Column) -> Column:
     )
 
 
+#: interpolated-KN smoothed probability over the bigram-type columns
+#: (c, cv, n1v, n1w, n1tot) — ONE string valid in both SQL dialects
+#: (all operands cast to DOUBLE, left-assoc division as spelled), so
+#: the Spark plan and the DuckDB oracle share the exact IEEE DAG.
+#: {d} is the discount spliced as an SQL snippet.
+KN_P_SQL = (
+    "(greatest(CAST(c AS DOUBLE) - {d}, 0.0e0) / CAST(cv AS DOUBLE))"
+    " + (({d} * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE))"
+    " * (CAST(n1w AS DOUBLE) / CAST(n1tot AS DOUBLE)))"
+)
+
+
 def kn_bigram_logprob(
     docs, text_col: str = "text", id_col: str = "doc_id",
     broadcast_vocab: bool = True, discount: str = "CAST(0.75 AS DOUBLE)",
@@ -828,27 +858,25 @@ def kn_bigram_logprob(
     )
     pred = vocab.groupBy("w2").agg(F.count("*").alias("n1w"))
     tot = vocab.agg(F.count("*").alias("n1tot"))
-    v = vocab.select("b", "c")
     if broadcast_vocab:
-        v, ctx, pred, tot = (
-            F.broadcast(v),
-            F.broadcast(ctx),
-            F.broadcast(pred),
-            F.broadcast(tot),
-        )
-    scored = (
-        bg.join(v, "b")
-        .join(ctx, "w1")
+        ctx, pred, tot = F.broadcast(ctx), F.broadcast(pred), F.broadcast(tot)
+    # the smoothed probability is a function of the BIGRAM TYPE alone
+    # (b encodes w1 and w2), so the whole KN formula collapses onto
+    # the vocab table: portable_ln (sqlfrag.py — bit-identical
+    # cross-engine) runs once per distinct bigram, and the corpus side
+    # needs ONE broadcast join on b instead of the former three
+    from fegis_spark.queries.sqlfrag import portable_ln
+
+    nlv = (
+        vocab.join(ctx, "w1")
         .join(pred, "w2")
         .crossJoin(tot)
-        .withColumn(
-            "nl",
-            -F.log(
-                F.expr(f"greatest(c - {d}, 0.0) / cv")
-                + F.expr(f"(({d} * n1v / cv) * (n1w / n1tot))")
-            ),
-        )
+        .select("b", F.expr(KN_P_SQL.format(d=d)).alias("p"))
+        .select("b", (-F.expr(portable_ln("p", spark=True))).alias("nl"))
     )
+    if broadcast_vocab:
+        nlv = F.broadcast(nlv)
+    scored = bg.join(nlv, "b")
     # OUTPUT IS THE DECIMAL-EXACT SUM, NOT THE MEAN: sum/count can land
     # exactly on a .5e-6 rounding midpoint (observed once in 755k rows
     # at sf0.1), where Spark's BigDecimal HALF_UP and DuckDB's round

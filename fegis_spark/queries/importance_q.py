@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from fegis_spark.catalog import register
 from fegis_spark.model import load_table
-from fegis_spark.queries.sqlfrag import duck_tokens
+from fegis_spark.queries.sqlfrag import duck_tokens, portable_ln
 
 #: hashed-feature space size for DSIR. 256 keeps the bucket table
 #: trivially broadcastable at any corpus size (the table is B rows no
@@ -48,11 +48,18 @@ def _tok_bucket(col):
       FROM tok GROUP BY bucket
     ),
     tot AS (SELECT SUM(rcnt) AS rtot, SUM(tcnt) AS ttot FROM counts),
+    rates AS (
+      SELECT bucket,
+             CAST((c.tcnt + 1.0) / (t.ttot + {DSIR_BUCKETS}.0) AS DOUBLE) AS pa,
+             CAST((c.rcnt + 1.0) / (t.rtot + {DSIR_BUCKETS}.0) AS DOUBLE) AS pb
+      FROM counts c CROSS JOIN tot t
+    ),
+    lrs AS (
+      SELECT bucket, {portable_ln('pa')} - {portable_ln('pb')} AS lr FROM rates
+    ),
     scored AS (
-      SELECT tok.doc_id, tok.lang,
-             ln((c.tcnt + 1.0) / (t.ttot + {DSIR_BUCKETS}.0))
-               - ln((c.rcnt + 1.0) / (t.rtot + {DSIR_BUCKETS}.0)) AS lr
-      FROM tok JOIN counts c USING (bucket) CROSS JOIN tot t
+      SELECT tok.doc_id, tok.lang, l.lr
+      FROM tok JOIN lrs l USING (bucket)
     )
     SELECT doc_id, lang,
            CAST(SUM(CAST(lr AS DECIMAL(38,6))) AS DOUBLE) AS dsir_logweight_sum,
@@ -102,13 +109,25 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = counts.agg(F.sum("rcnt").alias("rtot"), F.sum("tcnt").alias("ttot"))
     b = float(DSIR_BUCKETS)
-    lr = F.log((F.col("tcnt") + 1.0) / (F.col("ttot") + b)) - F.log(
-        (F.col("rcnt") + 1.0) / (F.col("rtot") + b)
+    # the log ratio is a function of the BUCKET alone, so it collapses
+    # onto the B-row table (portable_ln runs 2·B times, not per token)
+    # and rides the broadcast; portable_ln (sqlfrag.py) is bit-identical
+    # cross-engine, unlike native ln (1 ulp off on ~2.5% of inputs)
+    lrs = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            ((F.col("tcnt") + 1.0) / (F.col("ttot") + b)).alias("pa"),
+            ((F.col("rcnt") + 1.0) / (F.col("rtot") + b)).alias("pb"),
+        )
+        .select(
+            "bucket",
+            (F.expr(portable_ln("pa", spark=True)) - F.expr(portable_ln("pb", spark=True))).alias("lr"),
+        )
     )
     return (
-        tok.join(F.broadcast(counts), "bucket")
-        .crossJoin(F.broadcast(tot))
-        .select("doc_id", "lang", lr.alias("lr"))
+        tok.join(F.broadcast(lrs), "bucket")
+        .select("doc_id", "lang", "lr")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum(F.col("lr").cast("decimal(38,6)"))
@@ -223,12 +242,15 @@ WOR_K = 50
 @register(
     "weighted_sample_wor",
     oracle=f"""
-    WITH keyed AS (
+    WITH u AS (
       SELECT doc_id, lang, n_chars,
-             round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                         AS BIGINT) + 0.5) / 4294967296.0)
-                   / n_chars, 12) AS race_key
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) + 0.5) / 4294967296.0 AS u
       FROM documents
+    ), keyed AS (
+      SELECT doc_id, lang, n_chars,
+             {portable_ln('u')} / n_chars AS race_key
+      FROM u
     )
     SELECT doc_id, lang, n_chars, race_key
     FROM keyed
@@ -248,18 +270,21 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
     a TakeOrderedAndProject (per-partition heaps, k-row driver merge),
     never a global sort. Complements quality_weighted_sample
     (independent Bernoulli thinning — random output size, with
-    replacement across epochs). Key rounded to 12 dp on both sides so
-    last-ulp ln() divergence cannot reorder the boundary; doc_id
-    totalizes."""
+    replacement across epochs). The race key uses portable_ln
+    (sqlfrag.py), which is bit-identical across engines by
+    construction — the pre-r8 round(key, 12) mitigation for native
+    ln()'s 1-ulp divergence is no longer needed; the key is emitted
+    unrounded and doc_id totalizes."""
     docs = load_table(spark, sf_dir, "documents")
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
         + 0.5
     ) / F.lit(4294967296.0)
-    key = F.round(F.log(u) / F.col("n_chars"), 12)
-    return (
-        docs.select("doc_id", "lang", "n_chars", key.alias("race_key"))
-        .orderBy(F.col("race_key").desc(), F.col("doc_id"))
-        .limit(WOR_K)
+    keyed = docs.select("doc_id", "lang", "n_chars", u.alias("u")).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.expr(portable_ln("u", spark=True)) / F.col("n_chars")).alias("race_key"),
     )
+    return keyed.orderBy(F.col("race_key").desc(), F.col("doc_id")).limit(WOR_K)

@@ -730,21 +730,28 @@ def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _js_sum(cp: str, cq: str, n_p: str, n_q: str) -> str:
+def _js_sum(cp: str, cq: str, n_p: str, n_q: str, spark: bool = False) -> str:
     """Summed Jensen-Shannon term over per-token count columns cp/cq
     with total-count columns n_p/n_q — ONE SQL fragment valid in both
-    Spark SQL and DuckDB (int/int division is double division in both,
-    ln is natural log in both), so the two sides cannot drift. Zero
-    counts contribute only through the other distribution's term
-    (0·ln0 := 0, the JS convention — no smoothing needed). Per-token
-    term is IEEE double, cast to DECIMAL(38,6) before the sum (dsum
-    rule: associative, partition-order-proof), output rounded to 6 dp.
+    Spark SQL and DuckDB (int/int division is double division in
+    both), so the two sides cannot drift. The log goes through
+    portable_ln (sqlfrag.py), which is bit-identical across engines —
+    native ln() is 1 ulp off on ~2.5% of inputs (the midpoint flake
+    class, evidence/ln_ulp_probe_r8.json). Zero counts contribute only
+    through the other distribution's term (0·ln0 := 0, the JS
+    convention — no smoothing needed). Per-token term is IEEE double,
+    cast to DECIMAL(38,6) before the sum (dsum rule: associative,
+    partition-order-proof), output rounded to 6 dp.
     """
+    from fegis_spark.queries.sqlfrag import portable_ln
+
     p = f"({cp} / {n_p})"
     q = f"({cq} / {n_q})"
+    lp = portable_ln(f"(2.0e0 * {p} / ({p} + {q}))", spark=spark)
+    lq = portable_ln(f"(2.0e0 * {q} / ({p} + {q}))", spark=spark)
     term = (
-        f"0.5 * ((CASE WHEN {cp} > 0 THEN {p} * ln(2.0 * {p} / ({p} + {q})) ELSE 0.0 END)"
-        f" + (CASE WHEN {cq} > 0 THEN {q} * ln(2.0 * {q} / ({p} + {q})) ELSE 0.0 END))"
+        f"0.5 * ((CASE WHEN {cp} > 0 THEN {p} * {lp} ELSE 0.0 END)"
+        f" + (CASE WHEN {cq} > 0 THEN {q} * {lq} ELSE 0.0 END))"
     )
     return f"round(CAST(SUM(CAST({term} AS DECIMAL(38,6))) AS DOUBLE), 6)"
 
@@ -828,8 +835,8 @@ def split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flag = lambda c: F.sum((F.col(c) > 0).cast("int")).cast("bigint")  # noqa: E731
     return cnt.crossJoin(F.broadcast(tot)).agg(
-        F.expr(_js_sum("c_train", "c_val", "n_train", "n_val")).alias("js_train_val"),
-        F.expr(_js_sum("c_train", "c_test", "n_train", "n_test")).alias("js_train_test"),
+        F.expr(_js_sum("c_train", "c_val", "n_train", "n_val", spark=True)).alias("js_train_val"),
+        F.expr(_js_sum("c_train", "c_test", "n_train", "n_test", spark=True)).alias("js_train_test"),
         F.min("n_train").alias("n_tokens_train"),
         F.min("n_val").alias("n_tokens_val"),
         F.min("n_test").alias("n_tokens_test"),

@@ -10,7 +10,7 @@ from fegis_spark.catalog import register
 from fegis_spark.model import load_table
 from fegis_spark.operators.rrf import rrf_fuse
 from fegis_spark.operators.text_analysis import occurrences, padded
-from fegis_spark.queries.sqlfrag import duck_tokens
+from fegis_spark.queries.sqlfrag import duck_tokens, portable_ln
 from fegis_spark.queries.vector_q import _COS, _query_vec
 
 _TERMS = ["data", "model", "system"]
@@ -163,8 +163,10 @@ def rrf_hybrid_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bm25_oracle(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB restatement of operators.bm25 — generated from the same
-    term list and constants so the arithmetic cannot drift."""
-    from fegis_spark.queries.sqlfrag import duck_tokens
+    term list and constants so the arithmetic cannot drift. idf goes
+    through portable_ln on the 1-row stats (bit-identical cross-engine,
+    see evidence/ln_ulp_probe_r8.json), so scores ship UNROUNDED."""
+    from fegis_spark.queries.sqlfrag import duck_tokens, portable_ln
 
     tf_cols = ",\n             ".join(
         f"CAST(len(list_filter(tok, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
@@ -175,8 +177,15 @@ def _bm25_oracle(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75
         f"             CAST(SUM(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df{i}"
         for i in range(len(terms))
     )
+    arg_cols = ", ".join(
+        f"1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5) AS arg{i}"
+        for i in range(len(terms))
+    )
+    idf_cols = ", ".join(
+        f"{portable_ln(f'arg{i}')} AS idf{i}" for i in range(len(terms))
+    )
     term_scores = " + ".join(
-        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * ({k1} + 1.0)"
+        f"idf{i} * tf{i} * ({k1} + 1.0)"
         f" / (tf{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
         for i in range(len(terms))
     )
@@ -192,9 +201,12 @@ def _bm25_oracle(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75
              CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avgdl,
              {df_cols}
       FROM tfs
+    ), sidf AS (
+      SELECT avgdl, {idf_cols}
+      FROM (SELECT avgdl, {arg_cols} FROM stats)
     ), scored AS (
-      SELECT id, round({term_scores}, 6) AS score
-      FROM tfs CROSS JOIN stats
+      SELECT id, {term_scores} AS score
+      FROM tfs CROSS JOIN sidf
     )
     SELECT id, score FROM scored WHERE score > 0
     ORDER BY score DESC, id LIMIT {k}
@@ -238,14 +250,28 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df1,  -- lint: allow R3 (0/1-valued, fp-exact)
              CAST(SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df2  -- lint: allow R3 (0/1-valued, fp-exact)
       FROM tfs
+    ), sidf AS (
+      -- idf via portable_ln on the 1-row stats (bit-identical
+      -- cross-engine; native ln is 1 ulp off on ~2.5% of inputs)
+      SELECT avgdl,
+             {portable_ln('arg0')} AS idf0,
+             {portable_ln('arg1')} AS idf1,
+             {portable_ln('arg2')} AS idf2
+      FROM (
+        SELECT avgdl,
+               1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5) AS arg0,
+               1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5) AS arg1,
+               1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5) AS arg2
+        FROM stats
+      )
     ), scored AS (
       SELECT a.id, {_COS} AS dense,
-             ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-           + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-           + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             idf0 * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+           + idf1 * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+           + idf2 * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
              AS bm25
       FROM tfs a
-      CROSS JOIN stats
+      CROSS JOIN sidf
       CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
     ), dp AS (
       SELECT id, row_number() OVER (ORDER BY dense DESC, id) AS r_dense

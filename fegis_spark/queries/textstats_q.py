@@ -14,10 +14,12 @@ from fegis_spark.queries.sqlfrag import (
     HOT_CAP,
     duck_hot_docs,
     duck_tokens,
+    portable_ln,
     spark_hot_docs,
 )
 from fegis_spark.operators.text_analysis import (
     FINGERPRINT_SQL,
+    KN_P_SQL,
     TOKEN_COUNT_BPE_SQL,
     TOKEN_COUNT_WS_SQL,
     fingerprint,
@@ -508,9 +510,14 @@ def tokenize_unicode_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
     tot AS (SELECT sum(cnt) AS n FROM vocab),
+    nlv AS (
+      SELECT t, -{portable_ln('p')} AS nl FROM (
+        SELECT t, CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS p
+        FROM vocab CROSS JOIN tot
+      )
+    ),
     scored AS (
-      SELECT doc_id, -ln(cnt::DOUBLE / n) AS nl
-      FROM tok JOIN vocab USING (t) CROSS JOIN tot
+      SELECT doc_id, nl FROM tok JOIN nlv USING (t)
     )
     SELECT doc_id AS doc,
            CAST(SUM(CAST(nl AS DECIMAL(38,6))) AS DOUBLE) AS sum_neg_logprob,
@@ -743,9 +750,13 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w1, b, count(*) AS cnt FROM bg GROUP BY w1, b
     ), ctx AS (
       SELECT w1, sum(cnt) AS ctx FROM vocab GROUP BY w1
+    ), nlv AS (
+      SELECT b, -{portable_ln('p')} AS nl FROM (
+        SELECT b, CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE) AS p
+        FROM vocab JOIN ctx USING (w1)
+      )
     ), scored AS (
-      SELECT bg.doc_id, -ln(vocab.cnt::DOUBLE / ctx.ctx) AS nl
-      FROM bg JOIN vocab USING (w1, b) JOIN ctx USING (w1)
+      SELECT bg.doc_id, nl FROM bg JOIN nlv USING (b)
     )
     SELECT doc_id AS doc,
            CAST(SUM(CAST(nl AS DECIMAL(38,6))) AS DOUBLE) AS sum_neg_logprob,
@@ -806,10 +817,14 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t, count(*) AS df FROM tf GROUP BY t
     ), nd AS (
       SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+    ), idf AS (
+      SELECT t, {portable_ln('arg')} + 1.0e0 AS idf FROM (
+        SELECT t, (n_docs + 1.0e0) / (df + 1.0e0) AS arg
+        FROM df CROSS JOIN nd
+      )
     ), scored AS (
-      SELECT tf.doc_id AS doc, tf.t, tf.tf,
-             round(tf.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
-      FROM tf JOIN df USING (t) CROSS JOIN nd
+      SELECT tf.doc_id AS doc, tf.t, tf.tf, tf.tf * idf AS score
+      FROM tf JOIN idf USING (t)
     ), ranked AS (
       SELECT doc, t, tf, score,
              row_number() OVER (PARTITION BY doc ORDER BY score DESC, t) AS rank
@@ -824,10 +839,10 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF (sklearn-style idf = ln((N+1)/(df+1)) + 1). One token
     explode feeds the (doc, term) tf table, which persists and feeds
     BOTH the document-frequency rollup and the scoring join — the
-    corpus is scanned once. df and the 1-row N broadcast; ranking is a
-    per-doc window over ≤ distinct-terms-per-doc rows. Ranks are taken
-    over the ROUNDED score with a term tiebreak so ordering is
-    cross-engine total."""
+    corpus is scanned once. idf collapses onto the df table via
+    portable_ln (bit-identical cross-engine), so scores ship UNROUNDED
+    and the (score DESC, t) rank order is cross-engine total; ranking
+    is a per-doc window over ≤ distinct-terms-per-doc rows."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
@@ -842,17 +857,20 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_tbl = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     nd = tf.agg(F.countDistinct("doc").alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df_tbl), "t")
-        .crossJoin(F.broadcast(nd))
+    # idf is a function of the TERM alone, so it collapses onto the df
+    # table (portable_ln — bit-identical cross-engine — runs per
+    # distinct term); tf·idf of identical operands is then an exact
+    # IEEE multiply, so the score ships UNROUNDED (midpoint class)
+    idf = (
+        df_tbl.crossJoin(F.broadcast(nd))
         .select(
-            "doc",
             "t",
-            "tf",
-            F.round(
-                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
-            ).alias("score"),
+            ((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)).alias("arg"),
         )
+        .select("t", (F.expr(portable_ln("arg", spark=True)) + 1.0).alias("idf"))
+    )
+    scored = tf.join(F.broadcast(idf), "t").select(
+        "doc", "t", "tf", (F.col("tf") * F.col("idf")).alias("score")
     )
     w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("t"))
     return (
@@ -1222,9 +1240,13 @@ def augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     ), lang_e AS (
       SELECT round(CAST(SUM(CAST(
-               -(n / t) * ln(n / t) AS DECIMAL(38,6))) AS DOUBLE), 6) AS entropy
-      FROM (SELECT lang, COUNT(*) AS n FROM base GROUP BY lang),
-           (SELECT COUNT(*) AS t FROM base)
+               (-(p)) * ({portable_ln('p')}) AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS entropy
+      FROM (
+        SELECT n / CAST(t AS DOUBLE) AS p
+        FROM (SELECT lang, COUNT(*) AS n FROM base GROUP BY lang),
+             (SELECT COUNT(*) AS t FROM base)
+      )
     ), splits AS (
       SELECT 'split_' || CASE WHEN bucket < 80 THEN 'train'
                               WHEN bucket < 90 THEN 'val'
@@ -1301,8 +1323,11 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = base.agg(F.count(F.lit(1)).alias("t"))
     entropy = (
         lang_counts.crossJoin(F.broadcast(total))
+        .select((F.col("n") / F.col("t").cast("double")).alias("p"))
         .select(
-            (-(F.col("n") / F.col("t")) * F.log(F.col("n") / F.col("t")))
+            # portable_ln: bit-identical cross-engine (native ln is
+            # 1 ulp off on ~2.5% of inputs — the midpoint flake class)
+            ((-F.col("p")) * F.expr(portable_ln("p", spark=True)))
             .cast("decimal(38,6)")
             .alias("term")
         )
@@ -1342,15 +1367,21 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx AS (SELECT w1, SUM(c) AS cv, COUNT(*) AS n1v FROM vocab GROUP BY w1),
     pred AS (SELECT w2, COUNT(*) AS n1w FROM vocab GROUP BY w2),
     tot AS (SELECT COUNT(*) AS n1tot FROM vocab),
-    scored AS (
-      SELECT bg.doc_id,
-             -ln(greatest(v.c - CAST(0.75 AS DOUBLE), 0.0) / x.cv
-                 + ((CAST(0.75 AS DOUBLE) * x.n1v / x.cv) * (p.n1w / t3.n1tot))) AS nl
-      FROM bg
-      JOIN vocab v ON v.b = bg.b
-      JOIN ctx x ON x.w1 = bg.w1
-      JOIN pred p ON p.w2 = bg.w2
+    rates AS (
+      SELECT v.b, v.c AS c, x.cv AS cv, x.n1v AS n1v, p.n1w AS n1w,
+             t3.n1tot AS n1tot
+      FROM vocab v
+      JOIN ctx x ON x.w1 = v.w1
+      JOIN pred p ON p.w2 = v.w2
       CROSS JOIN tot t3
+    ),
+    nlv AS (
+      SELECT b, -{portable_ln('p')} AS nl FROM (
+        SELECT b, {KN_P_SQL.format(d='CAST(0.75 AS DOUBLE)')} AS p FROM rates
+      )
+    ),
+    scored AS (
+      SELECT bg.doc_id, nl FROM bg JOIN nlv ON nlv.b = bg.b
     )
     SELECT doc_id AS doc,
            CAST(SUM(CAST(nl AS DECIMAL(38,6))) AS DOUBLE)

@@ -303,3 +303,42 @@ def test_unrounded_integer_ratio_engine_agreement(spark):
     con = duckdb.connect()
     d = con.sql(f"SELECT {sel}").fetchall()[0]
     assert tuple(s) == d == tuple(k / n for k, n in pairs)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.floats(min_value=1e-12, max_value=1e12).filter(lambda x: x > 0),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_portable_ln_engine_agreement(spark, xs):
+    """portable_ln must be BITWISE identical across engines (its whole
+    reason to exist — native ln() diverges by 1 ulp on ~2.5% of
+    inputs, evidence/ln_ulp_probe_r8.json) and within a few ulp of the
+    true log."""
+    import math
+    import struct
+
+    from fegis_spark.queries.sqlfrag import portable_ln
+
+    xs = [float(x) for x in xs]
+    sv = [
+        r["v"]
+        for r in spark.createDataFrame([(x,) for x in xs], "x double")
+        .selectExpr(f"{portable_ln('x', spark=True)} AS v")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE xt (x DOUBLE)")
+    con.executemany("INSERT INTO xt VALUES (?)", [(x,) for x in xs])
+    dv = [
+        r[0]
+        for r in con.execute(f"SELECT {portable_ln('x')} AS v FROM xt").fetchall()
+    ]
+    for x, a, b in zip(xs, sv, dv):
+        assert struct.pack("<d", a) == struct.pack("<d", b), (x, a, b)
+        want = math.log(x)
+        tol = 8e-16 * max(abs(want), 1.0)
+        assert abs(a - want) <= tol, (x, a, want)
