@@ -134,3 +134,19 @@ def test_type_audit_class_mapping():
     assert _class_of("array<bigint>") == "list<int>"
     assert _class_of("BIGINT[]") == "list<int>"
     assert _class_of("boolean") == _class_of("BOOLEAN") == "bool"
+
+
+def test_r8_flags_native_transcendentals_but_not_portable_ln():
+    from fegis_spark.queries.sqlfrag import portable_ln
+
+    assert any("R8" in f for f in lint_sql("q", "SELECT ln(x) FROM t"))
+    assert any("R8" in f for f in lint_sql("q", "SELECT exp(x) FROM t"))
+    assert any("R8" in f for f in lint_sql("q", "SELECT pow(x, 2) FROM t"))
+    assert any("R8" in f for f in lint_sql("q", "SELECT power(x, 0.5) FROM t"))
+    # portable_ln's expansion (log2 + power-of-two probes) must not fire
+    assert not lint_sql("q", f"SELECT {portable_ln('x')} AS v FROM t")
+    # sqrt is IEEE-exact and allowed
+    assert not lint_sql("q", "SELECT sqrt(x) FROM t")
+    # comments mentioning ln() must not fire
+    assert not lint_sql("q", "SELECT x FROM t -- uses ln() upstream")
+    assert not lint_sql("q", "SELECT ln(x) FROM t -- lint: allow R8 (reason)")

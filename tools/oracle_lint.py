@@ -30,6 +30,13 @@ environment-dependent values:
       (the r7 quantize_embeddings driver FAIL). Detected by BINDING
       each oracle in DuckDB (no execution) and inspecting result
       types. Fix: CAST(... AS BIGINT) at the output site.
+  R8  native ln()/log()/exp()/pow() in an oracle — Spark's Math.log
+      intrinsic is 1 ulp off glibc/DuckDB on ~2.5% of inputs
+      (evidence/ln_ulp_probe_r8.json), and exp/pow are likewise not
+      correctly-rounded. Use sqlfrag.portable_ln (bit-identical by
+      construction); log2 is allowed ONLY inside portable_ln's
+      expansion (its 1-ulp noise is clamped by the exact power-of-2
+      comparisons). sqrt is IEEE-exact and fine.
 
 Heuristic (regex over SQL text), so false positives are possible:
 suppress a finding by adding `-- lint: allow RN` on the same line
@@ -69,6 +76,13 @@ ROUNDED_COUNT_RATIO = re.compile(
     re.I,
 )
 ALLOW = re.compile(r"--\s*lint:\s*allow\s+(R\d)")
+# R8: native transcendentals (ln/log/exp/pow) — log2 excluded via the
+# negative lookahead (portable_ln's internal exponent probe, clamped
+# exact); power(2.0e0, ...) excluded (exact powers of two, probed).
+NATIVE_TRANSCENDENTAL = re.compile(
+    r"(?<![\w.])(ln|log(?!2)|log10|exp)\s*\(|(?<![\w.])pow(?:er)?\s*\(\s*(?!2\.0e0\s*,)",
+    re.I,
+)
 
 
 def _allowed(text: str, rule: str) -> bool:
@@ -138,6 +152,16 @@ def lint_sql(name: str, sql: str) -> list[str]:
     for clause, ctx in _topk_clauses(sql):
         if len(_split_depth0(clause)) < 2 and not _allowed(ctx, "R5"):
             findings.append(f"{name}: R5 top-k with single-key ORDER BY (no tiebreak)")
+    # R8: native transcendentals anywhere in the oracle (collapsed
+    # scan — comments stripped so docs mentioning ln() don't fire)
+    if not _allowed(sql, "R8"):
+        stripped = re.sub(r"--[^\n]*", "", sql)
+        m = NATIVE_TRANSCENDENTAL.search(stripped)
+        if m:
+            findings.append(
+                f"{name}: R8 native transcendental `{m.group(0).strip()}` — "
+                "use sqlfrag.portable_ln (bit-identical cross-engine)"
+            )
     # R6 over a whitespace-collapsed form: a rounded mean formatted
     # across lines escapes the per-line regex (advisor r7 finding).
     # Only fires when the per-line pass found nothing, and an allow
