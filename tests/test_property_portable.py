@@ -342,3 +342,40 @@ def test_portable_ln_engine_agreement(spark, xs):
         want = math.log(x)
         tol = 8e-16 * max(abs(want), 1.0)
         assert abs(a - want) <= tol, (x, a, want)
+
+
+def test_portable_ln_edge_cases(spark):
+    """Exact powers of two (where Spark's floor(log2) is known to be
+    off by one — floor(log2(2^-29)) returns -30 — and the clamp must
+    correct it), their float neighbors, and domain extremes."""
+    import math
+    import struct
+
+    from fegis_spark.queries.sqlfrag import portable_ln
+
+    xs = []
+    for e in (-30, -29, -1, 0, 1, 24, 52):
+        p = math.ldexp(1.0, e)
+        xs += [p, math.nextafter(p, 0.0), math.nextafter(p, math.inf)]
+    xs += [1e-12, 1e12, 1.0, 2.0 / 3.0]
+    xs = [float(x) for x in xs]
+    sv = [
+        r["v"]
+        for r in spark.createDataFrame([(x,) for x in xs], "x double")
+        .selectExpr(f"{portable_ln('x', spark=True)} AS v")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE xe (x DOUBLE)")
+    con.executemany("INSERT INTO xe VALUES (?)", [(x,) for x in xs])
+    dv = [
+        r[0]
+        for r in con.execute(f"SELECT {portable_ln('x')} AS v FROM xe").fetchall()
+    ]
+    for x, a, b in zip(xs, sv, dv):
+        assert struct.pack("<d", a) == struct.pack("<d", b), (x, a, b)
+        want = math.log(x)
+        tol = 8e-16 * max(abs(want), 1.0)
+        assert abs(a - want) <= tol, (x, a, want)
+    # ln(1) must be exactly 0 (e=0, m=1, t=0 — no rounding anywhere)
+    assert sv[xs.index(1.0)] == 0.0
