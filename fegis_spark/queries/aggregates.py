@@ -418,10 +418,10 @@ def _lat_agg_sql(src: str, a: str, b: str, label: str) -> str:
     percentile==quantile_cont pair, seconds at 6 dp."""
     d = f"(epoch_us(CAST({b} AS TIMESTAMP)) - epoch_us(CAST({a} AS TIMESTAMP)))"
     return f"""SELECT '{label}' AS transition, COUNT(*) AS n_users,
-           round(quantile_cont({d}, 0.25) / 1e6, 6) AS p25_s,
-           round(quantile_cont({d}, 0.5) / 1e6, 6) AS p50_s,
-           round(quantile_cont({d}, 0.9) / 1e6, 6) AS p90_s,
-           round(CAST(MAX({d}) AS DOUBLE) / 1e6, 6) AS max_s
+           quantile_cont({d}, 0.25) / 1e6 AS p25_s,
+           quantile_cont({d}, 0.5) / 1e6 AS p50_s,
+           quantile_cont({d}, 0.9) / 1e6 AS p90_s,
+           CAST(MAX({d}) AS DOUBLE) / 1e6 AS max_s
     FROM {src}"""
 
 
@@ -457,10 +457,14 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = df.select(d.alias("d"))
         return x.agg(
             F.count("*").alias("n_users"),
-            F.round(F.expr("percentile(d, 0.25)") / 1e6, 6).alias("p25_s"),
-            F.round(F.expr("percentile(d, 0.5)") / 1e6, 6).alias("p50_s"),
-            F.round(F.expr("percentile(d, 0.9)") / 1e6, 6).alias("p90_s"),
-            F.round(F.max("d").cast("double") / 1e6, 6).alias("max_s"),
+            # UNROUNDED: interpolation over exact integer micros is
+            # bitwise-identical cross-engine (percentile==quantile_cont,
+            # pinned in tests/test_property_portable.py); round(x, 6)
+            # would reintroduce the midpoint tie-break class
+            (F.expr("percentile(d, 0.25)") / 1e6).alias("p25_s"),
+            (F.expr("percentile(d, 0.5)") / 1e6).alias("p50_s"),
+            (F.expr("percentile(d, 0.9)") / 1e6).alias("p90_s"),
+            (F.max("d").cast("double") / 1e6).alias("max_s"),
         ).select(F.lit(label).alias("transition"), "*")
 
     return lat(c, "t1", "t2", "view_to_click").unionAll(
@@ -955,8 +959,8 @@ def order_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dev GROUP BY event_type
     )
     SELECT dev.event_type,
-           round(MAX(dev.med), 6) AS median_v,
-           round(MAX(mad.mad), 6) AS mad_v,
+           MAX(dev.med) AS median_v,
+           MAX(mad.mad) AS mad_v,
            COUNT(*) AS n,
            -- lint: allow R3 (integer 0/1 CASE sum, not a double sum)
            CAST(SUM(CASE WHEN dev.dv > 3.0 * 1.4826 * mad.mad
@@ -997,8 +1001,11 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.max("med"), 6).alias("median_v"),
-            F.round(F.max("mad"), 6).alias("mad_v"),
+            # UNROUNDED: the interpolated medians are bitwise-identical
+            # cross-engine (percentile==quantile_cont pin) — round(x,6)
+            # would reintroduce the midpoint tie-break class
+            F.max("med").alias("median_v"),
+            F.max("mad").alias("mad_v"),
             F.count("*").alias("n"),
             F.sum(
                 (F.col("dv") > 3.0 * 1.4826 * F.col("mad")).cast("int")

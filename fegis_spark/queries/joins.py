@@ -284,8 +284,8 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantiles_by_type",
     oracle="""
     SELECT event_type,
-           round(quantile_cont(value, 0.5), 6) AS p50,
-           round(quantile_cont(value, 0.95), 6) AS p95,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
            MIN(value) AS min_v, MAX(value) AS max_v
     FROM events GROUP BY event_type
     """,
@@ -296,9 +296,11 @@ def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont); the approx path (percentile_approx / GK) is in
     quantile_error_audit, where its rank-error bound is value-checked."""
     ev = load_table(spark, sf_dir, "events")
+    # UNROUNDED: the interpolation is bitwise-identical cross-engine
+    # (percentile==quantile_cont pin in tests/test_property_portable)
     return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
     )

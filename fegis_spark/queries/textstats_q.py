@@ -591,7 +591,7 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, quantile_cont(q, 0.5) AS med FROM scored GROUP BY lang
     )
     SELECT s.lang, COUNT(*) FILTER (WHERE s.q > m.med) AS n_above,
-           COUNT(*) AS n_docs, round(m.med, 6) AS median_q
+           COUNT(*) AS n_docs, m.med AS median_q
     FROM scored s JOIN med m USING (lang)
     GROUP BY s.lang, m.med
     """,
@@ -623,9 +623,10 @@ def quality_median_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_above"),
             F.count("*").alias("n_docs"),
         )
-        .select(
-            "lang", "n_above", "n_docs", F.round("med", 6).alias("median_q")
-        )
+        # UNROUNDED median: the interpolation is bitwise-identical
+        # cross-engine (percentile==quantile_cont pin) — round(x, 6)
+        # would reintroduce the midpoint tie-break class
+        .select("lang", "n_above", "n_docs", F.col("med").alias("median_q"))
     )
 
 

@@ -379,3 +379,44 @@ def test_portable_ln_edge_cases(spark):
         assert abs(a - want) <= tol, (x, a, want)
     # ln(1) must be exactly 0 (e=0, m=1, t=0 — no rounding anywhere)
     assert sv[xs.index(1.0)] == 0.0
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_percentile_interpolation_engine_agreement(spark, vals):
+    """Spark percentile() and DuckDB quantile_cont share the linear
+    interpolation lower + (upper-lower)*frac BITWISE — the guarantee
+    behind every quantile-emitting oracle (quantiles_by_type,
+    quality_median_gate, anomaly_mad, funnel latency percentiles,
+    curriculum cutpoints), which all ship UNROUNDED since r8."""
+    import struct
+
+    vals = [float(v) for v in vals]
+    sv = (
+        spark.createDataFrame([(v,) for v in vals], "x double")
+        .selectExpr(
+            "percentile(x, array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D, 0.95D)) AS p"
+        )
+        .collect()[0]["p"]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE qt (x DOUBLE)")
+    con.executemany("INSERT INTO qt VALUES (?)", [(v,) for v in vals])
+    dv = con.execute(
+        "SELECT quantile_cont(x, [0.1, 0.25, 0.5, 0.75, 0.9, 0.95]) FROM qt"
+    ).fetchall()[0][0]
+
+    def norm(v: float) -> bytes:
+        # signed zero: interpolating between -0.0 and 0.0 yields -0.0
+        # on one engine and +0.0 on the other; they compare == in every
+        # comparator (and no corpus column carries -0.0), so the pin is
+        # bitwise-up-to-signed-zero
+        return struct.pack("<d", v + 0.0 if v == 0 else v)
+
+    assert [norm(a) for a in sv] == [norm(b) for b in dv]
