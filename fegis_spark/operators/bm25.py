@@ -57,9 +57,24 @@ def bm25_scores(
     terms: Sequence[str],
     k1: float = K1,
     b: float = B,
+    hoist_stats: bool = True,
 ) -> DataFrame:
     """(id, score) for every document with score > 0 — feed into a
-    TakeOrdered for top-k (bm25_topk) or into an RRF fusion."""
+    TakeOrdered for top-k (bm25_topk) or into an RRF fusion.
+
+    hoist_stats=True (default, r9): the 1-row corpus stats
+    (avgdl + portable_ln idfs) are collected in a bounded driver
+    round-trip and re-entered as double literals — the classifier/BPE
+    precedent. The r8 plan evaluated the idfs on the broadcast side of
+    a BroadcastNestedLoopJoin; the HOF-bearing portable_ln expression
+    disabled whole-stage codegen for the scoring stage and cost the
+    rrf_hybrid_bm25 headline a consistent 1.7x (r8 verdict item 1;
+    A/B in evidence/bm25_ab_r9.json). The literal values are
+    BIT-IDENTICAL to the in-plan form (same portable_ln expression,
+    evaluated by the same engine; py4j re-enters doubles via
+    shortest-repr + correctly-rounded parseDouble), so the DuckDB
+    oracle is unaffected. hoist_stats=False keeps the fully-lazy
+    crossJoin plan (used by the A/B probe)."""
     from fegis_spark.operators.dedup import tokens
     from fegis_spark.plans.filters import analyzer_tokens
 
@@ -97,22 +112,48 @@ def bm25_scores(
     from fegis_spark.queries.sqlfrag import portable_ln
 
     n = len(qterms)
-    stats = F.broadcast(
-        base_stats.select(
-            "avgdl",
-            *[
-                (
-                    1.0
-                    + (F.col("n_docs") - F.col(f"df{i}") + 0.5)
-                    / (F.col(f"df{i}") + 0.5)
-                ).alias(f"arg{i}")
-                for i in range(n)
-            ],
-        ).select(
-            "avgdl",
-            *[F.expr(portable_ln(f"arg{i}", spark=True)).alias(f"idf{i}") for i in range(n)],
-        )
+    stats_plan = base_stats.select(
+        "avgdl",
+        *[
+            (
+                1.0
+                + (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+                / (F.col(f"df{i}") + 0.5)
+            ).alias(f"arg{i}")
+            for i in range(n)
+        ],
+    ).select(
+        "avgdl",
+        *[F.expr(portable_ln(f"arg{i}", spark=True)).alias(f"idf{i}") for i in range(n)],
     )
+
+    if hoist_stats:
+        # Bounded driver round-trip: ONE row (avgdl + k idfs), the
+        # portable_ln evaluation happens in this tiny Spark job, and
+        # the scoring pass below is a pure codegen projection over the
+        # persisted tfs — no join, no HOF, no codegen fallback.
+        srow = stats_plan.collect()[0]
+        # Empty corpus: the aggregates are NULL; placeholders keep the
+        # projection well-typed (tfs is empty, so the output is empty
+        # either way — pinned in tests/test_empty_inputs.py).
+        avgdl_v = F.lit(float(srow["avgdl"]) if srow["avgdl"] is not None else 1.0)
+        idf_v = [
+            F.lit(float(srow[f"idf{i}"]) if srow[f"idf{i}"] is not None else 0.0)
+            for i in range(n)
+        ]
+
+        def term_score_lit(i: int) -> Column:
+            tf = F.col(f"tf{i}")
+            norm = tf + k1 * (1.0 - b + b * F.col("dl") / avgdl_v)
+            return idf_v[i] * tf * (k1 + 1.0) / norm
+
+        score = None
+        for i in range(n):
+            s = term_score_lit(i)
+            score = s if score is None else score + s
+        return tfs.select("id", score.alias("score")).filter(F.col("score") > 0)
+
+    stats = F.broadcast(stats_plan)
 
     def term_score(i: int) -> Column:
         tf = F.col(f"tf{i}")

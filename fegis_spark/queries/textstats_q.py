@@ -1917,10 +1917,17 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: mojibake ('Ã©' = é double-encoded, 'â€”' = em-dash double-encoded);
 #: every 13th (not also 7th) gets a U+FFFD replacement char — the two
 #: corruption classes an encoding-triage pass separates.
+#: U+FFFD is embedded as a LITERAL character, never via chr(65533):
+#: Spark's chr() is mod-256 (chr(65533) yields U+00FD 'ý') while
+#: DuckDB's yields the real replacement char — a dialect divergence
+#: that made the r8 scanner inject/detect the wrong character on the
+#: Spark side (r8 ADVICE, verified live). A string literal is
+#: dialect-independent.
+_REPL_CHAR = "�"
 _MOJIBAKE_CORRUPT = (
     "CASE WHEN doc_id % 7 = 0"
     " THEN text || ' cafÃ© naÃ¯ve â€” rÃ©sumÃ©'"
-    " WHEN doc_id % 13 = 0 THEN text || ' seg' || chr(65533) || 'ment'"
+    f" WHEN doc_id % 13 = 0 THEN text || ' seg{_REPL_CHAR}ment'"
     " ELSE text END"
 )
 
@@ -1937,7 +1944,7 @@ _MOJIBAKE_CORRUPT = (
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake_docs,
            CAST(SUM(length(t) - length(replace(t, 'Ã', ''))) AS BIGINT)
              AS mojibake_hits,
-           CAST(SUM(CASE WHEN contains(t, chr(65533)) THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN contains(t, '{_REPL_CHAR}') THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_replacement_docs
     FROM raw GROUP BY source
     """,
@@ -1969,7 +1976,7 @@ def text_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length(t) - F.length(F.replace(t, F.lit("Ã"), F.lit("")))).alias(
                 "hits"
             ),
-            F.when(t.contains(F.chr(F.lit(65533))), 1).otherwise(0).alias("repl"),
+            F.when(t.contains(F.lit(_REPL_CHAR)), 1).otherwise(0).alias("repl"),
         )
         .groupBy("source")
         .agg(
@@ -2085,8 +2092,15 @@ _DRIFT_HALF_SQL = (
              COUNT(*) AS v
       FROM counts
     ), scored AS (
+      -- product of two double quotients, NOT a quotient of BIGINT
+      -- cross-products: each operand stays exact in a double up to
+      -- 2^53 tokens PER HALF (~9e15, past the 100 TB design point),
+      -- whereas (ca+1)*(nb+V) blows through 2^53 at ~1e13 tokens
+      -- (r8 ADVICE). Both /'s and the * are IEEE correctly-rounded
+      -- in both engines, so the value stays bit-identical.
       SELECT t, ca, cb,
-             ((ca + 1) * (nb + v)) / CAST((cb + 1) * (na + v) AS DOUBLE)
+             (CAST(ca + 1 AS DOUBLE) / CAST(cb + 1 AS DOUBLE))
+               * (CAST(nb + v AS DOUBLE) / CAST(na + v AS DOUBLE))
                AS odds_ratio
       FROM counts CROSS JOIN tot
     )
@@ -2105,11 +2119,14 @@ def vocab_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves are two corpus snapshots; the md5 split makes the query
     self-contained and non-vacuous at every sf.
 
-    Portability: the smoothed odds ratio is the UNROUNDED quotient of
-    two exact BIGINT cross-products ((ca+1)(nb+V) vs (cb+1)(na+V) —
-    bounded far below 2^53), so the score is bit-identical
-    cross-engine with no ln() involved and the top-k order is total
-    ((ratio, t) tiebreak).
+    Portability: the smoothed odds ratio is the UNROUNDED product of
+    two double quotients ((ca+1)/(cb+1)) * ((nb+V)/(na+V)) — each
+    operand is an exact integer that stays double-exact up to 2^53
+    tokens PER HALF (~9e15, beyond the 100 TB design point), and /,*
+    are IEEE correctly-rounded in both engines, so the score is
+    bit-identical cross-engine with no ln() involved and the top-k
+    order is total ((ratio, t) tiebreak). (The r8 BIGINT cross-product
+    form was exact only to ~1e13 tokens — r8 ADVICE.)
 
     Scale: one token hash-agg (map-side combined to the vocab), a
     1-row totals broadcast, TakeOrderedAndProject for the top-k — the
@@ -2140,8 +2157,14 @@ def vocab_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ca",
         "cb",
         (
-            ((F.col("ca") + 1) * (F.col("nb") + F.col("v")))
-            / ((F.col("cb") + 1) * (F.col("na") + F.col("v"))).cast("double")
+            (
+                (F.col("ca") + 1).cast("double")
+                / (F.col("cb") + 1).cast("double")
+            )
+            * (
+                (F.col("nb") + F.col("v")).cast("double")
+                / (F.col("na") + F.col("v")).cast("double")
+            )
         ).alias("odds_ratio"),
     )
     # orderBy+limit fuses to TakeOrderedAndProject (per-partition

@@ -156,23 +156,34 @@ def upsert_batches(
         yield len(batch)
 
 
+def _default_client_factory(url: str, prefer_grpc: bool = True):
+    """(client, point_cls) pair from the real qdrant-client — the one
+    import-gated seam. Tests inject a picklable fake factory instead
+    (tests/test_qdrant_sink.py drives index_to_qdrant end-to-end through
+    real Spark workers that way; the package is absent here)."""
+    from qdrant_client import QdrantClient, models  # noqa: PLC0415
+
+    return QdrantClient(url=url, prefer_grpc=prefer_grpc), models.PointStruct
+
+
 def upsert_partition(
     rows: Iterable[Row],
     collection: str,
     url: str,
     batch_size: int = DEFAULT_BATCH_SIZE,
     prefer_grpc: bool = True,
+    client_factory=None,
 ) -> Iterator[int]:
     """foreachPartition body: one client per partition (per executor
     task), bounded batches, gRPC preferred (reference config.py:52-53).
-    Yields per-batch counts so mapPartitions can surface totals."""
-    from qdrant_client import QdrantClient, models  # noqa: PLC0415
+    Yields per-batch counts so mapPartitions can surface totals.
 
-    client = QdrantClient(url=url, prefer_grpc=prefer_grpc)
+    client_factory: optional picklable `url -> (client, point_cls)`
+    override; defaults to the real qdrant-client."""
+    factory = client_factory or _default_client_factory
+    client, point_cls = factory(url) if client_factory else factory(url, prefer_grpc)
     try:
-        yield from upsert_batches(
-            client, models.PointStruct, rows, collection, batch_size
-        )
+        yield from upsert_batches(client, point_cls, rows, collection, batch_size)
     finally:
         client.close()
 
@@ -183,6 +194,8 @@ def index_to_qdrant(
     url: str,
     dim: int,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    client_factory=None,
+    models: Any = None,
 ) -> int:
     """The batch indexing job: DDL once on the driver, then partition-
     parallel bulk upsert. Returns rows indexed.
@@ -190,12 +203,20 @@ def index_to_qdrant(
     Partition sizing: aim for ~50-200k rows per partition so each task
     holds one bounded batch in flight; repartition upstream if the
     ingest produced skewed partitions.
-    """
-    from qdrant_client import QdrantClient  # noqa: PLC0415
 
-    ensure_collection(QdrantClient(url=url), collection, dim)
+    client_factory/models are injectable for contract tests (the
+    end-to-end fake-client run in tests/test_qdrant_sink.py); both
+    default to the real qdrant-client.
+    """
+    if client_factory is None:
+        driver_client, _ = _default_client_factory(url, prefer_grpc=False)
+    else:
+        driver_client, _ = client_factory(url)
+    ensure_collection(driver_client, collection, dim, models=models)
     counts = df.rdd.mapPartitions(
-        lambda rows: upsert_partition(rows, collection, url, batch_size)
+        lambda rows: upsert_partition(
+            rows, collection, url, batch_size, client_factory=client_factory
+        )
     )
     return int(math.fsum(counts.collect()) if counts is not None else 0)
 

@@ -145,6 +145,16 @@ def test_r8_flags_native_transcendentals_but_not_portable_ln():
     assert any("R8" in f for f in lint_sql("q", "SELECT power(x, 0.5) FROM t"))
     # portable_ln's expansion (log2 + power-of-two probes) must not fire
     assert not lint_sql("q", f"SELECT {portable_ln('x')} AS v FROM t")
+    # r9 (r8 ADVICE): the power(2.0e0, ...) exemption is scoped to
+    # portable_ln's emitted forms and integer literals — an arbitrary
+    # (possibly non-integer) exponent must fire even with base 2.0e0
+    assert any("R8" in f for f in lint_sql("q", "SELECT power(2.0e0, y) FROM t"))
+    assert any(
+        "R8" in f for f in lint_sql("q", "SELECT power(2.0e0, x / 3.0) FROM t")
+    )
+    assert not lint_sql("q", "SELECT power(2.0e0, pl_e0) AS v FROM t")
+    assert not lint_sql("q", "SELECT power(2.0e0, pl_e0 + 1.0e0) AS v FROM t")
+    assert not lint_sql("q", "SELECT power(2.0e0, -12) AS v FROM t")
     # sqrt is IEEE-exact and allowed
     assert not lint_sql("q", "SELECT sqrt(x) FROM t")
     # comments mentioning ln() must not fire

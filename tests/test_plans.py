@@ -117,13 +117,23 @@ def test_hybrid_and_topk_plans_have_no_window(spark, cat):
 
 
 def test_bm25_and_unigram_broadcast_stats(spark, cat):
-    """Corpus-stat operators must ship the stats to the data (broadcast),
-    never shuffle the corpus to the stats; bm25/hybrid stay window-free."""
-    for q in ("bm25_topk", "rrf_hybrid_bm25", "rrf_hybrid_pooled", "text_unigram_logprob"):
+    """Corpus-stat operators must ship the stats to the data (broadcast
+    or, better, driver literals), never shuffle the corpus to the stats;
+    bm25/hybrid stay window-free. Since r9 the bm25 idf stats are
+    hoisted to literals (bounded 1-row round-trip, bm25.py), so the
+    scoring stage has NO join at all — pin joinlessness, not the old
+    BroadcastExchange."""
+    for q in ("rrf_hybrid_pooled", "text_unigram_logprob"):
         p = formatted_plan(spark, cat, q)
         assert "BroadcastExchange" in p, (q, p)
         assert "SortMergeJoin" not in p, (q, p)
-    assert "Window" not in formatted_plan(spark, cat, "bm25_topk")
+    for q in ("bm25_topk", "rrf_hybrid_bm25"):
+        p = formatted_plan(spark, cat, q)
+        assert "SortMergeJoin" not in p, (q, p)
+        assert "BroadcastNestedLoopJoin" not in p, (q, p)
+    p = formatted_plan(spark, cat, "bm25_topk")
+    assert "Join" not in p, p  # scoring is a pure projection since r9
+    assert "Window" not in p
 
 
 def test_incremental_dedup_single_key_shuffle(spark, cat):

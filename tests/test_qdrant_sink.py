@@ -6,6 +6,9 @@ errors propagate while already-exists races don't."""
 
 from __future__ import annotations
 
+import json
+import uuid
+from pathlib import Path
 from types import SimpleNamespace
 
 import pytest
@@ -161,6 +164,149 @@ def test_double_index_of_same_batch_is_idempotent_by_point_id():
     assert first == second == 25          # both runs report all rows written
     assert len(c.points) == 25            # but the store holds each id once
     assert set(c.points) == {f"m{i}" for i in range(25)}
+
+
+class FileRecordingClient:
+    """Fake QdrantClient whose state lives on the FILESYSTEM, so
+    worker-process upserts are visible to the driver (local-mode Python
+    workers are separate processes — an in-memory fake would record
+    nothing the test can see). Implements exactly the surface the sink
+    uses: get_collections / get_collection / create_collection /
+    create_payload_index (driver DDL) + upsert / close (workers)."""
+
+    def __init__(self, root):
+        self.root = Path(root)
+
+    def _coll_dir(self, name):
+        return self.root / "collections" / name
+
+    def _log(self, event):
+        p = self.root / "ddl_log" / f"{uuid.uuid4().hex}.json"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(event))
+
+    def get_collections(self):
+        base = self.root / "collections"
+        names = [p.name for p in base.iterdir()] if base.is_dir() else []
+        return SimpleNamespace(
+            collections=[SimpleNamespace(name=n) for n in names]
+        )
+
+    def get_collection(self, name):
+        idx = self._coll_dir(name) / "indexes"
+        schema = (
+            {p.name: p.read_text() for p in idx.iterdir()} if idx.is_dir() else {}
+        )
+        return SimpleNamespace(payload_schema=schema)
+
+    def create_collection(self, collection_name, vectors_config):
+        self._coll_dir(collection_name).mkdir(parents=True)
+        self._log({"op": "create_collection", "name": collection_name,
+                   "vectors": vectors_config})
+
+    def create_payload_index(self, collection_name, field_name, field_schema):
+        d = self._coll_dir(collection_name) / "indexes"
+        d.mkdir(parents=True, exist_ok=True)
+        (d / field_name).write_text(str(field_schema))
+        self._log({"op": "create_payload_index", "field": field_name})
+
+    def upsert(self, collection_name, points):
+        d = self.root / "upserts"
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"{uuid.uuid4().hex}.json").write_text(
+            json.dumps({"collection": collection_name, "points": list(points)})
+        )
+
+    def close(self):
+        pass
+
+
+def _fake_factory(root, url):
+    # point_cls=dict: row_to_point dicts pass through, JSON-serializable
+    return FileRecordingClient(root), lambda **kw: kw
+
+
+def test_index_to_qdrant_end_to_end_with_fake_client(spark, tmp_path):
+    """Drives the FULL batch-indexing job (r8 verdict item 3) — driver
+    DDL, partition-parallel upsert through real Spark python workers,
+    bounded batches, payload shape (reference storage.py:173-191), and
+    idempotent re-run with payload-index diffing — with qdrant-client
+    absent from the environment."""
+    from datetime import datetime
+    from functools import partial
+
+    from fegis_spark.sources.qdrant_sink import index_to_qdrant
+
+    # the fake factory lives in THIS module, which python workers can't
+    # import from pytest's runtime sys.path — ship the file to them
+    spark.sparkContext.addPyFile(__file__)
+
+    rows = [
+        (
+            f"m{i:03d}",
+            [float(i), 0.5],
+            f"title {i}",
+            "observe",
+            i,
+            datetime(2026, 1, 1, 12, 0, i % 60),
+            None,
+        )
+        for i in range(57)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "memory_id string, embedding array<double>, title string, tool string,"
+        " sequence_order bigint, timestamp timestamp, context string",
+    ).repartition(4)
+    factory = partial(_fake_factory, str(tmp_path))
+
+    n = index_to_qdrant(
+        df, "memories", "http://fake:6333", dim=2, batch_size=10,
+        client_factory=factory, models=FakeModels,
+    )
+    assert n == 57
+
+    # DDL: collection created once, every payload index issued
+    ddl = [json.loads(p.read_text()) for p in (tmp_path / "ddl_log").iterdir()]
+    assert [e for e in ddl if e["op"] == "create_collection"] == [
+        {"op": "create_collection", "name": "memories",
+         "vectors": {"size": 2, "distance": "Cosine"}}
+    ]
+    created = {e["field"] for e in ddl if e["op"] == "create_payload_index"}
+    assert created == set(PAYLOAD_INDEXES)
+
+    # Upserts: bounded batches, all ids exactly once, payload parity
+    batches = [
+        json.loads(p.read_text()) for p in (tmp_path / "upserts").iterdir()
+    ]
+    assert all(b["collection"] == "memories" for b in batches)
+    assert all(len(b["points"]) <= 10 for b in batches)
+    points = [p for b in batches for p in b["points"]]
+    assert sorted(p["id"] for p in points) == [f"m{i:03d}" for i in range(57)]
+    p0 = next(p for p in points if p["id"] == "m000")
+    assert p0["vector"] == [0.0, 0.5]
+    assert p0["payload"]["title"] == "title 0"
+    assert p0["payload"]["tool"] == "observe"
+    assert p0["payload"]["sequence_order"] == 0
+    assert p0["payload"]["timestamp"] == "2026-01-01T12:00:00"  # isoformat
+    assert "embedding" not in p0["payload"]  # vector split out
+    assert "context" not in p0["payload"]  # None fields dropped
+
+    # Idempotent re-run: same count reported, NO new DDL (index diff
+    # sees everything present), ids unchanged
+    n2 = index_to_qdrant(
+        df, "memories", "http://fake:6333", dim=2, batch_size=10,
+        client_factory=factory, models=FakeModels,
+    )
+    assert n2 == 57
+    ddl2 = [json.loads(p.read_text()) for p in (tmp_path / "ddl_log").iterdir()]
+    assert len(ddl2) == len(ddl)  # create-if-absent + diff issued nothing
+    batches2 = [
+        json.loads(p.read_text()) for p in (tmp_path / "upserts").iterdir()
+    ]
+    points2 = [p for b in batches2 for p in b["points"]]
+    # id-keyed upsert semantics: the store would still hold each id once
+    assert {p["id"] for p in points2} == {f"m{i:03d}" for i in range(57)}
 
 
 def test_partial_failure_then_full_retry_converges():

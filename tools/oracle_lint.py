@@ -78,9 +78,16 @@ ROUNDED_COUNT_RATIO = re.compile(
 ALLOW = re.compile(r"--\s*lint:\s*allow\s+(R\d)")
 # R8: native transcendentals (ln/log/exp/pow) — log2 excluded via the
 # negative lookahead (portable_ln's internal exponent probe, clamped
-# exact); power(2.0e0, ...) excluded (exact powers of two, probed).
+# exact). The power() exemption is scoped to EXACTLY the forms
+# portable_ln emits (power(2.0e0, pl_e<N> [+ 1.0e0]) — let-bound
+# integer-valued exponents) plus integer-literal exponents: only
+# exact powers of two at integer exponents were probed bit-exact, so
+# a future power(2.0e0, <arbitrary expr>) must NOT ride the exemption
+# (pow is not correctly-rounded cross-engine — r8 ADVICE).
 NATIVE_TRANSCENDENTAL = re.compile(
-    r"(?<![\w.])(ln|log(?!2)|log10|exp)\s*\(|(?<![\w.])pow(?:er)?\s*\(\s*(?!2\.0e0\s*,)",
+    r"(?<![\w.])(ln|log(?!2)|log10|exp)\s*\("
+    r"|(?<![\w.])pow(?:er)?\s*\(\s*"
+    r"(?!2\.0e0\s*,\s*(?:pl_e\d+(?:\s*\+\s*1\.0e0)?|-?\d+(?:\.0e0)?)\s*\))",
     re.I,
 )
 
