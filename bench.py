@@ -4,15 +4,21 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced end-to-end with a noop-sink write (full plan
-execution, no driver collect overhead); per-query time is the median
-of 3 runs after a warmup.
+execution, no driver collect overhead); per-query time is the BEST of
+3 runs after a warmup, with an explicit page-cache priming pass over
+the parquet inputs before any timing (r9, per the r8 verdict: three
+rounds of judges/builders adjudicated ±2x page-cache deltas; timing
+noise is one-sided additive — GC pauses and cold reads only ever read
+HIGH — so min is the right estimator of the plan's cost and is what
+tools/scale_probe.py already uses. Stability evidence: three
+consecutive solo runs in evidence/bench_stability_r9.json).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -34,6 +40,18 @@ GROUP2 = ["dedup_minhash_capped", "winnow_match_capped", "curation_flagship"]
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def prime_page_cache(sf_dir: str) -> int:
+    """Read every parquet byte in the scale-factor dir so the first
+    timed query doesn't pay cold-read I/O that later ones don't.
+    Returns bytes primed."""
+    total = 0
+    for p in glob.glob(os.path.join(sf_dir, "**", "*.parquet"), recursive=True):
+        with open(p, "rb") as f:
+            while chunk := f.read(1 << 22):
+                total += len(chunk)
+    return total
 
 
 def prior_round(repo_dir: str, sf) -> tuple[str, dict] | None:
@@ -60,6 +78,7 @@ def main() -> None:
     spark = configure_for_oracle(get_spark("fegis_spark_bench"))
 
     cat = catalog()
+    prime_page_cache(sf_dir)
 
     def time_entries(entries) -> dict[str, float]:
         t: dict[str, float] = {}
@@ -70,7 +89,10 @@ def main() -> None:
                 t0 = time.perf_counter()
                 force(e.builder(spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
-            t[e.name] = round(statistics.median(samples), 4)
+            # min, not median: noise (GC pause, shuffle hiccup, cold
+            # read) is strictly one-sided, 5-10x high on ~1 query per
+            # run (CLAUDE.md lone-outlier gotcha)
+            t[e.name] = round(min(samples), 4)
         return t
 
     times = time_entries([e for e in cat.values() if e.bench])

@@ -145,6 +145,81 @@ def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
     return encode_bmp(rgb)
 
 
+#: SOF segment markers (C0-CF minus DHT C4, JPG C8, DAC CC) — the
+#: frame headers carrying dimensions in every JPEG flavor (baseline,
+#: extended, progressive, lossless, arithmetic variants)
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_jpeg_header(data: bytes) -> dict:
+    """Dependency-free JPEG METADATA extraction (r8 verdict item 4):
+    walk the segment stream to the first SOF marker and return
+    {width, height, precision, n_components, progressive}. This is a
+    header parse, not a pixel decode — entropy-coded data needs a real
+    codec (PIL/libjpeg, absent here; pixel decode remains the
+    documented SWAP POINT in Codec.decode_image). Handles APPn/COM/DQT
+    skipping, FF fill bytes, standalone markers (RSTn/TEM), and raises
+    on streams with no frame header before SOS/EOI."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no SOF seen
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn / TEM
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            break
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if marker in _JPEG_SOF_MARKERS:
+            if seglen < 8 or pos + 4 + 6 > len(data):
+                raise ValueError("truncated JPEG SOF segment")
+            return {
+                "precision": data[pos + 4],
+                "height": int.from_bytes(data[pos + 5 : pos + 7], "big"),
+                "width": int.from_bytes(data[pos + 7 : pos + 9], "big"),
+                "n_components": data[pos + 9],
+                "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
+            }
+        pos += 2 + seglen
+    raise ValueError("no SOF frame header found in JPEG stream")
+
+
+def make_jpeg(
+    width: int, height: int, n_components: int = 3, seed: int = 0,
+    progressive: bool = False,
+) -> bytes:
+    """Deterministic header-valid JPEG fixture bytes: SOI + JFIF APP0 +
+    seeded COM + SOF0/SOF2 + EOI. Metadata-parseable (parse_jpeg_header)
+    but carries no entropy-coded scan — the container has no JPEG pixel
+    codec to verify one against."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = f"fixture seed {seed}".encode()
+    comps = b"".join(
+        bytes([cid + 1, 0x22 if cid == 0 else 0x11, 0 if cid == 0 else 1])
+        for cid in range(n_components)
+    )
+    sof = (
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([n_components])
+        + comps
+    )
+    out = b"\xff\xd8"
+    out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+    out += b"\xff\xfe" + (len(com) + 2).to_bytes(2, "big") + com
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + (len(sof) + 2).to_bytes(2, "big") + sof
+    return out + b"\xff\xd9"
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Real, dependency-free audio decode for PCM16 WAV via stdlib
     `wave`. Returns (int16 samples shaped (n_frames, n_channels),
@@ -209,6 +284,60 @@ class Codec:
         if self.fake:
             return [hashlib.sha256((payload or b"") + bytes([i])).digest() for i in range(n_frames)]
         raise NotImplementedError("video decoding requires ffmpeg — not in container")
+
+
+def image_header(payload: bytes) -> tuple[str, int, int, int]:
+    """(format, width, height, n_components) via magic-byte dispatch —
+    header parse only, no raster read. JPEG gets real metadata here
+    even though its PIXEL decode stays env-blocked (parse_jpeg_header).
+    Raises ValueError on unknown magic."""
+    import struct
+
+    head = (payload or b"")[:4]
+    if head[:2] == b"P6":
+        w, h, _, _ = _pnm_header(payload, b"P6")
+        return "ppm", w, h, 3
+    if head[:2] == b"P5":
+        w, h, _, _ = _pnm_header(payload, b"P5")
+        return "pgm", w, h, 1
+    if head[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        return "bmp", w, abs(h), bpp // 8
+    if head[:2] == b"\xff\xd8":
+        j = parse_jpeg_header(payload)
+        return (
+            "jpeg-progressive" if j["progressive"] else "jpeg",
+            j["width"],
+            j["height"],
+            j["n_components"],
+        )
+    raise ValueError("unknown image magic bytes")
+
+
+def image_metadata(df: DataFrame) -> DataFrame:
+    """mapInPandas metadata extraction: payload → (format, width,
+    height, n_components, payload_bytes) with NO pixel decode — the
+    crawl-triage projection that routes images by format/size before
+    any expensive decoding. Bytes are dropped inside the Arrow batch."""
+    out_schema = (
+        "media_id long, format string, width int, height int, "
+        "n_components int, payload_bytes long"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "format", "width", "height", "n_components", "payload_bytes"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                fmt, w, h, nc = image_header(bytes(payload))
+                rows.append((mid, fmt, w, h, nc, len(payload)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(op, out_schema)
 
 
 def media_features(df: DataFrame, codec: Codec | None = None, dim: int = FEATURE_DIM) -> DataFrame:

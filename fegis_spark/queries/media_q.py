@@ -83,6 +83,8 @@ def _values_sql(cols: list[str], rows: list[tuple]) -> str:
     def fmt(v) -> str:
         if isinstance(v, Decimal):
             return f"CAST({v} AS DOUBLE)"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
         return str(v)
 
     body = ",\n      ".join(
@@ -229,6 +231,70 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("features"),
             6,
         ).alias("feat_mean"),
+    ).orderBy("media_id")
+
+
+def _meta_payload(i: int) -> bytes:
+    """Format-triage fixture: cycles all four header-parseable codecs
+    (ppm / pgm / bmp / jpeg, with every 4th jpeg progressive) at
+    per-row dimensions, so the magic-byte dispatch and the JPEG SOF
+    walk (r8 verdict item 4) are both exercised at every sf."""
+    from fegis_spark.operators.multimodal import make_bmp, make_jpeg, make_pgm, make_ppm
+
+    w, h = 16 + (i % 5), 12 + (i % 3)
+    k = i % 4
+    if k == 0:
+        return make_ppm(w, h, seed=i)
+    if k == 1:
+        return make_pgm(w, h, seed=i)
+    if k == 2:
+        return make_bmp(w, h, seed=i)
+    return make_jpeg(w, h, n_components=3, seed=i, progressive=(i % 16 == 3))
+
+
+def _metadata_oracle() -> str:
+    """Sequential reference for media_image_metadata: the same pure
+    image_header parser over the same fixture bytes, run in-order on
+    the driver — all-integer/string outputs, no float transit needed."""
+    from fegis_spark.operators.multimodal import image_header
+
+    rows = []
+    for i in range(_N_MEDIA):
+        payload = _meta_payload(i)
+        fmt, w, h, nc = image_header(payload)
+        rows.append((i, fmt, w, h, nc, len(payload)))
+    return _values_sql(
+        ["media_id", "format", "width", "height", "n_components", "payload_bytes"],
+        rows,
+    )
+
+
+@register(
+    "media_image_metadata",
+    oracle=_metadata_oracle(),
+    covers=("[EXT]-multimodal",),
+)
+def media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] image format triage WITHOUT pixel decode: magic-byte
+    dispatch to header parsers (PNM grammar, BMP DIB, JPEG SOF-marker
+    walk — the dependency-free upgrade of the r8 JPEG
+    NotImplementedError SWAP POINT) inside one mapInPandas pass.
+    The routing projection a crawl pipeline runs on every image byte
+    stream before deciding decode/resize/drop."""
+    from fegis_spark.operators.multimodal import MEDIA_SCHEMA, image_metadata
+
+    rows = [
+        (i, "image", _meta_payload(i), {"mime": None, "width": None, "height": None, "duration_ms": None})
+        for i in range(_N_MEDIA)
+    ]
+    imgs = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return image_metadata(imgs).select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "n_components",
+        "payload_bytes",
     ).orderBy("media_id")
 
 

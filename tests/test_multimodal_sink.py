@@ -294,3 +294,93 @@ def test_decode_pgm_roundtrip_and_dispatch():
     img = Codec().decode_image(make_pgm(6, 4, seed=5))
     assert img.shape == (4, 6, 3)
     assert (img[..., 0] == gray).all() and (img[..., 2] == gray).all()
+
+
+class TestJpegHeader:
+    """JPEG SOF-marker metadata extraction (r8 verdict item 4) — a
+    header parse, not a pixel decode (libjpeg is env-blocked; pixel
+    decode remains the documented SWAP POINT)."""
+
+    def test_parse_constructed_baseline(self):
+        from fegis_spark.operators.multimodal import make_jpeg, parse_jpeg_header
+
+        j = parse_jpeg_header(make_jpeg(640, 480, n_components=3, seed=7))
+        assert j == {
+            "precision": 8, "height": 480, "width": 640,
+            "n_components": 3, "progressive": False,
+        }
+
+    def test_parse_progressive_and_grayscale(self):
+        from fegis_spark.operators.multimodal import make_jpeg, parse_jpeg_header
+
+        j = parse_jpeg_header(make_jpeg(31, 17, n_components=1, progressive=True))
+        assert j["progressive"] is True
+        assert (j["width"], j["height"], j["n_components"]) == (31, 17, 1)
+
+    def test_parse_skips_appn_com_and_fill_bytes(self):
+        from fegis_spark.operators.multimodal import parse_jpeg_header
+
+        # SOI, APP1 (Exif-ish), fill FF, COM, SOF0 12x34x3, EOI
+        app1 = b"Exif\x00\x00" + b"\x00" * 10
+        com = b"hello"
+        sof = bytes([8]) + (34).to_bytes(2, "big") + (12).to_bytes(2, "big") + bytes(
+            [3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+        data = (
+            b"\xff\xd8"
+            + b"\xff\xe1" + (len(app1) + 2).to_bytes(2, "big") + app1
+            + b"\xff"  # fill byte before next marker
+            + b"\xff\xfe" + (len(com) + 2).to_bytes(2, "big") + com
+            + b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+            + b"\xff\xd9"
+        )
+        j = parse_jpeg_header(data)
+        assert (j["width"], j["height"], j["n_components"]) == (12, 34, 3)
+
+    def test_parse_rejects_non_jpeg_and_headerless(self):
+        import pytest
+
+        from fegis_spark.operators.multimodal import parse_jpeg_header
+
+        with pytest.raises(ValueError, match="SOI"):
+            parse_jpeg_header(b"BM not a jpeg")
+        # valid SOI but EOI before any SOF
+        with pytest.raises(ValueError, match="no SOF"):
+            parse_jpeg_header(b"\xff\xd8\xff\xd9")
+
+    def test_image_header_dispatch_all_formats(self):
+        from fegis_spark.operators.multimodal import (
+            image_header,
+            make_bmp,
+            make_jpeg,
+            make_pgm,
+            make_ppm,
+        )
+
+        assert image_header(make_ppm(16, 12)) == ("ppm", 16, 12, 3)
+        assert image_header(make_pgm(9, 7)) == ("pgm", 9, 7, 1)
+        assert image_header(make_bmp(16, 12)) == ("bmp", 16, 12, 3)
+        assert image_header(make_jpeg(16, 12)) == ("jpeg", 16, 12, 3)
+        assert image_header(make_jpeg(16, 12, progressive=True)) == (
+            "jpeg-progressive", 16, 12, 3,
+        )
+
+    def test_image_metadata_spark_plumbing(self, spark):
+        from fegis_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            image_metadata,
+            make_jpeg,
+            make_ppm,
+        )
+
+        rows = [
+            (0, "image", make_ppm(16, 12), None),
+            (1, "image", make_jpeg(640, 480), None),
+            (2, "image", None, None),  # null payload passes through
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r["media_id"]: r.asDict() for r in image_metadata(df).collect()}
+        assert got[0]["format"] == "ppm" and got[0]["width"] == 16
+        assert got[1]["format"] == "jpeg" and got[1]["width"] == 640
+        assert got[1]["payload_bytes"] == len(make_jpeg(640, 480))
+        assert got[2]["format"] is None and got[2]["width"] is None
