@@ -50,6 +50,37 @@ def lit_vector(q: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in q])
 
 
+def lit_vector_sql(q: Sequence[float]) -> str:
+    """Spark-SQL string spelling of lit_vector — a dim-64 literal via
+    F.array costs ~130 py4j round-trips (~60 ms of driver latency per
+    use); one parsed expression costs one. 'D'-suffixed literals parse
+    as DOUBLE; repr() is shortest-round-trip so the bits survive."""
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in q) + ")"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """Spark-SQL string spelling of cosine() — the same zip_with +
+    aggregate fold DAG, one parse instead of a py4j Column chain.
+    Equivalence with cosine() is pinned in tests/test_search.py.
+    Constant subfolds (a literal query vector's self-norm) are
+    collapsed by Catalyst's ConstantFolding."""
+
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with(CAST({x} AS ARRAY<DOUBLE>),"
+            f" CAST({y} AS ARRAY<DOUBLE>), (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x)"
+        )
+
+    d = _dot(a, b)
+    na = f"sqrt({_dot(a, a)})"
+    nb = f"sqrt({_dot(b, b)})"
+    return (
+        f"CASE WHEN {na} = 0.0D OR {nb} = 0.0D THEN 0.0D"
+        f" ELSE {d} / ({na} * {nb}) END"
+    )
+
+
 def cosine_to_query_udf(q: Sequence[float]):
     """Arrow-batched cosine against a fixed query vector.
 

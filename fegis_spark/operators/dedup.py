@@ -50,6 +50,16 @@ def tokens(col: Column) -> Column:
     )
 
 
+def tokens_sql(col: str) -> str:
+    """The Spark-SQL string spelling of tokens() — for *_expr fast
+    paths that build ONE parsed expression instead of a py4j Column
+    chain (CLAUDE.md driver-side plan-construction rule). Equivalence
+    is pinned in tests/test_search.py."""
+    cjk = _CJK_JAVA.replace("\\", "\\\\")
+    spaced = f"regexp_replace(lower({col}), '({cjk})', ' $1 ')"
+    return f"filter(split({spaced}, '[^\\\\p{{L}}\\\\p{{N}}]+'), t -> t != '')"
+
+
 def token_ngrams(tok: Column, n: int = 3) -> Column:
     """Distinct token n-grams (shingles) as strings. Empty when the
     document has fewer than n tokens (guarded: Spark's sequence()

@@ -299,7 +299,7 @@ def rrf_hybrid_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pool form (top-100 per modality, window-free ranks).
     The production-shaped successor of rrf_hybrid_search's
     occurrence-count stand-in."""
-    from fegis_spark.functions.vector import cosine, lit_vector
+    from fegis_spark.functions.vector import cosine_sql, lit_vector_sql
     from fegis_spark.operators.bm25 import bm25_scores
     from fegis_spark.operators.topk import ranked_topk
 
@@ -309,9 +309,11 @@ def rrf_hybrid_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "embedding"
     )
     qv = _query_vec(spark, sf_dir)
-    dense = joined.select(
-        F.col("doc_id").alias("id"),
-        cosine(F.col("embedding"), lit_vector(qv)).alias("dense"),
+    # single-parse dense leg (same fold DAG as cosine(); the py4j
+    # Column chain cost ~0.3 s of driver latency per build)
+    dense = joined.selectExpr(
+        "doc_id AS id",
+        f"{cosine_sql('embedding', lit_vector_sql(qv))} AS dense",
     )
     lex = bm25_scores(joined, "text", "doc_id", _TERMS).withColumnRenamed(
         "score", "bm25"

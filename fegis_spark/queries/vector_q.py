@@ -28,10 +28,23 @@ _COS = """
 """
 
 
+#: session-lifetime memo of driver-side query vectors: the lookup is a
+#: pure function of (sf_dir, vec_id) and every search-family builder
+#: pays a ~0.2 s head() job for it otherwise. Same staleness contract
+#: as Spark's own file-listing/table caches (a path's data is assumed
+#: stable within a session).
+_QUERY_VEC_MEMO: dict[tuple[str, int], list[float]] = {}
+
+
 def _query_vec(spark, sf_dir, vec_id: int = 0):
-    emb = load_table(spark, sf_dir, "embeddings")
-    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
-    return [float(x) for x in row.embedding]
+    key = (sf_dir, vec_id)
+    v = _QUERY_VEC_MEMO.get(key)
+    if v is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+        v = [float(x) for x in row.embedding]
+        _QUERY_VEC_MEMO[key] = v
+    return v
 
 
 @register(

@@ -268,3 +268,32 @@ def test_bm25_random_corpora_vs_python_reference(spark):
         assert set(got) == set(exp), (trial, terms, set(got) ^ set(exp))
         for i in exp:
             assert abs(got[i] - exp[i]) < 1e-6, (trial, i, got[i], exp[i])
+
+
+def test_cosine_sql_bitwise_matches_column_form(spark):
+    """r9 single-parse fast path: cosine_sql/lit_vector_sql must emit
+    the SAME fold DAG as cosine()/lit_vector() — bit-identical scores,
+    including the zero-norm guard."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fegis_spark.functions.vector import (
+        cosine,
+        cosine_sql,
+        lit_vector,
+        lit_vector_sql,
+    )
+
+    vecs = [
+        [0.1, -2.5, 3.75, 1e-7],
+        [0.0, 0.0, 0.0, 0.0],  # zero norm -> 0.0
+        [1.0, 1.0, 1.0, 1.0],
+        [math.pi, -math.e, 0.5, 123456.789],
+    ]
+    q = [0.25, -1.5, 2.0, 1e-3]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], "id int, embedding array<float>")
+    a = df.select("id", cosine(F.col("embedding"), lit_vector(q)).alias("c")).collect()
+    b = df.selectExpr("id", f"{cosine_sql('embedding', lit_vector_sql(q))} AS c").collect()
+    assert [r.c for r in a] == [r.c for r in b]
+    assert a[1].c == 0.0
