@@ -1221,6 +1221,108 @@ def augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: span-corruption plan constants: a position starts a span when its
+#: md5 bucket lands in the bottom START_PCT% of hash space; each span
+#: masks SPAN_LEN consecutive tokens. Expected mask rate
+#: 1 - (1 - 0.05)^3 ~ 14.3% — the T5 ~15% objective.
+SPAN_START_PCT = 5
+SPAN_LEN = 3
+
+_SPAN_START_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+    "CAST({j} AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 < "
+    f"{SPAN_START_PCT}"
+)
+_SPAN_START_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+    "CAST({j} AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < "
+    f"{SPAN_START_PCT}"
+)
+
+
+def _span_masked(start_tpl: str) -> str:
+    """Position i is masked iff a span starts at i, i-1, or i-2 (with
+    boundary guards) — the union of overlapping spans, shared template
+    for both dialects."""
+    return (
+        f"({start_tpl.format(j='i')}"
+        f" OR (i >= 2 AND {start_tpl.format(j='(i - 1)')})"
+        f" OR (i >= 3 AND {start_tpl.format(j='(i - 2)')}))"
+    )
+
+
+@register(
+    "span_corruption_plan",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {duck_tokens('text')} AS tok FROM documents
+    ), per_doc AS (
+      -- range() is exclusive-end and yields [] when len = 0 (safe)
+      SELECT source,
+             len(tok) AS n_tokens,
+             len(list_filter(range(1, len(tok) + 1),
+                 j -> {_SPAN_START_DUCK.format(j='j')})) AS n_spans,
+             len(list_filter(range(1, len(tok) + 1),
+                 i -> {_span_masked(_SPAN_START_DUCK)})) AS n_masked
+      FROM base
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+           CAST(SUM(n_masked) AS BIGINT) AS total_masked,
+           CAST(SUM(n_masked) AS DOUBLE)
+             / nullif(CAST(SUM(n_tokens) AS DOUBLE), 0) AS mask_frac
+    FROM per_doc GROUP BY source
+    """,
+    covers=("[EXT]-span-corruption", "[EXT]-augment"),
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] deterministic T5-style span-corruption planning: position
+    i starts a {SPAN_LEN}-token mask span iff md5(doc_id:i) lands in
+    the bottom {SPAN_START_PCT}% of hash space — the denoising-
+    objective mask layout as a pure function of the corpus (retries /
+    engines / epochs reproduce byte-for-byte; vary an epoch seed by
+    concatenating it into the hash input, the augment_token_dropout
+    convention). Emits the per-source masking budget an objective
+    planner needs: span and masked-token mass plus the realized mask
+    fraction (expected ~= 1 - 0.95^{SPAN_LEN} ~ 14.3%). Overlapping
+    spans union in n_masked; n_spans counts raw starts.
+
+    Determinism: md5 recipe both engines; integer sums exact
+    (HUGEINT cast per the r7 rule); mask_frac is the unrounded
+    quotient of exact BIGINTs (correctly-rounded '/', bit-identical).
+    Spark's sequence(1, 0) DESCENDS (fabricates [1, 0]) — the size
+    guard routes empty token arrays to an empty INT array instead.
+
+    Scale: pure array-HOF projection (3 md5 gates per position) into a
+    |sources|-row agg — zero joins, zero windows, map-side combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    from fegis_spark.operators.dedup import tokens_sql
+
+    seq = "CASE WHEN size(tok) >= 1 THEN sequence(1, size(tok)) ELSE CAST(array() AS ARRAY<INT>) END"
+    per_doc = docs.selectExpr(
+        "source",
+        f"{tokens_sql('text')} AS tok",
+        "doc_id",
+    ).selectExpr(
+        "source",
+        "size(tok) AS n_tokens",
+        f"size(filter({seq}, j -> {_SPAN_START_SPARK.format(j='j')})) AS n_spans",
+        f"size(filter({seq}, i -> {_span_masked(_SPAN_START_SPARK)})) AS n_masked",
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_spans").cast("bigint").alias("total_spans"),
+        F.sum("n_masked").cast("bigint").alias("total_masked"),
+        (
+            F.sum("n_masked").cast("double")
+            / F.nullif(F.sum("n_tokens").cast("double"), F.lit(0.0))
+        ).alias("mask_frac"),
+    )
+
+
 @register(
     "corpus_report",
     oracle=f"""

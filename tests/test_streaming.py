@@ -487,3 +487,104 @@ def test_stream_static_enrichment_matches_batch(spark, events_stream):
         for r in batch.select("event_id", "user_id").collect()
     }
     assert got == want
+
+
+def test_late_data_dropped_vs_kept_against_batch_twin(spark, tmp_path_factory):
+    """r8 verdict item 7: REAL micro-batches with injected out-of-order
+    events. Chunk 0 pushes the watermark forward; chunk 1 is a spacer
+    (watermark ENFORCEMENT in batch N uses the watermark computed from
+    data through batch N-2 — one trigger behind the progress line's
+    value; probed empirically on this Spark, see CLAUDE.md r9 notes);
+    chunk 2 carries one event older than the enforced watermark (its
+    session window closes below it -> DROPPED) and one on-time event
+    (kept); chunk 3 is a far-future flusher that closes all kept
+    sessions. Asserts the emitted sessions equal the batch twin on
+    (all events minus the dropped one), that the batch twin on FULL
+    data differs by exactly the dropped session, and that
+    numRowsDroppedByWatermark counts the late row."""
+    import datetime as dt
+    import os
+    import shutil
+
+    T = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def m(minutes):
+        return T + dt.timedelta(minutes=minutes)
+
+    chunks = [
+        # chunk 0: user 1's session + the watermark pusher (user 9)
+        [(1, m(0)), (1, m(1)), (1, m(2)), (9, m(60))],
+        # chunk 1: spacer — after this batch the T+50 watermark
+        # (60 - 10min delay) is ENFORCED in the next one
+        [(8, m(63))],
+        # chunk 2: user 2 @ T+5: session window [T+5, T+35) ends below
+        # the enforced T+50 watermark -> dropped;
+        # user 1 @ T+62: on-time, opens a second session
+        [(2, m(5)), (1, m(62))],
+        # chunk 3: flusher far past every kept window's end
+        [(7, m(300))],
+    ]
+    staging = tmp_path_factory.mktemp("late_events")
+    for i, rows in enumerate(chunks):
+        tmp_out = staging / f"__tmp{i}"
+        spark.createDataFrame(
+            [(100 * i + j, ts, uid, "e", 1.0, None) for j, (uid, ts) in enumerate(rows)],
+            E2E_SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_out))
+        part = next(p for p in tmp_out.iterdir() if p.name.endswith(".parquet"))
+        dst = staging / f"chunk-{i:02d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1700000000 + 100 * i, 1700000000 + 100 * i))  # force order
+        shutil.rmtree(str(tmp_out))
+
+    sess = sessionize_stream(
+        _chunked_stream(spark, staging), gap_minutes=30, watermark="10 minutes"
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM late_sessions").collect()
+    }
+    gap = dt.timedelta(minutes=30)
+    expected_kept = {
+        (1, m(0), m(2) + gap, 3),
+        (9, m(60), m(60) + gap, 1),
+        (8, m(63), m(63) + gap, 1),
+        (1, m(62), m(62) + gap, 1),
+        # flusher's own session (user 7) stays in state, unemitted
+    }
+    assert got == expected_kept
+
+    # the watermark drop is observable in the state-operator metrics
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1
+
+    # batch twin on ALL events includes exactly the dropped session more
+    all_rows = [(uid, ts) for c in chunks for (uid, ts) in c]
+    batch_df = spark.createDataFrame(all_rows, "user_id long, ts timestamp")
+    batch_full = {
+        (r.user_id, r.session_start, r.session_end + gap, r.n_events)
+        for r in session_stats_batch(batch_df, gap_minutes=30).collect()
+        if r.user_id != 7  # the flusher session never closed in the stream
+    }
+    assert batch_full - got == {(2, m(5), m(5) + gap, 1)}  # the dropped one
+    # and the kept sessions agree exactly with the batch twin on
+    # (all events minus the dropped late event)
+    kept_df = batch_df.filter(~((F.col("user_id") == 2)))
+    batch_kept = {
+        (r.user_id, r.session_start, r.session_end + gap, r.n_events)
+        for r in session_stats_batch(kept_df, gap_minutes=30).collect()
+        if r.user_id != 7
+    }
+    assert batch_kept == got

@@ -301,7 +301,98 @@ def time_all(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def ivf_ab(spark, factor: int = 16) -> dict:
+    """r8 verdict item 5: the stored IVF index (build_ivf_index /
+    ann_ivf_indexed — the 100 TB ANN answer) vs brute-force exact KNN,
+    at 1× and factor×. Reports build time, best-of-2 probe walls,
+    speedup, scale ratios, and recall@k vs the exact truth (32 spread
+    queries, k=3, n_lists=64, n_probe=8 → probe scans 1/8 of the
+    corpus via partition pruning)."""
+    from fegis_spark.operators.knn import ann_ivf_indexed, build_ivf_index, knn_join
+
+    out: dict = {
+        "probe": "IVF indexed vs brute-force exact KNN (r8 verdict #5)",
+        "factor": factor,
+        "k": 3,
+        "n_lists": 64,
+        "n_probe": 8,
+        "legs": {},
+    }
+
+    def timed_best2(make_df) -> float:
+        best = None
+        for _ in range(2):
+            df = make_df()
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        return round(best, 3)
+
+    with tempfile.TemporaryDirectory(prefix="ivf_ab_") as tmp:
+        for leg, fac in (("x1", 1), (f"x{factor}", factor)):
+            d = f"{tmp}/{leg}"
+            replicate(spark, d, fac)
+            emb = spark.read.parquet(f"{d}/embeddings.parquet")
+            n = emb.count()
+            step = max(n // 32, 1)
+            queries = emb.filter(F.col("vec_id") % step == 0).limit(32)
+
+            t0 = time.time()
+            build_ivf_index(emb, f"{d}/ivf", "vec_id", n_lists=64, kmeans_iters=2)
+            build_s = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+
+            def exact_df():
+                return knn_join(
+                    queries, spark.read.parquet(f"{d}/embeddings.parquet"),
+                    "vec_id", "vec_id", k=3,
+                )
+
+            def ivf_df(n_probe):
+                return ann_ivf_indexed(
+                    spark, f"{d}/ivf", queries, "vec_id", k=3, n_probe=n_probe
+                )
+
+            # warm once (codegen/JIT), then best-of-2 fresh plans
+            exact_df().write.format("noop").mode("overwrite").save()
+            ivf_df(8).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            t_exact = timed_best2(exact_df)
+            truth = {(r.query_id, r.corpus_id) for r in exact_df().collect()}
+            leg_out = {
+                "n_vectors": n,
+                "build_s": build_s,
+                "exact_s": t_exact,
+                "probes": {},
+            }
+            # n_probe sweep on the SAME built index: the recall knob
+            for n_probe in (8, 16):
+                t_ivf = timed_best2(lambda: ivf_df(n_probe))
+                got = {(r.query_id, r.corpus_id) for r in ivf_df(n_probe).collect()}
+                leg_out["probes"][f"n_probe={n_probe}"] = {
+                    "ivf_probe_s": t_ivf,
+                    "speedup": round(t_exact / t_ivf, 2),
+                    "recall_at_3": round(len(truth & got) / len(truth), 4),
+                }
+            out["legs"][leg] = leg_out
+            spark.catalog.clearCache()
+    x1, xn = out["legs"]["x1"], out["legs"][f"x{factor}"]
+    out["exact_scale_ratio"] = round(xn["exact_s"] / x1["exact_s"], 2)
+    out["ivf_scale_ratio_np8"] = round(
+        xn["probes"]["n_probe=8"]["ivf_probe_s"]
+        / x1["probes"]["n_probe=8"]["ivf_probe_s"], 2,
+    )
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "ivf":
+        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        spark = configure_for_oracle(get_spark("scale_probe"))
+        print(json.dumps(ivf_ab(spark, factor)))
+        return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     spark = configure_for_oracle(get_spark("scale_probe"))
     with tempfile.TemporaryDirectory(prefix="scale_probe_") as tmp:
