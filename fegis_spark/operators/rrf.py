@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fegis_spark.functions.vector import cosine, lit_vector
+from fegis_spark.functions.vector import cosine_sql, lit_vector_sql
 from fegis_spark.operators.text_analysis import occurrences, padded
 from fegis_spark.operators.topk import ranked_topk
 
@@ -80,7 +80,7 @@ def rrf_fuse(
         pool = max(100, 2 * k + rrf_k + 1)
     scored = df.select(
         F.col(id_col).alias("id"),
-        cosine(F.col(vec_col), lit_vector(query_vec)).alias("dense"),
+        F.expr(cosine_sql(vec_col, lit_vector_sql(query_vec))).alias("dense"),
         lexical_score(F.col(text_col), query_terms).alias("lex"),
     )
     if cache_intermediate:
@@ -153,7 +153,7 @@ def rrf_fuse_pooled(
     spark.catalog.clearCache()."""
     scored = df.select(
         F.col(id_col).alias("id"),
-        cosine(F.col(vec_col), lit_vector(query_vec)).alias("dense"),
+        F.expr(cosine_sql(vec_col, lit_vector_sql(query_vec))).alias("dense"),
         lexical_score(F.col(text_col), query_terms).alias("lex"),
     )
     from pyspark import StorageLevel

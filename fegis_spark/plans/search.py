@@ -25,7 +25,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fegis_spark.functions.vector import cosine, lit_vector
+from fegis_spark.functions.vector import cosine_sql, lit_vector_sql
 from fegis_spark.plans.filters import compile_filters
 
 DEFAULT_LIMIT = 3
@@ -41,8 +41,13 @@ def _check_limit(limit: int) -> int:
 
 
 def score_against(df: DataFrame, vec_col: str, query_vec: Sequence[float]) -> DataFrame:
-    """Attach exact cosine ``score`` against a literal query vector."""
-    return df.withColumn("score", cosine(F.col(vec_col), lit_vector(query_vec)))
+    """Attach exact cosine ``score`` against a literal query vector.
+    Single-parse expression (cosine_sql/lit_vector_sql — bitwise equal
+    to the Column form, pinned in tests/test_search.py): the Column
+    chain cost ~130 py4j round-trips per dim-64 literal."""
+    return df.withColumn(
+        "score", F.expr(cosine_sql(vec_col, lit_vector_sql(query_vec)))
+    )
 
 
 def topk(df: DataFrame, k: int, tiebreak: str | Column) -> DataFrame:
