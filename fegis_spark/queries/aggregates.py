@@ -1012,3 +1012,70 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+#: lineitem's full column set — the profile query derives BOTH dialect
+#: spellings from this one list so the recipes cannot drift
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+
+
+def _profile_oracle() -> str:
+    aggs = ["COUNT(*) AS n_rows"]
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn{i}"
+        )
+        aggs.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd{i}")
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, nn{i} AS n_nulls,"
+        f" nd{i} AS n_distinct FROM a"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    return (
+        f"WITH a AS (SELECT {', '.join(aggs)} FROM lineitem)\n"
+        f"    SELECT * FROM ({arms}) ORDER BY column_name"
+    )
+
+
+@register(
+    "table_profile",
+    oracle=_profile_oracle(),
+    covers=("[EXT]-profile",),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] one-pass data-quality profile of a table: per column the
+    row count, null count, and EXACT distinct cardinality — the
+    ingestion-triage report every warehouse runs before trusting a new
+    drop (null-rate regressions, key-cardinality drift, constant
+    columns). One aggregate over one scan; the per-column row shape
+    comes from a stack() unpivot of the single agg row.
+
+    Scale: Spark plans multi-column exact DISTINCT aggregates via one
+    Expand (x|cols|+1 row fan-out) feeding map-side partial aggs — one
+    shuffle whose width is bounded by per-column cardinalities, not
+    row count. At 100 TB swap COUNT(DISTINCT c) for
+    approx_count_distinct(c) (HLL, fixed-size state; the
+    hll_error_audit query pins its error envelope) — the SQL shape is
+    otherwise identical. All outputs exact BIGINTs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"nn{i}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("bigint").alias(f"nd{i}"))
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn{i}, nd{i}" for i, c in enumerate(_PROFILE_COLS)
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " AS (column_name, n_nulls, n_distinct)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct").orderBy(
+        "column_name"
+    )
