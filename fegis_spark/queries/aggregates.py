@@ -1080,76 +1080,3 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name"
     )
 
-
-@register(
-    "quantile_sketch_audit",
-    oracle="""
-    SELECT l_returnflag,
-           COUNT(*) AS n,
-           quantile_cont(l_extendedprice, 0.5) AS p50_exact,
-           quantile_cont(l_extendedprice, 0.9) AS p90_exact,
-           TRUE AS p50_within_rank_bound,
-           TRUE AS p90_within_rank_bound
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    covers=("§2.4-approx",),
-)
-def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (Greenwald-Khanna summaries) — the scale-path
-    quantile — as a RANK-error audit (the hll_error_audit pattern):
-    compute the sketch AND the exact interpolated percentile on the
-    same data, emit the exact side as values (UNROUNDED — the
-    percentile==quantile_cont interpolation is bitwise-identical
-    cross-engine, the r8 quantiles pin) and the sketch's rank-error
-    claim as booleans the oracle asserts literally TRUE. The sketch
-    VALUE is engine/merge-order-specific, but GK guarantees rank error
-    <= n/accuracy for ANY partition merge order, so the boolean is a
-    stable assertion: rank_lo(v) <= p*n + n/acc + 1 AND
-    rank_hi(v) >= p*n - n/acc - 1. One extra broadcast join-back pass
-    counts the ranks; at 100 TB you run exactly this audit on a slice
-    before trusting the sketch fleet-wide."""
-    ACC = 10000
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
-    )
-    g = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(
-            f"approx_percentile(l_extendedprice, array(0.5D, 0.9D), {ACC})"
-        ).alias("ap"),
-        F.expr("percentile(l_extendedprice, 0.5D)").alias("p50_exact"),
-        F.expr("percentile(l_extendedprice, 0.9D)").alias("p90_exact"),
-    )
-    ranks = (
-        li.join(F.broadcast(g.select("l_returnflag", "ap")), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum((F.col("l_extendedprice") < F.element_at("ap", 1)).cast("int"))
-            .alias("lo50"),
-            F.sum((F.col("l_extendedprice") <= F.element_at("ap", 1)).cast("int"))
-            .alias("hi50"),
-            F.sum((F.col("l_extendedprice") < F.element_at("ap", 2)).cast("int"))
-            .alias("lo90"),
-            F.sum((F.col("l_extendedprice") <= F.element_at("ap", 2)).cast("int"))
-            .alias("hi90"),
-        )
-    )
-
-    def within(lo, hi, p):
-        tol = F.col("n").cast("double") / ACC + 1.0
-        target = p * F.col("n").cast("double")
-        return (F.col(lo).cast("double") <= target + tol) & (
-            F.col(hi).cast("double") >= target - tol
-        )
-
-    return (
-        g.join(ranks, "l_returnflag")
-        .select(
-            "l_returnflag",
-            "n",
-            "p50_exact",
-            "p90_exact",
-            within("lo50", "hi50", 0.5).alias("p50_within_rank_bound"),
-            within("lo90", "hi90", 0.9).alias("p90_within_rank_bound"),
-        )
-    )
