@@ -220,6 +220,68 @@ def make_jpeg(
     return out + b"\xff\xd9"
 
 
+def parse_png_header(data: bytes) -> dict:
+    """Dependency-free PNG metadata: the IHDR chunk is mandatory-first
+    (PNG spec 11.2.2), so width/height/bit depth/color type sit at a
+    fixed offset after the 8-byte signature. Header parse only — IDAT
+    is zlib-compressed and pixel decode stays env-blocked."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    if len(data) < 29 or data[12:16] != b"IHDR":
+        raise ValueError("PNG missing mandatory first IHDR chunk")
+    color_type = data[25]
+    #: grayscale=1, gray+alpha=2, truecolor=3, truecolor+alpha=4, palette=1
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    return {
+        "width": int.from_bytes(data[16:20], "big"),
+        "height": int.from_bytes(data[20:24], "big"),
+        "bit_depth": data[24],
+        "n_components": channels,
+    }
+
+
+def make_png(width: int, height: int, color_type: int = 2, seed: int = 0) -> bytes:
+    """Deterministic header-valid PNG fixture: signature + IHDR +
+    minimal IEND. Metadata-parseable; carries no IDAT (no zlib here)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", width, height) + bytes([8, color_type, 0, 0, 0])
+    chunk = b"IHDR" + ihdr
+    out = b"\x89PNG\r\n\x1a\n"
+    out += struct.pack(">I", len(ihdr)) + chunk + struct.pack(">I", zlib.crc32(chunk))
+    iend = b"IEND"
+    out += struct.pack(">I", 0) + iend + struct.pack(">I", zlib.crc32(iend))
+    return out + bytes([seed % 256])  # trailing seed byte varies payload size
+
+
+def parse_gif_header(data: bytes) -> dict:
+    """Dependency-free GIF metadata: logical-screen width/height are
+    little-endian at offset 6 (GIF87a/89a spec). Header parse only —
+    LZW frame decode stays env-blocked."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    return {
+        "width": int.from_bytes(data[6:8], "little"),
+        "height": int.from_bytes(data[8:10], "little"),
+        "version": data[3:6].decode(),
+    }
+
+
+def make_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic header-valid GIF fixture (89a, no frames)."""
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([0x70, 0, 0])  # no global color table
+        + bytes([seed % 256])
+        + b"\x3b"  # trailer
+    )
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Real, dependency-free audio decode for PCM16 WAV via stdlib
     `wave`. Returns (int16 samples shaped (n_frames, n_channels),
@@ -312,6 +374,12 @@ def image_header(payload: bytes) -> tuple[str, int, int, int]:
             j["height"],
             j["n_components"],
         )
+    if head == b"\x89PNG":
+        p = parse_png_header(payload)
+        return "png", p["width"], p["height"], p["n_components"]
+    if head[:3] == b"GIF":
+        g = parse_gif_header(payload)
+        return "gif", g["width"], g["height"], 1  # palette-indexed
     raise ValueError("unknown image magic bytes")
 
 

@@ -235,21 +235,34 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _meta_payload(i: int) -> bytes:
-    """Format-triage fixture: cycles all four header-parseable codecs
-    (ppm / pgm / bmp / jpeg, with every 4th jpeg progressive) at
-    per-row dimensions, so the magic-byte dispatch and the JPEG SOF
-    walk (r8 verdict item 4) are both exercised at every sf."""
-    from fegis_spark.operators.multimodal import make_bmp, make_jpeg, make_pgm, make_ppm
+    """Format-triage fixture: cycles all six header-parseable codecs
+    (ppm / pgm / bmp / jpeg / png / gif, with some jpegs progressive
+    and varied png color types) at per-row dimensions, so the
+    magic-byte dispatch and every header walk (JPEG SOF, PNG IHDR,
+    GIF logical screen — r8 verdict item 4 + r9 extensions) are
+    exercised at every sf."""
+    from fegis_spark.operators.multimodal import (
+        make_bmp,
+        make_gif,
+        make_jpeg,
+        make_pgm,
+        make_png,
+        make_ppm,
+    )
 
     w, h = 16 + (i % 5), 12 + (i % 3)
-    k = i % 4
+    k = i % 6
     if k == 0:
         return make_ppm(w, h, seed=i)
     if k == 1:
         return make_pgm(w, h, seed=i)
     if k == 2:
         return make_bmp(w, h, seed=i)
-    return make_jpeg(w, h, n_components=3, seed=i, progressive=(i % 16 == 3))
+    if k == 3:
+        return make_jpeg(w, h, n_components=3, seed=i, progressive=(i % 12 == 3))
+    if k == 4:
+        return make_png(w, h, color_type=(2 if i % 12 == 4 else 6), seed=i)
+    return make_gif(w, h, seed=i)
 
 
 def _metadata_oracle() -> str:
@@ -277,10 +290,10 @@ def _metadata_oracle() -> str:
 def media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] image format triage WITHOUT pixel decode: magic-byte
     dispatch to header parsers (PNM grammar, BMP DIB, JPEG SOF-marker
-    walk — the dependency-free upgrade of the r8 JPEG
-    NotImplementedError SWAP POINT) inside one mapInPandas pass.
-    The routing projection a crawl pipeline runs on every image byte
-    stream before deciding decode/resize/drop."""
+    walk, PNG IHDR, GIF logical screen — the dependency-free upgrade
+    of the r8 JPEG NotImplementedError SWAP POINT) inside one
+    mapInPandas pass. The routing projection a crawl pipeline runs on
+    every image byte stream before deciding decode/resize/drop."""
     from fegis_spark.operators.multimodal import MEDIA_SCHEMA, image_metadata
 
     rows = [

@@ -384,3 +384,42 @@ class TestJpegHeader:
         assert got[1]["format"] == "jpeg" and got[1]["width"] == 640
         assert got[1]["payload_bytes"] == len(make_jpeg(640, 480))
         assert got[2]["format"] is None and got[2]["width"] is None
+
+
+class TestPngGifHeaders:
+    def test_png_header_roundtrip_and_color_types(self):
+        from fegis_spark.operators.multimodal import make_png, parse_png_header
+
+        p = parse_png_header(make_png(640, 480, color_type=2))
+        assert (p["width"], p["height"], p["n_components"], p["bit_depth"]) == (
+            640, 480, 3, 8,
+        )
+        assert parse_png_header(make_png(8, 8, color_type=6))["n_components"] == 4
+        assert parse_png_header(make_png(8, 8, color_type=0))["n_components"] == 1
+        assert parse_png_header(make_png(8, 8, color_type=3))["n_components"] == 1
+
+    def test_png_rejects_bad_signature_and_missing_ihdr(self):
+        import pytest
+
+        from fegis_spark.operators.multimodal import parse_png_header
+
+        with pytest.raises(ValueError, match="signature"):
+            parse_png_header(b"not a png")
+        with pytest.raises(ValueError, match="IHDR"):
+            parse_png_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 21)
+
+    def test_gif_header_roundtrip(self):
+        import pytest
+
+        from fegis_spark.operators.multimodal import make_gif, parse_gif_header
+
+        g = parse_gif_header(make_gif(320, 200))
+        assert (g["width"], g["height"], g["version"]) == (320, 200, "89a")
+        with pytest.raises(ValueError, match="GIF"):
+            parse_gif_header(b"JFIF....")
+
+    def test_image_header_dispatch_png_gif(self):
+        from fegis_spark.operators.multimodal import image_header, make_gif, make_png
+
+        assert image_header(make_png(31, 17, color_type=6)) == ("png", 31, 17, 4)
+        assert image_header(make_gif(31, 17)) == ("gif", 31, 17, 1)
