@@ -99,3 +99,49 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql paths."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+#: Size gate for explicit broadcast-join hints, in SOURCE PARQUET bytes.
+#: Rationale (SCALE.md "Broadcast discipline"): an explicit
+#: ``F.broadcast()`` hint takes precedence over AQE's size logic — Spark
+#: attempts the broadcast REGARDLESS of runtime statistics and fails
+#: hard at the 8 GB / 512M-row broadcast limit. So a hint is only safe
+#: when the side is *provably* small. 64 MiB of parquet (~a few hundred
+#: MB decoded) is comfortably broadcastable on any executor profile,
+#: and every sf<=1 testdata table passes it, so local plans (and the
+#: pins in tests/test_plans.py) are unchanged; at the 100 TB north star
+#: the corpus-proportional tables blow the gate, the hint drops out,
+#: and AQE picks the strategy from real runtime sizes (it can still
+#: choose broadcast when the filtered side turns out tiny).
+BROADCAST_GATE_BYTES = 64 * 1024 * 1024
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a testdata table (file or directory parquet)."""
+    p = table_path(sf_dir, name)
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(p)
+            for f in files
+        )
+    return os.path.getsize(p)
+
+
+def maybe_broadcast(df: DataFrame, bound_bytes: int) -> DataFrame:
+    """Size-gated broadcast hint.
+
+    ``bound_bytes`` must be an UPPER BOUND on the side's source bytes —
+    callers pass ``table_bytes(sf_dir, t)`` of the base table the side
+    derives from (filters and projections only shrink it). Under the
+    gate the usual ``F.broadcast`` hint applies (identical plans at
+    test scale); over it the hint is withheld and AQE decides, which
+    is the only safe behavior for a corpus-proportional side. Sides
+    that are bounded by CONSTRUCTION (1-row aggregates, 25-nation
+    dims, k-row panels) keep a plain ``F.broadcast`` with a
+    ``# bcast-ok:`` marker naming the bound — tools/broadcast_audit.py
+    enforces that every raw hint carries one.
+    """
+    if bound_bytes <= BROADCAST_GATE_BYTES:
+        return F.broadcast(df)  # bcast-ok: the gate itself — bound proven by the caller's bound_bytes
+    return df

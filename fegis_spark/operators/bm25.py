@@ -57,6 +57,21 @@ _STATS_MEMO: dict[tuple, tuple[float, tuple[float, ...]]] = {}
 _STATS_MEMO_MAX = 64
 
 
+def clear_memos() -> None:
+    """Drop every session-lifetime driver memo (this module's stats
+    memo and vector_q's query-vector memo). The memos share Spark's
+    cache-manager staleness contract — data rewritten at an
+    already-read path within a session is assumed not to happen — so
+    code that breaks that assumption (tests rewriting fixtures, a
+    clearCache/refreshByPath call after a data reload) should call
+    this alongside (advisor r9: the memos otherwise expose no public
+    invalidation hook and would serve stale avgdl/idf stats)."""
+    _STATS_MEMO.clear()
+    from fegis_spark.queries import vector_q
+
+    vector_q._QUERY_VEC_MEMO.clear()
+
+
 def _term_tf(tok: Column, term: str) -> Column:
     """Token frequency of an analyzer token in the token array."""
     return F.size(F.filter(tok, lambda t: t == F.lit(term)))
@@ -162,9 +177,18 @@ def bm25_scores(
         # portable_ln evaluation happens in this tiny Spark job, and
         # the scoring pass below is a pure codegen projection over the
         # persisted tfs — no join, no HOF, no codegen fallback.
-        # Memoized per (tfs semantic hash, terms) — see _STATS_MEMO.
+        # Memoized per (semantic hash + CANONICALIZED plan text, terms)
+        # — see _STATS_MEMO. semanticHash alone is 32-bit (advisor r9:
+        # a collision between two corpora queried with the same terms
+        # would silently reuse the wrong stats); the canonicalized
+        # plan's string carries the scan paths and full projection
+        # with expression IDs normalized (the raw analyzed toString
+        # embeds fresh per-analysis IDs and would never repeat), so
+        # the key is collision-proof for one extra py4j string fetch.
+        analyzed = tfs._jdf.queryExecution().analyzed()
         key = (
-            tfs._jdf.queryExecution().analyzed().semanticHash(),
+            analyzed.semanticHash(),
+            analyzed.canonicalized().toString(),
             tuple(qterms),
         )
         memo = _STATS_MEMO.get(key)
@@ -197,7 +221,7 @@ def bm25_scores(
             score = s if score is None else score + s
         return tfs.select("id", score.alias("score")).filter(F.col("score") > 0)
 
-    stats = F.broadcast(build_stats_plan())
+    stats = F.broadcast(build_stats_plan())  # bcast-ok: 1-row corpus stats
 
     def term_score(i: int) -> Column:
         tf = F.col(f"tf{i}")

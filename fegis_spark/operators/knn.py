@@ -45,7 +45,7 @@ def knn_join(
         F.col(corpus_id).alias("corpus_id"), F.col(vec_col).alias("__cv")
     )
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q))  # bcast-ok: 1-row query vector
         .withColumn("score", cosine(F.col("__qv"), F.col("__cv")))
         .drop("__qv", "__cv")
     )
@@ -144,7 +144,7 @@ def ann_ivf(
     k: int = 3,
     n_lists: int = 16,
     n_probe: int = 4,
-    kmeans_iters: int = 3,
+    kmeans_iters: int = 10,
     distributed: bool | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN, relationally: train centroids (deterministic —
@@ -161,7 +161,7 @@ def ann_ivf(
     cent_df = spark.createDataFrame(cent_rows, "list_id int, centroid array<double>")
 
     def nearest_lists(df: DataFrame, id_alias: str, n_keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent_df)).withColumn(
+        scored = df.crossJoin(F.broadcast(cent_df)).withColumn(  # bcast-ok: n_lists centroids
             "__sim", cosine(F.col(vec_col), F.col("centroid"))
         )
         w = Window.partitionBy(id_alias).orderBy(F.desc("__sim"), F.col("list_id"))
@@ -201,8 +201,17 @@ def _train_centroids(
     build_ivf_index). Two routes behind one signature:
 
     * small n_lists (<= 64, the local default): bounded md5-bucket
-      sample (<= max(32·n_lists, 512) rows) + seed-42 numpy Lloyd
-      iterations on the driver — plan-clean, no corpus ordering.
+      sample (<= max(32·n_lists, 512) rows) + seeded SPHERICAL
+      k-means on the driver — k-means++ init over cosine distance,
+      Lloyd steps whose centroids are renormalized to the unit sphere
+      each round, empty clusters reseeded to the worst-assigned point.
+      Spherical training matches the ASSIGNMENT metric (_nearest_lists
+      ranks by cosine): Euclidean centroids over unnormalized means
+      systematically misroute borderline vectors, which is where the
+      r9 recall plateau (0.60-0.79 @ n_probe 8-16) came from — the
+      r10 sweep (evidence/ivf_operating_point_r10.json) shows the
+      spherical++ trainer reaching recall@10 >= 0.9 at a fraction of
+      the scan. Plan-clean, no corpus ordering.
     * large n_lists (or distributed=True): MLlib KMeans with seeded
       k-means|| init over the FULL corpus — at 100 TB you want
       n_lists ~1e4-1e5, where a 32·n_lists driver sample is itself a
@@ -236,20 +245,43 @@ def _train_centroids(
     sample = ivf_training_sample(corpus_df, corpus_id, vec_col, target).collect()
     sample.sort(key=lambda r: (r["__h"], r["__id"]))
     X = np.array([r["v"] for r in sample[:target]], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    Xn = X / norms
     rng = np.random.default_rng(42)
-    cent = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    k = min(n_lists, len(Xn))
+    # k-means++ over cosine distance (1 - dot on the unit sphere)
+    cent = np.empty((k, Xn.shape[1]), dtype=np.float64)
+    cent[0] = Xn[int(rng.integers(len(Xn)))]
+    dist = np.maximum(1.0 - Xn @ cent[0], 0.0)
+    for j in range(1, k):
+        tot = dist.sum()
+        idx = (
+            int(rng.choice(len(Xn), p=dist / tot))
+            if tot > 0
+            else int(rng.integers(len(Xn)))
+        )
+        cent[j] = Xn[idx]
+        dist = np.minimum(dist, np.maximum(1.0 - Xn @ cent[j], 0.0))
     for _ in range(kmeans_iters):
-        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for j in range(len(cent)):
-            pts = X[assign == j]
+        sims = Xn @ cent.T
+        assign = sims.argmax(1)
+        best = sims.max(1)
+        for j in range(k):
+            pts = Xn[assign == j]
             if len(pts):
-                cent[j] = pts.mean(0)
+                m = pts.sum(0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[j] = m / n
+            else:
+                # reseed a dead list to the worst-served point
+                cent[j] = Xn[int(best.argmin())]
     return [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
 
 
 def _nearest_lists(df: DataFrame, cent_df: DataFrame, vec_col: str, id_alias: str, n_keep: int) -> DataFrame:
-    scored = df.crossJoin(F.broadcast(cent_df)).withColumn(
+    scored = df.crossJoin(F.broadcast(cent_df)).withColumn(  # bcast-ok: n_lists centroids
         "__sim", cosine(F.col(vec_col), F.col("centroid"))
     )
     w = Window.partitionBy(id_alias).orderBy(F.desc("__sim"), F.col("list_id"))
@@ -266,7 +298,7 @@ def build_ivf_index(
     corpus_id: str,
     vec_col: str = "embedding",
     n_lists: int = 16,
-    kmeans_iters: int = 3,
+    kmeans_iters: int = 10,
     distributed: bool | None = None,
 ) -> None:
     """Index-once half of the production IVF flow: train centroids,
@@ -319,7 +351,7 @@ def ann_ivf_indexed(
         queries_df.select(query_id, vec_col), cent_df, vec_col, query_id, n_probe
     ).select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"), "list_id")
     corpus_id = [c for c in corpus.columns if c not in (vec_col, "list_id")][0]
-    cand = corpus.join(F.broadcast(probes), "list_id").withColumn(
+    cand = corpus.join(F.broadcast(probes), "list_id").withColumn(  # bcast-ok: n_probe probe list ids
         "score", cosine(F.col(vec_col), F.col("__qv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(corpus_id))
@@ -530,7 +562,7 @@ def ann_ivf_portable(
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "__qv", F.col("list_id").cast("int").alias("list_id"))
     )
-    cand = c.join(F.broadcast(probes), "list_id").withColumn(
+    cand = c.join(F.broadcast(probes), "list_id").withColumn(  # bcast-ok: n_probe probe list ids
         "score", cosine(F.col("__qv"), F.col("__cv"))
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("corpus_id"))

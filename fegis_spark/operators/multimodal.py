@@ -254,7 +254,9 @@ def make_png(width: int, height: int, color_type: int = 2, seed: int = 0) -> byt
     out += struct.pack(">I", len(ihdr)) + chunk + struct.pack(">I", zlib.crc32(chunk))
     iend = b"IEND"
     out += struct.pack(">I", 0) + iend + struct.pack(">I", zlib.crc32(iend))
-    return out + bytes([seed % 256])  # trailing seed byte varies payload size
+    # trailing seed byte varies the VALUE only (always exactly 1 byte);
+    # payload_bytes is seed-independent for this fixture
+    return out + bytes([seed % 256])
 
 
 def parse_gif_header(data: bytes) -> dict:
@@ -387,7 +389,13 @@ def image_metadata(df: DataFrame) -> DataFrame:
     """mapInPandas metadata extraction: payload → (format, width,
     height, n_components, payload_bytes) with NO pixel decode — the
     crawl-triage projection that routes images by format/size before
-    any expensive decoding. Bytes are dropped inside the Arrow batch."""
+    any expensive decoding. Bytes are dropped inside the Arrow batch.
+
+    Junk tolerance (advisor r9): a crawl-triage router sees arbitrary
+    byte streams, so an unparseable payload must not fail the job —
+    unknown magic / truncated headers yield format='unknown' with NULL
+    dimensions and the true payload_bytes (still routable by size);
+    the strict ValueError-raising parser stays for direct callers."""
     out_schema = (
         "media_id long, format string, width int, height int, "
         "n_components int, payload_bytes long"
@@ -401,7 +409,11 @@ def image_metadata(df: DataFrame) -> DataFrame:
                 if payload is None:
                     rows.append((mid, None, None, None, None, None))
                     continue
-                fmt, w, h, nc = image_header(bytes(payload))
+                try:
+                    fmt, w, h, nc = image_header(bytes(payload))
+                except ValueError:
+                    rows.append((mid, "unknown", None, None, None, len(payload)))
+                    continue
                 rows.append((mid, fmt, w, h, nc, len(payload)))
             yield pd.DataFrame(rows, columns=cols)
 

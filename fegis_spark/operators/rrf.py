@@ -99,7 +99,7 @@ def rrf_fuse(
             (F.col(f"s.{val}") == F.col(f"c.{val}")) & (F.col("s.id") < F.col("c.id"))
         )
         return (
-            s.join(F.broadcast(c), ahead)
+            s.join(F.broadcast(c), ahead)  # bcast-ok: pooled top-(2k+rrf_k) candidate counts
             .groupBy(F.col("c.id").alias("id"))
             .agg((F.count("*") + 1).cast("bigint").alias(rank_name))
         )

@@ -129,6 +129,6 @@ def pack_greedy_sharded(
     offsets = counts.withColumn(
         "pack_base", F.coalesce(F.sum("n_packs").over(woff), F.lit(0)).cast("long")
     ).select(*key_cols, "shard", "pack_base")
-    return local.join(F.broadcast(offsets), [*key_cols, "shard"]).withColumn(
+    return local.join(F.broadcast(offsets), [*key_cols, "shard"]).withColumn(  # bcast-ok: |keys| x shards offset table
         "pack_id", F.col("pack_base") + F.col("local_pack")
     )

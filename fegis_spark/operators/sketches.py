@@ -66,12 +66,12 @@ def heavy_hitters(items: DataFrame, col: str = "t", k: int = 50) -> DataFrame:
     candidates = sketch.where(F.col("t").isNotNull()).select("t").distinct()
     total = sketch.where(F.col("t").isNull()).agg(F.sum("wt").alias("n"))
     exact = (
-        stream.join(F.broadcast(candidates), "t")
+        stream.join(F.broadcast(candidates), "t")  # bcast-ok: <=k x partitions MG candidates
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
-        exact.crossJoin(F.broadcast(total))
+        exact.crossJoin(F.broadcast(total))  # bcast-ok: 1-row agg
         .where(F.col("cnt") * k > F.col("n"))
         .select("t", "cnt")
         .orderBy(F.desc("cnt"), "t")
@@ -112,7 +112,7 @@ def cms_build(items: DataFrame, col: str = "t", d: int = CMS_D, w: int = CMS_W) 
     rows = spark.range(d).select(F.col("id").cast("int").alias("r"))
     stream = items.select(F.col(col).alias("t"))
     return (
-        stream.crossJoin(F.broadcast(rows))
+        stream.crossJoin(F.broadcast(rows))  # bcast-ok: d hash rows
         .select("r", cms_bucket(F.col("t"), F.col("r"), w).alias("bucket"))
         .groupBy("r", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
@@ -128,10 +128,10 @@ def cms_estimate(cms: DataFrame, terms: DataFrame, col: str = "t",
     spark = terms.sparkSession
     rows = spark.range(d).select(F.col("id").cast("int").alias("r"))
     probes = terms.select(F.col(col).alias("t")).crossJoin(
-        F.broadcast(rows)
+        F.broadcast(rows)  # bcast-ok: d hash rows
     ).select("t", "r", cms_bucket(F.col("t"), F.col("r"), w).alias("bucket"))
     return (
-        probes.join(F.broadcast(cms), ["r", "bucket"], "left")
+        probes.join(F.broadcast(cms), ["r", "bucket"], "left")  # bcast-ok: <=d*w sketch counters
         .groupBy("t")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est_n"))
     )

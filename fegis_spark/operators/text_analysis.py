@@ -422,7 +422,7 @@ def unigram_logprob(
     from fegis_spark.queries.sqlfrag import portable_ln
 
     nlv = (
-        vocab.crossJoin(F.broadcast(total))
+        vocab.crossJoin(F.broadcast(total))  # bcast-ok: 1-row agg
         .select(
             "t",
             (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("p"),
@@ -430,7 +430,7 @@ def unigram_logprob(
         .select("t", (-F.expr(portable_ln("p", spark=True))).alias("nl"))
     )
     if broadcast_vocab:
-        nlv = F.broadcast(nlv)
+        nlv = F.broadcast(nlv)  # bcast-ok: vocab table, caller-gated via broadcast_vocab (Heaps-sublinear; pass False at corpus scale)
     scored = tok.join(nlv, "t")
     return scored.groupBy("doc").agg(
         # decimal-exact SUM + count, not a rounded mean: sum/count can
@@ -508,7 +508,7 @@ def bigram_logprob(
         .select("b", (-F.expr(portable_ln("p", spark=True))).alias("nl"))
     )
     if broadcast_vocab:
-        nlv = F.broadcast(nlv)
+        nlv = F.broadcast(nlv)  # bcast-ok: bigram vocab, caller-gated via broadcast_vocab
     scored = bg.join(nlv, "b")
     return scored.groupBy("doc").agg(
         F.sum(F.col("nl").cast("decimal(38,6)"))
@@ -859,7 +859,7 @@ def kn_bigram_logprob(
     pred = vocab.groupBy("w2").agg(F.count("*").alias("n1w"))
     tot = vocab.agg(F.count("*").alias("n1tot"))
     if broadcast_vocab:
-        ctx, pred, tot = F.broadcast(ctx), F.broadcast(pred), F.broadcast(tot)
+        ctx, pred, tot = F.broadcast(ctx), F.broadcast(pred), F.broadcast(tot)  # bcast-ok: vocab-derived stats, caller-gated via broadcast_vocab
     # the smoothed probability is a function of the BIGRAM TYPE alone
     # (b encodes w1 and w2), so the whole KN formula collapses onto
     # the vocab table: portable_ln (sqlfrag.py — bit-identical
@@ -875,7 +875,7 @@ def kn_bigram_logprob(
         .select("b", (-F.expr(portable_ln("p", spark=True))).alias("nl"))
     )
     if broadcast_vocab:
-        nlv = F.broadcast(nlv)
+        nlv = F.broadcast(nlv)  # bcast-ok: bigram vocab, caller-gated via broadcast_vocab
     scored = bg.join(nlv, "b")
     # OUTPUT IS THE DECIMAL-EXACT SUM, NOT THE MEAN: sum/count can land
     # exactly on a .5e-6 rounding midpoint (observed once in 755k rows

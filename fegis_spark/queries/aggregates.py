@@ -516,7 +516,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = F.abs((F.col("value") - F.col("mean")) / F.col("sd"))
     return (
-        ev.join(F.broadcast(stats.filter(F.col("sd") > 0)), "event_type")
+        ev.join(F.broadcast(stats.filter(F.col("sd") > 0)), "event_type")  # bcast-ok: one row per event_type (bounded enum)
         .groupBy("event_type", F.col("n").alias("n_events"))
         .agg(F.count_if(z > 3.0).alias("n_outliers"))
     )
@@ -624,7 +624,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ctx = pairs.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("ctx_n"))
     return (
-        pairs.join(F.broadcast(ctx), "prev_type")
+        pairs.join(F.broadcast(ctx), "prev_type")  # bcast-ok: one row per event_type
         .select(
             "prev_type",
             "event_type",
@@ -988,7 +988,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("med")
     )
     dev = (
-        ev.join(F.broadcast(med), "event_type")
+        ev.join(F.broadcast(med), "event_type")  # bcast-ok: one row per event_type
         .select(
             "event_type", F.abs(F.col("value") - F.col("med")).alias("dv"), "med"
         )
@@ -998,7 +998,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(dv, 0.5)").alias("mad")
     )
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        dev.join(F.broadcast(mad), "event_type")  # bcast-ok: one row per event_type
         .groupBy("event_type")
         .agg(
             # UNROUNDED: the interpolated medians are bitwise-identical

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fegis_spark.catalog import register
-from fegis_spark.model import load_table
+from fegis_spark.model import load_table, maybe_broadcast, table_bytes
 from fegis_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -1028,13 +1028,15 @@ def dedup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     attributed = (
         src.alias("dk")
         .join(
-            F.broadcast(keep.alias("k")),
+            # duplicate-mass-proportional (one row per dropped doc) —
+            # size-gated, not assumed bounded
+            maybe_broadcast(keep.alias("k"), table_bytes(sf_dir, "documents")),
             F.col("dk.doc_id") == F.col("k.keeper"),
         )
         .select("k.dropped", F.col("dk.source").alias("src_keep"))
     )
     return (
-        F.broadcast(attributed)
+        maybe_broadcast(attributed, table_bytes(sf_dir, "documents"))
         .join(
             src.alias("dd").withColumnRenamed("source", "src_drop"),
             F.col("dropped") == F.col("dd.doc_id"),

@@ -114,7 +114,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and rides the broadcast; portable_ln (sqlfrag.py) is bit-identical
     # cross-engine, unlike native ln (1 ulp off on ~2.5% of inputs)
     lrs = (
-        counts.crossJoin(F.broadcast(tot))
+        counts.crossJoin(F.broadcast(tot))  # bcast-ok: 1-row agg
         .select(
             "bucket",
             ((F.col("tcnt") + 1.0) / (F.col("ttot") + b)).alias("pa"),
@@ -126,7 +126,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tok.join(F.broadcast(lrs), "bucket")
+        tok.join(F.broadcast(lrs), "bucket")  # bcast-ok: B-row bucket table
         .select("doc_id", "lang", "lr")
         .groupBy("doc_id", "lang")
         .agg(
@@ -184,7 +184,7 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("bucket", "base")
     win = Window.partitionBy("bucket").orderBy("k", "doc_id")
     return (
-        base.join(F.broadcast(offsets), "bucket")
+        base.join(F.broadcast(offsets), "bucket")  # bcast-ok: B-row bucket offsets
         .select(
             "doc_id",
             (F.col("base") + F.row_number().over(win)).alias("pos"),

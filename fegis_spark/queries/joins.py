@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fegis_spark.catalog import register
-from fegis_spark.model import load_table
+from fegis_spark.model import load_table, maybe_broadcast, table_bytes
 from fegis_spark.queries.aggregates import dsum
 
 
@@ -37,9 +37,12 @@ from fegis_spark.queries.aggregates import dsum
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: fact-to-fact sort-merge on orderkey, then
-    broadcast-hash for customer/nation/region (each orders of magnitude
-    below the broadcast threshold even at sf100 — dims scale slower
-    than facts). Catalyst reorders the dim filters below the joins."""
+    hash joins for customer/nation/region. nation (25 rows) and region
+    (5 rows) are schema-bounded and broadcast unconditionally; customer
+    scales WITH the corpus, so its hint is size-gated (maybe_broadcast)
+    — under the gate the plan is the same BHJ as before, over it AQE
+    picks from runtime sizes. Catalyst reorders the dim filters below
+    the joins."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     cust = load_table(spark, sf_dir, "customer")
@@ -47,10 +50,11 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(
         F.col("r_name").isin("ASIA", "EUROPE")
     )
-    dims = F.broadcast(
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("c_custkey", "n_name")
+    dims = maybe_broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)  # bcast-ok: 25 nations
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)  # bcast-ok: 5 regions
+        .select("c_custkey", "n_name"),
+        table_bytes(sf_dir, "customer"),
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -84,7 +88,10 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.col("o_orderkey")
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(
+            maybe_broadcast(cust, table_bytes(sf_dir, "customer")),
+            orders.o_custkey == cust.c_custkey,
+        )
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
         .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
@@ -561,7 +568,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(
             orders.join(
-                F.broadcast(cust.select("c_custkey")),
+                maybe_broadcast(
+                    cust.select("c_custkey"), table_bytes(sf_dir, "customer")
+                ),
                 orders.o_custkey == F.col("c_custkey"),
             ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
             li.l_orderkey == F.col("o_orderkey"),
@@ -670,8 +679,10 @@ def apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     real rows at every sf (each even key is targeted by at most its
     one odd neighbor: no conflicting ops by construction). At 100 TB:
     pre-bucket both sides by key (operators/scale.write_bucketed) and
-    the full-outer co-locates shuffle-free; delete sets are tiny ->
-    broadcast."""
+    the full-outer co-locates shuffle-free; the delete-set anti-join
+    hint is size-gated (real CDC delete batches are tiny, but THIS
+    constructed set scales with the corpus — over the gate AQE picks
+    the strategy)."""
     docs = load_table(spark, sf_dir, "documents")
     bucket3 = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -698,7 +709,11 @@ def apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
         .alias("row_status"),
     )
-    return merged.join(F.broadcast(dels), "doc_id", "left_anti")
+    return merged.join(
+        maybe_broadcast(dels, table_bytes(sf_dir, "documents")),
+        "doc_id",
+        "left_anti",
+    )
 
 
 #: shared SCD2 interval CTE chain (state-change collapse -> validity
@@ -828,11 +843,12 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers=("§2.6-joins", "§2.4-agg"),
 )
 def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: monthly promo-revenue share. The part
-    dimension broadcasts (dims scale slower than facts), lineitem
-    scans once with only 4 columns read, and the month rollup is one
-    agg shuffle; both sums ride DECIMAL(38,6) and the percentage
-    divides in double on both engines."""
+    """TPC-H Q14 shape: monthly promo-revenue share. The part side's
+    broadcast hint is size-gated (part scales with the corpus; over
+    the gate AQE picks the strategy), lineitem scans once with only 4
+    columns read, and the month rollup is one agg shuffle; both sums
+    ride DECIMAL(38,6) and the percentage divides in double on both
+    engines."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
@@ -840,7 +856,10 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(
+            maybe_broadcast(part, table_bytes(sf_dir, "part")),
+            li.l_partkey == part.p_partkey,
+        )
         .withColumn("month", F.date_trunc("month", F.col("l_shipdate").cast("timestamp")).cast("date"))
         .groupBy("month")
         .agg(
@@ -876,8 +895,10 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
     threshold, joined back to their customers. The HAVING filter runs
     on the aggregated (small) side BEFORE any join — the surviving
-    order set is tiny and broadcasts into orders, then customers
-    broadcast as a dim. The lineitem agg is the only corpus-scale
+    order set is tiny in practice but corpus-proportional in the
+    worst case, so both its hint and the customer side's are
+    size-gated (maybe_broadcast): same BHJ plan under the gate, AQE's
+    runtime choice over it. The lineitem agg is the only corpus-scale
     exchange; decimal-exact quantity sums."""
     li = load_table(spark, sf_dir, "lineitem")
     big = (
@@ -890,8 +911,14 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        orders.join(
+            maybe_broadcast(big, table_bytes(sf_dir, "orders")),
+            orders.o_orderkey == big.l_orderkey,
+        )
+        .join(
+            maybe_broadcast(cust, table_bytes(sf_dir, "customer")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
     )
 
@@ -958,18 +985,23 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FK has no parent) — the data-quality gate a warehouse runs after
     every load, and the check that certifies the join results above
     aren't silently dropping rows. Each edge is one left_anti join
-    (existence probe — the parent's payload never materializes); small
-    parents broadcast; the six 1-row results union."""
+    (existence probe — the parent's payload never materializes); the
+    parent-side broadcast hint is SIZE-GATED per parent table
+    (maybe_broadcast): schema-bounded parents (nation, region) always
+    broadcast, corpus-scaled parents (orders, part, customer) only
+    while under the gate — over it the anti-join shuffles on the key,
+    which is the correct 100 TB plan. The six 1-row results union.
+    Plan shape pinned in tests/test_plans.py."""
     parts = []
     for child, fk, parent, pk in FK_EDGES:
         c = load_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
         p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
         orphans = c.join(
-            F.broadcast(p), c.fk == p.pk, "left_anti"
+            maybe_broadcast(p, table_bytes(sf_dir, parent)), c.fk == p.pk, "left_anti"
         ).agg(F.count(F.lit(1)).alias("n_orphans"))
         total = c.agg(F.count(F.lit(1)).alias("n_child"))
         parts.append(
-            total.crossJoin(F.broadcast(orphans)).select(
+            total.crossJoin(F.broadcast(orphans)).select(  # bcast-ok: 1-row agg
                 F.lit(f"{child}.{fk}").alias("edge"), "n_child", "n_orphans"
             )
         )
@@ -1059,8 +1091,16 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
-    da = F.broadcast(deg.select(F.col("v").alias("pa"), F.col("d").alias("d_a")))
-    db = F.broadcast(deg.select(F.col("v").alias("pb"), F.col("d").alias("d_b")))
+    # degree table: one (v, d) row per distinct part in a frequent
+    # edge — bounded by |part|, which scales with the corpus, so the
+    # hint is size-gated on the part table's bytes
+    pbytes = table_bytes(sf_dir, "part")
+    da = maybe_broadcast(
+        deg.select(F.col("v").alias("pa"), F.col("d").alias("d_a")), pbytes
+    )
+    db = maybe_broadcast(
+        deg.select(F.col("v").alias("pb"), F.col("d").alias("d_b")), pbytes
+    )
     ranked = edges.join(da, "pa").join(db, "pb")
     a_lo = (F.col("d_a") < F.col("d_b")) | (
         (F.col("d_a") == F.col("d_b")) & (F.col("pa") < F.col("pb"))
@@ -1093,7 +1133,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        stats.crossJoin(F.broadcast(tri))
+        stats.crossJoin(F.broadcast(tri))  # bcast-ok: 1-row agg
         .select(
             "n_nodes",
             "n_edges",
@@ -1211,7 +1251,7 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = sym.groupBy("src").agg(F.count("*").alias("d"))
     cnt = nodes.agg(F.count("*").alias("n"))
-    pr = nodes.crossJoin(F.broadcast(cnt)).select(
+    pr = nodes.crossJoin(F.broadcast(cnt)).select(  # bcast-ok: 1-row agg
         "v", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     base, damp = float(PR_BASE), float(PR_DAMP)
@@ -1228,7 +1268,7 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pr = (
             nodes.join(contrib, "v", "left")
-            .crossJoin(F.broadcast(cnt))
+            .crossJoin(F.broadcast(cnt))  # bcast-ok: 1-row agg
             .select(
                 "v",
                 (
@@ -1321,16 +1361,21 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_item"))
     )
     tot = baskets.agg(F.count(F.lit(1)).alias("n"))
-    ia = F.broadcast(
-        ic.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    # per-part item counts — one row per distinct part, which scales
+    # with the corpus: size-gate the hint on the part table's bytes
+    pbytes = table_bytes(sf_dir, "part")
+    ia = maybe_broadcast(
+        ic.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")),
+        pbytes,
     )
-    ib = F.broadcast(
-        ic.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    ib = maybe_broadcast(
+        ic.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")),
+        pbytes,
     )
     return (
         pc.join(ia, "part_a")
         .join(ib, "part_b")
-        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot))  # bcast-ok: 1-row agg
         .select(
             "part_a",
             "part_b",

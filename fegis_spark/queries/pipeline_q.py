@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fegis_spark.catalog import register
-from fegis_spark.model import load_table
+from fegis_spark.model import load_table, maybe_broadcast, table_bytes
 from fegis_spark.queries.sqlfrag import duck_tokens
 
 #: Spark-side md5 bucket in [0, 100): deterministic, uniform-ish, and
@@ -373,6 +373,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc", F.explode("sh").alias("g")
     )
     joined = tr.alias("tr").join(
+        # bcast-ok: eval-suite gram table — a held-out benchmark is
+        # bounded by design (thousands of docs), not corpus-scaled;
+        # this synthetic stand-in samples 1/EVAL_MOD of docs only so
+        # the check fires at every sf
         F.broadcast(ev.alias("ev")), F.col("tr.g") == F.col("ev.g")
     )
     return (
@@ -426,7 +430,7 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = cells.agg(F.sum("w").cast("double").alias("total_w"))
     frac = F.col("w").cast("double") / F.col("total_w")
-    return cells.crossJoin(F.broadcast(tot)).select(
+    return cells.crossJoin(F.broadcast(tot)).select(  # bcast-ok: 1-row agg
         "lang",
         "source",
         "n_docs",
@@ -640,13 +644,13 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").alias("n_orig"))
     n_min = counts.agg(F.min("n_orig").alias("n_min"))
-    rates = counts.crossJoin(F.broadcast(n_min)).select(
+    rates = counts.crossJoin(F.broadcast(n_min)).select(  # bcast-ok: 1-row agg
         "source",
         "n_orig",
         F.sqrt(F.col("n_min").cast("double") / F.col("n_orig")).alias("rate"),
     )
     return (
-        docs.join(F.broadcast(rates), "source")
+        docs.join(F.broadcast(rates), "source")  # bcast-ok: one row per source (bounded enum)
         .groupBy("source", "n_orig", "rate")
         .agg(
             F.sum(
@@ -717,7 +721,7 @@ def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = scored.agg(
         F.percentile("q", F.lit([i / 10.0 for i in range(1, 10)])).alias("c")
     )
-    assigned = scored.crossJoin(F.broadcast(cuts)).select(
+    assigned = scored.crossJoin(F.broadcast(cuts)).select(  # bcast-ok: 1-row decile cutpoints
         "doc_id",
         "q",
         F.size(F.filter(F.col("c"), lambda x: F.col("q") > x)).alias("shard"),
@@ -834,7 +838,7 @@ def split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_test").cast("bigint").alias("n_test"),
     )
     flag = lambda c: F.sum((F.col(c) > 0).cast("int")).cast("bigint")  # noqa: E731
-    return cnt.crossJoin(F.broadcast(tot)).agg(
+    return cnt.crossJoin(F.broadcast(tot)).agg(  # bcast-ok: 1-row agg
         F.expr(_js_sum("c_train", "c_val", "n_train", "n_val", spark=True)).alias("js_train_val"),
         F.expr(_js_sum("c_train", "c_test", "n_train", "n_test", spark=True)).alias("js_train_test"),
         F.min("n_train").alias("n_tokens_train"),
@@ -1154,9 +1158,10 @@ def curation_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy; component-based keep-best is dedup_components' variant).
 
     Scale shape: two corpus-narrow shuffles (band equi-join under the
-    hot-bucket cap, pack windows over (shard, sub)), one broadcast
-    anti-join of the bounded drop set, 1-row broadcast decile
-    cutpoints, per-(shard,sub) prefix sums renumbered by a broadcast
+    hot-bucket cap, pack windows over (shard, sub)), a SIZE-GATED
+    drop-set anti-join (duplicate mass is not bounded, so the
+    broadcast hint only applies under the gate), 1-row broadcast
+    decile cutpoints, per-(shard,sub) prefix sums renumbered by a broadcast
     offset table — no global sort, no all-pairs work anywhere.
     Wall-time + plan facts: evidence/flagship_sf0.1_r7.json."""
     from pyspark import StorageLevel
@@ -1190,7 +1195,14 @@ def curation_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drops = pairs.select(F.col("b").alias("doc_id")).distinct()
     surv = (
-        kept.join(F.broadcast(drops), "doc_id", "left_anti")
+        # drop-set size is duplicate-mass-proportional, NOT bounded:
+        # size-gate the hint (under the gate: same broadcast anti-join;
+        # over it AQE picks from the drop set's real runtime size)
+        kept.join(
+            maybe_broadcast(drops, table_bytes(sf_dir, "documents")),
+            "doc_id",
+            "left_anti",
+        )
         .select("doc_id", "n_chars", "q")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1198,7 +1210,7 @@ def curation_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # curriculum shard is named cshard here because pack_greedy_sharded
     # emits its own `shard` column (the md5 sub-stream id) and would
     # clobber the key otherwise
-    assigned = surv.crossJoin(F.broadcast(cuts)).select(
+    assigned = surv.crossJoin(F.broadcast(cuts)).select(  # bcast-ok: 1-row decile cutpoints
         "doc_id",
         "n_chars",
         "q",
@@ -1275,7 +1287,7 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= SEMCONTAM_PANEL).select(
         "vec_id", F.col("embedding").alias("__cv")
     )
-    scored = corpus.crossJoin(F.broadcast(panel)).withColumn(
+    scored = corpus.crossJoin(F.broadcast(panel)).withColumn(  # bcast-ok: k-row query panel
         "s", cosine(F.col("__cv"), F.col("__pv"))
     )
     st = F.max(
@@ -1366,8 +1378,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
         .agg(F.count("*").alias("n_shared"))
     )
-    ca = F.broadcast(counts.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")))
-    cb = F.broadcast(counts.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")))
+    ca = F.broadcast(counts.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")))  # bcast-ok: one row per source
+    cb = F.broadcast(counts.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")))  # bcast-ok: one row per source
     return (
         pairs.join(ca, "src_a")
         .join(cb, "src_b")
@@ -1529,7 +1541,7 @@ def packing_vs_padding_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("pk").alias("mx"))
         .agg((F.sum(F.col("mx") + 1) * PACK_BUDGET).cast("bigint").alias("packed"))
     )
-    return pads.crossJoin(F.broadcast(packs)).select(
+    return pads.crossJoin(F.broadcast(packs)).select(  # bcast-ok: 1-row agg
         "n_docs",
         "real_chars",
         F.col("padded").alias("padded_slot_chars"),

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fegis_spark.catalog import register
-from fegis_spark.model import load_table
+from fegis_spark.model import load_table, maybe_broadcast, table_bytes
 from fegis_spark.queries.sqlfrag import (
     HOT_CAP,
     duck_hot_docs,
@@ -615,7 +615,7 @@ def quality_median_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     med = scored.groupBy("lang").agg(F.expr("percentile(q, 0.5)").alias("med"))
     return (
-        scored.join(F.broadcast(med), "lang")
+        scored.join(F.broadcast(med), "lang")  # bcast-ok: one row per lang (bounded enum)
         .groupBy("lang", "med")
         .agg(
             F.sum(F.when(F.col("q") > F.col("med"), 1).otherwise(0))
@@ -863,14 +863,18 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct term); tf·idf of identical operands is then an exact
     # IEEE multiply, so the score ships UNROUNDED (midpoint class)
     idf = (
-        df_tbl.crossJoin(F.broadcast(nd))
+        df_tbl.crossJoin(F.broadcast(nd))  # bcast-ok: 1-row agg
         .select(
             "t",
             ((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)).alias("arg"),
         )
         .select("t", (F.expr(portable_ln("arg", spark=True)) + 1.0).alias("idf"))
     )
-    scored = tf.join(F.broadcast(idf), "t").select(
+    # idf table is vocab-sized (Heaps-sublinear but unbounded):
+    # size-gate on the corpus bytes — AQE decides over the gate
+    scored = tf.join(
+        maybe_broadcast(idf, table_bytes(sf_dir, "documents")), "t"
+    ).select(
         "doc", "t", "tf", (F.col("tf") * F.col("idf")).alias("score")
     )
     w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("t"))
@@ -946,7 +950,7 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cells.groupBy("lang").agg(F.sum("n").cast("bigint").alias("lang_n"))
     # UNROUNDED exact-integer ratio (bit-identical IEEE divide); see
     # CLAUDE.md on the round(k/n, 6) midpoint class
-    return cells.join(F.broadcast(tot), "lang").select(
+    return cells.join(F.broadcast(tot), "lang").select(  # bcast-ok: one row per lang
         "lang",
         "predicted_lang",
         "n",
@@ -1425,7 +1429,7 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_counts = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     total = base.agg(F.count(F.lit(1)).alias("t"))
     entropy = (
-        lang_counts.crossJoin(F.broadcast(total))
+        lang_counts.crossJoin(F.broadcast(total))  # bcast-ok: 1-row agg
         .select((F.col("n") / F.col("t").cast("double")).alias("p"))
         .select(
             # portable_ln: bit-identical cross-engine (native ln is
@@ -1444,7 +1448,7 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(split.alias("s"))
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(total))  # bcast-ok: 1-row agg
         .select(
             F.concat(F.lit("split_"), F.col("s"), F.lit("_frac")).alias("metric"),
             (F.col("n") / F.col("t").cast("double")).alias("value"),
@@ -1630,9 +1634,9 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cells.agg(F.sum("o").alias("t"))
     e = F.col("r") * F.col("c") / F.col("t").cast("double")
     contrib = (
-        cells.join(F.broadcast(rt), "lang")
-        .join(F.broadcast(ct), "source")
-        .crossJoin(F.broadcast(tot))
+        cells.join(F.broadcast(rt), "lang")  # bcast-ok: one row per lang
+        .join(F.broadcast(ct), "source")  # bcast-ok: one row per source
+        .crossJoin(F.broadcast(tot))  # bcast-ok: 1-row agg
         .select(((F.col("o") - e) * (F.col("o") - e) / e).alias("v"))
     )
     stats = contrib.agg(
@@ -1646,7 +1650,7 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("nr") * F.col("nc")).alias("dof"))
     )
     ncells = cells.agg(F.count("*").alias("n_cells"))
-    return stats.crossJoin(F.broadcast(dof)).crossJoin(F.broadcast(ncells))
+    return stats.crossJoin(F.broadcast(dof)).crossJoin(F.broadcast(ncells))  # bcast-ok: 1-row aggs
 
 
 @register(
@@ -1710,7 +1714,7 @@ def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
     # nullif: an empty cohort (na or nb = 0) yields NULL ks_stat on
     # both engines instead of Spark's ANSI DIVIDE_BY_ZERO throw.
-    cdf = counts.crossJoin(F.broadcast(tot)).select(
+    cdf = counts.crossJoin(F.broadcast(tot)).select(  # bcast-ok: 1-row agg
         (F.sum("a").over(w) / F.nullif(F.col("na").cast("double"), F.lit(0.0)))
         .alias("fa"),
         (F.sum("b").over(w) / F.nullif(F.col("nb").cast("double"), F.lit(0.0)))
@@ -1721,13 +1725,13 @@ def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         stats.crossJoin(
-            F.broadcast(
+            F.broadcast(  # bcast-ok: 1-row agg
                 tot.select(
                     F.col("na").alias("n_en"), F.col("nb").alias("n_rest")
                 )
             )
         )
-        .crossJoin(F.broadcast(counts.agg(F.count("*").alias("n_distinct_q"))))
+        .crossJoin(F.broadcast(counts.agg(F.count("*").alias("n_distinct_q"))))  # bcast-ok: 1-row agg
     )
 
 
@@ -1779,7 +1783,7 @@ def source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, k = F.col("t"), F.col("k")
     share = F.col("n") / t.cast("double")
     return (
-        ranked.crossJoin(F.broadcast(tot))
+        ranked.crossJoin(F.broadcast(tot))  # bcast-ok: 1-row agg
         .groupBy("t", "k")
         .agg(
             F.round(
@@ -1877,7 +1881,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     m = docs.agg((F.max("doc_id") + 1).alias("m"))
     dd = (
-        docs.crossJoin(F.broadcast(m))
+        docs.crossJoin(F.broadcast(m))  # bcast-ok: 1-row agg
         .select(
             F.least(
                 F.lit(9),
@@ -2161,7 +2165,7 @@ def cms_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = cms_build(stream, "t")
     est = cms_estimate(cms, top, "t")
     return (
-        top.join(F.broadcast(est), "t")
+        top.join(F.broadcast(est), "t")  # bcast-ok: top-20 rows
         .select(
             "t",
             F.col("c").cast("bigint").alias("true_n"),
@@ -2254,7 +2258,7 @@ def vocab_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cb").cast("bigint").alias("nb"),
         F.count(F.lit(1)).alias("v"),
     )
-    scored = counts.crossJoin(F.broadcast(tot)).select(
+    scored = counts.crossJoin(F.broadcast(tot)).select(  # bcast-ok: 1-row agg
         "t",
         "ca",
         "cb",

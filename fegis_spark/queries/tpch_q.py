@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fegis_spark.catalog import register
-from fegis_spark.model import load_table
+from fegis_spark.model import load_table, maybe_broadcast, table_bytes
 from fegis_spark.queries.aggregates import dsum
 
 # Decimal-exact revenue term used identically in all oracles here.
@@ -93,8 +93,9 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by
     ship year. Both nation filters are applied on the *dim* sides
     before the fact joins, so supplier and customer arrive pre-pruned
-    to ~1/25 of their rows and broadcast; lineitem↔orders is the only
-    fact-fact join. The disjunctive pair condition runs post-join on
+    to ~1/25 of their rows; their broadcast hints are size-gated
+    (both tables scale with the corpus — over the gate AQE decides);
+    lineitem↔orders is the only fact-fact join. The disjunctive pair condition runs post-join on
     two tiny dim columns."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -103,18 +104,24 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = (
         load_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))  # bcast-ok: 25 nations
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     cust = (
         load_table(spark, sf_dir, "customer")
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))  # bcast-ok: 25 nations
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            maybe_broadcast(supp, table_bytes(sf_dir, "supplier")),
+            li.l_suppkey == supp.s_suppkey,
+        )
+        .join(
+            maybe_broadcast(cust, table_bytes(sf_dir, "customer")),
+            orders.o_custkey == cust.c_custkey,
+        )
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -158,10 +165,11 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one supplier nation's share of PROMO-part
     revenue sold into ASIA, by year. The conditional-sum-over-total
     ratio is a single grouped aggregate — no second pass. Part is
-    filtered to PROMO before joining (broadcast), customers are pruned
-    to the ASIA region through broadcast nation/region, and the
-    supplier nation arrives as a broadcast dim column the CASE
-    inspects. Decimal sums on both engines; the ratio alone is IEEE,
+    filtered to PROMO before joining, customers are pruned to the
+    ASIA region through broadcast nation/region (schema-bounded), and
+    the supplier nation arrives as a dim column the CASE inspects;
+    the part/customer/supplier hints are size-gated (corpus-scaled
+    sides — over the gate AQE decides). Decimal sums on both engines; the ratio alone is IEEE,
     rounded to 6 dp on both sides."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -170,14 +178,14 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     cust_asia = (
         load_table(spark, sf_dir, "customer")
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))  # bcast-ok: 25 nations
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))  # bcast-ok: 5 regions
         .select("c_custkey")
     )
     supp = (
         load_table(spark, sf_dir, "supplier")
         .join(
-            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.broadcast(nation.select("n_nationkey", "n_name")),  # bcast-ok: 25 nations
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
@@ -186,10 +194,19 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     dvol = vol.cast("decimal(38,6)")
     zero = F.lit(0).cast("decimal(38,6)")
     return (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(
+            maybe_broadcast(part.select("p_partkey"), table_bytes(sf_dir, "part")),
+            li.l_partkey == F.col("p_partkey"),
+        )
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_asia), orders.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            maybe_broadcast(cust_asia, table_bytes(sf_dir, "customer")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            maybe_broadcast(supp, table_bytes(sf_dir, "supplier")),
+            li.l_suppkey == supp.s_suppkey,
+        )
         .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
         .agg(
             F.round(
@@ -238,10 +255,11 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    dims = F.broadcast(
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+    dims = maybe_broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(  # bcast-ok: 25 nations
             "c_custkey", "c_name", F.col("n_name").alias("nation")
-        )
+        ),
+        table_bytes(sf_dir, "customer"),
     )
     return (
         li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
@@ -336,7 +354,10 @@ def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            maybe_broadcast(part, table_bytes(sf_dir, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
         .select("l_partkey", "l_quantity", "l_extendedprice")
     )
     thresholds = li.groupBy("l_partkey").agg(
@@ -344,7 +365,11 @@ def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+            # one row per brand-filtered partkey — corpus-scaled, gated
+            maybe_broadcast(
+                thresholds.withColumnRenamed("l_partkey", "t_partkey"),
+                table_bytes(sf_dir, "part"),
+            ),
             F.col("l_partkey") == F.col("t_partkey"),
         )
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
@@ -389,7 +414,10 @@ def disjunctive_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("l_quantity").between(20, 30)
     )
     joined = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        maybe_broadcast(
+            part.select("p_partkey", "p_brand", "p_size"),
+            table_bytes(sf_dir, "part"),
+        ),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     cond = (
@@ -439,7 +467,7 @@ def idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     return (
-        cust.crossJoin(F.broadcast(avg_bal))
+        cust.crossJoin(F.broadcast(avg_bal))  # bcast-ok: 1-row agg
         .filter(F.col("c_acctbal") > F.col("v"))
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("nationkey"))

@@ -488,7 +488,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = pool.select(F.col("vec_id").alias("a_id"), "rel", F.col("embedding").alias("ea"))
     b = pool.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
     sims = (
-        a.crossJoin(F.broadcast(b))
+        a.crossJoin(F.broadcast(b))  # bcast-ok: MMR_POOL-row candidate pool
         .where(F.col("a_id") != F.col("b_id"))
         .select("a_id", "rel", "b_id", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"))
     )
@@ -554,7 +554,7 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("__qv"),
     )
     scored = (
-        emb.crossJoin(F.broadcast(anchors))
+        emb.crossJoin(F.broadcast(anchors))  # bcast-ok: HARDNEG_QUERIES-row anchor panel
         .where(F.col("label") != F.col("anchor_label"))
         .select(
             "anchor_id",
@@ -889,14 +889,14 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("__score"), F.col("corpus_id")
     )
     truth = (
-        corp.crossJoin(F.broadcast(panel.select("query_id", "__qv")))
+        corp.crossJoin(F.broadcast(panel.select("query_id", "__qv")))  # bcast-ok: k-row query panel
         .filter(F.col("corpus_id") != F.col("query_id"))
         .withColumn("__score", cosine(F.col("__cv"), F.col("__qv")))
         .withColumn("rank", F.row_number().over(wt))
         .filter(F.col("rank") <= ANN_CURVE_K)
         .select("query_id", "corpus_id", "list_id")
     )
-    hits = truth.join(F.broadcast(pr), ["query_id", "list_id"])
+    hits = truth.join(F.broadcast(pr), ["query_id", "list_id"])  # bcast-ok: panel x n_lists probe ranks
     ladder = F.explode(
         F.array(*[F.lit(p) for p in ANN_CURVE_PROBES])
     ).alias("n_probe")
@@ -1052,7 +1052,7 @@ def label_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         a="CAST(embedding AS ARRAY<DOUBLE>)", b="c"
     ) + ")"
     intra = (
-        emb.join(F.broadcast(cent.select("label", "c")), "label")
+        emb.join(F.broadcast(cent.select("label", "c")), "label")  # bcast-ok: one row per label (bounded enum)
         .select("label", F.expr(d_vec).alias("dist"))
         .groupBy("label")
         .agg(
@@ -1062,7 +1062,7 @@ def label_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("intra_qsum"),
         )
     )
-    return intra.join(F.broadcast(nearest), "label").select(
+    return intra.join(F.broadcast(nearest), "label").select(  # bcast-ok: one row per label
         "label",
         "n",
         "intra_qsum",

@@ -118,6 +118,8 @@ def apply_cdc_batch(
         merged = j.select(key_col, winner.alias("_w")).select(
             key_col, *[F.col(f"_w.{c}").alias(c) for c in others]
         )
+    # bcast-ok: CDC delete set — bounded by the arriving change
+    # batch (micro-batch contract), not the accumulated corpus
     return merged.join(F.broadcast(dels), key_col, "left_anti")
 
 

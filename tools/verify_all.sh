@@ -29,6 +29,9 @@ python tools/oracle_lint.py 2>/dev/null
 # Spark-dtype vs DuckDB-bound-type class matrix (the r7 driver FAIL
 # class: HUGEINT/DECIMAL oracle outputs vs Spark BIGINT/DOUBLE)
 python tools/type_audit.py 2>/dev/null | tail -1
+# every raw F.broadcast must name its structural bound; corpus-scaled
+# sides must use the size-gated maybe_broadcast (r9 verdict #1)
+python tools/broadcast_audit.py
 
 echo "== 6/7 coverage + plan reports =="
 python tools/coverage_report.py 2>/dev/null
