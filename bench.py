@@ -106,6 +106,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        # estimator provenance (advisor r9): r1-r8 BENCH files are
+        # median-of-3 without a priming pass; r9+ are min-of-3 after
+        # priming, which is one-sidedly flatter — delta reports across
+        # the estimator change should annotate or skip the comparison
+        "estimator": "min3_primed",
         "capped_queries": times2,
         "capped_total_sec": round(sum(times2.values()), 4),
     }
@@ -118,6 +123,7 @@ def main() -> None:
             if d["queries"].get(q)
         }
         out["baseline_file"] = name
+        out["baseline_estimator"] = d.get("estimator", "median3_unprimed")
         out["delta_vs_baseline"] = deltas
         prior2 = d.get("capped_queries") or {}
         if prior2:

@@ -377,6 +377,8 @@ class TestJpegHeader:
             (0, "image", make_ppm(16, 12), None),
             (1, "image", make_jpeg(640, 480), None),
             (2, "image", None, None),  # null payload passes through
+            (3, "image", b"\x00junk not an image", None),  # junk tolerated
+            (4, "image", b"\xff\xd8\xff", None),  # truncated JPEG tolerated
         ]
         df = spark.createDataFrame(rows, MEDIA_SCHEMA)
         got = {r["media_id"]: r.asDict() for r in image_metadata(df).collect()}
@@ -384,6 +386,11 @@ class TestJpegHeader:
         assert got[1]["format"] == "jpeg" and got[1]["width"] == 640
         assert got[1]["payload_bytes"] == len(make_jpeg(640, 480))
         assert got[2]["format"] is None and got[2]["width"] is None
+        # advisor r9: one junk payload must not fail the triage job —
+        # it routes as format='unknown' with its true byte size
+        assert got[3]["format"] == "unknown" and got[3]["width"] is None
+        assert got[3]["payload_bytes"] == len(b"\x00junk not an image")
+        assert got[4]["format"] == "unknown" and got[4]["payload_bytes"] == 3
 
 
 class TestPngGifHeaders:

@@ -32,6 +32,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from fegis_spark.session import configure_for_oracle, get_spark  # noqa: E402
+from fegis_spark.operators.bm25 import clear_memos
 
 SF_DIR = "/root/testdata/sf0.1"
 
@@ -50,7 +51,7 @@ def probe_knn(runs: int = 7) -> dict:
     e.builder(spark, SF_DIR).collect()  # warm page cache + JVM
     times = []
     for _ in range(runs):
-        spark.catalog.clearCache()
+        spark.catalog.clearCache(); clear_memos()
         times.append(_timed(e.builder(spark, SF_DIR)))
     return {
         "query": "knn_top100",
@@ -90,11 +91,11 @@ def probe_bm25(runs: int = 5) -> dict:
         try:
             for q in ("rrf_hybrid_bm25", "bm25_topk"):
                 e = catalog()[q]
-                spark.catalog.clearCache()
+                spark.catalog.clearCache(); clear_memos()
                 e.builder(spark, SF_DIR).collect()  # warm
                 times = []
                 for _ in range(runs):
-                    spark.catalog.clearCache()
+                    spark.catalog.clearCache(); clear_memos()
                     times.append(_timed(e.builder(spark, SF_DIR)))
                 out["variants"].setdefault(variant, {})[q] = {
                     "runs": times,

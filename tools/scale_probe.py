@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from fegis_spark.model import load_table  # noqa: E402
+from fegis_spark.operators.bm25 import clear_memos
 from fegis_spark.session import configure_for_oracle, get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -281,7 +282,7 @@ def time_all(spark, sf_dir: str) -> dict[str, float]:
     names = list(probes(spark, sf_dir))
     for df in probes(spark, sf_dir).values():
         df.write.format("noop").mode("overwrite").save()  # warm: codegen+JIT
-    spark.catalog.clearCache()  # operators persist intermediates
+    spark.catalog.clearCache(); clear_memos()  # operators persist intermediates
     out = {}
     for name in names:
         # best-of-2: single measurements occasionally catch a GC pause
@@ -296,7 +297,7 @@ def time_all(spark, sf_dir: str) -> dict[str, float]:
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-            spark.catalog.clearCache()
+            spark.catalog.clearCache(); clear_memos()
         out[name] = round(best, 3)
     return out
 
@@ -327,7 +328,7 @@ def ivf_ab(spark, factor: int = 16) -> dict:
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-            spark.catalog.clearCache()
+            spark.catalog.clearCache(); clear_memos()
         return round(best, 3)
 
     with tempfile.TemporaryDirectory(prefix="ivf_ab_") as tmp:
@@ -342,7 +343,7 @@ def ivf_ab(spark, factor: int = 16) -> dict:
             t0 = time.time()
             build_ivf_index(emb, f"{d}/ivf", "vec_id", n_lists=64, kmeans_iters=2)
             build_s = round(time.time() - t0, 3)
-            spark.catalog.clearCache()
+            spark.catalog.clearCache(); clear_memos()
 
             def exact_df():
                 return knn_join(
@@ -358,7 +359,7 @@ def ivf_ab(spark, factor: int = 16) -> dict:
             # warm once (codegen/JIT), then best-of-2 fresh plans
             exact_df().write.format("noop").mode("overwrite").save()
             ivf_df(8).write.format("noop").mode("overwrite").save()
-            spark.catalog.clearCache()
+            spark.catalog.clearCache(); clear_memos()
             t_exact = timed_best2(exact_df)
             truth = {(r.query_id, r.corpus_id) for r in exact_df().collect()}
             leg_out = {
@@ -377,7 +378,7 @@ def ivf_ab(spark, factor: int = 16) -> dict:
                     "recall_at_3": round(len(truth & got) / len(truth), 4),
                 }
             out["legs"][leg] = leg_out
-            spark.catalog.clearCache()
+            spark.catalog.clearCache(); clear_memos()
     x1, xn = out["legs"]["x1"], out["legs"][f"x{factor}"]
     out["exact_scale_ratio"] = round(xn["exact_s"] / x1["exact_s"], 2)
     out["ivf_scale_ratio_np8"] = round(
