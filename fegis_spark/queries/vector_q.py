@@ -777,6 +777,13 @@ def ann_ivf_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_CURVE_PROBES = (1, 2, 4, 8, 16)
 ANN_CURVE_K = 10
 ANN_CURVE_PANEL = 8
+#: the scan fraction of the r10 DEMONSTRATED >=0.9-recall operating
+#: point for the trained IVF index (n_lists=128, n_probe=64 -> 50%
+#: scan, recall@10 = 0.956 at 2.35x over brute force at 64x data;
+#: evidence/ivf_operating_point_r10.json). The curve marks its own
+#: 50%-scan rung so the oracle pins the flag cross-engine.
+ANN_CURVE_OP_SCAN_NUM = 1  # scan = num/den of n_lists
+ANN_CURVE_OP_SCAN_DEN = 2
 
 
 def _ann_curve_oracle() -> str:
@@ -826,7 +833,9 @@ def _ann_curve_oracle() -> str:
              AS hits,
            round(SUM(CASE WHEN probe_rank <= n_probe THEN 1 ELSE 0 END)
                  / {denom}.0, 6) AS recall,
-           round(n_probe / {IVFP_LISTS}.0, 6) AS scan_frac
+           round(n_probe / {IVFP_LISTS}.0, 6) AS scan_frac,
+           (n_probe * {ANN_CURVE_OP_SCAN_DEN} = {IVFP_LISTS} * {ANN_CURVE_OP_SCAN_NUM})
+             AS r10_operating_point
     FROM hits CROSS JOIN (VALUES {probes_values}) AS pv(n_probe)
     GROUP BY n_probe
     """
@@ -844,6 +853,13 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     point (n_probe/n_lists IS the fraction of the corpus scanned, so
     the curve prices recall in scan I/O directly). The full-scan row
     (n_probe = n_lists) must read recall 1.0, anchoring the plumbing.
+    The r10_operating_point flag marks the 50%-scan rung — the scan
+    fraction where the TRAINED spherical-k-means index demonstrably
+    clears recall@10 >= 0.9 while beating brute force 2.35x at 64x
+    data (n_lists=128, n_probe=64, kmeans_iters=10;
+    evidence/ivf_operating_point_r10.json). On production text
+    embeddings (strong cluster structure, unlike this weakly-clustered
+    synthetic corpus) the same machinery reaches 0.9 at 1-10% scan.
 
     Key identity making this one cheap query instead of
     len(probe-ladder) re-runs: with exact re-ranking, a true top-k
@@ -916,6 +932,10 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_probe") / F.lit(float(IVFP_LISTS)), 6).alias(
                 "scan_frac"
             ),
+            (
+                F.col("n_probe") * ANN_CURVE_OP_SCAN_DEN
+                == F.lit(IVFP_LISTS * ANN_CURVE_OP_SCAN_NUM)
+            ).alias("r10_operating_point"),
         )
     )
 
