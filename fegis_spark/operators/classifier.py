@@ -336,7 +336,7 @@ def perceptron_hard_examples(
     top = scored.orderBy("abs_s", "doc_id").limit(k)
     from pyspark.sql import Window
 
-    wr = Window.orderBy("abs_s", "doc_id")  # k-row window, not corpus
+    wr = Window.orderBy("abs_s", "doc_id")  # window-ok: k-row top-k slice, not corpus
     return (
         top.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .select("doc_id", "y", "score_micro", "rank")

@@ -837,7 +837,7 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("d").alias("day"))
     )
     daily = first.groupBy("day").agg(F.count("*").alias("new_users"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)  # window-ok: one row per day (bounded date range)
     return daily.select(
         "day", "new_users", F.sum("new_users").over(w).cast("bigint").alias("cum_users")
     )

@@ -178,7 +178,7 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).withColumn("bucket", F.substring("k", 1, 2))
     counts = base.groupBy("bucket").agg(F.count("*").alias("n"))
-    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)  # window-ok: B-row bucket table
     offsets = counts.withColumn(
         "base", F.coalesce(F.sum("n").over(woff), F.lit(0)).cast("long")
     ).select("bucket", "base")

@@ -1711,7 +1711,7 @@ def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = counts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
-    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)  # window-ok: distinct-quantile table (derived, bounded)
     # nullif: an empty cohort (na or nb = 0) yields NULL ks_stat on
     # both engines instead of Spark's ANSI DIVIDE_BY_ZERO throw.
     cdf = counts.crossJoin(F.broadcast(tot)).select(  # bcast-ok: 1-row agg
@@ -1778,7 +1778,7 @@ def source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = s.agg(F.sum("n").alias("t"), F.count("*").alias("k"))
     ranked = s.select(
-        "n", F.row_number().over(Window.orderBy("n", "source")).alias("i")
+        "n", F.row_number().over(Window.orderBy("n", "source")).alias("i")  # window-ok: one row per source (bounded enum)
     )
     t, k = F.col("t"), F.col("k")
     share = F.col("n") / t.cast("double")
@@ -1900,7 +1900,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("decile").alias("decile"))
     )
     newt = firsts.groupBy("decile").agg(F.count("*").alias("new_types"))
-    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)  # window-ok: 10-row decile table
     joined = tokc.join(newt, "decile", "left").select(
         "decile",
         "new_tokens",

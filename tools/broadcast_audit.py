@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Broadcast-hint audit (the r9 verdict's "What's wrong #1", mechanized).
+"""Broadcast-hint + global-window audit (r9 verdict #1/#3, mechanized).
 
 An explicit ``F.broadcast()`` hint takes PRECEDENCE over AQE's size
 logic: Spark attempts the broadcast regardless of runtime statistics
@@ -19,6 +19,13 @@ repo invariant (SCALE.md "Broadcast discipline"):
     applies the hint only under BROADCAST_GATE_BYTES and otherwise
     leaves the strategy to AQE.
 
+It also audits the other unbounded-plan hazard class: a GLOBAL window
+(``Window.orderBy(`` with no partitionBy) funnels its whole input
+through ONE task. Every such site must be over a bounded DERIVED table
+(deciles, buckets, days, top-k slices) and must say so with a
+``# window-ok: <bound>`` marker; a corpus-scaled input reaching one
+would be a single-task bottleneck at 100 TB.
+
 Like oracle_lint, this is a static text scan: it cannot prove the
 marker's claim, but it guarantees every hint site states its bound for
 review, and any new unmarked hint fails CI. Exit 1 on findings.
@@ -35,14 +42,16 @@ PKG = ROOT / "fegis_spark"
 
 CALL = re.compile(r"F\.broadcast\(")
 MARKER = re.compile(r"#\s*bcast-ok:\s*\S")
+GLOBAL_WINDOW = re.compile(r"\bWindow\.orderBy\(")
+WINDOW_MARKER = re.compile(r"#\s*window-ok:\s*\S")
 #: how far above a contiguous comment block may start
 MAX_COMMENT_BLOCK = 8
 
 
-def site_is_marked(lines: list[str], i: int) -> bool:
+def site_is_marked(lines: list[str], i: int, marker: re.Pattern = MARKER) -> bool:
     """Marker on the call line, or in the contiguous comment block
     directly above it (comment-only lines, no blank/code gaps)."""
-    if MARKER.search(lines[i]):
+    if marker.search(lines[i]):
         return True
     j = i - 1
     steps = 0
@@ -50,7 +59,7 @@ def site_is_marked(lines: list[str], i: int) -> bool:
         stripped = lines[j].strip()
         if not stripped.startswith("#"):
             return False
-        if MARKER.search(lines[j]):
+        if marker.search(lines[j]):
             return True
         j -= 1
         steps += 1
@@ -59,7 +68,7 @@ def site_is_marked(lines: list[str], i: int) -> bool:
 
 def audit() -> int:
     findings: list[str] = []
-    n_raw = n_gated = 0
+    n_raw = n_gated = n_windows = 0
     for path in sorted(PKG.rglob("*.py")):
         lines = path.read_text().splitlines()
         for i, line in enumerate(lines):
@@ -75,14 +84,24 @@ def audit() -> int:
                         f"structural bound, or use model.maybe_broadcast for "
                         f"a corpus-proportional side\n    {line.strip()}"
                     )
+            for _ in GLOBAL_WINDOW.finditer(line):
+                n_windows += 1
+                if not site_is_marked(lines, i, WINDOW_MARKER):
+                    findings.append(
+                        f"{path.relative_to(ROOT)}:{i + 1}: global window "
+                        f"(Window.orderBy with no partitionBy) without a "
+                        f"'# window-ok: <bound>' marker — the windowed input "
+                        f"must be a bounded derived table, and the site must "
+                        f"name the bound\n    {line.strip()}"
+                    )
     # docstring/comment mentions of F.broadcast( inside strings are rare
     # and harmless; the scan is per-line source text like oracle_lint.
     for f in findings:
         print(f)
     print(
-        f"broadcast_audit: {n_raw} raw hint sites "
-        f"({n_raw - len(findings)} marked), {n_gated} size-gated "
-        f"maybe_broadcast sites, {len(findings)} findings"
+        f"broadcast_audit: {n_raw} raw hint sites, {n_gated} size-gated "
+        f"maybe_broadcast sites, {n_windows} global-window sites, "
+        f"{len(findings)} findings"
     )
     return 1 if findings else 0
 

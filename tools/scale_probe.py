@@ -114,8 +114,10 @@ def replicate(spark, out_dir: str, factor: int, perturb: bool = True) -> None:
     )
 
 
-def probes(spark, sf_dir: str) -> dict:
-    """Heavy operators with non-trivial shuffle structure."""
+def probes(spark, sf_dir: str, only: set | None = None) -> dict:
+    """Heavy operators with non-trivial shuffle structure. `only`
+    restricts to a subset WITHOUT building the rest (some probe
+    builders run bounded driver jobs — bm25 stats — at build time)."""
     from fegis_spark.operators.bm25 import bm25_topk
     from fegis_spark.operators.dedup import (
         banded_candidate_pairs,
@@ -134,31 +136,31 @@ def probes(spark, sf_dir: str) -> dict:
     sh = with_shingles(docs, "text", "doc_id")
     ex = sh.select("doc", F.explode("sh").alias("g"))
     freq = ex.groupBy("g").agg(F.count("*").alias("n_docs"))
-    return {
-        "novelty_gram_join": ex.join(freq, "g")
+    thunks = {
+        "novelty_gram_join": lambda: ex.join(freq, "g")
         .groupBy("doc")
         .agg(F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).alias("u"))
         .agg(F.count("*").alias("n")),
-        "curation_scan": docs.select(
+        "curation_scan": lambda: docs.select(
             F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h")
         )
         .groupBy("h")
         .agg(F.count("*").alias("n"))
         .agg(F.count("*").alias("distinct_hashes")),
-        "dedup_exact": exact_dedup(docs, "text", "doc_id")
+        "dedup_exact": lambda: exact_dedup(docs, "text", "doc_id")
         .agg(F.count("*").alias("n")),
-        "dedup_minhash_lsh": minhash_lsh_pairs(docs, "text", "doc_id")
+        "dedup_minhash_lsh": lambda: minhash_lsh_pairs(docs, "text", "doc_id")
         .agg(F.count("*").alias("n")),
-        "bm25_topk": bm25_topk(docs, "text", "doc_id", ["data", "model"], k=10),
-        "unigram_logprob": unigram_logprob(docs).agg(
+        "bm25_topk": lambda: bm25_topk(docs, "text", "doc_id", ["data", "model"], k=10),
+        "unigram_logprob": lambda: unigram_logprob(docs).agg(
             F.count("*").alias("n")
         ),
-        "substring_spans": _substring_spans_probe(spark, sf_dir),
+        "substring_spans": lambda: _substring_spans_probe(spark, sf_dir),
         # worst-case LSH banding: EVERY doc lands in one bucket. With the
         # representative cap the candidate output is n-1 star pairs, so
         # wall time must scale ~linearly with the corpus (uncapped this
         # would be n²/2 pairs and superlinear by construction).
-        "lsh_hot_bucket_capped": banded_candidate_pairs(
+        "lsh_hot_bucket_capped": lambda: banded_candidate_pairs(
             docs.select(
                 F.col("doc_id").alias("doc"),
                 F.lit(0).alias("band"),
@@ -169,31 +171,34 @@ def probes(spark, sf_dir: str) -> dict:
         # incremental near-dup: corpus-band × batch-band join only —
         # cost must scale with the batch+corpus scans, never with
         # within-side pair counts
-        "minhash_incremental": _minhash_incremental_probe(docs),
+        "minhash_incremental": lambda: _minhash_incremental_probe(docs),
         # winnowing match join: pairs only from shared-fingerprint
         # buckets; perturbed copies have disjoint vocabularies, so the
         # match rate stays at base level and wall time must track the
         # fingerprint scan, not pair count
-        "winnow_match_pairs": _winnow_probe(docs),
+        "winnow_match_pairs": lambda: _winnow_probe(docs),
         # SRP band blocking: sign-flipped embedding copies keep the
         # band-collision rate constant; candidate join + popcount agg
         # must scale with the code table
-        "srp_blocked_hamming": _srp_probe(spark, sf_dir),
+        "srp_blocked_hamming": lambda: _srp_probe(spark, sf_dir),
         # cross-source overlap: distinct-collapse then gram self-join
         # with per-key fan-out bounded by |sources| — perturbed copies
         # add disjoint grams, so join output stays ~linear in corpus
-        "source_overlap": _source_overlap_probe(spark, sf_dir),
+        "source_overlap": lambda: _source_overlap_probe(spark, sf_dir),
         # vocab growth: first-seen decomposition — the only corpus-
         # sized shuffles are the token-mass agg and the vocab-sized
         # MIN(decile) agg; must track the token stream
-        "vocab_growth": _vocab_growth_probe(spark, sf_dir),
+        "vocab_growth": lambda: _vocab_growth_probe(spark, sf_dir),
         # label separation: 64x explode to |labels|x|dims| cells +
         # broadcast centroid join-back; two linear corpus passes
-        "label_separation": _label_sep_probe(spark, sf_dir),
+        "label_separation": lambda: _label_sep_probe(spark, sf_dir),
         # Count-Min Sketch build: token stream fans out x4 map-side
         # but partial agg caps the shuffle at partitions*d*w rows —
         # wall must track the token scan, never the fan-out
-        "cms_build": _cms_probe(docs),
+        "cms_build": lambda: _cms_probe(docs),
+    }
+    return {
+        name: t() for name, t in thunks.items() if only is None or name in only
     }
 
 
@@ -271,7 +276,7 @@ def _substring_spans_probe(spark, sf_dir: str):
     )
 
 
-def time_all(spark, sf_dir: str) -> dict[str, float]:
+def time_all(spark, sf_dir: str, only: set | None = None) -> dict[str, float]:
     """Warm every probe once (codegen + JIT + page cache), then time a
     FRESH plan per probe from a cold executor cache. The timed plan is
     rebuilt immediately before ITS timing: clearCache() de-registers
@@ -279,8 +284,8 @@ def time_all(spark, sf_dir: str) -> dict[str, float]:
     InMemoryRelation was de-registered recomputes the whole upstream
     subtree per consumer — measured 10-25× inflation on
     winnow_match_pairs (3-consumer persist) before this fix."""
-    names = list(probes(spark, sf_dir))
-    for df in probes(spark, sf_dir).values():
+    names = list(probes(spark, sf_dir, only))
+    for df in probes(spark, sf_dir, only).values():
         df.write.format("noop").mode("overwrite").save()  # warm: codegen+JIT
     spark.catalog.clearCache(); clear_memos()  # operators persist intermediates
     out = {}
@@ -292,7 +297,7 @@ def time_all(spark, sf_dir: str) -> dict[str, float]:
         # wall-noise floor and what the committed ratios report
         best = None
         for _ in range(2):
-            df = probes(spark, sf_dir)[name]  # fresh persist registration
+            df = probes(spark, sf_dir, only)[name]  # fresh persist registration
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
@@ -394,7 +399,13 @@ def main() -> None:
         spark = configure_for_oracle(get_spark("scale_probe"))
         print(json.dumps(ivf_ab(spark, factor)))
         return
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = [a for a in sys.argv[1:]]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    factor = int(args[0]) if args else 8
     spark = configure_for_oracle(get_spark("scale_probe"))
     with tempfile.TemporaryDirectory(prefix="scale_probe_") as tmp:
         # the 1× leg goes through the SAME replicate writer (factor=1)
@@ -405,8 +416,8 @@ def main() -> None:
         repl = f"{tmp}/xN"
         replicate(spark, base, 1)
         replicate(spark, repl, factor)
-        t1 = time_all(spark, base)
-        tn = time_all(spark, repl)
+        t1 = time_all(spark, base, only)
+        tn = time_all(spark, repl, only)
         report = {
             "factor": factor,
             "queries": {

@@ -29,8 +29,9 @@ python tools/oracle_lint.py 2>/dev/null
 # Spark-dtype vs DuckDB-bound-type class matrix (the r7 driver FAIL
 # class: HUGEINT/DECIMAL oracle outputs vs Spark BIGINT/DOUBLE)
 python tools/type_audit.py 2>/dev/null | tail -1
-# every raw F.broadcast must name its structural bound; corpus-scaled
-# sides must use the size-gated maybe_broadcast (r9 verdict #1)
+# every raw F.broadcast must name its structural bound (corpus-scaled
+# sides use the size-gated maybe_broadcast), and every global
+# Window.orderBy must name its bounded derived input (r9 verdict #1/#3)
 python tools/broadcast_audit.py
 
 echo "== 6/7 coverage + plan reports =="
