@@ -223,8 +223,8 @@ def make_jpeg(
 def parse_png_header(data: bytes) -> dict:
     """Dependency-free PNG metadata: the IHDR chunk is mandatory-first
     (PNG spec 11.2.2), so width/height/bit depth/color type sit at a
-    fixed offset after the 8-byte signature. Header parse only — IDAT
-    is zlib-compressed and pixel decode stays env-blocked."""
+    fixed offset after the 8-byte signature. Pixel decode for 8-bit
+    gray/truecolor lives in decode_png (r10 — zlib is stdlib)."""
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload (bad signature)")
     if len(data) < 29 or data[12:16] != b"IHDR":
@@ -242,20 +242,136 @@ def parse_png_header(data: bytes) -> dict:
     }
 
 
-def make_png(width: int, height: int, color_type: int = 2, seed: int = 0) -> bytes:
-    """Deterministic header-valid PNG fixture: signature + IHDR +
-    minimal IEND. Metadata-parseable; carries no IDAT (no zlib here)."""
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
     import struct
     import zlib
 
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Real, dependency-free PNG encode (r9 verdict #4 — zlib is
+    stdlib): uint8 (h, w) grayscale → color type 0, uint8 (h, w, 3)
+    RGB → color type 2; 8-bit depth, no interlace, every scanline
+    filter type 0 (None). decode_png inverts it exactly."""
+    import struct
+    import zlib
+
+    gray = arr.ndim == 2
+    h, w = arr.shape[0], arr.shape[1]
+    ihdr = struct.pack(">II", w, h) + bytes([8, 0 if gray else 2, 0, 0, 0])
+    raster = arr.astype(np.uint8).reshape(h, -1)
+    raw = b"".join(b"\x00" + raster[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Real, dependency-free PNG pixel decode (r9 verdict #4):
+    8-bit grayscale (color 0) and truecolor (color 2), no interlace —
+    chunk walk → IDAT concat → zlib inflate → per-scanline unfilter
+    (all five PNG filter types: None/Sub/Up/Average/Paeth, spec 9.2).
+    Returns uint8 (h, w) for grayscale, (h, w, 3) for RGB. Palette /
+    alpha / 16-bit / Adam7 stay ValueError SWAP POINTs — rejected
+    loudly rather than decoded wrong."""
+    import zlib
+
+    hdr = parse_png_header(data)
+    if data[26] != 0 or data[27] != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if data[28] != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if hdr["bit_depth"] != 8 or data[25] not in (0, 2):
+        raise ValueError(
+            "only 8-bit grayscale/truecolor PNG decode supported "
+            f"(color type {data[25]}, bit depth {hdr['bit_depth']})"
+        )
+    w, h, ch = hdr["width"], hdr["height"], hdr["n_components"]
+    # chunk walk: length(4) type(4) body crc(4), starting past signature
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IEND":
+            break
+    if not idat:
+        raise ValueError("PNG has no IDAT chunk (header-only payload)")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch after inflate")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left recon
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0  # left
+                b = int(prev[x])  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
+def make_png(width: int, height: int, color_type: int = 2, seed: int = 0) -> bytes:
+    """Deterministic PNG fixture. Color types 0 (grayscale) and 2
+    (RGB) carry a REAL zlib IDAT raster (the same gradient family as
+    make_ppm/make_bmp — decode_png roundtrips them; r9 verdict #4);
+    palette (3) and RGBA (6) stay header-only metadata fixtures
+    (signature + IHDR + IEND + one trailing seed byte whose VALUE
+    varies with seed — size does not), since only gray/truecolor have
+    encoders."""
+    import struct
+    import zlib
+
+    y, x = np.mgrid[0:height, 0:width]
+    if color_type == 0:
+        return encode_png(((x * 7 + y * 11 + seed) % 256).astype(np.uint8))
+    if color_type == 2:
+        rgb = np.stack(
+            [(x * 7 + seed) % 256, (y * 11 + seed) % 256, (x + y + seed) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        return encode_png(rgb)
     ihdr = struct.pack(">II", width, height) + bytes([8, color_type, 0, 0, 0])
     chunk = b"IHDR" + ihdr
     out = b"\x89PNG\r\n\x1a\n"
     out += struct.pack(">I", len(ihdr)) + chunk + struct.pack(">I", zlib.crc32(chunk))
     iend = b"IEND"
     out += struct.pack(">I", 0) + iend + struct.pack(">I", zlib.crc32(iend))
-    # trailing seed byte varies the VALUE only (always exactly 1 byte);
-    # payload_bytes is seed-independent for this fixture
     return out + bytes([seed % 256])
 
 
@@ -302,9 +418,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 @dataclass
 class Codec:
-    """Isolates the non-Spark decode dependency. PPM + 24-bit BMP images
-    and PCM WAV audio decode for real (pure numpy/stdlib —
-    decode_ppm/decode_bmp/decode_wav);
+    """Isolates the non-Spark decode dependency. PPM/PGM, 24-bit BMP
+    and 8-bit gray/RGB PNG images and PCM WAV audio decode for real
+    (pure numpy/stdlib — decode_ppm/decode_pgm/decode_bmp/decode_png/
+    decode_wav);
     `fake=True` additionally gives a deterministic stand-in
     (hash-derived pixels/samples) for other formats so the whole
     distributed pipeline is testable in this container."""
@@ -319,6 +436,11 @@ class Codec:
             return np.stack([gray] * 3, axis=-1)  # uniform (h, w, 3)
         if (payload or b"")[:2] == b"BM":
             return decode_bmp(payload)
+        if (payload or b"")[:4] == b"\x89PNG":
+            img = decode_png(payload)
+            if img.ndim == 2:
+                return np.stack([img] * 3, axis=-1)  # uniform (h, w, 3)
+            return img
         if self.fake:
             h = hashlib.sha256(payload or b"").digest()
             side = 8
@@ -326,7 +448,9 @@ class Codec:
                                 dtype=np.uint8)
             return arr.reshape(side, side, 3)
         # SWAP POINT: real implementation = PIL.Image.open(BytesIO(payload))
-        raise NotImplementedError("non-PPM/BMP image decoding requires PIL/cv2 — not in container")
+        raise NotImplementedError(
+            "non-PPM/PGM/BMP/PNG image decoding requires PIL/cv2 — not in container"
+        )
 
     def decode_audio(self, payload: bytes) -> tuple[np.ndarray, int]:
         """(samples shaped (n_frames, n_channels) int16, sample_rate)."""

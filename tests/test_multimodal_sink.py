@@ -38,7 +38,8 @@ def test_codec_real_path_is_marked():
     import pytest
 
     with pytest.raises(NotImplementedError):
-        Codec(fake=False).decode_image(b"\x89PNG")
+        # a JPEG payload: header-parseable but pixel decode needs PIL
+        Codec(fake=False).decode_image(b"\xff\xd8\xff\xd9")
 
 
 def test_row_to_point():
@@ -430,3 +431,114 @@ class TestPngGifHeaders:
 
         assert image_header(make_png(31, 17, color_type=6)) == ("png", 31, 17, 4)
         assert image_header(make_gif(31, 17)) == ("gif", 31, 17, 1)
+
+
+class TestPngPixelDecode:
+    """r10: real PNG pixel decode (zlib inflate + scanline unfilter)."""
+
+    def test_roundtrip_rgb_and_gray(self):
+        import numpy as np
+
+        from fegis_spark.operators.multimodal import decode_png, encode_png
+
+        y, x = np.mgrid[0:12, 0:16]
+        rgb = np.stack([(x * 7) % 256, (y * 11) % 256, (x + y) % 256], -1).astype(
+            np.uint8
+        )
+        assert (decode_png(encode_png(rgb)) == rgb).all()
+        gray = ((x * 31 + y * 5) % 256).astype(np.uint8)
+        got = decode_png(encode_png(gray))
+        assert got.shape == (12, 16) and (got == gray).all()
+
+    def test_unfilters_all_five_filter_types(self):
+        """Hand-filter scanlines with Sub/Up/Average/Paeth (our encoder
+        only emits None) and check decode_png inverts each per spec."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from fegis_spark.operators.multimodal import _png_chunk, decode_png
+
+        def build(img, types):
+            h, w, ch = img.shape
+            raw = bytearray()
+            prev = np.zeros(w * ch, np.int64)
+            for yy in range(h):
+                cur = img[yy].reshape(-1).astype(np.int64)
+                t = types[yy % len(types)]
+                raw.append(t)
+                for xx in range(w * ch):
+                    a = int(cur[xx - ch]) if xx >= ch else 0
+                    b = int(prev[xx])
+                    c = int(prev[xx - ch]) if xx >= ch else 0
+                    if t == 0:
+                        pred = 0
+                    elif t == 1:
+                        pred = a
+                    elif t == 2:
+                        pred = b
+                    elif t == 3:
+                        pred = (a + b) // 2
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    raw.append((int(cur[xx]) - pred) & 0xFF)
+                prev = cur
+            ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _png_chunk(b"IEND", b"")
+            )
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+        for types in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            assert (decode_png(build(img, types)) == img).all(), types
+
+    def test_rejects_unsupported_variants(self):
+        import pytest
+
+        from fegis_spark.operators.multimodal import decode_png, make_png
+
+        with pytest.raises(ValueError, match="decode supported"):
+            decode_png(make_png(8, 8, color_type=6))  # RGBA: no decoder
+        with pytest.raises(ValueError, match="decode supported"):
+            decode_png(make_png(8, 8, color_type=3))  # palette: no decoder
+        # header-only fixture of a SUPPORTED color type: IDAT guard
+        from fegis_spark.operators.multimodal import _png_chunk
+        import struct, zlib
+        ihdr = struct.pack(">II", 4, 4) + bytes([8, 2, 0, 0, 0])
+        headeronly = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="IDAT"):
+            decode_png(headeronly)
+
+    def test_codec_dispatch_and_gray_uniformization(self):
+        import numpy as np
+
+        from fegis_spark.operators.multimodal import Codec, decode_png, make_png
+
+        codec = Codec()
+        rgb = codec.decode_image(make_png(10, 6, color_type=2, seed=3))
+        assert rgb.shape == (6, 10, 3)
+        assert (rgb == decode_png(make_png(10, 6, color_type=2, seed=3))).all()
+        gray3 = codec.decode_image(make_png(10, 6, color_type=0, seed=3))
+        assert gray3.shape == (6, 10, 3)
+        assert (gray3[:, :, 0] == gray3[:, :, 2]).all()
+
+    def test_resize_images_accepts_png_payloads(self, spark):
+        from fegis_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            decode_ppm,
+            make_png,
+            resize_images,
+        )
+
+        rows = [(0, "image", make_png(16, 12, color_type=2, seed=9), None)]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = resize_images(df, 8, 8).collect()[0]
+        assert (out["src_width"], out["src_height"]) == (16, 12)
+        assert decode_ppm(bytes(out["payload"])).shape == (8, 8, 3)
