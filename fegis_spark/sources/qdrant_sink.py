@@ -79,6 +79,44 @@ def _already_exists(exc: Exception) -> bool:
     return "already exist" in msg or "conflict" in msg or "409" in msg
 
 
+def _is_transient(exc: Exception) -> bool:
+    """Errors worth a bounded retry: network/timeout/unavailable/5xx.
+    Everything else (auth, schema, 4xx validation) fails immediately —
+    retrying those only hides a bug. The patterns cover qdrant-client's
+    REST (httpx: timeout/connect errors, 502/503/504 text) and gRPC
+    (UNAVAILABLE / DEADLINE_EXCEEDED / RESOURCE_EXHAUSTED) surfaces."""
+    msg = str(exc).lower()
+    return any(
+        p in msg
+        for p in (
+            "timeout",
+            "timed out",
+            "unavailable",
+            "deadline",
+            "connection",
+            "connect error",
+            "reset by peer",
+            "resource_exhausted",
+            "too many requests",
+            "429",
+            "502",
+            "503",
+            "504",
+        )
+    )
+
+
+def collection_vector_size(client: Any, collection: str) -> int | None:
+    """The existing collection's vector dim, or None when the client's
+    collection-info shape doesn't expose it (fake clients, older
+    servers)."""
+    info = client.get_collection(collection)
+    vectors = getattr(
+        getattr(getattr(info, "config", None), "params", None), "vectors", None
+    )
+    return getattr(vectors, "size", None)
+
+
 def existing_payload_indexes(client: Any, collection: str) -> set[str]:
     """Fields that already have a payload index (from the collection
     info's payload_schema), so ensure_collection only issues DDL for
@@ -94,14 +132,36 @@ def ensure_collection(
     dim: int,
     distance: str = "Cosine",
     models: Any = None,
+    recreate_on_dim_mismatch: bool = False,
 ) -> None:
     """Idempotent DDL: create-if-absent + payload-index diffing (S2,
     S3). `models` is injectable for contract tests; defaults to the
-    real qdrant_client.models."""
+    real qdrant_client.models.
+
+    Dimension-mismatch semantics (r9 verdict #7): an existing
+    collection whose vector size differs from `dim` would make every
+    subsequent upsert fail point-by-point deep inside executor tasks.
+    Default is to fail LOUDLY here at DDL time with both sizes in the
+    message (the reference's posture — storage.py:56-72 logs and
+    re-raises rather than silently adapting); pass
+    recreate_on_dim_mismatch=True to drop and recreate (destructive —
+    only correct when the collection is owned by this pipeline, e.g.
+    after an embedder swap changed the dimension)."""
     if models is None:
         from qdrant_client import models  # noqa: PLC0415 — import-gated
 
     existing = {c.name for c in client.get_collections().collections}
+    if collection in existing:
+        have_dim = collection_vector_size(client, collection)
+        if have_dim is not None and have_dim != dim:
+            if not recreate_on_dim_mismatch:
+                raise ValueError(
+                    f"collection '{collection}' has vector size {have_dim}, "
+                    f"expected {dim} — pass recreate_on_dim_mismatch=True to "
+                    f"drop and recreate (destroys stored points)"
+                )
+            client.delete_collection(collection_name=collection)
+            existing.discard(collection)
     if collection not in existing:
         try:
             client.create_collection(
@@ -135,24 +195,48 @@ def ensure_collection(
                 raise
 
 
+#: bounded upsert retry policy: attempts per batch and the
+#: deterministic backoff ladder (seconds) between them — no jitter,
+#: so tests and reruns see identical behavior
+UPSERT_MAX_ATTEMPTS = 3
+UPSERT_BACKOFF_S = (0.5, 2.0)
+
+
 def upsert_batches(
     client: Any,
     point_cls: Any,
     rows: Iterable[Row],
     collection: str,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    max_attempts: int = UPSERT_MAX_ATTEMPTS,
+    sleep=None,
 ) -> Iterator[int]:
-    """Bounded bulk upserts against an already-built client. Upsert
-    errors propagate (a silently-dropped batch is data loss); the
-    caller owns client lifecycle. Contract-testable with a fake."""
+    """Bounded bulk upserts against an already-built client.
+
+    Failure semantics (r9 verdict #7): TRANSIENT errors (timeouts,
+    connection resets, 429/5xx, gRPC UNAVAILABLE — _is_transient) get
+    up to `max_attempts` tries with the deterministic UPSERT_BACKOFF_S
+    ladder; upserts are idempotent by point id, so a retry after a
+    half-applied batch is safe. Non-transient errors and exhausted
+    retries PROPAGATE — a silently-dropped batch is data loss, and the
+    task-level retry (Spark's own) is the next line of defense. The
+    caller owns client lifecycle; `sleep` is injectable for tests."""
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
     for batch in batched(rows, batch_size):
-        client.upsert(
-            collection_name=collection,
-            points=[
-                point_cls(id=p["id"], vector=p["vector"], payload=p["payload"])
-                for p in batch
-            ],
-        )
+        points = [
+            point_cls(id=p["id"], vector=p["vector"], payload=p["payload"])
+            for p in batch
+        ]
+        for attempt in range(max_attempts):
+            try:
+                client.upsert(collection_name=collection, points=points)
+                break
+            except Exception as e:  # noqa: BLE001
+                if attempt + 1 >= max_attempts or not _is_transient(e):
+                    raise
+                do_sleep(UPSERT_BACKOFF_S[min(attempt, len(UPSERT_BACKOFF_S) - 1)])
         yield len(batch)
 
 

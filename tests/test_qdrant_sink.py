@@ -39,14 +39,20 @@ class FakeModels:
 
 class FakeClient:
     def __init__(self, collections=(), payload_schema=None, fail_index_with=None,
-                 fail_upsert_at_batch=None):
+                 fail_upsert_at_batch=None, vector_size=None,
+                 transient_upsert_failures=0, fail_upsert_with=None):
         self._collections = list(collections)
         self._payload_schema = dict(payload_schema or {})
         self._fail_index_with = fail_index_with
         self._fail_upsert_at_batch = fail_upsert_at_batch
+        self._vector_size = vector_size
+        self._transient_left = transient_upsert_failures
+        self._fail_upsert_with = fail_upsert_with
         self.created_collections = []
         self.created_indexes = []
+        self.deleted_collections = []
         self.upserts = []
+        self.upsert_attempts = 0
         self.closed = False
 
     def get_collections(self):
@@ -55,7 +61,20 @@ class FakeClient:
         )
 
     def get_collection(self, name):
-        return SimpleNamespace(payload_schema=self._payload_schema)
+        config = None
+        if self._vector_size is not None:
+            config = SimpleNamespace(
+                params=SimpleNamespace(
+                    vectors=SimpleNamespace(size=self._vector_size)
+                )
+            )
+        return SimpleNamespace(payload_schema=self._payload_schema, config=config)
+
+    def delete_collection(self, collection_name):
+        self.deleted_collections.append(collection_name)
+        self._collections.remove(collection_name)
+        self._vector_size = None
+        self._payload_schema = {}
 
     def create_collection(self, collection_name, vectors_config):
         self.created_collections.append((collection_name, vectors_config))
@@ -68,11 +87,15 @@ class FakeClient:
         self._payload_schema[field_name] = field_schema
 
     def upsert(self, collection_name, points):
+        self.upsert_attempts += 1
+        if self._transient_left > 0:
+            self._transient_left -= 1
+            raise RuntimeError("upstream connect error: deadline exceeded (503)")
         if (
             self._fail_upsert_at_batch is not None
             and len(self.upserts) == self._fail_upsert_at_batch
         ):
-            raise RuntimeError("connection reset by peer")
+            raise self._fail_upsert_with or RuntimeError("connection reset by peer")
         pts = list(points)
         self.upserts.append((collection_name, pts))
         # real Qdrant upsert semantics: keyed by point id, last write wins
@@ -144,12 +167,79 @@ def test_upsert_batches_counts_and_batches():
 
 
 def test_upsert_errors_propagate():
+    # 'connection reset' is TRANSIENT: retried max_attempts times with
+    # the deterministic backoff, then propagated (never dropped)
     c = FakeClient(fail_upsert_at_batch=1)
     rows = [_point(i) for i in range(25)]
-    gen = upsert_batches(c, dict, rows, "memories", batch_size=10)
+    naps = []
+    gen = upsert_batches(c, dict, rows, "memories", batch_size=10,
+                         sleep=naps.append)
     assert next(gen) == 10
     with pytest.raises(RuntimeError, match="connection reset"):
         next(gen)  # the second batch must NOT be silently dropped
+    assert naps == [0.5, 2.0]  # full deterministic backoff ladder used
+
+    # non-transient errors propagate IMMEDIATELY, no retry
+    c2 = FakeClient(fail_upsert_at_batch=0,
+                    fail_upsert_with=RuntimeError("400 bad vector size"))
+    naps2 = []
+    gen2 = upsert_batches(c2, dict, [_point(0)], "memories", sleep=naps2.append)
+    with pytest.raises(RuntimeError, match="bad vector size"):
+        next(gen2)
+    assert naps2 == [] and c2.upsert_attempts == 1
+
+
+def test_upsert_transient_error_retries_then_succeeds():
+    """r9 verdict #7: a transient failure (503/deadline) on the wire is
+    retried with deterministic backoff and the batch lands — idempotent
+    by point id, so the retry after a half-applied batch is safe."""
+    c = FakeClient(transient_upsert_failures=2)
+    naps = []
+    counts = list(
+        upsert_batches(c, dict, [_point(i) for i in range(5)], "memories",
+                       sleep=naps.append)
+    )
+    assert counts == [5]
+    assert c.upsert_attempts == 3 and len(c.points) == 5
+    assert naps == [0.5, 2.0]
+
+    # one more transient failure than attempts -> propagates
+    c2 = FakeClient(transient_upsert_failures=3)
+    with pytest.raises(RuntimeError, match="deadline"):
+        list(upsert_batches(c2, dict, [_point(0)], "memories",
+                            sleep=lambda _s: None))
+
+
+def test_dim_mismatch_fails_loudly_then_recreates_on_optin():
+    """r9 verdict #7: an existing collection with the wrong vector size
+    fails at DDL time with both sizes named (reference posture —
+    storage.py:56-72 raises rather than adapts); the explicit opt-in
+    drops and recreates, then rebuilds every payload index."""
+    c = FakeClient(collections=["memories"], vector_size=256,
+                   payload_schema={"title": "text"})
+    with pytest.raises(ValueError, match="vector size 256, expected 384"):
+        ensure_collection(c, "memories", 384, models=FakeModels)
+    assert c.deleted_collections == [] and c.created_collections == []
+
+    ensure_collection(c, "memories", 384, models=FakeModels,
+                      recreate_on_dim_mismatch=True)
+    assert c.deleted_collections == ["memories"]
+    assert [n for n, _ in c.created_collections] == ["memories"]
+    assert c.created_collections[0][1] == {"size": 384, "distance": "Cosine"}
+    # the recreated collection lost its indexes: ALL are re-issued
+    assert {f for f, _ in c.created_indexes} == set(PAYLOAD_INDEXES)
+
+
+def test_dim_match_and_unknown_shape_pass_through():
+    # matching dim: no delete, no create, just index diffing
+    c = FakeClient(collections=["memories"], vector_size=384)
+    ensure_collection(c, "memories", 384, models=FakeModels)
+    assert c.deleted_collections == [] and c.created_collections == []
+    # a client whose collection info lacks the config shape: dim check
+    # is skipped (older servers / fakes), DDL proceeds as before
+    c2 = FakeClient(collections=["memories"])
+    ensure_collection(c2, "memories", 384, models=FakeModels)
+    assert c2.created_collections == []
 
 
 def test_double_index_of_same_batch_is_idempotent_by_point_id():
