@@ -49,6 +49,38 @@ def spark_hot_docs(docs):
     )
 
 
+#: Constructed hot-bucket EMBEDDING corpus for the capped SRP query
+#: (twin of the HOT_BOILER text injection): every vec_id % HOT_MOD == 0
+#: row gets the same constant vector, so one exact cluster (100 rows at
+#: sf0.001/0.01, 400 at sf0.1) shares ALL SRP band buckets and drives
+#: them far over HOT_CAP — the representative routing fires for real
+#: under the oracle at every sf.
+HOT_VEC_VALUE = 0.5
+
+
+def duck_hot_embeddings() -> str:
+    """DuckDB CTE body: embeddings with the deterministic constant-
+    vector injection (twin of spark_hot_embeddings)."""
+    return (
+        f"SELECT vec_id, CASE WHEN vec_id % {HOT_MOD} = 0 "
+        f"THEN list_transform(range(64), d -> CAST({HOT_VEC_VALUE} AS FLOAT)) "
+        f"ELSE embedding END AS embedding FROM embeddings"
+    )
+
+
+def spark_hot_embeddings(emb):
+    """Spark twin of duck_hot_embeddings over a loaded embeddings table."""
+    from pyspark.sql import functions as F
+
+    return emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % HOT_MOD == 0,
+            F.expr(f"transform(sequence(0, 63), d -> CAST({HOT_VEC_VALUE} AS FLOAT))"),
+        ).otherwise(F.col("embedding")),
+    )
+
+
 def duck_match_text(col: str, query: str) -> str:
     """DuckDB predicate mirroring plans.filters.match_text(): every
     analyzer token of `query` must appear among the analyzer tokens of

@@ -695,6 +695,97 @@ def embedding_srp_blocked_hamming(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _srp_capped_oracle() -> str:
+    """DuckDB twin of embedding_srp_capped: same constructed hot
+    vectors, same window bucket-size + min-id representative routing as
+    the dedup_minhash_capped oracle, then the exact hamming histogram."""
+    from fegis_spark.operators.dedup import SRP_BANDS, srp_code_sql
+    from fegis_spark.queries.sqlfrag import HOT_CAP, duck_hot_embeddings
+
+    return f"""
+    WITH emb2 AS MATERIALIZED ({duck_hot_embeddings()}),
+    codes AS MATERIALIZED (
+      SELECT vec_id, {srp_code_sql('embedding', EMB_DIM)} AS code
+      FROM emb2
+    ), ex AS (
+      SELECT vec_id, p, (code >> (8 * p)) & 255 AS bk
+      FROM codes, unnest(range(0, {SRP_BANDS})) AS t(p)
+    ), sized AS MATERIALIZED (
+      SELECT vec_id, p, bk,
+             COUNT(*) OVER (PARTITION BY p, bk) AS bs,
+             MIN(vec_id) OVER (PARTITION BY p, bk) AS rep
+      FROM ex
+    ), cand AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT l.vec_id AS a, r.vec_id AS b
+        FROM sized l JOIN sized r
+          ON l.p = r.p AND l.bk = r.bk AND l.vec_id < r.vec_id
+        WHERE l.bs <= {HOT_CAP}
+        UNION ALL
+        SELECT rep AS a, vec_id AS b FROM sized
+        WHERE bs > {HOT_CAP} AND vec_id <> rep
+      )
+    )
+    SELECT bit_count(xor(cl.code, cr.code)) AS hamming,
+           COUNT(*) AS n_pairs
+    FROM cand c
+    JOIN codes cl ON cl.vec_id = c.a
+    JOIN codes cr ON cr.vec_id = c.b
+    GROUP BY hamming
+    """
+
+
+@register(
+    "embedding_srp_capped",
+    oracle=_srp_capped_oracle(),
+    covers=("[EXT]-srp", "K1-approx"),
+)
+def embedding_srp_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SRP band blocking WITH the hot-bucket cap exercised under
+    the oracle (r10, after the 64x scale probe caught the uncapped
+    band join going superlinear — the SRP band space is only
+    SRP_BANDS x 256 buckets, so bucket occupancy grows linearly with
+    the corpus and uncapped pair output quadratically;
+    evidence/scale_probe_64x_r10.json). A constant vector is injected
+    into every HOT_MOD-th row (spark_hot_embeddings — the embedding
+    twin of the HOT_BOILER text corpus), driving its band buckets far
+    over HOT_CAP at every sf, so banded_candidate_pairs' min-id
+    representative star routing actually fires and the DuckDB oracle
+    replays the SAME routing value-for-value. Candidates still flow
+    through the exact hamming verify; output is the histogram. The
+    uncapped twin (embedding_srp_blocked_hamming) stays the
+    correctness tier for the plain band algebra; THIS shape is the
+    100 TB path and the one the scale probe times."""
+    from pyspark import StorageLevel
+
+    from fegis_spark.operators.dedup import (
+        SRP_BANDS,
+        banded_candidate_pairs,
+        srp_code_expr,
+    )
+    from fegis_spark.queries.sqlfrag import HOT_CAP, spark_hot_embeddings
+
+    emb = spark_hot_embeddings(load_table(spark, sf_dir, "embeddings"))
+    codes = emb.select(
+        "vec_id", F.expr(srp_code_expr("embedding", EMB_DIM)).alias("code")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = codes.select(
+        F.col("vec_id").alias("doc"),
+        F.explode(F.expr(f"sequence(0, {SRP_BANDS - 1})")).alias("band"),
+        "code",
+    ).select("doc", "band", F.expr("(code >> (8 * band)) & 255").alias("bh"))
+    pairs = banded_candidate_pairs(banded, max_bucket_size=HOT_CAP)
+    cl = codes.select(F.col("vec_id").alias("a"), F.col("code").alias("code_l"))
+    cr = codes.select(F.col("vec_id").alias("b"), F.col("code").alias("code_r"))
+    return (
+        pairs.join(cl, "a")
+        .join(cr, "b")
+        .select(F.expr("bit_count(code_l ^ code_r)").alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Portable IVF twin ([EXT]-ann, K1-approx)
 

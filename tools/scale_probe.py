@@ -245,9 +245,15 @@ def _winnow_probe(docs):
 
 
 def _srp_probe(spark, sf_dir: str):
-    from fegis_spark.queries.vector_q import embedding_srp_blocked_hamming
+    # the CAPPED shape is the 100 TB path: the uncapped band join went
+    # superlinear at 64x (ratio 52 vs 6.93 at 16x — SRP's band space is
+    # only 4x256 buckets, so occupancy grows with the corpus and pair
+    # output quadratically; evidence/scale_probe_64x_r10.json). The
+    # hot-bucket representative routing bounds per-bucket output at
+    # m-1, restoring ~linear scaling.
+    from fegis_spark.queries.vector_q import embedding_srp_capped
 
-    return embedding_srp_blocked_hamming(spark, sf_dir).agg(
+    return embedding_srp_capped(spark, sf_dir).agg(
         F.count("*").alias("n"), F.sum("n_pairs").alias("p")
     )
 
