@@ -207,11 +207,12 @@ def _train_centroids(
       each round, empty clusters reseeded to the worst-assigned point.
       Spherical training matches the ASSIGNMENT metric (_nearest_lists
       ranks by cosine): Euclidean centroids over unnormalized means
-      systematically misroute borderline vectors, which is where the
-      r9 recall plateau (0.60-0.79 @ n_probe 8-16) came from — the
-      r10 sweep (evidence/ivf_operating_point_r10.json) shows the
-      spherical++ trainer reaching recall@10 >= 0.9 at a fraction of
-      the scan. Plan-clean, no corpus ordering.
+      systematically misroute borderline vectors. The r10 sweep
+      (evidence/ivf_operating_point_r10.json) reaches recall@10 = 0.90
+      at 2.21x over brute force with this route (n_lists=64,
+      n_probe=32, 64x data); the finer 128-list point (0.956 at 2.35x)
+      auto-routes to the MLlib trainer below. Plan-clean, no corpus
+      ordering.
     * large n_lists (or distributed=True): MLlib KMeans with seeded
       k-means|| init over the FULL corpus — at 100 TB you want
       n_lists ~1e4-1e5, where a 32·n_lists driver sample is itself a
