@@ -123,7 +123,9 @@ def main() -> None:
             if d["queries"].get(q)
         }
         out["baseline_file"] = name
-        out["baseline_estimator"] = d.get("estimator", "median3_unprimed")
+        # r1-r8 were median-of-3 unprimed; r9 switched to min3+priming
+        # but predates the tag — "untagged" keeps the report honest
+        out["baseline_estimator"] = d.get("estimator", "untagged_pre_r10")
         out["delta_vs_baseline"] = deltas
         prior2 = d.get("capped_queries") or {}
         if prior2:
