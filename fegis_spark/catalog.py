@@ -81,6 +81,7 @@ def _load_all() -> None:
         return
     from fegis_spark.queries import (  # noqa: F401
         aggregates,
+        bitext_q,
         dedup,
         filters_q,
         importance_q,
