@@ -89,6 +89,7 @@ def _load_all() -> None:
         lineage_q,
         media_q,
         pipeline_q,
+        ranking_q,
         search_q,
         stream_q,
         text_q,
