@@ -219,3 +219,108 @@ def preference_bt_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p").alias("bt_score"),
         )
     )
+
+
+#: interleave-manifest budget: total positions to allocate
+MIX_BUDGET = 10_000
+#: mixture temperature (alpha=0.5 — sqrt weights, the multilingual
+#: rebalancing standard; sqrt is IEEE-exact cross-engine)
+MIX_ALPHA_SQRT = True
+
+
+def _mix_oracle() -> str:
+    n = MIX_BUDGET
+    return f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_orig FROM documents GROUP BY source
+    ), sq AS (
+      SELECT source, n_orig, sqrt(CAST(n_orig AS DOUBLE)) AS s FROM counts
+    ), tot AS (
+      SELECT list_aggregate(list(s ORDER BY source), 'sum') AS t FROM sq
+    ), alloc AS (
+      SELECT source, n_orig,
+             s / t AS w,
+             CAST(floor({n} * (s / t)) AS BIGINT) AS base,
+             {n} * (s / t) - floor({n} * (s / t)) AS frac
+      FROM sq CROSS JOIN tot
+    ), ranked AS (
+      SELECT source, n_orig, w, base, frac,
+             row_number() OVER (ORDER BY frac DESC, source) AS rk,
+             (SELECT {n} - CAST(SUM(base) AS BIGINT) FROM alloc) AS leftover
+      FROM alloc
+    )
+    SELECT source, n_orig, w,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+    FROM ranked
+    """
+
+
+@register(
+    "mixture_quota_plan",
+    oracle=_mix_oracle(),
+    covers=("§2.4-agg", "[EXT]-temperature"),
+)
+def mixture_quota_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact mixture-quota allocation for an interleaved training
+    manifest: alpha=0.5-tempered weights (w_s ∝ sqrt(n_s) — the same
+    rebalancing law temperature_sample applies as a KEEP RATE) turned
+    into INTEGER per-source quotas summing exactly to MIX_BUDGET via
+    largest-remainder apportionment (floor(N·w) base + leftovers to
+    the largest fractional parts, source-name tiebreak). This is the
+    batch-construction side of the mixture story: a dataloader
+    manifest needs exact counts, not Bernoulli rates.
+
+    Scale: one count agg over the corpus; everything after is
+    |sources|-bounded. Determinism: sqrt and the divisions are
+    IEEE-correctly-rounded over identical operands; the weight
+    normalizer is a source-ordered sequential fold (the _cos_pair
+    convention — NOT decimal transit, see module doc); quotas are
+    exact integers; w ships unrounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_orig"))
+    sq = counts.select(
+        "source", "n_orig", F.sqrt(F.col("n_orig").cast("double")).alias("s")
+    )
+    tot = sq.agg(
+        F.expr(
+            "aggregate(transform(sort_array(collect_list(struct(source, s))),"
+            " x -> x.s), 0.0D, (acc, v) -> acc + v)"
+        ).alias("t")
+    )
+    n = float(MIX_BUDGET)
+    alloc = (
+        sq.crossJoin(F.broadcast(tot))  # bcast-ok: 1-row agg
+        .select(
+            "source",
+            "n_orig",
+            (F.col("s") / F.col("t")).alias("w"),
+            F.floor(F.lit(n) * (F.col("s") / F.col("t")))
+            .cast("bigint")
+            .alias("base"),
+            (
+                F.lit(n) * (F.col("s") / F.col("t"))
+                - F.floor(F.lit(n) * (F.col("s") / F.col("t")))
+            ).alias("frac"),
+        )
+    )
+    from pyspark import StorageLevel
+
+    # |sources|-bounded; feeds the leftover agg AND the ranked output
+    alloc = alloc.persist(StorageLevel.MEMORY_AND_DISK)
+    leftover = alloc.agg(
+        (F.lit(MIX_BUDGET) - F.sum("base")).cast("bigint").alias("leftover")
+    )
+    wrk = Window.orderBy(F.desc("frac"), F.col("source"))  # window-ok: one row per source (bounded enum)
+    return (
+        alloc.withColumn("rk", F.row_number().over(wrk))
+        .crossJoin(F.broadcast(leftover))  # bcast-ok: 1-row agg
+        .select(
+            "source",
+            "n_orig",
+            "w",
+            (F.col("base") + (F.col("rk") <= F.col("leftover")).cast("bigint"))
+            .cast("bigint")
+            .alias("quota"),
+        )
+    )

@@ -542,3 +542,31 @@ class TestPngPixelDecode:
         out = resize_images(df, 8, 8).collect()[0]
         assert (out["src_width"], out["src_height"]) == (16, 12)
         assert decode_ppm(bytes(out["payload"])).shape == (8, 8, 3)
+
+
+class TestPngProperty:
+    def test_roundtrip_property(self):
+        """Derandomized hypothesis roundtrip: arbitrary uint8 content
+        at arbitrary small shapes, gray and RGB, survives
+        encode_png -> decode_png bit-exactly."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from fegis_spark.operators.multimodal import decode_png, encode_png
+
+        @settings(derandomize=True, max_examples=12, deadline=None)
+        @given(
+            w=st.integers(1, 23),
+            h=st.integers(1, 17),
+            seed=st.integers(0, 2**31 - 1),
+            gray=st.booleans(),
+        )
+        def check(w, h, seed, gray):
+            rng = np.random.default_rng(seed)
+            shape = (h, w) if gray else (h, w, 3)
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            out = decode_png(encode_png(img))
+            assert out.shape == img.shape and (out == img).all()
+
+        check()
