@@ -352,3 +352,24 @@ def test_maybe_broadcast_gate():
     assert table_bytes("/root/testdata/sf0.001", "customer") < table_bytes(
         "/root/testdata/sf0.01", "customer"
     )
+
+
+def test_bitext_mining_is_panel_broadcast_only(spark, cat):
+    # batch-vs-corpus shape: every cross-score is a broadcast
+    # nested-loop against a bounded panel; no corpus x corpus SMJ or
+    # cartesian anywhere
+    p = formatted_plan(spark, cat, "bitext_margin_mining")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_bt_ranking_iterates_off_corpus(spark, cat):
+    # after the one window pass, every join is broadcast-hash over the
+    # |types|^2-bounded tables — the MM rounds never touch the corpus
+    p = formatted_plan(spark, cat, "preference_bt_ranking")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_mixture_quota_is_bounded_after_count(spark, cat):
+    p = formatted_plan(spark, cat, "mixture_quota_plan")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
