@@ -1616,3 +1616,88 @@ def dedup_chunk_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dup_chunks") > 0)
     )
+
+
+#: rendezvous-sharding audit: base shard count and the expanded count
+HRW_SHARDS = 8
+
+
+def _hrw_weight_sql(key: str, shard: int, spark: bool = False) -> str:
+    """md5-derived rendezvous weight of (key, shard) — the first 8 hex
+    digits as a BIGINT. Same value on both engines, engine-specific
+    spelling (the CLAUDE.md md5-bucket recipe: Spark has no hex-string
+    cast, DuckDB has no conv)."""
+    if spark:
+        return (
+            f"CAST(conv(substring(md5(CAST({key} AS STRING) || ':{shard}'),"
+            f" 1, 8), 16, 10) AS BIGINT)"
+        )
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || ':{shard}'),"
+        f" 1, 8)) AS BIGINT)"
+    )
+
+
+def _hrw_oracle() -> str:
+    n = HRW_SHARDS
+    w = [_hrw_weight_sql("doc_id", s) for s in range(n + 1)]
+    greatest_n = "greatest(" + ", ".join(w[:n]) + ")"
+    # argmax by weight with shard-index tiebreak (lowest shard wins on
+    # equal weights — ties are astronomically unlikely but must be
+    # totally ordered on both engines)
+    case_n = "CASE " + " ".join(
+        f"WHEN {w[s]} = {greatest_n} THEN {s}" for s in range(n)
+    ) + " END"
+    return f"""
+    WITH assigned AS (
+      SELECT {case_n} AS shard,
+             ({w[n]} > {greatest_n}) AS moves
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN moves THEN 1 ELSE 0 END) AS BIGINT) AS n_moving,
+           SUM(CASE WHEN moves THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+             AS moving_frac
+    FROM assigned GROUP BY shard
+    """
+
+
+@register(
+    "hrw_sharding_audit",
+    oracle=_hrw_oracle(),
+    covers=("[EXT]-packing-sharded", "§2.4-agg"),
+)
+def hrw_sharding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] rendezvous (highest-random-weight) sharding audit: per
+    HRW shard its document count AND how many of its documents would
+    move when a 9th shard joins. HRW is the shard-assignment law an
+    incremental 100 TB corpus wants instead of `hash % N`: on a
+    resize, mod-N reassigns ~ (N-1)/N of ALL documents (every bucket
+    renumbers) while HRW moves exactly the docs whose new-shard weight
+    wins — E[moved] = 1/(N+1), and they ALL move to the new shard, so
+    no existing shard ever exchanges data with another. The audit
+    value-checks both properties: per-shard balance (uniform md5
+    weights) and the ~1/9 moving fraction.
+
+    Plan: one corpus projection computing N+1 md5 weights per row +
+    one hash agg — zero joins, zero windows. Determinism: weights are
+    exact integers; the argmax CASE carries a lowest-shard tiebreak;
+    moving_frac is an exact-integer IEEE quotient, unrounded."""
+    n = HRW_SHARDS
+    w = [_hrw_weight_sql("doc_id", s, spark=True) for s in range(n + 1)]
+    greatest_n = "greatest(" + ", ".join(w[:n]) + ")"
+    case_n = "CASE " + " ".join(
+        f"WHEN {w[s]} = {greatest_n} THEN {s}" for s in range(n)
+    ) + " END"
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.selectExpr(
+        f"{case_n} AS shard", f"({w[n]} > {greatest_n}) AS moves"
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("moves").cast("int")).cast("bigint").alias("n_moving"),
+        (
+            F.sum(F.col("moves").cast("int")) / F.count(F.lit(1)).cast("double")
+        ).alias("moving_frac"),
+    )

@@ -2278,3 +2278,107 @@ def vocab_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("odds_ratio"), "t").limit(15).select(
         "t", "ca", "cb", "odds_ratio"
     )
+
+
+#: Zipf-fit sample: top-K terms by exact corpus frequency
+ZIPF_K = 100
+
+
+def _zipf_oracle() -> str:
+    from fegis_spark.queries.sqlfrag import portable_ln
+
+    k = ZIPF_K
+    return f"""
+    WITH cnt AS (
+      SELECT t, COUNT(*) AS c FROM (
+        SELECT unnest({duck_tokens('text')}) AS t FROM documents
+      ) GROUP BY t
+    ), top AS MATERIALIZED (
+      SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rk
+      FROM cnt
+      QUALIFY rk <= {k}
+    ), pts AS MATERIALIZED (
+      SELECT rk,
+             {portable_ln('CAST(rk AS DOUBLE)')} AS x,
+             {portable_ln('CAST(c AS DOUBLE)')} AS y
+      FROM top
+    ), sums AS (
+      SELECT COUNT(*) AS n,
+             list_aggregate(list(x ORDER BY rk), 'sum') AS sx,
+             list_aggregate(list(y ORDER BY rk), 'sum') AS sy,
+             list_aggregate(list(x * y ORDER BY rk), 'sum') AS sxy,
+             list_aggregate(list(x * x ORDER BY rk), 'sum') AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS k,
+           (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS zipf_slope,
+           (sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)) * sx) / n
+             AS zipf_intercept
+    FROM sums
+    """
+
+
+@register(
+    "vocab_zipf_slope",
+    oracle=_zipf_oracle(),
+    covers=("§2.4-agg", "[EXT]-vocab-growth"),
+)
+def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Zipf rank-frequency fit over the top-{ZIPF_K} vocabulary:
+    OLS slope/intercept of ln(freq) on ln(rank) — the corpus-health
+    statistic that flags template-heavy or deduplication-damaged data
+    (natural text sits near slope ≈ -1; boilerplate floods flatten the
+    head, aggressive near-dup removal steepens it).
+
+    Plan: one token-explode count agg, a no-window top-k
+    (operators/topk.ranked_topk), then the regression runs entirely on
+    the K-row table. Determinism: ranks/counts are exact ints;
+    portable_ln (bit-identical cross-engine) runs once per top-k term;
+    the four regression sums are RANK-ORDERED sequential folds (the
+    _cos_pair convention — decimal transit is unsafe at these
+    magnitudes, see CLAUDE.md r10); slope/intercept are single IEEE
+    quotients over identical operands, shipped unrounded, with an
+    identical nullif degenerate-corpus guard on both engines."""
+    from fegis_spark.operators.dedup import tokens
+    from fegis_spark.operators.topk import ranked_topk
+    from fegis_spark.queries.sqlfrag import portable_ln
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = ranked_topk(cnt, "c", "t", ZIPF_K, "rk")
+    pts = top.select(
+        "rk",
+        F.col("rk").cast("double").alias("rk_d"),
+        F.col("c").cast("double").alias("c_d"),
+    ).select(
+        "rk",
+        F.expr(portable_ln("rk_d", spark=True)).alias("x"),
+        F.expr(portable_ln("c_d", spark=True)).alias("y"),
+    )
+
+    def fold(expr: str) -> F.Column:
+        # rank-ordered sequential fold over the K-row point set
+        return F.expr(
+            f"aggregate(transform(sort_array(collect_list(struct(rk, {expr}"
+            f" AS v))), s -> s.v), 0.0D, (acc, q) -> acc + q)"
+        )
+
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fold("x").alias("sx"),
+        fold("y").alias("sy"),
+        fold("x * y").alias("sxy"),
+        fold("x * x").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    return sums.select(
+        F.col("n").alias("k"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("zipf_intercept"),
+    )
