@@ -1,0 +1,506 @@
+"""Baseline JPEG codec, dependency-free (numpy + stdlib only).
+
+Closes the last compressed-image SWAP POINT that needs no external
+library: r9 landed JPEG *header* parsing (multimodal.parse_jpeg_header);
+this module decodes — and, for fixtures, encodes — actual baseline
+JPEG scans (ITU-T T.81): entropy-coded Huffman data, dequantization,
+8x8 inverse DCT, YCbCr→RGB. Profile kept deliberately narrow and
+REJECTED LOUDLY outside it (the decode-wrong-is-worse-than-fail rule):
+
+  * baseline sequential DCT (SOF0), 8-bit precision
+  * 1 (grayscale) or 3 (YCbCr 4:4:4 — no chroma subsampling) components
+  * no restart markers, no progressive (SOF2 → ValueError), no APPn
+    dependence (skipped), no arithmetic coding
+
+The encoder exists so the codec is self-certifying in this container
+(no PIL to produce test payloads): standard Annex K quantization and
+Huffman tables, quality-scaled per the IJG recipe. JPEG is lossy, so
+tests assert PSNR bounds and BIT-EXACT determinism (pure integer/
+float64 numpy, no RNG), not pixel equality; decode(encode(x)) is a
+pure function of x, which is what the media fixture oracles need.
+
+Reference: ITU-T T.81 (1992) Annex F (sequential DCT), Annex K
+(example tables); the zigzag/huffman layout follows the spec text.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- Annex K quantization tables (luminance, chrominance) -----------
+
+QTBL_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+QTBL_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+#: zigzag order: ZIGZAG[k] = (row, col) of the k-th coefficient
+ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# --- Annex K Huffman tables: (bits[1..16], huffval) ------------------
+
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) per T.81 Annex C code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, for the bit-at-a-time decoder."""
+    return {(l, c): s for s, (c, l) in _huff_codes(bits, huffval).items()}
+
+
+#: orthonormal 8-point DCT-II matrix (float64): block_dct = D @ b @ D.T
+_D = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8) if u == 0 else np.sqrt(2.0 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ],
+    dtype=np.float64,
+)
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of a base table, clamped to [1, 255]."""
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * s + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG scan truncated at marker")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+            self._acc = byte
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _magnitude_cat(v: int) -> tuple[int, int]:
+    """(category, appended-bits value) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _extend(bits: int, cat: int) -> int:
+    """Inverse of _magnitude_cat (T.81 F.2.2.1 EXTEND)."""
+    if cat == 0:
+        return 0
+    if bits < (1 << (cat - 1)):
+        return bits - (1 << cat) + 1
+    return bits
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes
+    (SOF0, 4:4:4, Annex K tables quality-scaled). Deterministic."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[0], arr.shape[1]
+    if gray:
+        planes = [arr.astype(np.float64)]
+        qtbls = [_quality_scale(QTBL_LUMA, quality)]
+        qids = [0]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qtbls = [
+            _quality_scale(QTBL_LUMA, quality),
+            _quality_scale(QTBL_CHROMA, quality),
+        ]
+        qids = [0, 1, 1]
+    ncomp = len(planes)
+
+    dc_tabs = [HUFF_DC_LUMA, HUFF_DC_CHROMA]
+    ac_tabs = [HUFF_AC_LUMA, HUFF_AC_CHROMA]
+    dc_codes = [_huff_codes(*t) for t in dc_tabs]
+    ac_codes = [_huff_codes(*t) for t in ac_tabs]
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    writer = _BitWriter()
+    prev_dc = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(ncomp):
+                plane = planes[ci]
+                block = np.full((8, 8), 0.0)
+                ys, xs = by * 8, bx * 8
+                ye, xe = min(ys + 8, h), min(xs + 8, w)
+                tile = plane[ys:ye, xs:xe]
+                # edge-replicate padding
+                block[: ye - ys, : xe - xs] = tile
+                if xe - xs < 8:
+                    block[: ye - ys, xe - xs :] = tile[:, -1:]
+                if ye - ys < 8:
+                    block[ye - ys :, :] = block[ye - ys - 1, :]
+                coeffs = _D @ (block - 128.0) @ _D.T
+                q = qtbls[qids[ci]]
+                # round half away from zero (deterministic, symmetric)
+                quant = np.sign(coeffs) * np.floor(np.abs(coeffs) / q + 0.5)
+                quant = quant.astype(np.int64)
+                zz = [int(quant[r, c]) for r, c in ZIGZAG]
+                hsel = 0 if qids[ci] == 0 else 1
+                # DC
+                diff = zz[0] - prev_dc[ci]
+                prev_dc[ci] = zz[0]
+                cat, bits = _magnitude_cat(diff)
+                code, ln = dc_codes[hsel][cat]
+                writer.write(code, ln)
+                if cat:
+                    writer.write(bits, cat)
+                # AC with run-lengths
+                run = 0
+                for k in range(1, 64):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[hsel][0xF0]  # ZRL
+                        writer.write(code, ln)
+                        run -= 16
+                    cat, bits = _magnitude_cat(v)
+                    code, ln = ac_codes[hsel][(run << 4) | cat]
+                    writer.write(code, ln)
+                    writer.write(bits, cat)
+                    run = 0
+                if run:
+                    code, ln = ac_codes[hsel][0x00]  # EOB
+                    writer.write(code, ln)
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid, q in enumerate(qtbls):
+        zzq = bytes(int(q[r, c]) for r, c in ZIGZAG)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zzq
+    comp_spec = b"".join(
+        bytes([ci + 1, 0x11, qids[ci]]) for ci in range(ncomp)
+    )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp]) + comp_spec
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    tabs = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    if ncomp == 3:
+        tabs += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    for tc, (bits, vals) in tabs:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    scan_spec = b"".join(
+        bytes([ci + 1, (0x00 if qids[ci] == 0 else 0x11)]) for ci in range(ncomp)
+    )
+    sos = bytes([ncomp]) + scan_spec + bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB.
+    Profile: SOF0, 8-bit, 1 or 3 components, 4:4:4, no restarts —
+    anything else raises ValueError (see module doc)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtbls: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    scan_comps = None
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0xFF:
+            pos += 1
+            continue
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly multiple tables)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                tbl = np.zeros((8, 8), dtype=np.int64)
+                for k in range(64):
+                    r, c = ZIGZAG[k]
+                    tbl[r, c] = body[b + 1 + k]
+                qtbls[tq] = tbl
+                b += 65
+        elif marker == 0xC4:  # DHT (possibly multiple tables)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = body[0]
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG not supported")
+            comps = []
+            for ci in range(nc):
+                cid = body[6 + 3 * ci]
+                sampling = body[7 + 3 * ci]
+                tq = body[8 + 3 * ci]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "chroma subsampling not supported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline SOF0 JPEG decode supported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for si in range(ns):
+                cid = body[1 + 2 * si]
+                td, ta = body[2 + 2 * si] >> 4, body[2 + 2 * si] & 0xF
+                scan_comps.append((cid, td, ta))
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if sof is None or scan_comps is None or scan_start is None:
+        raise ValueError("no SOF0 frame / SOS scan found")
+    h, w, comps = sof
+    ncomp = len(comps)
+    if len(scan_comps) != ncomp:
+        raise ValueError("scan/frame component mismatch")
+
+    def _huffman_read(reader: _BitReader, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    reader = _BitReader(data[scan_start:])
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
+    comp_q = {cid: tq for cid, tq in comps}
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(ncomp):
+                cid, td, ta = scan_comps[ci]
+                dc_tab = huff.get((0, td))
+                ac_tab = huff.get((1, ta))
+                q = qtbls.get(comp_q[cid])
+                if dc_tab is None or ac_tab is None or q is None:
+                    raise ValueError("missing Huffman/quant table for scan")
+                zz = [0] * 64
+                cat = _huffman_read(reader, dc_tab)
+                diff = _extend(reader.read_bits(cat), cat) if cat else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = _huffman_read(reader, ac_tab)
+                    run, cat = rs >> 4, rs & 0xF
+                    if cat == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    zz[k] = _extend(reader.read_bits(cat), cat)
+                    k += 1
+                block = np.zeros((8, 8), dtype=np.float64)
+                for idx in range(64):
+                    r, c = ZIGZAG[idx]
+                    block[r, c] = zz[idx] * q[r, c]
+                pix = _D.T @ block @ _D + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    if ncomp == 1:
+        return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+    ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
+    return _ycbcr_to_rgb(ycc)

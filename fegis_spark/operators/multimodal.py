@@ -220,6 +220,22 @@ def make_jpeg(
     return out + b"\xff\xd9"
 
 
+def make_jpeg_real(
+    width: int, height: int, seed: int = 0, quality: int = 90
+) -> bytes:
+    """Deterministic REAL baseline JPEG bytes (entropy-coded scan, the
+    make_ppm/make_bmp gradient family) via operators/jpegcodec —
+    unlike make_jpeg, whose payload is metadata-only."""
+    from fegis_spark.operators.jpegcodec import encode_jpeg
+
+    y, x = np.mgrid[0:height, 0:width]
+    rgb = np.stack(
+        [(x * 7 + seed) % 256, (y * 11 + seed) % 256, (x + y + seed) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_jpeg(rgb, quality=quality)
+
+
 def parse_png_header(data: bytes) -> dict:
     """Dependency-free PNG metadata: the IHDR chunk is mandatory-first
     (PNG spec 11.2.2), so width/height/bit depth/color type sit at a
@@ -418,10 +434,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 @dataclass
 class Codec:
-    """Isolates the non-Spark decode dependency. PPM/PGM, 24-bit BMP
-    and 8-bit gray/RGB PNG images and PCM WAV audio decode for real
-    (pure numpy/stdlib — decode_ppm/decode_pgm/decode_bmp/decode_png/
-    decode_wav);
+    """Isolates the non-Spark decode dependency. PPM/PGM, 24-bit BMP,
+    8-bit gray/RGB PNG, baseline 4:4:4 JPEG (operators/jpegcodec) and
+    PCM WAV audio decode for real (pure numpy/stdlib);
     `fake=True` additionally gives a deterministic stand-in
     (hash-derived pixels/samples) for other formats so the whole
     distributed pipeline is testable in this container."""
@@ -441,6 +456,20 @@ class Codec:
             if img.ndim == 2:
                 return np.stack([img] * 3, axis=-1)  # uniform (h, w, 3)
             return img
+        if (payload or b"")[:2] == b"\xff\xd8":
+            # real baseline JPEG decode (r10, operators/jpegcodec —
+            # SOF0 4:4:4 profile); out-of-profile streams fall through
+            # to the fake/SWAP-POINT path below
+            from fegis_spark.operators.jpegcodec import decode_jpeg
+
+            try:
+                img = decode_jpeg(bytes(payload))
+            except ValueError:
+                img = None
+            if img is not None:
+                if img.ndim == 2:
+                    return np.stack([img] * 3, axis=-1)
+                return img
         if self.fake:
             h = hashlib.sha256(payload or b"").digest()
             side = 8
@@ -449,7 +478,8 @@ class Codec:
             return arr.reshape(side, side, 3)
         # SWAP POINT: real implementation = PIL.Image.open(BytesIO(payload))
         raise NotImplementedError(
-            "non-PPM/PGM/BMP/PNG image decoding requires PIL/cv2 — not in container"
+            "image decoding outside the PPM/PGM/BMP/PNG/baseline-JPEG "
+            "profile requires PIL/cv2 — not in container"
         )
 
     def decode_audio(self, payload: bytes) -> tuple[np.ndarray, int]:

@@ -45,20 +45,30 @@ def _audio_payload(i: int) -> bytes:
 
 
 def _image_payload(i: int) -> tuple[bytes, str]:
-    from fegis_spark.operators.multimodal import make_bmp, make_png, make_ppm
+    from fegis_spark.operators.multimodal import (
+        make_bmp,
+        make_jpeg_real,
+        make_png,
+        make_ppm,
+    )
 
     # alternate codecs so the magic-byte dispatch is exercised; PNG
     # rows (r10) run the REAL zlib inflate + unfilter pixel path
     # (decode_png), gray PNGs additionally exercise the 1→3 channel
-    # uniformization in Codec.decode_image
-    k = i % 4
+    # uniformization in Codec.decode_image, and JPEG rows (r10) run
+    # the full baseline entropy-decode + IDCT path (jpegcodec) —
+    # lossy but a pure deterministic function of the bytes, which is
+    # all the sequential-reference oracle needs
+    k = i % 5
     if k == 0:
         return make_ppm(16, 12, seed=i), "image/x-portable-pixmap"
     if k == 1:
         return make_bmp(16, 12, seed=i), "image/bmp"
     if k == 2:
         return make_png(16, 12, color_type=2, seed=i), "image/png"
-    return make_png(16, 12, color_type=0, seed=i), "image/png"
+    if k == 3:
+        return make_png(16, 12, color_type=0, seed=i), "image/png"
+    return make_jpeg_real(16, 12, seed=i), "image/jpeg"
 
 
 def _media_df(spark: SparkSession, sf_dir: str, kind: str):

@@ -1,0 +1,137 @@
+"""Baseline JPEG codec (operators/jpegcodec): self-certifying
+roundtrips (no PIL in this container to cross-check against), edge
+cases of the entropy coder, profile rejections, and the Spark/Codec
+plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fegis_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+
+def _psnr(a, b) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else float(10 * np.log10(255**2 / mse))
+
+
+def _gradient(w, h, seed=0):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 7 + seed) % 256, (y * 11 + seed) % 256, (x + y + seed) % 256], -1
+    ).astype(np.uint8)
+
+
+def test_roundtrip_rgb_gradient_high_fidelity():
+    img = _gradient(32, 24, seed=3)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert _psnr(img, dec) > 40
+
+
+def test_roundtrip_gray_and_odd_shapes():
+    # non-multiple-of-8 dims exercise the edge-replicate padding on
+    # encode and the bh*8 over-allocation crop on decode
+    y, x = np.mgrid[0:13, 0:11]
+    g = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == (13, 11)
+    assert _psnr(g, dec) > 40
+
+
+def test_noise_survives_at_reasonable_psnr():
+    rng = np.random.default_rng(1)
+    n = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    assert _psnr(n, decode_jpeg(encode_jpeg(n, quality=95))) > 30
+
+
+def test_quality_ladder_is_monotone_in_size_and_fidelity():
+    img = _gradient(40, 40, seed=7)
+    sizes, psnrs = [], []
+    for q in (25, 50, 75, 95):
+        enc = encode_jpeg(img, quality=q)
+        sizes.append(len(enc))
+        psnrs.append(_psnr(img, decode_jpeg(enc)))
+    assert sizes == sorted(sizes)
+    assert psnrs == sorted(psnrs)
+
+
+def test_determinism():
+    img = _gradient(24, 16, seed=5)
+    e1, e2 = encode_jpeg(img, 80), encode_jpeg(img, 80)
+    assert e1 == e2
+    assert (decode_jpeg(e1) == decode_jpeg(e2)).all()
+
+
+def test_zrl_and_eob_paths():
+    # nearly-flat image with one hot pixel: long AC zero runs force
+    # ZRL (16-zero-run) symbols on encode and the k+=16 path on decode
+    img = np.full((24, 24, 3), 128, dtype=np.uint8)
+    img[20, 20] = (255, 0, 255)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert _psnr(img, dec) > 35
+    # flat blocks decode flat (DC-only, immediate EOB)
+    assert np.abs(dec[:8, :8].astype(int) - 128).max() <= 2
+
+
+def test_dc_prediction_chains_across_blocks():
+    # a strong horizontal ramp makes every block's DC differ — the
+    # per-component DC predictor must chain across the whole scan
+    y, x = np.mgrid[0:8, 0:128]
+    ramp = np.stack([(x * 2) % 256] * 3, -1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(ramp, quality=95))
+    assert _psnr(ramp, dec) > 35
+
+
+def test_rejections():
+    from fegis_spark.operators.multimodal import make_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01")
+    # metadata-only fixture: valid headers, no scan
+    with pytest.raises(ValueError):
+        decode_jpeg(make_jpeg(16, 12))
+    # progressive SOF2 rejected by name
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(make_jpeg(16, 12, progressive=True))
+    # truncated scan
+    enc = encode_jpeg(_gradient(16, 16), 75)
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[: len(enc) - 20] )
+
+
+def test_header_parser_and_codec_dispatch_agree():
+    from fegis_spark.operators.multimodal import Codec, image_header, make_jpeg_real
+
+    payload = make_jpeg_real(20, 14, seed=2)
+    assert image_header(payload) == ("jpeg", 20, 14, 3)
+    img = Codec().decode_image(payload)
+    assert img.shape == (14, 20, 3)
+    # the codec path is the REAL decoder, not the fake: re-decoding
+    # the same bytes gives the same pixels, and they track the source
+    src = _gradient(20, 14, seed=2)
+    assert _psnr(src, img) > 35
+
+
+def test_media_features_on_real_jpeg_bytes(spark):
+    from fegis_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_features,
+        make_jpeg_real,
+    )
+
+    rows = [
+        (i, "image", make_jpeg_real(16, 12, seed=i), None) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: list(r.features) for r in media_features(df).collect()}
+    assert len(got) == 4 and all(len(v) == 16 for v in got.values())
+    # distributed result equals the sequential reference on same bytes
+    from fegis_spark.operators.multimodal import Codec
+
+    codec = Codec()
+    for i in range(4):
+        img = codec.decode_image(make_jpeg_real(16, 12, seed=i))
+        want = codec.extract_features(img)
+        assert np.allclose(got[i], want, atol=1e-5)
