@@ -432,6 +432,92 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(frames, dtype="<i2").reshape(-1, nch), sr
 
 
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(body) % 2 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def make_avi_mjpeg(
+    width: int, height: int, n_frames: int = 6, seed: int = 0, fps: int = 10
+) -> bytes:
+    """Deterministic REAL MJPEG-in-AVI video fixture: a standard RIFF
+    AVI container (avih + one video strl with strh/strf, a movi LIST
+    of 00dc chunks) whose every frame is a baseline JPEG from
+    operators/jpegcodec — per-frame seed offsets animate the gradient,
+    so frames are distinct and each is a pure function of
+    (media_id, frame_idx)."""
+    import struct
+
+    frames = [
+        make_jpeg_real(width, height, seed=seed + 7 * i) for i in range(n_frames)
+    ]
+    max_bytes = max(len(fr) for fr in frames)
+    us_per_frame = 1_000_000 // fps
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, max_bytes * fps, 0, 0x10, n_frames, 0, 1, max_bytes,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                         0, n_frames, max_bytes, 0, 0, 0)
+        + struct.pack("<HHHH", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    strl = _riff_chunk(
+        b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    )
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi = _riff_chunk(
+        b"LIST", b"movi" + b"".join(_riff_chunk(b"00dc", fr) for fr in frames)
+    )
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def parse_avi(data: bytes) -> dict:
+    """RIFF AVI walk: {width, height, n_frames, us_per_frame, frames}
+    where frames are the raw per-frame codec payloads (00dc/00db
+    chunks, in stream order). Dependency-free; raises ValueError on
+    non-AVI payloads."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (bad RIFF signature)")
+    meta = {"width": None, "height": None, "n_frames": 0, "us_per_frame": None}
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            body_end = min(body_start + ln, end)
+            if tag == b"LIST":
+                walk(body_start + 4, body_end)  # skip list type fourcc
+            elif tag == b"avih":
+                (us, _mbps, _pad, _flags, nf) = struct.unpack_from(
+                    "<IIIII", data, body_start
+                )
+                w, h = struct.unpack_from("<II", data, body_start + 32)
+                meta.update(
+                    width=int(w), height=int(h), n_frames=int(nf),
+                    us_per_frame=int(us),
+                )
+            elif tag[2:4] in (b"dc", b"db"):
+                frames.append(bytes(data[body_start:body_end]))
+            pos = body_start + ln + (ln % 2)
+
+    walk(12, len(data))
+    meta["frames"] = frames
+    return meta
+
+
 @dataclass
 class Codec:
     """Isolates the non-Spark decode dependency. PPM/PGM, 24-bit BMP,
@@ -499,9 +585,21 @@ class Codec:
         return np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32)
 
     def frame_sample(self, payload: bytes, n_frames: int) -> list[bytes]:
+        """Evenly-spaced frame payloads. REAL for MJPEG-in-AVI (r10 —
+        RIFF walk via parse_avi; each returned payload is a baseline
+        JPEG the same Codec can decode_image); deterministic fake for
+        other containers, real path raises the documented SWAP POINT."""
+        if (payload or b"")[:4] == b"RIFF" and (payload or b"")[8:12] == b"AVI ":
+            frames = parse_avi(payload)["frames"]
+            if frames:
+                k = min(n_frames, len(frames))
+                # evenly spaced, deterministic: frame floor(i*len/k)
+                return [frames[(i * len(frames)) // k] for i in range(k)]
         if self.fake:
             return [hashlib.sha256((payload or b"") + bytes([i])).digest() for i in range(n_frames)]
-        raise NotImplementedError("video decoding requires ffmpeg — not in container")
+        raise NotImplementedError(
+            "video decoding outside MJPEG-in-AVI requires ffmpeg — not in container"
+        )
 
 
 def image_header(payload: bytes) -> tuple[str, int, int, int]:

@@ -16,7 +16,9 @@ every scale factor) so one static SQL string is correct at sf0.001,
 sf0.01 and sf0.1 — fixture size never measured data scale anyway, and
 bench excludes the media queries. `media_frame_sample` keeps its
 deterministic-fake codec but its fan-out contract (3 frames, all
-distinct) is likewise oracle-checked.
+distinct) is likewise oracle-checked; `media_video_frames` (r10) runs
+the REAL video path — MJPEG-in-AVI RIFF walk, even-spaced sampling,
+baseline-JPEG frame decode — with an integer-only output.
 
 Determinism: per-clip/per-image doubles are rounded to 6 dp before any
 cross-row aggregate; group averages go through DECIMAL(38,6) sums and
@@ -349,4 +351,86 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("frame_payload").alias("n_distinct_frames"),
         )
         .orderBy("media_id")
+    )
+
+
+def _video_payload(i: int) -> bytes:
+    from fegis_spark.operators.multimodal import make_avi_mjpeg
+
+    # per-id frame counts vary so the even-spacing sampler is exercised
+    return make_avi_mjpeg(16, 12, n_frames=4 + (i % 5), seed=i)
+
+
+def _video_df(spark: SparkSession, sf_dir: str):
+    from fegis_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (
+            i,
+            "video",
+            _video_payload(i),
+            {"mime": "video/x-msvideo", "width": 16, "height": 12,
+             "duration_ms": None},
+        )
+        for i in range(_N_MEDIA)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _video_oracle() -> str:
+    """Sequential reference for media_video_frames: the same RIFF walk
+    + even-spaced sampling + baseline-JPEG decode, exact-integer pixel
+    sums — no floats anywhere in the output."""
+    from fegis_spark.operators.multimodal import Codec
+
+    codec = Codec()
+    rows = []
+    for i in range(_N_MEDIA):
+        for idx, fr in enumerate(codec.frame_sample(_video_payload(i), 3)):
+            img = codec.decode_image(fr)
+            rows.append(
+                (i, idx, int(img.sum()), int(img.size), len(fr))
+            )
+    return _values_sql(
+        ["media_id", "frame_idx", "pixel_sum", "n_px", "frame_bytes"], rows
+    )
+
+
+@register(
+    "media_video_frames",
+    oracle=_video_oracle(),
+    covers=("[EXT]-multimodal",),
+)
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] REAL video frame extraction (r10): MJPEG-in-AVI payloads →
+    RIFF container walk → 3 evenly-spaced frames per clip → baseline
+    JPEG decode (operators/jpegcodec) → exact-integer pixel sums, all
+    inside mapInPandas. Replaces the fake-codec fan-out contract with
+    the full decode pipeline; output is integer-only (pixel_sum, n_px,
+    frame_bytes), so the oracle is a driver-side sequential reference
+    with no rounding surface at all."""
+    from fegis_spark.operators.multimodal import Codec, video_frame_sample
+
+    frames = video_frame_sample(_video_df(spark, sf_dir), n_frames=3)
+
+    import pandas as pd
+    from collections.abc import Iterator
+
+    codec = Codec()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "pixel_sum", "n_px", "frame_bytes"]
+        for pdf in batches:
+            rows = []
+            for mid, idx, fr in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame_payload"]
+            ):
+                img = codec.decode_image(bytes(fr))
+                rows.append((mid, idx, int(img.sum()), int(img.size), len(fr)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return frames.mapInPandas(
+        op,
+        "media_id long, frame_idx int, pixel_sum bigint, n_px bigint, "
+        "frame_bytes bigint",
     )

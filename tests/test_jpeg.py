@@ -135,3 +135,63 @@ def test_media_features_on_real_jpeg_bytes(spark):
         img = codec.decode_image(make_jpeg_real(16, 12, seed=i))
         want = codec.extract_features(img)
         assert np.allclose(got[i], want, atol=1e-5)
+
+
+class TestAviMjpeg:
+    def test_container_roundtrip(self):
+        from fegis_spark.operators.multimodal import make_avi_mjpeg, parse_avi
+
+        avi = make_avi_mjpeg(16, 12, n_frames=7, seed=3, fps=12)
+        meta = parse_avi(avi)
+        assert (meta["width"], meta["height"]) == (16, 12)
+        assert meta["n_frames"] == 7 and len(meta["frames"]) == 7
+        assert meta["us_per_frame"] == 1_000_000 // 12
+        # every frame is an independently-decodable baseline JPEG
+        for fr in meta["frames"]:
+            assert fr[:2] == b"\xff\xd8"
+
+    def test_frame_sample_even_spacing_and_decode(self):
+        import numpy as np
+
+        from fegis_spark.operators.multimodal import Codec, make_avi_mjpeg, parse_avi
+
+        codec = Codec()
+        avi = make_avi_mjpeg(16, 12, n_frames=9, seed=5)
+        sampled = codec.frame_sample(avi, 3)
+        all_frames = parse_avi(avi)["frames"]
+        # frames floor(i*9/3) = 0, 3, 6
+        assert sampled == [all_frames[0], all_frames[3], all_frames[6]]
+        imgs = [codec.decode_image(fr) for fr in sampled]
+        assert all(im.shape == (12, 16, 3) for im in imgs)
+        # animated gradient: distinct frames decode to distinct pixels
+        assert not np.array_equal(imgs[0], imgs[1])
+
+    def test_frame_sample_fewer_frames_than_requested(self):
+        from fegis_spark.operators.multimodal import Codec, make_avi_mjpeg
+
+        sampled = Codec().frame_sample(make_avi_mjpeg(8, 8, n_frames=2), 5)
+        assert len(sampled) == 2  # never fabricates frames
+
+    def test_non_avi_still_uses_fake(self):
+        from fegis_spark.operators.multimodal import Codec
+
+        frames = Codec().frame_sample(b"not a video", 3)
+        assert len(frames) == 3 and len(set(frames)) == 3
+
+    def test_video_frame_sample_spark_real_path(self, spark):
+        from fegis_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            Codec,
+            make_avi_mjpeg,
+            video_frame_sample,
+        )
+
+        rows = [(i, "video", make_avi_mjpeg(16, 12, n_frames=4 + i, seed=i), None)
+                for i in range(3)]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = video_frame_sample(df, n_frames=3).collect()
+        assert len(out) == 9
+        codec = Codec()
+        for r in out:
+            img = codec.decode_image(bytes(r.frame_payload))
+            assert img.shape == (12, 16, 3)
