@@ -196,3 +196,67 @@ def write_webdataset_shards(
     return part.mapInPandas(
         run, schema="shard string, n_samples bigint, first_key string, last_key string"
     )
+
+
+def read_webdataset_shards(
+    spark,
+    path: str,
+    columns: dict[str, str],
+    key_name: str = "key",
+) -> DataFrame:
+    """Inverse of write_webdataset_shards: tar shards → one row per
+    sample with the key plus one BINARY column per `columns` {col: ext}
+    member (decode/typing stays with the caller — text columns are
+    utf-8 bytes, exactly what the writer emitted; a reader that guessed
+    types would silently corrupt binary members whose bytes happen to
+    be valid JSON).
+
+    Scale shape: ONE task per shard (the tar is a sequential stream —
+    intra-shard parallelism would re-read the whole file per split),
+    shards distributed across executors via a repartitioned path list;
+    each member is read once, in tar order, grouped by basename. This
+    is the ingest half of the standard image/interleaved-corpus
+    hand-off, so downstream ops (media_features, image_metadata) can
+    run straight off tar corpora without a parquet conversion step.
+    """
+    import glob as _glob
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    shard_paths = sorted(
+        p
+        for p in _glob.glob(os.path.join(path, "*.tar"))
+        if not os.path.basename(p).startswith(".")
+    )
+    pdf = spark.createDataFrame([(p,) for p in shard_paths], "shard string")
+    pdf = pdf.repartition(max(len(shard_paths), 1), "shard")
+    ext_to_col = {ext: col for col, ext in columns.items()}
+    out_cols = [key_name, *columns]
+
+    def run(batches):
+        for b in batches:
+            for shard in b["shard"]:
+                rows: dict[str, dict] = {}
+                order: list[str] = []
+                with tarfile.open(shard, "r") as tar:
+                    for info in tar:
+                        if not info.isfile():
+                            continue
+                        base, _, ext = info.name.rpartition(".")
+                        col = ext_to_col.get(ext)
+                        if col is None:
+                            continue
+                        if base not in rows:
+                            rows[base] = {key_name: base}
+                            order.append(base)
+                        member = tar.extractfile(info)
+                        rows[base][col] = member.read() if member else b""
+                yield pd.DataFrame(
+                    [[rows[k].get(c) for c in out_cols] for k in order],
+                    columns=out_cols,
+                )
+
+    schema = f"{key_name} string, " + ", ".join(f"{c} binary" for c in columns)
+    return pdf.mapInPandas(run, schema)
