@@ -716,6 +716,55 @@ def video_frame_sample(df: DataFrame, n_frames: int = 3, codec: Codec | None = N
     return df.select("media_id", "payload").mapInPandas(op, out_schema)
 
 
+def audio_spectrum_features(samples: np.ndarray, sample_rate: int) -> dict:
+    """Real spectral features of a PCM clip (channel 0): rfft magnitude
+    spectrum → dominant non-DC bin, its frequency, and the spectral
+    centroid. Pure numpy float64 — deterministic for fixed input, so
+    the media fixture oracle can replay it sequentially. Integer
+    outputs only (micro-quantized) — zero rounding surface."""
+    x = samples[:, 0].astype(np.float64)
+    mag = np.abs(np.fft.rfft(x))
+    n = len(x)
+    if len(mag) > 1:
+        dom = 1 + int(np.argmax(mag[1:]))  # first max wins (np argmax)
+    else:
+        dom = 0
+    tot = float(mag.sum())
+    freqs = np.arange(len(mag)) * (sample_rate / n)
+    centroid = float((mag * freqs).sum() / tot) if tot > 0 else 0.0
+    return {
+        "n_fft": len(mag),
+        "dominant_bin": dom,
+        "dominant_hz_micro": int(np.floor(dom * (sample_rate / n) * 1e6 + 0.5)),
+        "centroid_hz_micro": int(np.floor(centroid * 1e6 + 0.5)),
+    }
+
+
+def audio_spectrum(df: DataFrame, codec: Codec | None = None) -> DataFrame:
+    """mapInPandas spectral analysis: payload → (sample_rate, n_fft,
+    dominant_bin, dominant_hz_micro, centroid_hz_micro) via
+    audio_spectrum_features. Bytes dropped inside the Arrow batch."""
+    codec = codec or Codec()
+    out_schema = (
+        "media_id long, sample_rate int, n_fft int, dominant_bin int, "
+        "dominant_hz_micro bigint, centroid_hz_micro bigint"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "sample_rate", "n_fft", "dominant_bin",
+                "dominant_hz_micro", "centroid_hz_micro"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, sr = codec.decode_audio(bytes(payload))
+                ft = audio_spectrum_features(samples, sr)
+                rows.append((mid, sr, ft["n_fft"], ft["dominant_bin"],
+                             ft["dominant_hz_micro"], ft["centroid_hz_micro"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(op, out_schema)
+
+
 def audio_stats(df: DataFrame, codec: Codec | None = None) -> DataFrame:
     """mapInPandas audio analysis: payload → (sample_rate, n_channels,
     n_samples, duration_ms, rms, peak). Bytes are dropped at this

@@ -434,3 +434,43 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, frame_idx int, pixel_sum bigint, n_px bigint, "
         "frame_bytes bigint",
     )
+
+
+def _spectrum_oracle() -> str:
+    """Sequential reference for media_audio_spectrum: same decoder +
+    same numpy rfft feature function, integer-only outputs."""
+    from fegis_spark.operators.multimodal import (
+        audio_spectrum_features,
+        decode_wav,
+    )
+
+    rows = []
+    for i in range(_N_MEDIA):
+        samples, sr = decode_wav(_audio_payload(i))
+        ft = audio_spectrum_features(samples, sr)
+        rows.append(
+            (i, sr, ft["n_fft"], ft["dominant_bin"],
+             ft["dominant_hz_micro"], ft["centroid_hz_micro"])
+        )
+    return _values_sql(
+        ["media_id", "sample_rate", "n_fft", "dominant_bin",
+         "dominant_hz_micro", "centroid_hz_micro"],
+        rows,
+    )
+
+
+@register(
+    "media_audio_spectrum",
+    oracle=_spectrum_oracle(),
+    covers=("[EXT]-multimodal",),
+)
+def media_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] real audio FEATURE extraction (r10): PCM16 WAV → rfft
+    magnitude spectrum → dominant bin / dominant frequency / spectral
+    centroid, micro-quantized to integers inside the same Python
+    function both the distributed mapInPandas pass and the sequential
+    oracle reference call — the audio counterpart of the image decode
+    pipeline, with zero rounding surface in the output."""
+    from fegis_spark.operators.multimodal import audio_spectrum
+
+    return audio_spectrum(_media_df(spark, sf_dir, "audio"))
