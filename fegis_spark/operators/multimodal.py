@@ -296,9 +296,10 @@ def decode_png(data: bytes) -> np.ndarray:
     8-bit grayscale (color 0) and truecolor (color 2), no interlace —
     chunk walk → IDAT concat → zlib inflate → per-scanline unfilter
     (all five PNG filter types: None/Sub/Up/Average/Paeth, spec 9.2).
-    Returns uint8 (h, w) for grayscale, (h, w, 3) for RGB. Palette /
-    alpha / 16-bit / Adam7 stay ValueError SWAP POINTs — rejected
-    loudly rather than decoded wrong."""
+    Returns uint8 (h, w) for grayscale, (h, w, 3) for RGB and for
+    palette (color 3 — PLTE lookup, r10). Alpha / 16-bit / Adam7 stay
+    ValueError SWAP POINTs — rejected loudly rather than decoded
+    wrong."""
     import zlib
 
     hdr = parse_png_header(data)
@@ -306,23 +307,32 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("nonstandard PNG compression/filter method")
     if data[28] != 0:
         raise ValueError("Adam7-interlaced PNG not supported")
-    if hdr["bit_depth"] != 8 or data[25] not in (0, 2):
+    if hdr["bit_depth"] != 8 or data[25] not in (0, 2, 3):
         raise ValueError(
-            "only 8-bit grayscale/truecolor PNG decode supported "
+            "only 8-bit grayscale/truecolor/palette PNG decode supported "
             f"(color type {data[25]}, bit depth {hdr['bit_depth']})"
         )
     w, h, ch = hdr["width"], hdr["height"], hdr["n_components"]
     # chunk walk: length(4) type(4) body crc(4), starting past signature
     idat = bytearray()
+    plte = None
     pos = 8
     while pos + 8 <= len(data):
         ln = int.from_bytes(data[pos : pos + 4], "big")
         tag = data[pos + 4 : pos + 8]
         if tag == b"IDAT":
             idat += data[pos + 8 : pos + 8 + ln]
+        elif tag == b"PLTE":
+            if ln % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(
+                data, dtype=np.uint8, count=ln, offset=pos + 8
+            ).reshape(-1, 3)
         pos += 12 + ln
         if tag == b"IEND":
             break
+    if data[25] == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if not idat:
         raise ValueError("PNG has no IDAT chunk (header-only payload)")
     raw = zlib.decompress(bytes(idat))
@@ -359,6 +369,11 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+    if data[25] == 3:
+        idx = out.reshape(h, w)
+        if int(idx.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]  # (h, w, 3) via palette lookup
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
 
 
@@ -366,14 +381,35 @@ def make_png(width: int, height: int, color_type: int = 2, seed: int = 0) -> byt
     """Deterministic PNG fixture. Color types 0 (grayscale) and 2
     (RGB) carry a REAL zlib IDAT raster (the same gradient family as
     make_ppm/make_bmp — decode_png roundtrips them; r9 verdict #4);
-    palette (3) and RGBA (6) stay header-only metadata fixtures
-    (signature + IHDR + IEND + one trailing seed byte whose VALUE
-    varies with seed — size does not), since only gray/truecolor have
-    encoders."""
+    palette (3) carries a real 16-color PLTE + indexed IDAT raster
+    (decode_png maps it back through the palette, r10); RGBA (6) stays
+    a header-only metadata fixture (signature + IHDR + IEND + one
+    trailing seed byte whose VALUE varies with seed — size does
+    not)."""
     import struct
     import zlib
 
     y, x = np.mgrid[0:height, 0:width]
+    if color_type == 3:
+        # 16-entry deterministic palette + indexed gradient raster
+        pal = np.stack(
+            [
+                (np.arange(16) * 17 + seed) % 256,
+                (np.arange(16) * 31 + seed) % 256,
+                (np.arange(16) * 7 + seed) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        idx = ((x + y + seed) % 16).astype(np.uint8)
+        ihdr = struct.pack(">II", width, height) + bytes([8, 3, 0, 0, 0])
+        raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(height))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", pal.tobytes())
+            + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+            + _png_chunk(b"IEND", b"")
+        )
     if color_type == 0:
         return encode_png(((x * 7 + y * 11 + seed) % 256).astype(np.uint8))
     if color_type == 2:

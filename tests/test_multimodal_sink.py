@@ -506,8 +506,9 @@ class TestPngPixelDecode:
 
         with pytest.raises(ValueError, match="decode supported"):
             decode_png(make_png(8, 8, color_type=6))  # RGBA: no decoder
-        with pytest.raises(ValueError, match="decode supported"):
-            decode_png(make_png(8, 8, color_type=3))  # palette: no decoder
+        # palette (color 3) decodes for real since r10: PLTE lookup
+        pimg = decode_png(make_png(8, 8, color_type=3, seed=2))
+        assert pimg.shape == (8, 8, 3)
         # header-only fixture of a SUPPORTED color type: IDAT guard
         from fegis_spark.operators.multimodal import _png_chunk
         import struct, zlib
