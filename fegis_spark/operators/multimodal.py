@@ -440,15 +440,187 @@ def parse_gif_header(data: bytes) -> dict:
     }
 
 
+def _gif_lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-variant LZW compress of a flat index array (min code size
+    mcs): variable-width codes LSB-first, clear/EOI codes, string
+    table reset at 4096 — T.81's cousin per the GIF89a spec appendix."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = n = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n
+        acc |= code << n
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    nxt = eoi + 1
+    width = mcs + 1
+    emit(clear, width)
+    cur = int(indices[0])
+    for k in map(int, indices[1:]):
+        if (cur, k) in table:
+            cur = table[(cur, k)]
+            continue
+        emit(cur, width)
+        table[(cur, k)] = nxt
+        nxt += 1
+        if nxt == (1 << width) + 1 and width < 12:
+            width += 1
+        if nxt >= 4096:
+            emit(clear, width)
+            table.clear()
+            nxt = eoi + 1
+            width = mcs + 1
+        cur = k
+    emit(cur, width)
+    emit(eoi, width)
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> list[int]:
+    """Inverse of _gif_lzw_encode (GIF89a spec: LSB-first variable-
+    width codes, table entry added per code, width grows with the
+    table)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = bit = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, bit
+        v = shift = 0
+        need = width
+        while need:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            take = min(8 - bit, need)
+            v |= ((data[pos] >> bit) & ((1 << take) - 1)) << shift
+            shift += take
+            bit += take
+            need -= take
+            if bit == 8:
+                bit = 0
+                pos += 1
+        return v
+
+    base = [[i] for i in range(1 << mcs)] + [None, None]
+    table = list(base)
+    width = mcs + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("invalid GIF LZW code")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Real, dependency-free GIF decode (r10): global color table +
+    first image descriptor + LZW frame data → uint8 (h, w, 3).
+    Extensions are skipped; interlaced frames and local-color-table
+    frames beyond the global palette are rejected loudly."""
+    hdr = parse_gif_header(data)
+    w, h = hdr["width"], hdr["height"]
+    flags = data[10]
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table not supported")
+    gct_n = 2 << (flags & 0x07)
+    pos = 13
+    palette = np.frombuffer(
+        data, dtype=np.uint8, count=gct_n * 3, offset=pos
+    ).reshape(-1, 3)
+    pos += gct_n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            iflags = data[pos + 9]
+            if iflags & 0x80:
+                raise ValueError("GIF local color tables not supported")
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            pos += 10
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _gif_lzw_decode(bytes(lzw), mcs)
+            if len(indices) < iw * ih:
+                raise ValueError("GIF frame shorter than descriptor")
+            idx = np.array(indices[: iw * ih], dtype=np.int64).reshape(ih, iw)
+            if int(idx.max()) >= len(palette):
+                raise ValueError("GIF index out of palette range")
+            return palette[idx].astype(np.uint8)
+        elif b == 0x3B:  # trailer before any frame
+            raise ValueError("GIF has no image frame (header-only payload)")
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02X}")
+    raise ValueError("GIF truncated before trailer")
+
+
 def make_gif(width: int, height: int, seed: int = 0) -> bytes:
-    """Deterministic header-valid GIF fixture (89a, no frames)."""
+    """Deterministic REAL GIF fixture (89a): 16-color global palette +
+    one LZW-compressed frame (the make_png palette gradient family) —
+    decode_gif roundtrips it exactly (GIF is lossless)."""
+    pal = np.stack(
+        [
+            (np.arange(16) * 17 + seed) % 256,
+            (np.arange(16) * 31 + seed) % 256,
+            (np.arange(16) * 7 + seed) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    y, x = np.mgrid[0:height, 0:width]
+    idx = ((x + y + seed) % 16).astype(np.uint8).ravel()
+    mcs = 4  # 16-color palette
+    lzw = _gif_lzw_encode(idx, mcs)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
     return (
         b"GIF89a"
         + width.to_bytes(2, "little")
         + height.to_bytes(2, "little")
-        + bytes([0x70, 0, 0])  # no global color table
-        + bytes([seed % 256])
-        + b"\x3b"  # trailer
+        + bytes([0x80 | 0x70 | 0x03, 0, 0])  # global table, 16 entries
+        + pal.tobytes()
+        + b"\x2c" + bytes(4) + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little") + b"\x00"
+        + bytes([mcs]) + bytes(blocks)
+        + b"\x3b"
     )
 
 
@@ -578,6 +750,8 @@ class Codec:
             if img.ndim == 2:
                 return np.stack([img] * 3, axis=-1)  # uniform (h, w, 3)
             return img
+        if (payload or b"")[:3] == b"GIF":
+            return decode_gif(payload)
         if (payload or b"")[:2] == b"\xff\xd8":
             # real baseline JPEG decode (r10, operators/jpegcodec —
             # SOF0 4:4:4 profile); out-of-profile streams fall through

@@ -54,14 +54,17 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         make_ppm,
     )
 
+    from fegis_spark.operators.multimodal import make_gif
+
     # alternate codecs so the magic-byte dispatch is exercised; PNG
     # rows (r10) run the REAL zlib inflate + unfilter pixel path
     # (decode_png), gray PNGs additionally exercise the 1→3 channel
-    # uniformization in Codec.decode_image, and JPEG rows (r10) run
-    # the full baseline entropy-decode + IDCT path (jpegcodec) —
-    # lossy but a pure deterministic function of the bytes, which is
-    # all the sequential-reference oracle needs
-    k = i % 5
+    # uniformization in Codec.decode_image, JPEG rows (r10) run the
+    # full baseline entropy-decode + IDCT path (jpegcodec — lossy but
+    # a pure deterministic function of the bytes, which is all the
+    # sequential-reference oracle needs), and GIF rows (r10) run the
+    # LZW + palette path (decode_gif, lossless)
+    k = i % 6
     if k == 0:
         return make_ppm(16, 12, seed=i), "image/x-portable-pixmap"
     if k == 1:
@@ -70,7 +73,9 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         return make_png(16, 12, color_type=2, seed=i), "image/png"
     if k == 3:
         return make_png(16, 12, color_type=0, seed=i), "image/png"
-    return make_jpeg_real(16, 12, seed=i), "image/jpeg"
+    if k == 4:
+        return make_jpeg_real(16, 12, seed=i), "image/jpeg"
+    return make_gif(16, 12, seed=i), "image/gif"
 
 
 def _media_df(spark: SparkSession, sf_dir: str, kind: str):

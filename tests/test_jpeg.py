@@ -195,3 +195,52 @@ class TestAviMjpeg:
         for r in out:
             img = codec.decode_image(bytes(r.frame_payload))
             assert img.shape == (12, 16, 3)
+
+
+class TestGifLzw:
+    def test_lossless_roundtrip(self):
+        import numpy as np
+
+        from fegis_spark.operators.multimodal import decode_gif, make_gif
+
+        img = decode_gif(make_gif(31, 17, seed=5))
+        y, x = np.mgrid[0:17, 0:31]
+        pal = np.stack(
+            [(np.arange(16) * 17 + 5) % 256, (np.arange(16) * 31 + 5) % 256,
+             (np.arange(16) * 7 + 5) % 256], -1
+        ).astype(np.uint8)
+        assert (img == pal[(x + y + 5) % 16]).all()  # GIF is lossless
+
+    def test_lzw_table_reset_path(self):
+        # random 16-color noise grows the LZW string table past 4096,
+        # forcing the mid-stream CLEAR + reset on encode AND decode
+        import numpy as np
+
+        from fegis_spark.operators.multimodal import (
+            _gif_lzw_decode,
+            _gif_lzw_encode,
+        )
+
+        rng = np.random.default_rng(3)
+        idx = rng.integers(0, 16, 9000, dtype=np.uint8)
+        assert _gif_lzw_decode(_gif_lzw_encode(idx, 4), 4) == list(map(int, idx))
+
+    def test_rejections(self):
+        import pytest
+
+        from fegis_spark.operators.multimodal import decode_gif
+
+        # header-only payload (the pre-r10 fixture shape): no frame
+        headeronly = (b"GIF89a" + (8).to_bytes(2, "little")
+                      + (8).to_bytes(2, "little") + bytes([0x70, 0, 0])
+                      + b"\x3b")
+        with pytest.raises(ValueError, match="global color table"):
+            decode_gif(headeronly)
+        with pytest.raises(ValueError, match="not a GIF"):
+            decode_gif(b"PNG...")
+
+    def test_codec_dispatch(self):
+        from fegis_spark.operators.multimodal import Codec, make_gif
+
+        img = Codec().decode_image(make_gif(10, 6, seed=2))
+        assert img.shape == (6, 10, 3)
