@@ -42,6 +42,27 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def sentinel_sec(spark) -> float:
+    """Fixed-cost contention sentinel (r10 verdict #2): a constant
+    CPU-bound job — xxhash64 fold over range(100M), zero I/O, zero
+    data dependence — timed min-of-3 like the queries. Its wall time
+    depends ONLY on available cores, so a sentinel reading far above
+    its round-over-round baseline means the environment (not the code)
+    was contended during this bench run; per-query regressions in the
+    same run should be re-measured solo before being believed."""
+    from pyspark.sql import functions as F
+
+    job = spark.range(100_000_000).select(
+        F.sum(F.xxhash64("id")).alias("h")
+    )
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        force(job)
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 4)
+
+
 def prime_page_cache(sf_dir: str) -> int:
     """Read every parquet byte in the scale-factor dir so the first
     timed query doesn't pay cold-read I/O that later ones don't.
@@ -95,8 +116,10 @@ def main() -> None:
             t[e.name] = round(min(samples), 4)
         return t
 
+    sent_pre = sentinel_sec(spark)
     times = time_entries([e for e in cat.values() if e.bench])
     times2 = time_entries([cat[n] for n in GROUP2 if n in cat])
+    sent_post = sentinel_sec(spark)
 
     total = round(sum(times.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -113,6 +136,11 @@ def main() -> None:
         "estimator": "min3_primed",
         "capped_queries": times2,
         "capped_total_sec": round(sum(times2.values()), 4),
+        # fixed-cost CPU sentinel before/after the query set — compare
+        # against prior rounds' sentinel to self-diagnose driver-side
+        # contention (r10's official train_test_split 1.85x class)
+        "sentinel_pre_sec": sent_pre,
+        "sentinel_post_sec": sent_post,
     }
     prior = prior_round(os.path.dirname(os.path.abspath(__file__)), sf_val)
     if prior is not None:
@@ -139,6 +167,14 @@ def main() -> None:
         out["regressions"] = {
             q: r for q, r in deltas.items() if r > REGRESSION_FACTOR
         }
+        prior_sent = d.get("sentinel_pre_sec")
+        if prior_sent:
+            out["sentinel_delta_vs_baseline"] = round(sent_pre / prior_sent, 3)
+            # a contended run inflates the fixed-cost sentinel too —
+            # flag so per-query regressions above aren't over-read
+            out["contention_suspect"] = (
+                sent_pre > 1.5 * prior_sent or sent_post > 1.5 * prior_sent
+            )
     print(json.dumps(out))
 
 

@@ -233,7 +233,7 @@ def bm25_scores(
         s = term_score(i)
         score = s if score is None else score + s
     return (
-        tfs.crossJoin(stats)
+        tfs.crossJoin(stats)  # bcast-ok: 1-row corpus-stats agg
         .select("id", score.alias("score"))
         .filter(F.col("score") > 0)
     )

@@ -153,6 +153,9 @@ def banded_candidate_pairs(
     pay = list(payload)
 
     def _self_join(frame: DataFrame) -> DataFrame:
+        # band-ok: cap-routed — callers either pass max_bucket_size
+        # (buckets here are <= cap by construction) or declare their
+        # keyspace bound at the call site (broadcast_audit band rule)
         l, r = frame.alias("l"), frame.alias("r")
         return l.join(
             r,
@@ -443,6 +446,10 @@ def ngram_jaccard_pairs(
         .filter(F.col("n_sh") > 0)
     )
     ex = base.select("doc", *block_cols, "n_sh", F.explode("sh").alias("g"))
+    # band-ok: unbounded shingle keyspace (no fixed band space to
+    # saturate); hot-gram skew is AQE skew-split territory
+    # (evidence/skew_smj_r7.json) and distinct-gram collapse bounds
+    # the boilerplate long tail upstream
     l, r = ex.alias("l"), ex.alias("r")
     join_cond = (F.col("l.g") == F.col("r.g")) & (F.col("l.doc") < F.col("r.doc"))
     for c in block_cols:
@@ -480,6 +487,8 @@ def embedding_neardup_pairs(
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
     base = df.select(*cols)
+    # band-ok: declared correctness-tier brute force within caller
+    # blocks (docstring); the scale path is embedding_neardup_pairs_lsh
     l, r = base.alias("l"), base.alias("r")
     cond = F.col("l.id") < F.col("r.id")
     if block_col:
@@ -632,6 +641,9 @@ def semantic_dedup(
         # routing dots — persist per the repo multi-consumer rule
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # band-ok: list_id equi-join, cluster size ~ n/n_lists — the
+    # SemDeDup contract scales n_lists with the corpus (k ~ sqrt(n))
+    # so per-cluster pair output stays bounded
     l, r = base.alias("l"), base.alias("r")
     lc, rc = F.col("l.__csim"), F.col("r.__csim")
     li, ri = F.col("l.vec_id"), F.col("r.vec_id")

@@ -1,26 +1,43 @@
-"""Baseline JPEG codec, dependency-free (numpy + stdlib only).
+"""Baseline + progressive JPEG codec, dependency-free (numpy + stdlib).
 
-Closes the last compressed-image SWAP POINT that needs no external
-library: r9 landed JPEG *header* parsing (multimodal.parse_jpeg_header);
-this module decodes — and, for fixtures, encodes — actual baseline
-JPEG scans (ITU-T T.81): entropy-coded Huffman data, dequantization,
-8x8 inverse DCT, YCbCr→RGB. Profile kept deliberately narrow and
-REJECTED LOUDLY outside it (the decode-wrong-is-worse-than-fail rule):
+Closes the compressed-image SWAP POINTs that need no external library:
+r9 landed JPEG *header* parsing (multimodal.parse_jpeg_header); r10
+added baseline decode/encode; r11 adds PROGRESSIVE (SOF2) decode —
+the majority profile of real crawl JPEGs — plus a progressive encoder
+so the scan types are self-certifying in this container. The decoder
+is a multi-scan coefficient-domain machine (ITU-T T.81 Annex F + G):
+entropy-coded Huffman data accumulates into per-component coefficient
+arrays across scans (spectral selection Ss..Se, successive
+approximation Ah/Al with DC/AC first + refinement passes, EOB runs),
+then one dequantize + 8x8 inverse DCT + YCbCr→RGB pass. Profile kept
+deliberately narrow and REJECTED LOUDLY outside it (the
+decode-wrong-is-worse-than-fail rule):
 
-  * baseline sequential DCT (SOF0), 8-bit precision
+  * baseline sequential DCT (SOF0) or progressive DCT (SOF2), 8-bit
   * 1 (grayscale) or 3 (YCbCr 4:4:4 — no chroma subsampling) components
-  * no restart markers, no progressive (SOF2 → ValueError), no APPn
-    dependence (skipped), no arithmetic coding
+  * no restart markers (DRI/RSTn → ValueError), no APPn dependence
+    (skipped), no arithmetic coding, no hierarchical (SOF5+)
 
-The encoder exists so the codec is self-certifying in this container
+The encoders exist so the codec is self-certifying in this container
 (no PIL to produce test payloads): standard Annex K quantization and
-Huffman tables, quality-scaled per the IJG recipe. JPEG is lossy, so
-tests assert PSNR bounds and BIT-EXACT determinism (pure integer/
-float64 numpy, no RNG), not pixel equality; decode(encode(x)) is a
-pure function of x, which is what the media fixture oracles need.
+Huffman tables, quality-scaled per the IJG recipe. encode_jpeg emits
+SOF0; encode_jpeg_progressive emits SOF2 with a 2-level successive
+approximation script (DC first Al=1 → per-component AC first Al=1 →
+DC refine → per-component AC refine), which exercises every scan
+type the decoder implements — and because the refinement passes reach
+Al=0, progressive and baseline encodings of the SAME image decode to
+BIT-IDENTICAL pixels (same quantized coefficients), which is the
+strongest cross-check available without an independent decoder.
+JPEG is lossy, so tests assert PSNR bounds and BIT-EXACT determinism
+(pure integer/float64 numpy, no RNG), not pixel equality;
+decode(encode(x)) is a pure function of x, which is what the media
+fixture oracles need.
 
-Reference: ITU-T T.81 (1992) Annex F (sequential DCT), Annex K
-(example tables); the zigzag/huffman layout follows the spec text.
+Reference: ITU-T T.81 (1992) Annex F (sequential DCT), Annex G
+(progressive DCT: G.1.2 encode, G.2 decode control), Annex K (example
+tables); the zigzag/huffman layout follows the spec text. The AC
+refinement correction-bit buffering follows the spec's G.1.2.3 model
+(the same algorithm the IJG encoder implements).
 """
 
 from __future__ import annotations
@@ -386,6 +403,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             break
         if marker == 0xFF:
             pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD7:
+            raise ValueError("restart intervals not supported")
+        if marker in (0x01, 0xD8):  # TEM / repeated SOI: standalone, no length
+            pos += 2
             continue
         seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
         body = data[pos + 4 : pos + 2 + seglen]

@@ -746,12 +746,24 @@ class Codec:
         if (payload or b"")[:2] == b"BM":
             return decode_bmp(payload)
         if (payload or b"")[:4] == b"\x89PNG":
-            img = decode_png(payload)
-            if img.ndim == 2:
-                return np.stack([img] * 3, axis=-1)  # uniform (h, w, 3)
-            return img
-        if (payload or b"")[:3] == b"GIF":
-            return decode_gif(payload)
+            # out-of-profile (RGBA/16-bit/Adam7) or corrupt streams fall
+            # through to the fake/SWAP-POINT path, mirroring JPEG (r11)
+            import zlib
+
+            try:
+                img = decode_png(payload)
+            except (ValueError, IndexError, zlib.error):
+                img = None
+            if img is not None:
+                if img.ndim == 2:
+                    return np.stack([img] * 3, axis=-1)  # uniform (h, w, 3)
+                return img
+        elif (payload or b"")[:3] == b"GIF":
+            # local-palette/interlaced/truncated GIFs fall through (r11)
+            try:
+                return decode_gif(payload)
+            except (ValueError, IndexError):
+                pass
         if (payload or b"")[:2] == b"\xff\xd8":
             # real baseline JPEG decode (r10, operators/jpegcodec —
             # SOF0 4:4:4 profile); out-of-profile streams fall through
@@ -816,7 +828,18 @@ def image_header(payload: bytes) -> tuple[str, int, int, int]:
     """(format, width, height, n_components) via magic-byte dispatch —
     header parse only, no raster read. JPEG gets real metadata here
     even though its PIXEL decode stays env-blocked (parse_jpeg_header).
-    Raises ValueError on unknown magic."""
+    Raises ValueError on unknown magic AND on recognized-magic payloads
+    truncated mid-header (struct.error/IndexError are normalized to
+    ValueError so every caller sees one exception class — advisor r10)."""
+    import struct
+
+    try:
+        return _image_header_strict(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"truncated image header: {exc}") from exc
+
+
+def _image_header_strict(payload: bytes) -> tuple[str, int, int, int]:
     import struct
 
     head = (payload or b"")[:4]

@@ -870,7 +870,7 @@ def kn_bigram_logprob(
     nlv = (
         vocab.join(ctx, "w1")
         .join(pred, "w2")
-        .crossJoin(tot)
+        .crossJoin(tot)  # bcast-ok: 1-row total agg
         .select("b", F.expr(KN_P_SQL.format(d=d)).alias("p"))
         .select("b", (-F.expr(portable_ln("p", spark=True))).alias("nl"))
     )

@@ -407,8 +407,8 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     v, c, p = _funnel_stages(ev)
     return (
         v.agg(F.count("*").alias("n_viewed"))
-        .crossJoin(c.agg(F.count("*").alias("n_clicked_after")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchased_after")))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after")))  # bcast-ok: 1-row agg
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after")))  # bcast-ok: 1-row agg
     )
 
 

@@ -122,6 +122,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K9 exact n-gram Jaccard within (lang, source) blocks — the
     oracle-checkable verifier the LSH tiers reduce to."""
+    # band-ok: unbounded shingle keyspace; AQE skew-split covers hot grams
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         "text",
@@ -145,6 +146,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (>512 members, the operator default) route through a
     min-doc representative so candidate output stays linear per bucket
     — see banded_candidate_pairs/band_bucket_stats."""
+    # band-ok: operator default cap 512 + 2^64 xxhash band keyspace
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         "text",
@@ -163,6 +165,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K9 SimHash-64: banded blocking + bit_count hamming verify; hot
     band buckets (>512) route through a min-doc representative."""
+    # band-ok: operator default cap 512 (fixed 4x2^16 band space needs it)
     return simhash_pairs(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
     )
@@ -191,6 +194,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-block verifier)."""
     from fegis_spark.operators.dedup import embedding_neardup_pairs_lsh
 
+    # band-ok: MLlib BRP bucket join — occupancy tuned by bucket_length
+    # (recall-conservative default; see operator docstring + SCALE.md)
     return embedding_neardup_pairs_lsh(
         load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
     )
@@ -296,6 +301,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB recursive CTE."""
     from fegis_spark.operators.dedup import connected_components
 
+    # band-ok: unbounded shingle keyspace; AQE skew-split covers hot grams
     edges = ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         "text",
@@ -330,6 +336,7 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as the min-label loop."""
     from fegis_spark.operators.dedup import connected_components_star
 
+    # band-ok: unbounded shingle keyspace; AQE skew-split covers hot grams
     edges = ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         "text",
@@ -516,6 +523,8 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation, AND verification are value-checked cross-engine — the
     exact twin that certifies the (faster, xxhash64, rows-only)
     dedup_minhash_lsh pipeline's algebra."""
+    # band-ok: 2^60 md5 band keyspace — no band-space saturation;
+    # template hot buckets are the capped twin's contract
     return minhash_lsh_pairs_portable(
         load_table(spark, sf_dir, "documents"),
         "text",
@@ -563,6 +572,7 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate algebra; THIS query certifies the cap semantics
     cross-engine: m-1 star candidates instead of m(m-1)/2, verification
     unchanged."""
+    # band-ok: certifies HOT_CAP routing itself (max_bucket_size below)
     return minhash_lsh_pairs_portable(
         spark_hot_docs(load_table(spark, sf_dir, "documents")),
         "text",
@@ -577,7 +587,11 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_portable_oracle() -> str:
     """Generate the DuckDB twin of simhash_pairs_portable from the same
-    bit loop, so the two engines cannot drift."""
+    bit loop, so the two engines cannot drift. Since r11 it replays the
+    HOT_CAP min-doc representative routing too: simhash's 4x15-bit band
+    space is fixed (131072 buckets), so like SRP it saturates at scale
+    and the catalog query passes max_bucket_size=HOT_CAP."""
+    hot_cap = HOT_CAP
     counters = ",\n             ".join(
         f"SUM(((th >> {b}) & 1) * 2 - 1) AS c{b}" for b in range(60)
     )
@@ -599,9 +613,22 @@ def _simhash_portable_oracle() -> str:
     ), banded AS (
       SELECT doc, sim, b, (sim >> (15 * b)) & 32767 AS bh
       FROM sh, (SELECT unnest(range(4)) AS b)
+    ), sized AS MATERIALIZED (
+      SELECT doc, sim, b, bh,
+             COUNT(*) OVER (PARTITION BY b, bh) AS bs,
+             MIN(doc) OVER (PARTITION BY b, bh) AS rep,
+             FIRST_VALUE(sim) OVER (PARTITION BY b, bh ORDER BY doc) AS rep_sim
+      FROM banded
     ), cand AS (
-      SELECT DISTINCT l.doc AS a, r.doc AS b, l.sim AS sim_a, r.sim AS sim_b
-      FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc < r.doc
+      SELECT DISTINCT a, b, sim_a, sim_b FROM (
+        SELECT l.doc AS a, r.doc AS b, l.sim AS sim_a, r.sim AS sim_b
+        FROM sized l JOIN sized r
+          ON l.b = r.b AND l.bh = r.bh AND l.doc < r.doc
+        WHERE l.bs <= {hot_cap}
+        UNION ALL
+        SELECT rep AS a, doc AS b, rep_sim AS sim_a, sim AS sim_b
+        FROM sized WHERE bs > {hot_cap} AND doc <> rep
+      )
     )
     SELECT a, b, bit_count(xor(sim_a, sim_b)) AS hamming
     FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
@@ -617,9 +644,21 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K9 SimHash, oracle-checked end-to-end: 60-bit md5-derived
     sketch, 4×15-bit band blocking (pigeonhole-exact for hamming<=3),
     bit_count(xor) verify — the cross-engine twin certifying the
-    xxhash64 simhash_pairs algebra."""
+    xxhash64 simhash_pairs algebra. r11: the band space is fixed-width
+    (4×2^15 buckets — saturates linearly with corpus size, the same
+    failure mode the r10 64x probe measured on SRP), so candidates
+    route through the HOT_CAP representative star and the oracle
+    replays the routing. Recall note: the pigeonhole guarantee is
+    intact in buckets <= HOT_CAP; over-cap buckets degrade to rep-star
+    pairs — observable via band_bucket_stats, and those buckets are
+    near-identical template clusters where every member matches the
+    rep."""
     return simhash_pairs_portable(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        max_hamming=3,
+        max_bucket_size=HOT_CAP,
     )
 
 
@@ -891,7 +930,10 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # band-ok: eval harness over the sf corpus — unbounded gram keyspace
+    # (truth) and 2^60 md5 bands (pred), both declared above
     truth = ngram_jaccard_pairs(docs, "text", "doc_id", [], ngram=3, threshold=0.5)
+    # band-ok: 2^60 md5 band keyspace (see dedup_minhash_portable)
     pred = minhash_lsh_pairs_portable(
         docs, "text", "doc_id", num_hashes=16, bands=4, ngram=3,
         jaccard_threshold=0.5,
@@ -1012,6 +1054,8 @@ def dedup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST — the corpus is never shuffled for the attribution
     itself, and the output is bounded by sources²."""
     docs = load_table(spark, sf_dir, "documents")
+    # band-ok: 2^60 md5 band keyspace — no band-space saturation;
+    # template hot buckets are the capped twin's contract
     pairs = minhash_lsh_pairs_portable(
         docs, "text", "doc_id",
         num_hashes=16, bands=4, ngram=3, jaccard_threshold=0.5,
@@ -1082,6 +1126,7 @@ def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale."""
     from fegis_spark.operators.dedup import connected_components
 
+    # band-ok: unbounded shingle keyspace; AQE skew-split covers hot grams
     edges = ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         "text",

@@ -1126,7 +1126,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(closing, ["h1", "h2"]).agg(
         F.count("*").alias("n_triangles")
     )
-    stats = edges.agg(F.count("*").alias("n_edges")).crossJoin(
+    stats = edges.agg(F.count("*").alias("n_edges")).crossJoin(  # bcast-ok: 1-row aggs both sides
         deg.agg(
             F.count("*").alias("n_nodes"),
             F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("n_wedges"),

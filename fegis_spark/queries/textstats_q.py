@@ -1646,7 +1646,7 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dof = (
         rt.agg((F.count("*") - 1).alias("nr"))
-        .crossJoin(ct.agg((F.count("*") - 1).alias("nc")))
+        .crossJoin(ct.agg((F.count("*") - 1).alias("nc")))  # bcast-ok: 1-row agg
         .select((F.col("nr") * F.col("nc")).alias("dof"))
     )
     ncells = cells.agg(F.count("*").alias("n_cells"))

@@ -619,7 +619,9 @@ def embedding_srp_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _srp_hamming_oracle() -> str:
     from fegis_spark.operators.dedup import SRP_BANDS, srp_code_sql
+    from fegis_spark.queries.sqlfrag import HOT_CAP
 
+    hot_cap = HOT_CAP
     return f"""
     WITH codes AS MATERIALIZED (
       SELECT vec_id, {srp_code_sql('embedding', EMB_DIM)} AS code
@@ -627,9 +629,21 @@ def _srp_hamming_oracle() -> str:
     ), ex AS (
       SELECT vec_id, p, (code >> (8 * p)) & 255 AS bk
       FROM codes, unnest(range(0, {SRP_BANDS})) AS t(p)
+    ), sized AS MATERIALIZED (
+      SELECT vec_id, p, bk,
+             COUNT(*) OVER (PARTITION BY p, bk) AS bs,
+             MIN(vec_id) OVER (PARTITION BY p, bk) AS rep
+      FROM ex
     ), cand AS (
-      SELECT DISTINCT l.vec_id AS id_l, r.vec_id AS id_r
-      FROM ex l JOIN ex r ON l.p = r.p AND l.bk = r.bk AND l.vec_id < r.vec_id
+      SELECT DISTINCT id_l, id_r FROM (
+        SELECT l.vec_id AS id_l, r.vec_id AS id_r
+        FROM sized l JOIN sized r
+          ON l.p = r.p AND l.bk = r.bk AND l.vec_id < r.vec_id
+        WHERE l.bs <= {hot_cap}
+        UNION ALL
+        SELECT rep AS id_l, vec_id AS id_r FROM sized
+        WHERE bs > {hot_cap} AND vec_id <> rep
+      )
     )
     SELECT bit_count(xor(cl.code, cr.code)) AS hamming,
            COUNT(*) AS n_pairs
@@ -653,42 +667,46 @@ def embedding_srp_blocked_hamming(spark: SparkSession, sf_dir: str) -> DataFrame
     the full code buckets the candidates. On the near-random test
     vectors low-hamming mass is tiny — the histogram output keeps the
     check non-vacuous at every sf while still value-pinning the whole
-    pipeline (codes, banding, join, popcount). The constructed-vector
-    near-dup property (true near-dups collide and land at hamming ~0)
-    is pinned in tests/test_srp.py. Scale: candidates come only from
-    shared band buckets; the same hot-bucket cap as MinHash applies
-    (operators/dedup.banded_candidate_pairs)."""
+    pipeline (codes, banding, cap routing, join, popcount). The
+    constructed-vector near-dup property (true near-dups collide and
+    land at hamming ~0) is pinned in tests/test_srp.py.
+
+    Scale (r11, closing the r10 verdict's catalog contradiction): the
+    SRP band space is only SRP_BANDS x 256 = 1024 buckets, so bucket
+    occupancy grows LINEARLY with the corpus and an uncapped band
+    self-join quadratically — the r10 64x probe measured the uncapped
+    shape at ratio 51.96 (evidence/scale_probe_64x_r10.json). This
+    query therefore routes through banded_candidate_pairs with the
+    HOT_CAP min-id representative star, same as every other band
+    family; the oracle replays the identical routing value-for-value
+    (on natural data the cap fires only where occupancy exceeds
+    HOT_CAP — at small sf it usually degenerates to the plain band
+    algebra, and embedding_srp_capped forces it to fire at every sf
+    via the constructed hot cluster)."""
     from pyspark import StorageLevel
 
-    from fegis_spark.operators.dedup import SRP_BANDS, srp_code_expr
+    from fegis_spark.operators.dedup import (
+        SRP_BANDS,
+        banded_candidate_pairs,
+        srp_code_expr,
+    )
+    from fegis_spark.queries.sqlfrag import HOT_CAP
 
     emb = load_table(spark, sf_dir, "embeddings")
     codes = emb.select(
         "vec_id", F.expr(srp_code_expr("embedding", EMB_DIM)).alias("code")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    ex = codes.select(
-        "vec_id",
+    banded = codes.select(
+        F.col("vec_id").alias("doc"),
+        F.explode(F.expr(f"sequence(0, {SRP_BANDS - 1})")).alias("band"),
         "code",
-        F.explode(F.expr(f"sequence(0, {SRP_BANDS - 1})")).alias("p"),
-    ).select("vec_id", "p", F.expr("(code >> (8 * p)) & 255").alias("bk"))
-    cand = (
-        ex.alias("l")
-        .join(
-            ex.alias("r"),
-            (F.col("l.p") == F.col("r.p"))
-            & (F.col("l.bk") == F.col("r.bk"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(
-            F.col("l.vec_id").alias("id_l"), F.col("r.vec_id").alias("id_r")
-        )
-        .distinct()
-    )
-    cl = codes.select(F.col("vec_id").alias("id_l"), F.col("code").alias("code_l"))
-    cr = codes.select(F.col("vec_id").alias("id_r"), F.col("code").alias("code_r"))
+    ).select("doc", "band", F.expr("(code >> (8 * band)) & 255").alias("bh"))
+    pairs = banded_candidate_pairs(banded, max_bucket_size=HOT_CAP)
+    cl = codes.select(F.col("vec_id").alias("a"), F.col("code").alias("code_l"))
+    cr = codes.select(F.col("vec_id").alias("b"), F.col("code").alias("code_r"))
     return (
-        cand.join(cl, "id_l")
-        .join(cr, "id_r")
+        pairs.join(cl, "a")
+        .join(cr, "b")
         .select(F.expr("bit_count(code_l ^ code_r)").alias("hamming"))
         .groupBy("hamming")
         .agg(F.count("*").alias("n_pairs"))
@@ -753,9 +771,9 @@ def embedding_srp_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative star routing actually fires and the DuckDB oracle
     replays the SAME routing value-for-value. Candidates still flow
     through the exact hamming verify; output is the histogram. The
-    uncapped twin (embedding_srp_blocked_hamming) stays the
-    correctness tier for the plain band algebra; THIS shape is the
-    100 TB path and the one the scale probe times."""
+    natural-data twin (embedding_srp_blocked_hamming) routes through
+    the SAME cap since r11 — this query's job is forcing the routing
+    to fire at every sf; it is also the shape the scale probe times."""
     from pyspark import StorageLevel
 
     from fegis_spark.operators.dedup import (

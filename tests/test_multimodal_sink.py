@@ -571,3 +571,86 @@ class TestPngProperty:
             assert out.shape == img.shape and (out == img).all()
 
         check()
+
+
+class TestJunkToleranceR11:
+    """Advisor r10 fixes: truncated/out-of-profile payloads must not
+    crash the triage job (image_header normalizes struct.error and
+    IndexError to ValueError) and Codec.decode_image's PNG/GIF branches
+    must mirror the JPEG fall-through to the fake path."""
+
+    def test_image_header_truncated_bmp_raises_valueerror(self):
+        import pytest
+
+        from fegis_spark.operators.multimodal import image_header
+
+        # b'BM' + <26 bytes: struct.unpack_from at offset 18 would raise
+        # struct.error pre-fix; contract says ValueError only
+        with pytest.raises(ValueError):
+            image_header(b"BM" + b"\x00" * 10)
+
+    def test_image_metadata_truncated_bmp_routes_as_unknown(self, spark):
+        from fegis_spark.operators.multimodal import image_metadata
+
+        payload = b"BM" + b"\x00" * 10
+        df = spark.createDataFrame(
+            [(1, "image", payload, None)],
+            "media_id long, kind string, payload binary, meta string",
+        )
+        got = image_metadata(df).collect()[0].asDict()
+        assert got["format"] == "unknown"
+        assert got["width"] is None
+        assert got["payload_bytes"] == len(payload)
+
+    def test_codec_fake_tolerates_out_of_profile_png_gif(self):
+        import struct
+        import zlib
+
+        from fegis_spark.operators.multimodal import Codec
+
+        codec = Codec(fake=True)
+        # RGBA PNG header (color type 6) with a fake IDAT: out of profile
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)
+        def chunk(tag, body):
+            return (
+                len(body).to_bytes(4, "big") + tag + body
+                + zlib.crc32(tag + body).to_bytes(4, "big")
+            )
+        rgba_png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 80))
+            + chunk(b"IEND", b"")
+        )
+        img = codec.decode_image(rgba_png)
+        assert img.shape == (8, 8, 3)  # deterministic fake, not a crash
+
+        # truncated GIF (magic only) → IndexError pre-fix
+        img2 = codec.decode_image(b"GIF89a")
+        assert img2.shape == (8, 8, 3)
+
+    def test_codec_strict_raises_documented_swap_point(self):
+        import pytest
+
+        from fegis_spark.operators.multimodal import Codec
+
+        with pytest.raises(NotImplementedError):
+            Codec(fake=False).decode_image(b"GIF89a")
+
+    def test_decode_jpeg_standalone_markers(self):
+        import numpy as np
+        import pytest
+
+        from fegis_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        payload = encode_jpeg(img)
+        # inject TEM (standalone, zero-length) right after SOI: a correct
+        # marker walk skips it; the old walk misparsed it as a length
+        with_tem = payload[:2] + b"\xff\x01" + payload[2:]
+        out = decode_jpeg(with_tem)
+        assert out.shape == (8, 8)
+        # RSTn must reject with the documented restart error, not a
+        # misalignment crash
+        with_rst = payload[:2] + b"\xff\xd0" + payload[2:]
+        with pytest.raises(ValueError, match="restart"):
+            decode_jpeg(with_rst)

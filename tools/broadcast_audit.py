@@ -26,6 +26,23 @@ through ONE task. Every such site must be over a bounded DERIVED table
 ``# window-ok: <bound>`` marker; a corpus-scaled input reaching one
 would be a single-task bottleneck at 100 TB.
 
+r11 additions (r10 verdict #1/#3, mechanized):
+
+  * every ``.crossJoin(`` site must carry a ``# bcast-ok: <bound>``
+    marker (same line, contiguous comment block above, or inside the
+    call's argument span) — a crossJoin is a cartesian product; its
+    non-corpus side must be a 1-row agg or a structurally bounded
+    panel, and the site must say which;
+  * every candidate-pair GENERATOR call (``banded_candidate_pairs`` and
+    the named near-dup wrappers) must either pass an explicit non-None
+    ``max_bucket_size=`` cap or carry a ``# band-ok: <keyspace bound>``
+    marker. This closes the class the r10 64x probe caught: a
+    fixed-width band family (SRP: 4x2^8 buckets, SimHash: 4x2^15)
+    saturates linearly with corpus size, making the uncapped band
+    self-join QUADRATIC — md5/xxhash band families (2^60+ keyspace)
+    may declare that bound instead of capping. Manual bucket
+    self-joins (the ``alias("l")`` pattern) need the same marker.
+
 Like oracle_lint, this is a static text scan: it cannot prove the
 marker's claim, but it guarantees every hint site states its bound for
 review, and any new unmarked hint fails CI. Exit 1 on findings.
@@ -44,8 +61,22 @@ CALL = re.compile(r"F\.broadcast\(")
 MARKER = re.compile(r"#\s*bcast-ok:\s*\S")
 GLOBAL_WINDOW = re.compile(r"\bWindow\.orderBy\(")
 WINDOW_MARKER = re.compile(r"#\s*window-ok:\s*\S")
+CROSSJOIN = re.compile(r"\.crossJoin\(")
+BAND_MARKER = re.compile(r"#\s*band-ok:\s*\S")
+#: candidate-pair generators: a call must cap (non-None
+#: max_bucket_size=) or carry a # band-ok: <keyspace bound> marker
+PAIR_GENERATORS = re.compile(
+    r"\b(banded_candidate_pairs|minhash_lsh_pairs|simhash_pairs"
+    r"|minhash_lsh_pairs_portable|simhash_pairs_portable"
+    r"|ngram_jaccard_pairs|embedding_neardup_pairs"
+    r"|embedding_neardup_pairs_lsh)\("
+)
+MANUAL_SELF_JOIN = re.compile(r"\.alias\(\"l\"\)")
+CAP_ARG = re.compile(r"max_bucket_size\s*=\s*(?!None\b)\S")
 #: how far above a contiguous comment block may start
 MAX_COMMENT_BLOCK = 8
+#: how many lines a multi-line call's argument span may cover
+MAX_CALL_SPAN = 12
 
 
 def site_is_marked(lines: list[str], i: int, marker: re.Pattern = MARKER) -> bool:
@@ -66,15 +97,71 @@ def site_is_marked(lines: list[str], i: int, marker: re.Pattern = MARKER) -> boo
     return False
 
 
+def call_span(lines: list[str], i: int, start_col: int) -> str:
+    """The call text from the opening paren at/after start_col on line i
+    until its parens balance (capped at MAX_CALL_SPAN lines) — lets the
+    cap-argument and marker checks see multi-line calls."""
+    depth = 0
+    out: list[str] = []
+    for j in range(i, min(i + MAX_CALL_SPAN, len(lines))):
+        seg = lines[j][start_col:] if j == i else lines[j]
+        for k, ch in enumerate(seg):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    out.append(seg[: k + 1])
+                    return "\n".join(out)
+        out.append(seg)
+    return "\n".join(out)
+
+
 def audit() -> int:
     findings: list[str] = []
-    n_raw = n_gated = n_windows = 0
+    n_raw = n_gated = n_windows = n_cross = n_band = 0
     for path in sorted(PKG.rglob("*.py")):
         lines = path.read_text().splitlines()
         for i, line in enumerate(lines):
             if line.lstrip().startswith("#"):
                 continue
             n_gated += line.count("maybe_broadcast(")
+            for m in CROSSJOIN.finditer(line):
+                n_cross += 1
+                span = call_span(lines, i, m.start())
+                if not (site_is_marked(lines, i) or MARKER.search(span)):
+                    findings.append(
+                        f"{path.relative_to(ROOT)}:{i + 1}: crossJoin without "
+                        f"a '# bcast-ok: <bound>' marker — name the bounded "
+                        f"side (1-row agg, k-row panel, ...)\n    {line.strip()}"
+                    )
+            for m in PAIR_GENERATORS.finditer(line):
+                # skip the definitions themselves — the rule binds call
+                # sites, where the cap decision is made
+                if line.lstrip().startswith("def ") or "import" in line.split("(")[0]:
+                    continue
+                n_band += 1
+                span = call_span(lines, i, m.end() - 1)
+                if not (
+                    CAP_ARG.search(span)
+                    or site_is_marked(lines, i, BAND_MARKER)
+                    or BAND_MARKER.search(span)
+                ):
+                    findings.append(
+                        f"{path.relative_to(ROOT)}:{i + 1}: candidate-pair "
+                        f"generator without an explicit max_bucket_size cap or "
+                        f"a '# band-ok: <keyspace bound>' marker — fixed-width "
+                        f"band families saturate and go quadratic (r10 64x "
+                        f"probe)\n    {line.strip()}"
+                    )
+            for _ in MANUAL_SELF_JOIN.finditer(line):
+                n_band += 1
+                if not site_is_marked(lines, i, BAND_MARKER):
+                    findings.append(
+                        f"{path.relative_to(ROOT)}:{i + 1}: manual bucket "
+                        f"self-join (alias(\"l\") pattern) without a "
+                        f"'# band-ok: <keyspace bound>' marker\n    {line.strip()}"
+                    )
             for _ in CALL.finditer(line):
                 n_raw += 1
                 if not site_is_marked(lines, i):
@@ -101,6 +188,7 @@ def audit() -> int:
     print(
         f"broadcast_audit: {n_raw} raw hint sites, {n_gated} size-gated "
         f"maybe_broadcast sites, {n_windows} global-window sites, "
+        f"{n_cross} crossJoin sites, {n_band} band-generator sites, "
         f"{len(findings)} findings"
     )
     return 1 if findings else 0
