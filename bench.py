@@ -50,11 +50,9 @@ def sentinel_sec(spark) -> float:
     its round-over-round baseline means the environment (not the code)
     was contended during this bench run; per-query regressions in the
     same run should be re-measured solo before being believed."""
-    from pyspark.sql import functions as F
-
-    job = spark.range(100_000_000).select(
-        F.sum(F.xxhash64("id")).alias("h")
-    )
+    # bit_xor, not sum: a sum of 100M random 64-bit hashes overflows
+    # BIGINT under the ANSI session
+    job = spark.range(100_000_000).selectExpr("bit_xor(xxhash64(id)) AS h")
     samples = []
     for _ in range(RUNS):
         t0 = time.perf_counter()
