@@ -146,6 +146,18 @@ HUFF_AC_CHROMA = (
 )
 
 
+#: universal AC table for the PROGRESSIVE encoder: the Annex K AC
+#: tables are sequential-mode tables and lack the EOBn symbols
+#: (0x10..0xE0) progressive end-of-band runs need, so progressive
+#: scans carry their own DHT — every (run, size) symbol with size<=10
+#: plus all EOBn/ZRL codes, canonically assigned at a flat 8 bits
+#: (176 codes in a 256-slot space; the all-ones code stays reserved).
+HUFF_AC_UNIVERSAL = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted((run << 4) | cat for run in range(16) for cat in range(11)),
+)
+
+
 def _huff_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
     """symbol → (code, length) per T.81 Annex C code assignment."""
     out: dict[int, tuple[int, int]] = {}
@@ -281,9 +293,15 @@ def _extend(bits: int, cat: int) -> int:
     return bits
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes
-    (SOF0, 4:4:4, Annex K tables quality-scaled). Deterministic."""
+def _quantize_components(
+    arr: np.ndarray, quality: int
+) -> tuple[list[np.ndarray], list[np.ndarray], list[int], int, int, int, int]:
+    """Forward path shared by the baseline and progressive encoders:
+    color transform, 8x8 tiling with edge-replicate padding, DCT,
+    quantization, zigzag. Returns (coefs, qtbls, qids, h, w, bh, bw)
+    with coefs[ci] an int64 (bh*bw, 64) array in zigzag order — ONE
+    quantization, so the two encoders emit the same coefficients and
+    their decodes are bit-identical (the cross-check the tests pin)."""
     gray = arr.ndim == 2
     h, w = arr.shape[0], arr.shape[1]
     if gray:
@@ -298,20 +316,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
             _quality_scale(QTBL_CHROMA, quality),
         ]
         qids = [0, 1, 1]
-    ncomp = len(planes)
-
-    dc_tabs = [HUFF_DC_LUMA, HUFF_DC_CHROMA]
-    ac_tabs = [HUFF_AC_LUMA, HUFF_AC_CHROMA]
-    dc_codes = [_huff_codes(*t) for t in dc_tabs]
-    ac_codes = [_huff_codes(*t) for t in ac_tabs]
-
     bh, bw = (h + 7) // 8, (w + 7) // 8
-    writer = _BitWriter()
-    prev_dc = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(ncomp):
-                plane = planes[ci]
+    coefs = []
+    for ci, plane in enumerate(planes):
+        q = qtbls[qids[ci]]
+        out = np.zeros((bh * bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
                 block = np.full((8, 8), 0.0)
                 ys, xs = by * 8, bx * 8
                 ye, xe = min(ys + 8, h), min(xs + 8, w)
@@ -323,42 +334,29 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
                 if ye - ys < 8:
                     block[ye - ys :, :] = block[ye - ys - 1, :]
                 coeffs = _D @ (block - 128.0) @ _D.T
-                q = qtbls[qids[ci]]
                 # round half away from zero (deterministic, symmetric)
                 quant = np.sign(coeffs) * np.floor(np.abs(coeffs) / q + 0.5)
                 quant = quant.astype(np.int64)
-                zz = [int(quant[r, c]) for r, c in ZIGZAG]
-                hsel = 0 if qids[ci] == 0 else 1
-                # DC
-                diff = zz[0] - prev_dc[ci]
-                prev_dc[ci] = zz[0]
-                cat, bits = _magnitude_cat(diff)
-                code, ln = dc_codes[hsel][cat]
-                writer.write(code, ln)
-                if cat:
-                    writer.write(bits, cat)
-                # AC with run-lengths
-                run = 0
-                for k in range(1, 64):
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[hsel][0xF0]  # ZRL
-                        writer.write(code, ln)
-                        run -= 16
-                    cat, bits = _magnitude_cat(v)
-                    code, ln = ac_codes[hsel][(run << 4) | cat]
-                    writer.write(code, ln)
-                    writer.write(bits, cat)
-                    run = 0
-                if run:
-                    code, ln = ac_codes[hsel][0x00]  # EOB
-                    writer.write(code, ln)
-    writer.flush()
+                out[by * bw + bx] = [quant[r, c] for r, c in ZIGZAG]
+        coefs.append(out)
+    return coefs, qtbls, qids, h, w, bh, bw
 
-    out = bytearray(b"\xff\xd8")  # SOI
+
+def _emit_headers(
+    out: bytearray,
+    sof_marker: bytes,
+    qtbls: list[np.ndarray],
+    qids: list[int],
+    h: int,
+    w: int,
+    ac_tabs: tuple | None = None,
+) -> None:
+    """DQT + SOFn + DHT segments (all tables the scans reference are
+    emitted up front, which is legal for both modes). Baseline uses the
+    Annex K AC tables; progressive passes HUFF_AC_UNIVERSAL (the Annex
+    K AC tables lack EOBn symbols)."""
+    ncomp = len(qids)
+    ac0, ac1 = ac_tabs or (HUFF_AC_LUMA, HUFF_AC_CHROMA)
     for tid, q in enumerate(qtbls):
         zzq = bytes(int(q[r, c]) for r, c in ZIGZAG)
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zzq
@@ -366,13 +364,60 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
         bytes([ci + 1, 0x11, qids[ci]]) for ci in range(ncomp)
     )
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp]) + comp_spec
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
-    tabs = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
+    tabs = [(0x00, HUFF_DC_LUMA), (0x10, ac0)]
     if ncomp == 3:
-        tabs += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+        tabs += [(0x01, HUFF_DC_CHROMA), (0x11, ac1)]
     for tc, (bits, vals) in tabs:
         body = bytes([tc]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes
+    (SOF0, 4:4:4, Annex K tables quality-scaled). Deterministic."""
+    coefs, qtbls, qids, h, w, bh, bw = _quantize_components(arr, quality)
+    ncomp = len(qids)
+    dc_codes = [_huff_codes(*t) for t in (HUFF_DC_LUMA, HUFF_DC_CHROMA)]
+    ac_codes = [_huff_codes(*t) for t in (HUFF_AC_LUMA, HUFF_AC_CHROMA)]
+
+    writer = _BitWriter()
+    prev_dc = [0] * ncomp
+    for b in range(bh * bw):
+        for ci in range(ncomp):
+            zz = coefs[ci][b]
+            hsel = 0 if qids[ci] == 0 else 1
+            # DC
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            cat, bits = _magnitude_cat(diff)
+            code, ln = dc_codes[hsel][cat]
+            writer.write(code, ln)
+            if cat:
+                writer.write(bits, cat)
+            # AC with run-lengths
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[hsel][0xF0]  # ZRL
+                    writer.write(code, ln)
+                    run -= 16
+                cat, bits = _magnitude_cat(v)
+                code, ln = ac_codes[hsel][(run << 4) | cat]
+                writer.write(code, ln)
+                writer.write(bits, cat)
+                run = 0
+            if run:
+                code, ln = ac_codes[hsel][0x00]  # EOB
+                writer.write(code, ln)
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    _emit_headers(out, b"\xff\xc0", qtbls, qids, h, w)
     scan_spec = b"".join(
         bytes([ci + 1, (0x00 if qids[ci] == 0 else 0x11)]) for ci in range(ncomp)
     )
@@ -383,19 +428,391 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
     return bytes(out)
 
 
+class _ProgACWriter:
+    """AC-scan emitter state for one progressive scan: EOB-run
+    accumulation (T.81 G.1.2.2) plus, for refinement scans, the
+    buffered correction bits that must follow the next emitted symbol
+    (G.1.2.3 — the IJG encoder's BE buffer)."""
+
+    def __init__(self, writer: _BitWriter, ac_codes: dict) -> None:
+        self.w = writer
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits owed after next symbol
+
+    def emit_symbol(self, sym: int) -> None:
+        code, ln = self.ac[sym]
+        self.w.write(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.emit_symbol(nbits << 4)
+            if nbits:
+                self.w.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.w.write(bit, 1)
+        self.pending = []
+
+    def count_eob(self, bits: list[int]) -> None:
+        self.eobrun += 1
+        self.pending.extend(bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 75) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → progressive JPEG
+    bytes (SOF2, 4:4:4, Annex K tables quality-scaled). Deterministic.
+
+    Scan script (2-level successive approximation — exercises every
+    progressive scan type the decoder implements):
+      1. DC first, all components interleaved, Ah=0 Al=1
+      2. per component: AC first, Ss=1 Se=63, Ah=0 Al=1 (EOB runs)
+      3. DC refinement, interleaved, Ah=1 Al=0 (raw bits)
+      4. per component: AC refinement, Ss=1 Se=63, Ah=1 Al=0
+         (newly-nonzero + buffered correction bits)
+    Because the script refines to Al=0, the decoded coefficients equal
+    the baseline encoder's exactly — decode(encode_jpeg_progressive(x))
+    == decode(encode_jpeg(x)) bit-for-bit, pinned in tests."""
+    coefs, qtbls, qids, h, w, bh, bw = _quantize_components(arr, quality)
+    ncomp = len(qids)
+    nblocks = bh * bw
+    dc_codes = [_huff_codes(*t) for t in (HUFF_DC_LUMA, HUFF_DC_CHROMA)]
+    ac_univ = _huff_codes(*HUFF_AC_UNIVERSAL)
+    ac_codes = [ac_univ, ac_univ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    _emit_headers(out, b"\xff\xc2", qtbls, qids, h, w,
+                  ac_tabs=(HUFF_AC_UNIVERSAL, HUFF_AC_UNIVERSAL))
+
+    def emit_sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int,
+                 payload: bytes) -> None:
+        spec = b"".join(
+            bytes([ci + 1, ((0x00 if qids[ci] == 0 else 0x11) if ss == 0
+                            else (0x00 if qids[ci] == 0 else 0x01))])
+            for ci in comp_ids
+        )
+        sos = bytes([len(comp_ids)]) + spec + bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
+        out.extend(payload)
+
+    # scan 1: DC first (interleaved), Al=1 ------------------------------
+    wtr = _BitWriter()
+    prev = [0] * ncomp
+    for b in range(nblocks):
+        for ci in range(ncomp):
+            v = int(coefs[ci][b, 0]) >> 1  # arithmetic shift per G.1.2.1
+            diff = v - prev[ci]
+            prev[ci] = v
+            cat, bits = _magnitude_cat(diff)
+            code, ln = dc_codes[0 if qids[ci] == 0 else 1][cat]
+            wtr.write(code, ln)
+            if cat:
+                wtr.write(bits, cat)
+    wtr.flush()
+    emit_sos(list(range(ncomp)), 0, 0, 0, 1, bytes(wtr.out))
+
+    # scan 2: per-component AC first, Ss=1 Se=63, Al=1 -------------------
+    for ci in range(ncomp):
+        wtr = _BitWriter()
+        pw = _ProgACWriter(wtr, ac_codes[0 if qids[ci] == 0 else 1])
+        for b in range(nblocks):
+            zz = coefs[ci][b]
+            vals = [
+                (1 if int(zz[k]) >= 0 else -1) * (abs(int(zz[k])) >> 1)
+                for k in range(1, 64)
+            ]
+            if not any(vals):
+                pw.count_eob([])
+                continue
+            pw.flush_eobrun()
+            run = 0
+            last_nz = max(i for i, v in enumerate(vals) if v)
+            for i, v in enumerate(vals):
+                if i > last_nz:
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    pw.emit_symbol(0xF0)  # ZRL
+                    run -= 16
+                cat, bits = _magnitude_cat(v)
+                pw.emit_symbol((run << 4) | cat)
+                wtr.write(bits, cat)
+                run = 0
+            if last_nz < 62:
+                pw.count_eob([])
+        pw.flush_eobrun()
+        wtr.flush()
+        emit_sos([ci], 1, 63, 0, 1, bytes(wtr.out))
+
+    # scan 3: DC refinement (interleaved), Ah=1 Al=0 — raw bits ----------
+    wtr = _BitWriter()
+    for b in range(nblocks):
+        for ci in range(ncomp):
+            wtr.write(int(coefs[ci][b, 0]) & 1, 1)
+    wtr.flush()
+    emit_sos(list(range(ncomp)), 0, 0, 1, 0, bytes(wtr.out))
+
+    # scan 4: per-component AC refinement, Ah=1 Al=0 ---------------------
+    for ci in range(ncomp):
+        wtr = _BitWriter()
+        pw = _ProgACWriter(wtr, ac_codes[0 if qids[ci] == 0 else 1])
+        for b in range(nblocks):
+            zz = coefs[ci][b]
+            absv = [abs(int(zz[k])) for k in range(1, 64)]  # temp at Al=0
+            # index of last NEWLY-NONZERO coefficient (temp == 1); ZRLs
+            # are only needed up to here — the tail folds into EOB runs
+            eobpos = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eobpos = i
+            run = 0
+            br: list[int] = []  # correction bits since last symbol
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                # ZRL reduction runs at EVERY nonzero temp (correction
+                # coeffs too, per G.1.2.3): it keeps run <= 15 whenever
+                # a nonzero coeff is buffered, which is what guarantees
+                # every buffered correction bit lies inside the next
+                # symbol's 16-zero decoder advance window. Not emitted
+                # past the last newly-nonzero coeff — those runs fold
+                # into the EOB run.
+                while run > 15 and i <= eobpos:
+                    pw.flush_eobrun()
+                    pw.emit_symbol(0xF0)
+                    run -= 16
+                    for bit in br:
+                        wtr.write(bit, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)  # history-visible: correction bit
+                    continue
+                # t == 1: newly nonzero at this precision
+                pw.flush_eobrun()
+                pw.emit_symbol((run << 4) | 1)
+                wtr.write(1 if int(zz[i + 1]) >= 0 else 0, 1)
+                for bit in br:
+                    wtr.write(bit, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                pw.count_eob(br)
+        pw.flush_eobrun()
+        wtr.flush()
+        emit_sos([ci], 1, 63, 1, 0, bytes(wtr.out))
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _find_scan_end(data: bytes, start: int) -> int:
+    """First byte of the marker that terminates entropy-coded data
+    beginning at `start` (inside a scan, 0xFF is always stuffed with
+    0x00; an unstuffed 0xFF — including fill bytes — ends the scan)."""
+    i = start
+    n = len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF and data[i + 1] != 0x00:
+            return i
+        i += 1
+    return n
+
+
+def _huffman_read(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _decode_scan_sequential(
+    reader: _BitReader,
+    scan_idx: list[tuple[int, int, int]],
+    huff: dict,
+    coefs: list[np.ndarray],
+    nblocks: int,
+) -> None:
+    """One baseline scan: interleaved DC+AC, full band, no successive
+    approximation (T.81 Annex F), into the coefficient arrays."""
+    prev_dc = [0] * len(scan_idx)
+    for b in range(nblocks):
+        for si, (ci, td, ta) in enumerate(scan_idx):
+            dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("missing Huffman table for scan")
+            co = coefs[ci][b]
+            cat = _huffman_read(reader, dc_tab)
+            diff = _extend(reader.read_bits(cat), cat) if cat else 0
+            prev_dc[si] += diff
+            co[0] = prev_dc[si]
+            k = 1
+            while k < 64:
+                rs = _huffman_read(reader, ac_tab)
+                run, cat = rs >> 4, rs & 0xF
+                if cat == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                co[k] = _extend(reader.read_bits(cat), cat)
+                k += 1
+
+
+def _decode_scan_dc(
+    reader: _BitReader,
+    scan_idx: list[tuple[int, int, int]],
+    huff: dict,
+    coefs: list[np.ndarray],
+    nblocks: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Progressive DC scan (Ss=Se=0): first pass (Ah=0) is baseline DC
+    difference coding scaled by 2^Al; refinement appends bit Al."""
+    if ah == 0:
+        prev_dc = [0] * len(scan_idx)
+        for b in range(nblocks):
+            for si, (ci, td, _ta) in enumerate(scan_idx):
+                tab = huff.get((0, td))
+                if tab is None:
+                    raise ValueError("missing DC Huffman table for scan")
+                cat = _huffman_read(reader, tab)
+                diff = _extend(reader.read_bits(cat), cat) if cat else 0
+                prev_dc[si] += diff
+                coefs[ci][b, 0] = prev_dc[si] << al
+    else:
+        for b in range(nblocks):
+            for _si, (ci, _td, _ta) in enumerate(scan_idx):
+                coefs[ci][b, 0] |= reader.read_bit() << al
+
+
+def _decode_scan_ac_first(
+    reader: _BitReader,
+    ci: int,
+    ac_tab,
+    coefs: list[np.ndarray],
+    nblocks: int,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """Progressive AC first pass (Ah=0): run/size coding over the
+    spectral band with EOBn end-of-band runs (T.81 G.2.2)."""
+    eobrun = 0
+    for b in range(nblocks):
+        if eobrun:
+            eobrun -= 1
+            continue
+        co = coefs[ci][b]
+        k = ss
+        while k <= se:
+            rs = _huffman_read(reader, ac_tab)
+            run, cat = rs >> 4, rs & 0xF
+            if cat == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += reader.read_bits(run)
+                break
+            k += run
+            if k > se:
+                raise ValueError("AC run overflows spectral band")
+            co[k] = _extend(reader.read_bits(cat), cat) << al
+            k += 1
+
+
+def _decode_scan_ac_refine(
+    reader: _BitReader,
+    ci: int,
+    ac_tab,
+    coefs: list[np.ndarray],
+    nblocks: int,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """Progressive AC refinement (Ah>0): newly-nonzero coefficients are
+    placed at ±2^Al; every already-nonzero coefficient passed over gets
+    a correction bit (T.81 G.2.2 / figure G.7 control)."""
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    for b in range(nblocks):
+        co = coefs[ci][b]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huffman_read(reader, ac_tab)
+                run, cat = rs >> 4, rs & 0xF
+                val = 0
+                if cat == 0:
+                    if run != 15:
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += reader.read_bits(run)
+                        break
+                    # run == 15 → ZRL: skip 16 zero-history positions
+                else:
+                    if cat != 1:
+                        raise ValueError("invalid refinement magnitude")
+                    val = p1 if reader.read_bit() else m1
+                # advance over `run` zero-history coeffs, correcting the
+                # nonzero-history ones passed along the way
+                while k <= se:
+                    if co[k] != 0:
+                        if reader.read_bit():
+                            if (co[k] & p1) == 0:
+                                co[k] += p1 if co[k] >= 0 else m1
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val and k <= se:
+                    co[k] = val
+                k += 1
+        if eobrun > 0:
+            # end-of-band: correction bits for the rest of this block
+            while k <= se:
+                if co[k] != 0:
+                    if reader.read_bit():
+                        if (co[k] & p1) == 0:
+                            co[k] += p1 if co[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB.
-    Profile: SOF0, 8-bit, 1 or 3 components, 4:4:4, no restarts —
-    anything else raises ValueError (see module doc)."""
+    """JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB.
+    Profile: baseline SOF0 or progressive SOF2, 8-bit, 1 or 3
+    components, 4:4:4, no restarts — anything else raises ValueError
+    (see module doc). Multi-scan coefficient-domain decode: every scan
+    accumulates into per-component zigzag coefficient arrays; one
+    dequantize + IDCT pass at the end (identical math for both modes)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtbls: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
-    scan_comps = None
-    scan_start = None
-    while pos + 4 <= len(data):
+    progressive = False
+    coefs: list[np.ndarray] | None = None
+    nblocks = 0
+    n_scans = 0
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at byte {pos}")
         marker = data[pos + 1]
@@ -409,6 +826,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker in (0x01, 0xD8):  # TEM / repeated SOI: standalone, no length
             pos += 2
             continue
+        if pos + 4 > len(data):
+            break
         seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
         body = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly multiple tables)
@@ -423,7 +842,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     tbl[r, c] = body[b + 1 + k]
                 qtbls[tq] = tbl
                 b += 65
-        elif marker == 0xC4:  # DHT (possibly multiple tables)
+        elif marker == 0xC4:  # DHT (possibly multiple tables, any scan)
             b = 0
             while b < len(body):
                 tc, th = body[b] >> 4, body[b] & 0xF
@@ -432,7 +851,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[b + 17 : b + 17 + n])
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 b += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
@@ -452,77 +872,82 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     )
                 comps.append((cid, tq))
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            bh, bw = (h + 7) // 8, (w + 7) // 8
+            nblocks = bh * bw
+            coefs = [np.zeros((nblocks, 64), dtype=np.int32) for _ in comps]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline SOF0 JPEG decode supported")
+            raise ValueError("only baseline SOF0 / progressive SOF2 supported")
         elif marker == 0xDD:
             raise ValueError("restart intervals not supported")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan, then keep walking
+            if sof is None or coefs is None:
+                raise ValueError("SOS before SOF frame header")
+            h, w, comps = sof
             ns = body[0]
-            scan_comps = []
+            scan_idx = []
+            cid_to_ci = {cid: ci for ci, (cid, _tq) in enumerate(comps)}
             for si in range(ns):
                 cid = body[1 + 2 * si]
+                if cid not in cid_to_ci:
+                    raise ValueError("scan references unknown component")
                 td, ta = body[2 + 2 * si] >> 4, body[2 + 2 * si] & 0xF
-                scan_comps.append((cid, td, ta))
+                scan_idx.append((cid_to_ci[cid], td, ta))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
             scan_start = pos + 2 + seglen
-            break
-        pos += 2 + seglen
-    if sof is None or scan_comps is None or scan_start is None:
-        raise ValueError("no SOF0 frame / SOS scan found")
-    h, w, comps = sof
-    ncomp = len(comps)
-    if len(scan_comps) != ncomp:
-        raise ValueError("scan/frame component mismatch")
-
-    def _huffman_read(reader: _BitReader, table) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | reader.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in scan")
-
-    reader = _BitReader(data[scan_start:])
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(ncomp)]
-    prev_dc = [0] * ncomp
-    comp_q = {cid: tq for cid, tq in comps}
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(ncomp):
-                cid, td, ta = scan_comps[ci]
-                dc_tab = huff.get((0, td))
+            scan_end = _find_scan_end(data, scan_start)
+            reader = _BitReader(data[scan_start:scan_end])
+            if not progressive:
+                _decode_scan_sequential(reader, scan_idx, huff, coefs, nblocks)
+            elif ss == 0:
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                _decode_scan_dc(reader, scan_idx, huff, coefs, nblocks, ah, al)
+            else:
+                if len(scan_idx) != 1:
+                    raise ValueError("progressive AC scan must be one component")
+                if not (1 <= ss <= se <= 63):
+                    raise ValueError("invalid spectral band")
+                ci, _td, ta = scan_idx[0]
                 ac_tab = huff.get((1, ta))
-                q = qtbls.get(comp_q[cid])
-                if dc_tab is None or ac_tab is None or q is None:
-                    raise ValueError("missing Huffman/quant table for scan")
-                zz = [0] * 64
-                cat = _huffman_read(reader, dc_tab)
-                diff = _extend(reader.read_bits(cat), cat) if cat else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = _huffman_read(reader, ac_tab)
-                    run, cat = rs >> 4, rs & 0xF
-                    if cat == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run overflows block")
-                    zz[k] = _extend(reader.read_bits(cat), cat)
-                    k += 1
+                if ac_tab is None:
+                    raise ValueError("missing AC Huffman table for scan")
+                if ah == 0:
+                    _decode_scan_ac_first(
+                        reader, ci, ac_tab, coefs, nblocks, ss, se, al
+                    )
+                else:
+                    _decode_scan_ac_refine(
+                        reader, ci, ac_tab, coefs, nblocks, ss, se, al
+                    )
+            n_scans += 1
+            pos = scan_end
+            continue
+        pos += 2 + seglen
+    if sof is None or coefs is None or n_scans == 0:
+        raise ValueError("no SOF frame / SOS scan found")
+    h, w, comps = sof
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    planes = []
+    for ci, (_cid, tq) in enumerate(comps):
+        q = qtbls.get(tq)
+        if q is None:
+            raise ValueError("missing quant table for component")
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coefs[ci][by * bw + bx]
                 block = np.zeros((8, 8), dtype=np.float64)
                 for idx in range(64):
                     r, c = ZIGZAG[idx]
-                    block[r, c] = zz[idx] * q[r, c]
-                pix = _D.T @ block @ _D + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    if ncomp == 1:
+                    block[r, c] = int(zz[idx]) * q[r, c]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _D.T @ block @ _D + 128.0
+                )
+        planes.append(plane)
+    if len(comps) == 1:
         return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
     ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
     return _ycbcr_to_rgb(ycc)

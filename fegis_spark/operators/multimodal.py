@@ -236,6 +236,24 @@ def make_jpeg_real(
     return encode_jpeg(rgb, quality=quality)
 
 
+def make_jpeg_prog_real(
+    width: int, height: int, seed: int = 0, quality: int = 90
+) -> bytes:
+    """Deterministic REAL progressive JPEG bytes (SOF2, 2-level
+    successive-approximation scan script; same gradient family as
+    make_jpeg_real) via operators/jpegcodec.encode_jpeg_progressive —
+    decodes to the SAME pixels as the baseline encoding of the same
+    gradient (the codec's cross-check invariant)."""
+    from fegis_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    y, x = np.mgrid[0:height, 0:width]
+    rgb = np.stack(
+        [(x * 7 + seed) % 256, (y * 11 + seed) % 256, (x + y + seed) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_jpeg_progressive(rgb, quality=quality)
+
+
 def parse_png_header(data: bytes) -> dict:
     """Dependency-free PNG metadata: the IHDR chunk is mandatory-first
     (PNG spec 11.2.2), so width/height/bit depth/color type sit at a
@@ -729,7 +747,8 @@ def parse_avi(data: bytes) -> dict:
 @dataclass
 class Codec:
     """Isolates the non-Spark decode dependency. PPM/PGM, 24-bit BMP,
-    8-bit gray/RGB PNG, baseline 4:4:4 JPEG (operators/jpegcodec) and
+    8-bit gray/RGB/palette PNG, baseline AND progressive 4:4:4 JPEG
+    (operators/jpegcodec, SOF0 + SOF2 since r11), GIF and
     PCM WAV audio decode for real (pure numpy/stdlib);
     `fake=True` additionally gives a deterministic stand-in
     (hash-derived pixels/samples) for other formats so the whole
@@ -765,8 +784,9 @@ class Codec:
             except (ValueError, IndexError):
                 pass
         if (payload or b"")[:2] == b"\xff\xd8":
-            # real baseline JPEG decode (r10, operators/jpegcodec —
-            # SOF0 4:4:4 profile); out-of-profile streams fall through
+            # real JPEG decode (operators/jpegcodec — baseline SOF0 r10,
+            # progressive SOF2 r11; 4:4:4 profile); out-of-profile
+            # streams (subsampled, restarts, arithmetic) fall through
             # to the fake/SWAP-POINT path below
             from fegis_spark.operators.jpegcodec import decode_jpeg
 
@@ -786,8 +806,9 @@ class Codec:
             return arr.reshape(side, side, 3)
         # SWAP POINT: real implementation = PIL.Image.open(BytesIO(payload))
         raise NotImplementedError(
-            "image decoding outside the PPM/PGM/BMP/PNG/baseline-JPEG "
-            "profile requires PIL/cv2 — not in container"
+            "image decoding outside the PPM/PGM/BMP/PNG/GIF/JPEG "
+            "(baseline+progressive 4:4:4) profile requires PIL/cv2 — "
+            "not in container"
         )
 
     def decode_audio(self, payload: bytes) -> tuple[np.ndarray, int]:

@@ -54,7 +54,7 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         make_ppm,
     )
 
-    from fegis_spark.operators.multimodal import make_gif
+    from fegis_spark.operators.multimodal import make_gif, make_jpeg_prog_real
 
     # alternate codecs so the magic-byte dispatch is exercised; PNG
     # rows (r10) run the REAL zlib inflate + unfilter pixel path
@@ -62,9 +62,11 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     # uniformization in Codec.decode_image, JPEG rows (r10) run the
     # full baseline entropy-decode + IDCT path (jpegcodec — lossy but
     # a pure deterministic function of the bytes, which is all the
-    # sequential-reference oracle needs), and GIF rows (r10) run the
-    # LZW + palette path (decode_gif, lossless)
-    k = i % 6
+    # sequential-reference oracle needs), GIF rows (r10) run the
+    # LZW + palette path (decode_gif, lossless), and PROGRESSIVE JPEG
+    # rows (r11) run the multi-scan SOF2 path (DC/AC first+refine
+    # scans, EOB runs) end-to-end under the oracle
+    k = i % 7
     if k == 0:
         return make_ppm(16, 12, seed=i), "image/x-portable-pixmap"
     if k == 1:
@@ -75,6 +77,8 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         return make_png(16, 12, color_type=0, seed=i), "image/png"
     if k == 4:
         return make_jpeg_real(16, 12, seed=i), "image/jpeg"
+    if k == 5:
+        return make_jpeg_prog_real(16, 12, seed=i), "image/jpeg"
     return make_gif(16, 12, seed=i), "image/gif"
 
 

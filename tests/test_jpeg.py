@@ -92,9 +92,22 @@ def test_rejections():
     # metadata-only fixture: valid headers, no scan
     with pytest.raises(ValueError):
         decode_jpeg(make_jpeg(16, 12))
-    # progressive SOF2 rejected by name
-    with pytest.raises(ValueError, match="baseline"):
+    # progressive SOF2 is DECODED since r11; the header-only fixture
+    # still rejects (its SOF declares 4:2:0 subsampling — out of profile)
+    with pytest.raises(ValueError, match="subsampling"):
         decode_jpeg(make_jpeg(16, 12, progressive=True))
+    # a REAL progressive payload truncated before any SOS also rejects
+    from fegis_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    real_prog = encode_jpeg_progressive(_gradient(16, 16))
+    headers_only = real_prog[: real_prog.index(b"\xff\xda")] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="scan"):
+        decode_jpeg(headers_only)
+    # extended-sequential SOF1 still rejected by name
+    prog = make_jpeg(16, 12, progressive=True)
+    sof1 = prog.replace(b"\xff\xc2", b"\xff\xc1")
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(sof1)
     # truncated scan
     enc = encode_jpeg(_gradient(16, 16), 75)
     with pytest.raises(ValueError):
@@ -244,3 +257,87 @@ class TestGifLzw:
 
         img = Codec().decode_image(make_gif(10, 6, seed=2))
         assert img.shape == (6, 10, 3)
+
+
+class TestProgressive:
+    """r11: SOF2 progressive decode + the self-certifying progressive
+    encoder (2-level successive approximation). The load-bearing
+    property: because the scan script refines to Al=0, progressive and
+    baseline encodings of the same image carry the SAME quantized
+    coefficients, so their decodes must be BIT-IDENTICAL."""
+
+    def test_identical_to_baseline_decode(self):
+        from fegis_spark.operators.jpegcodec import encode_jpeg_progressive
+
+        rng = np.random.default_rng(11)
+        for shape in [(8, 8), (24, 17), (16, 16, 3), (33, 41, 3)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            base = decode_jpeg(encode_jpeg(img))
+            prog = decode_jpeg(encode_jpeg_progressive(img))
+            assert prog.shape == base.shape
+            assert (prog == base).all()
+
+    def test_eob_run_paths(self):
+        # flat + smooth images drive long multi-block EOB runs (EOBn
+        # with extension bits) through both AC-first and AC-refine
+        from fegis_spark.operators.jpegcodec import encode_jpeg_progressive
+
+        flat = np.full((48, 56, 3), 130, dtype=np.uint8)
+        x = np.linspace(0, 255, 64)
+        smooth = np.round(np.add.outer(x, x) / 2).astype(np.uint8)
+        for img in (flat, smooth, np.zeros((80, 80), np.uint8)):
+            base = decode_jpeg(encode_jpeg(img))
+            prog = decode_jpeg(encode_jpeg_progressive(img))
+            assert (prog == base).all()
+
+    def test_determinism_and_sof2_marker(self):
+        from fegis_spark.operators.jpegcodec import encode_jpeg_progressive
+
+        img = _gradient(24, 24)
+        p1, p2 = encode_jpeg_progressive(img), encode_jpeg_progressive(img)
+        assert p1 == p2
+        assert b"\xff\xc2" in p1 and b"\xff\xc0" not in p1
+
+    def test_header_parser_flags_progressive(self):
+        from fegis_spark.operators.jpegcodec import encode_jpeg_progressive
+        from fegis_spark.operators.multimodal import image_header, parse_jpeg_header
+
+        payload = encode_jpeg_progressive(_gradient(20, 14))
+        j = parse_jpeg_header(payload)
+        assert j["progressive"] is True
+        assert (j["width"], j["height"]) == (20, 14)
+        fmt, w, h, nc = image_header(payload)
+        assert fmt == "jpeg-progressive" and (w, h, nc) == (20, 14, 3)
+
+    def test_codec_decodes_progressive_payload(self):
+        from fegis_spark.operators.jpegcodec import encode_jpeg_progressive
+        from fegis_spark.operators.multimodal import Codec
+
+        img = _gradient(16, 16)
+        out = Codec(fake=False).decode_image(encode_jpeg_progressive(img))
+        assert out.shape == (16, 16, 3)
+        assert (out == decode_jpeg(encode_jpeg(img))).all()
+
+    def test_property_random_images_identical(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from fegis_spark.operators.jpegcodec import encode_jpeg_progressive
+
+        @settings(max_examples=12, deadline=None, derandomize=True)
+        @given(
+            w=st.integers(1, 25),
+            h=st.integers(1, 21),
+            seed=st.integers(0, 2**31 - 1),
+            gray=st.booleans(),
+            quality=st.sampled_from([30, 75, 95]),
+        )
+        def check(w, h, seed, gray, quality):
+            rng = np.random.default_rng(seed)
+            shape = (h, w) if gray else (h, w, 3)
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            base = decode_jpeg(encode_jpeg(img, quality))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality))
+            assert (prog == base).all()
+
+        check()
