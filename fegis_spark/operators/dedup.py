@@ -523,16 +523,26 @@ def embedding_neardup_pairs_lsh(
     Candidates: L2-normalize (Scala Normalizer), then MLlib
     BucketedRandomProjectionLSH approxSimilarityJoin against itself at
     radius sqrt(2 - 2·threshold) — on unit vectors ||a-b||² = 2-2cosθ,
-    so the Euclidean ball is exactly the cosine cap. Pairs come only
-    from colliding hash buckets (equi-join per hash table, no cross
-    product); exact cosine then re-verifies every candidate, so
-    precision is exact and the only approximation is LSH recall. The
-    defaults (12 tables, bucket_length 4 ≈ 4σ of a unit vector's
-    projection) put per-pair miss probability ~1e-11 at the 0.35-0.9
-    thresholds used here — conservative because the oracle demands
-    exact equality; at true 100 TB scale trade tables down for cost.
-    Hyperplanes are seed-deterministic; candidate generation shuffles
-    |corpus|·num_hash_tables rows, linear in the corpus."""
+    so the Euclidean ball is exactly the cosine cap. Pairs come from
+    colliding hash buckets (equi-join per hash table); exact cosine
+    then re-verifies every candidate, so precision is exact and the
+    only approximation is LSH recall.
+
+    SCALE HONESTY (r11, evidence/brp_occupancy_r11.json): a unit
+    vector's projection onto a random unit hyperplane has std
+    1/sqrt(dim) ≈ 0.125 at dim 64, so the default bucket_length=4
+    puts ~51% of the corpus into ONE bucket per table (floor splits at
+    zero) — the bucket equi-join intermediate is ~n²/2 per table, i.e.
+    brute force routed through a join, NOT linear candidate
+    generation. That is the deliberate recall-conservative setting:
+    the DuckDB oracle demands exact equality with brute force, and any
+    missed pair is a hash-FAIL, so this query is a CORRECTNESS-TIER
+    twin. At scale, bucket_length must drop toward σ/2 ≈ 1/(2·sqrt(dim))
+    for real bucketing (accepting LSH recall < 1), or — the repo's
+    declared ANN scale paths — use IVF (measured recall 0.956 at 2.35×
+    over brute force) or the capped SRP family. Hyperplanes are
+    seed-deterministic; the shuffle is |corpus|·num_hash_tables rows
+    even when the join output is not linear."""
     import math
 
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer

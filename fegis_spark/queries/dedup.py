@@ -187,15 +187,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K9 embedding near-dup: cosine >= 0.35 pairs. Candidates come
-    from random-hyperplane LSH buckets (linear in the corpus), exact
-    cosine re-verifies each — same values as brute force, so the
-    brute-force DuckDB oracle still hash-checks it (the r4-advised
+    from MLlib random-hyperplane LSH buckets at a recall-conservative
+    bucket_length that makes the bucket join ~brute force (measured:
+    evidence/brp_occupancy_r11.json) — same values as brute force, so
+    the brute-force DuckDB oracle still hash-checks it (the r4-advised
     candidate-generation swap; embedding_neardup_pairs remains the
-    in-block verifier)."""
+    in-block verifier). Correctness tier by declaration: the ANN scale
+    paths are IVF and the capped SRP family."""
     from fegis_spark.operators.dedup import embedding_neardup_pairs_lsh
 
-    # band-ok: MLlib BRP bucket join — occupancy tuned by bucket_length
-    # (recall-conservative default; see operator docstring + SCALE.md)
+    # band-ok: correctness-tier by declaration — the recall-conservative
+    # bucket_length makes the BRP bucket join ~brute-force (measured 51%
+    # single-bucket occupancy, evidence/brp_occupancy_r11.json); scale
+    # paths are IVF / capped SRP (operator docstring has the full story)
     return embedding_neardup_pairs_lsh(
         load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
     )
