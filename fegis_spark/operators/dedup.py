@@ -866,10 +866,12 @@ def _portable_sig_bands(
 ):
     """Shared md5-60bit MinHash pipeline: shingle table (`base`: doc,
     sh — persisted when cache_intermediate, it feeds the signature
-    build AND the verify joins) and the banded signature table
-    (`banded`: doc, band, bh). The hash family is a pure function of
-    the text, so signatures computed in separate calls (e.g. corpus
-    and batch sides of the incremental form) are mutually consistent.
+    build AND the verify joins), the wide signature table (`sig`: doc,
+    mh0..mh{k-1} — the estimator-audit query consumes it as an array)
+    and the banded signature table (`banded`: doc, band, bh). The hash
+    family is a pure function of the text, so signatures computed in
+    separate calls (e.g. corpus and batch sides of the incremental
+    form) are mutually consistent. Returns (base, sig, banded).
     """
     rows_per_band = num_hashes // bands
     base = with_shingles(df, text_col, id_col, ngram)
@@ -910,7 +912,7 @@ def _portable_sig_bands(
     banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("b")).select(
         "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    return base, banded
+    return base, sig, banded
 
 
 def minhash_lsh_pairs_portable(
@@ -945,7 +947,7 @@ def minhash_lsh_pairs_portable(
     hot-bucket representative routing as the fast path (the oracle
     would then need the mirrored star logic).
     """
-    base, banded = _portable_sig_bands(
+    base, _sig, banded = _portable_sig_bands(
         df, text_col, id_col, num_hashes, bands, ngram, cache_intermediate
     )
     cand = banded_candidate_pairs(banded, max_bucket_size=max_bucket_size)
@@ -1130,10 +1132,10 @@ def minhash_incremental_pairs_portable(
     partitioned by (band, bh-prefix) and only the batch side is
     computed per run (same pre-bucketing note as dedup_incremental).
     """
-    base_c, banded_c = _portable_sig_bands(
+    base_c, _sig_c, banded_c = _portable_sig_bands(
         corpus, text_col, id_col, num_hashes, bands, ngram, cache_intermediate
     )
-    base_b, banded_b = _portable_sig_bands(
+    base_b, _sig_b, banded_b = _portable_sig_bands(
         batch, text_col, id_col, num_hashes, bands, ngram, cache_intermediate
     )
     cand = (

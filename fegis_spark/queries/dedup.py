@@ -1148,3 +1148,107 @@ def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum(F.col("sz") - 1).cast("bigint").alias("docs_droppable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration audit (K9-minhash + estimator-audit family)
+
+
+def _mh_estimate_oracle() -> str:
+    """DuckDB replay of dedup_minhash_estimate_audit: same md5 MinHash
+    pipeline, same HOT_CAP band routing, matching-component count per
+    candidate pair against exact shingle Jaccard, rolled up per
+    component-match count with a decimal-exact jaccard sum."""
+    return f"""
+    WITH {_mh_pipeline_cte('documents', 'MATERIALIZED ')}, sized AS MATERIALIZED (
+      SELECT doc, b, bh,
+             COUNT(*) OVER (PARTITION BY b, bh) AS bs,
+             MIN(doc) OVER (PARTITION BY b, bh) AS rep
+      FROM banded
+    ), sigm AS MATERIALIZED (SELECT doc, s FROM sig),
+    cand AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT l.doc AS a, r.doc AS b
+        FROM sized l JOIN sized r
+          ON l.b = r.b AND l.bh = r.bh AND l.doc < r.doc
+        WHERE l.bs <= {HOT_CAP}
+        UNION ALL
+        SELECT rep AS a, doc AS b FROM sized
+        WHERE bs > {HOT_CAP} AND doc <> rep
+      )
+    ), scored AS (
+      SELECT
+        CAST(len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) AS INTEGER)
+          AS matches,
+        round(len(list_intersect(ba.sh, bb.sh))::DOUBLE
+              / (len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh))),
+              6) AS j
+      FROM cand c
+      JOIN sigm sa ON sa.doc = c.a
+      JOIN sigm sb ON sb.doc = c.b
+      JOIN base ba ON ba.doc = c.a
+      JOIN base bb ON bb.doc = c.b
+    )
+    SELECT matches,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(j AS DECIMAL(38,6))) AS DOUBLE) AS sum_jaccard
+    FROM scored GROUP BY matches
+    """
+
+
+@register(
+    "dedup_minhash_estimate_audit",
+    oracle=_mh_estimate_oracle(),
+    covers=("K9-minhash", "§2.4-agg"),
+)
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 estimator-quality audit (r11, the MinHash sibling of
+    hll_error_audit / quantile_error_audit): MinHash promises
+    E[matching components / k] = Jaccard, and banded LSH's recall
+    curve is built on that — so measure the calibration on the real
+    candidate set. For every banded candidate pair (same md5 family
+    and HOT_CAP routing as dedup_minhash_capped), count matching
+    signature components (0..16) and compute exact shingle Jaccard,
+    then roll up per match count: (matches, n_pairs, sum_jaccard) —
+    mean exact Jaccard per estimator bucket is sum/n for the reader
+    (emitted as decimal-exact sum + count per the CLAUDE.md rounded-
+    mean rule). Scale: the pair table is band-bounded (cap routing),
+    signature joins are k-wide projections; the HOF match count runs
+    on the bounded pair table, never per corpus row."""
+    from fegis_spark.operators.dedup import _portable_sig_bands, banded_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    base, sig, banded = _portable_sig_bands(
+        docs, "text", "doc_id", num_hashes=16, bands=4, ngram=3,
+        cache_intermediate=True,
+    )
+    # band-ok: 2^60 md5 band keyspace + HOT_CAP routing below
+    pairs = banded_candidate_pairs(banded, max_bucket_size=HOT_CAP)
+    sarr = sig.select(
+        "doc", F.array(*[F.col(f"mh{i}") for i in range(16)]).alias("s")
+    )
+    sh = base.select("doc", "sh")
+    scored = (
+        pairs.join(sarr.select(F.col("doc").alias("a"), F.col("s").alias("sa")), "a")
+        .join(sarr.select(F.col("doc").alias("b"), F.col("s").alias("sb")), "b")
+        .join(sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .select(
+            F.expr(
+                "CAST(aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), "
+                "0, (acc, v) -> acc + v) AS INT)"
+            ).alias("matches"),
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a") + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                ),
+                6,
+            ).alias("j"),
+        )
+    )
+    return scored.groupBy("matches").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("j").cast("decimal(38,6)")).cast("double").alias("sum_jaccard"),
+    )

@@ -324,3 +324,138 @@ def mixture_quota_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("quota"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget water-filling across sources ([EXT]-temperature family)
+
+#: budget as a ratio of the total corpus weight, exact integer math:
+#: B = (total_w * WF_BUDGET_NUM) DIV WF_BUDGET_DEN — 1.6x the corpus,
+#: so single-epoch (E=1) sources cap out while E>=2 sources take water
+WF_BUDGET_NUM, WF_BUDGET_DEN = 8, 5
+
+
+def _waterfill_oracle() -> str:
+    return f"""
+    WITH src AS MATERIALIZED (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ), caps AS MATERIALIZED (
+      SELECT source, w,
+             CAST(1 + (row_number() OVER (ORDER BY source) % 3) AS BIGINT) AS max_epochs,
+             CAST((1 + (row_number() OVER (ORDER BY source) % 3)) * w AS BIGINT) AS cap
+      FROM src
+    ), tot AS (
+      SELECT CAST((SUM(w) * {WF_BUDGET_NUM}) // {WF_BUDGET_DEN} AS BIGINT) AS budget
+      FROM caps
+    ), lam AS (
+      SELECT source, max_epochs,
+             (budget - COALESCE(SUM(cap) OVER (
+                ORDER BY max_epochs, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::DOUBLE
+             / (SUM(w) OVER (
+                ORDER BY max_epochs, source
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))::DOUBLE
+             AS lam_k
+      FROM caps, tot
+    ), lamstar AS (
+      SELECT lam_k AS lam FROM lam
+      WHERE lam_k <= max_epochs::DOUBLE
+      ORDER BY max_epochs, source LIMIT 1
+    )
+    SELECT c.source, c.w, c.max_epochs,
+           least(c.cap::DOUBLE, COALESCE(ls.lam, 1e18) * c.w::DOUBLE) AS alloc,
+           COALESCE(ls.lam, 1e18) * c.w::DOUBLE >= c.cap::DOUBLE AS capped
+    FROM caps c LEFT JOIN lamstar ls ON TRUE
+    """
+
+
+@register(
+    "budget_waterfill",
+    oracle=_waterfill_oracle(),
+    covers=("§2.4-agg", "[EXT]-temperature"),
+)
+def budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] token-budget WATER-FILLING across sources (the
+    data-constrained allocation move: every source may be repeated at
+    most max_epochs times, and a global token budget B is spread
+    proportionally to source size until each source either hits its
+    repeat cap or the shared water level λ):
+
+        alloc_s = min(cap_s, λ·w_s)  with  Σ alloc_s = B
+
+    λ has a closed breakpoint form: sort sources by cap ratio
+    (max_epochs, here deterministically 1+rank%3 so all three cap
+    classes appear at every sf), take integer prefix sums of caps and
+    suffix sums of weights, and λ is the first candidate
+    (B − Σ_{{capped}} cap) / Σ_{{uncapped}} w that lands at or below its
+    row's ratio — one |sources|-bounded window pass, no iteration.
+    This is the planning step a 100 TB pipeline runs before sampling:
+    one groupBy(source) agg shuffle over the corpus; everything after
+    is |sources|-bounded.
+
+    Determinism: all sums are exact BIGINTs; λ is ONE double division
+    of identical integer operands, and per-row alloc is one multiply +
+    one min on identical doubles — IEEE-identical cross-engine, so
+    outputs ship UNROUNDED (CLAUDE.md round rule). The budget ratio is
+    exact integer arithmetic (w*8 DIV 5), never a float multiply."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("w"))
+    wsrc = Window.orderBy("source")  # window-ok: one row per source (bounded enum)
+    caps = src.select(
+        "source",
+        "w",
+        (1 + F.row_number().over(wsrc) % 3).cast("bigint").alias("max_epochs"),
+    ).withColumn("cap", (F.col("max_epochs") * F.col("w")).cast("bigint"))
+    from pyspark import StorageLevel
+
+    # |sources|-bounded; feeds the budget agg, the λ scan and the output
+    caps = caps.persist(StorageLevel.MEMORY_AND_DISK)
+    tot = caps.agg(
+        F.expr(
+            f"CAST((sum(w) * {WF_BUDGET_NUM}) DIV {WF_BUDGET_DEN} AS BIGINT)"
+        ).alias("budget")
+    )
+    word = Window.orderBy("max_epochs", "source")  # window-ok: one row per source (bounded enum)
+    lam = (
+        caps.crossJoin(F.broadcast(tot))  # bcast-ok: 1-row agg
+        .withColumn(
+            "cap_before",
+            F.coalesce(
+                F.sum("cap").over(word.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "w_from",
+            F.sum("w").over(word.rowsBetween(0, Window.unboundedFollowing)),
+        )
+        .withColumn(
+            "lam_k",
+            (F.col("budget") - F.col("cap_before")).cast("double")
+            / F.col("w_from").cast("double"),
+        )
+    )
+    lamstar = (
+        lam.filter(F.col("lam_k") <= F.col("max_epochs").cast("double"))
+        .orderBy("max_epochs", "source")
+        .limit(1)
+        .select(F.col("lam_k").alias("lam"))
+    )
+    # LEFT join (not crossJoin): λ* is empty when B exceeds total cap,
+    # and the oracle's LEFT JOIN ON TRUE keeps every source row then too
+    return caps.join(
+        F.broadcast(lamstar), F.lit(True), "left"  # bcast-ok: <=1-row λ* selection
+    ).select(
+        "source",
+        "w",
+        "max_epochs",
+        F.least(
+            F.col("cap").cast("double"),
+            F.coalesce(F.col("lam"), F.lit(1e18)) * F.col("w").cast("double"),
+        ).alias("alloc"),
+        (
+            F.coalesce(F.col("lam"), F.lit(1e18)) * F.col("w").cast("double")
+            >= F.col("cap").cast("double")
+        ).alias("capped"),
+    )

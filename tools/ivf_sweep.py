@@ -37,17 +37,21 @@ N_QUERIES = 32
 
 
 def make_clustered(spark, out_dir: str, n: int, n_clusters: int, dim: int = 64,
-                   sigma: float = 0.35, seed: int = 7) -> None:
+                   sigma: float = 0.06, seed: int = 7) -> None:
     """Deterministic CLUSTERED embedding corpus (r10 verdict #5): the
     sf0.1 embeddings are adversarially weakly clustered (near-random),
     so the measured IVF operating point there over-states the scan
     fraction production text embeddings need. Production embeddings
     cluster by topic — model that directly: n_clusters well-separated
     unit centers (Gaussian, normalized), each vector = normalize(center
-    + sigma*noise). sigma=0.35 gives intra-cluster cosine ~0.89 vs
-    cross-cluster ~0 at dim 64 — comparable to topic clusters in real
-    sentence-embedding corpora. Written in the embeddings.parquet
-    schema (vec_id, embedding float[], label=cluster)."""
+    + sigma*noise). The noise NORM is sigma*sqrt(dim) (the first draft
+    forgot that and produced a near-random corpus at sigma=0.35 —
+    kept in the evidence file as the weak-cluster control):
+    cos(v, center) ~ 1/sqrt(1 + sigma^2*dim), so sigma=0.06 at dim 64
+    gives intra-cluster cosine ~0.9 vs cross-cluster ~0 — comparable
+    to topic clusters in real sentence-embedding corpora. Written in
+    the embeddings.parquet schema (vec_id, embedding float[],
+    label=cluster)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -80,7 +84,7 @@ def sweep(spark, factor: int, combos: list[tuple[int, int]],
     }
     if clustered:
         out["clustered"] = {"n": clustered[0], "n_clusters": clustered[1],
-                            "sigma": 0.35, "generator": "make_clustered"}
+                            "sigma": 0.06, "generator": "make_clustered"}
 
     def timed_best2(make_df) -> float:
         best = None
@@ -138,7 +142,11 @@ def sweep(spark, factor: int, combos: list[tuple[int, int]],
                 )
 
             combo = {"build_s": build_s, "probes": {}}
-            probes = sorted({max(1, n_lists // 16), n_lists // 8, n_lists // 4, n_lists // 2})
+            probes = sorted({
+                max(1, n_lists // 64), max(1, n_lists // 32),
+                max(1, n_lists // 16), n_lists // 8, n_lists // 4,
+                n_lists // 2,
+            })
             ivf_df(probes[0]).write.format("noop").mode("overwrite").save()  # warm
             spark.catalog.clearCache()
             clear_memos()
