@@ -291,14 +291,16 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
 def encode_png(arr: np.ndarray) -> bytes:
     """Real, dependency-free PNG encode (r9 verdict #4 — zlib is
     stdlib): uint8 (h, w) grayscale → color type 0, uint8 (h, w, 3)
-    RGB → color type 2; 8-bit depth, no interlace, every scanline
-    filter type 0 (None). decode_png inverts it exactly."""
+    RGB → color type 2, gray+alpha (h, w, 2) → color type 4, RGBA
+    (h, w, 4) → color type 6 (r11); 8-bit depth, no interlace, every
+    scanline filter type 0 (None). decode_png inverts it exactly."""
     import struct
     import zlib
 
-    gray = arr.ndim == 2
     h, w = arr.shape[0], arr.shape[1]
-    ihdr = struct.pack(">II", w, h) + bytes([8, 0 if gray else 2, 0, 0, 0])
+    nch = 1 if arr.ndim == 2 else arr.shape[2]
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    ihdr = struct.pack(">II", w, h) + bytes([8, color, 0, 0, 0])
     raster = arr.astype(np.uint8).reshape(h, -1)
     raw = b"".join(b"\x00" + raster[y].tobytes() for y in range(h))
     return (
@@ -311,13 +313,16 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 def decode_png(data: bytes) -> np.ndarray:
     """Real, dependency-free PNG pixel decode (r9 verdict #4):
-    8-bit grayscale (color 0) and truecolor (color 2), no interlace —
-    chunk walk → IDAT concat → zlib inflate → per-scanline unfilter
-    (all five PNG filter types: None/Sub/Up/Average/Paeth, spec 9.2).
+    8-bit grayscale (color 0), truecolor (color 2), gray+alpha
+    (color 4, r11) and RGBA (color 6, r11), no interlace — chunk walk
+    → IDAT concat → zlib inflate → per-scanline unfilter (all five
+    PNG filter types: None/Sub/Up/Average/Paeth, spec 9.2; the filter
+    bpp is the channel count, so the same unfilter covers alpha).
     Returns uint8 (h, w) for grayscale, (h, w, 3) for RGB and for
-    palette (color 3 — PLTE lookup, r10). Alpha / 16-bit / Adam7 stay
-    ValueError SWAP POINTs — rejected loudly rather than decoded
-    wrong."""
+    palette (color 3 — PLTE lookup, r10), (h, w, 2)/(h, w, 4) RAW
+    channels for the alpha types (Codec.decode_image composites them
+    over white). 16-bit / Adam7 stay ValueError SWAP POINTs —
+    rejected loudly rather than decoded wrong."""
     import zlib
 
     hdr = parse_png_header(data)
@@ -325,9 +330,9 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("nonstandard PNG compression/filter method")
     if data[28] != 0:
         raise ValueError("Adam7-interlaced PNG not supported")
-    if hdr["bit_depth"] != 8 or data[25] not in (0, 2, 3):
+    if hdr["bit_depth"] != 8 or data[25] not in (0, 2, 3, 4, 6):
         raise ValueError(
-            "only 8-bit grayscale/truecolor/palette PNG decode supported "
+            "only 8-bit gray/truecolor/palette/alpha PNG decode supported "
             f"(color type {data[25]}, bit depth {hdr['bit_depth']})"
         )
     w, h, ch = hdr["width"], hdr["height"], hdr["n_components"]
@@ -400,10 +405,12 @@ def make_png(width: int, height: int, color_type: int = 2, seed: int = 0) -> byt
     (RGB) carry a REAL zlib IDAT raster (the same gradient family as
     make_ppm/make_bmp — decode_png roundtrips them; r9 verdict #4);
     palette (3) carries a real 16-color PLTE + indexed IDAT raster
-    (decode_png maps it back through the palette, r10); RGBA (6) stays
-    a header-only metadata fixture (signature + IHDR + IEND + one
-    trailing seed byte whose VALUE varies with seed — size does
-    not)."""
+    (decode_png maps it back through the palette, r10); gray+alpha (4)
+    and RGBA (6) carry real rasters with a deterministic alpha ramp
+    (r11 — decode_png returns the raw channels, Codec composites).
+    Other color types stay header-only metadata fixtures (signature +
+    IHDR + IEND + one trailing seed byte whose VALUE varies with seed
+    — size does not)."""
     import struct
     import zlib
 
@@ -436,6 +443,19 @@ def make_png(width: int, height: int, color_type: int = 2, seed: int = 0) -> byt
             axis=-1,
         ).astype(np.uint8)
         return encode_png(rgb)
+    if color_type == 4:
+        ga = np.stack(
+            [(x * 7 + y * 11 + seed) % 256, (x * 3 + y * 5 + seed) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        return encode_png(ga)
+    if color_type == 6:
+        rgba = np.stack(
+            [(x * 7 + seed) % 256, (y * 11 + seed) % 256,
+             (x + y + seed) % 256, (x * 3 + y * 5 + seed) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        return encode_png(rgba)
     ihdr = struct.pack(">II", width, height) + bytes([8, color_type, 0, 0, 0])
     chunk = b"IHDR" + ihdr
     out = b"\x89PNG\r\n\x1a\n"
@@ -747,8 +767,9 @@ def parse_avi(data: bytes) -> dict:
 @dataclass
 class Codec:
     """Isolates the non-Spark decode dependency. PPM/PGM, 24-bit BMP,
-    8-bit gray/RGB/palette PNG, baseline AND progressive 4:4:4 JPEG
-    (operators/jpegcodec, SOF0 + SOF2 since r11), GIF and
+    8-bit gray/RGB/palette/alpha PNG (gray+alpha and RGBA composite
+    over white, exact integer math — r11), baseline AND progressive
+    4:4:4 JPEG (operators/jpegcodec, SOF0 + SOF2 since r11), GIF and
     PCM WAV audio decode for real (pure numpy/stdlib);
     `fake=True` additionally gives a deterministic stand-in
     (hash-derived pixels/samples) for other formats so the whole
@@ -776,6 +797,16 @@ class Codec:
             if img is not None:
                 if img.ndim == 2:
                     return np.stack([img] * 3, axis=-1)  # uniform (h, w, 3)
+                if img.shape[2] in (2, 4):  # gray+alpha / RGBA (r11):
+                    # composite over white, exact integer math —
+                    # out = round((fg*a + 255*(255-a)) / 255)
+                    fg = img[..., :-1].astype(np.int64)
+                    a = img[..., -1:].astype(np.int64)
+                    comp = (fg * a + 255 * (255 - a) + 127) // 255
+                    comp = comp.astype(np.uint8)
+                    if comp.shape[2] == 1:
+                        return np.repeat(comp, 3, axis=2)
+                    return comp
                 return img
         elif (payload or b"")[:3] == b"GIF":
             # local-palette/interlaced/truncated GIFs fall through (r11)

@@ -65,8 +65,9 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     # sequential-reference oracle needs), GIF rows (r10) run the
     # LZW + palette path (decode_gif, lossless), and PROGRESSIVE JPEG
     # rows (r11) run the multi-scan SOF2 path (DC/AC first+refine
-    # scans, EOB runs) end-to-end under the oracle
-    k = i % 7
+    # scans, EOB runs) end-to-end under the oracle; RGBA PNG rows
+    # (r11) run the alpha white-composite path
+    k = i % 8
     if k == 0:
         return make_ppm(16, 12, seed=i), "image/x-portable-pixmap"
     if k == 1:
@@ -79,6 +80,8 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         return make_jpeg_real(16, 12, seed=i), "image/jpeg"
     if k == 5:
         return make_jpeg_prog_real(16, 12, seed=i), "image/jpeg"
+    if k == 6:
+        return make_png(16, 12, color_type=6, seed=i), "image/png"
     return make_gif(16, 12, seed=i), "image/gif"
 
 

@@ -504,8 +504,8 @@ class TestPngPixelDecode:
 
         from fegis_spark.operators.multimodal import decode_png, make_png
 
-        with pytest.raises(ValueError, match="decode supported"):
-            decode_png(make_png(8, 8, color_type=6))  # RGBA: no decoder
+        # RGBA decodes for real since r11 (raw channels)
+        assert decode_png(make_png(8, 8, color_type=6)).shape == (8, 8, 4)
         # palette (color 3) decodes for real since r10: PLTE lookup
         pimg = decode_png(make_png(8, 8, color_type=3, seed=2))
         assert pimg.shape == (8, 8, 3)
@@ -654,3 +654,104 @@ class TestJunkToleranceR11:
         with_rst = payload[:2] + b"\xff\xd0" + payload[2:]
         with pytest.raises(ValueError, match="restart"):
             decode_jpeg(with_rst)
+
+
+class TestPngAlphaR11:
+    """r11: PNG color types 4 (gray+alpha) and 6 (RGBA) — raw-channel
+    round-trips through decode_png and exact integer white-composite
+    in Codec.decode_image."""
+
+    def test_rgba_roundtrip_raw_channels(self):
+        import numpy as np
+
+        from fegis_spark.operators.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(3)
+        rgba = rng.integers(0, 256, (9, 13, 4), dtype=np.uint8)
+        out = decode_png(encode_png(rgba))
+        assert out.shape == (9, 13, 4) and (out == rgba).all()
+        ga = rng.integers(0, 256, (7, 5, 2), dtype=np.uint8)
+        out2 = decode_png(encode_png(ga))
+        assert out2.shape == (7, 5, 2) and (out2 == ga).all()
+
+    def test_codec_composites_over_white(self):
+        import numpy as np
+
+        from fegis_spark.operators.multimodal import Codec, encode_png
+
+        codec = Codec(fake=False)
+        # opaque alpha: composite == foreground
+        rgb = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        rgba = np.concatenate([rgb, np.full((4, 6, 1), 255, np.uint8)], axis=2)
+        assert (codec.decode_image(encode_png(rgba)) == rgb).all()
+        # fully transparent: composite == white
+        rgba0 = np.concatenate([rgb, np.zeros((4, 6, 1), np.uint8)], axis=2)
+        assert (codec.decode_image(encode_png(rgba0)) == 255).all()
+        # half alpha on black: round((0*128 + 255*127)/255) = 127
+        black = np.zeros((2, 2, 3), np.uint8)
+        half = np.concatenate([black, np.full((2, 2, 1), 128, np.uint8)], axis=2)
+        assert (codec.decode_image(encode_png(half)) == 127).all()
+        # gray+alpha uniformizes to (h, w, 3)
+        ga = np.stack(
+            [np.full((3, 3), 10, np.uint8), np.full((3, 3), 255, np.uint8)], axis=-1
+        )
+        out = codec.decode_image(encode_png(ga))
+        assert out.shape == (3, 3, 3) and (out == 10).all()
+
+    def test_make_png_alpha_fixtures_decode(self):
+        from fegis_spark.operators.multimodal import (
+            Codec,
+            image_header,
+            make_png,
+        )
+
+        for ct, nch in ((4, 2), (6, 4)):
+            payload = make_png(16, 12, color_type=ct, seed=5)
+            fmt, w, h, nc = image_header(payload)
+            assert (fmt, w, h, nc) == ("png", 16, 12, nch)
+            img = Codec(fake=False).decode_image(payload)
+            assert img.shape == (12, 16, 3)
+
+    def test_sixteen_bit_still_rejects(self):
+        import struct
+        import zlib
+
+        import pytest
+
+        from fegis_spark.operators.multimodal import decode_png
+
+        def chunk(tag, body):
+            return (
+                len(body).to_bytes(4, "big") + tag + body
+                + zlib.crc32(tag + body).to_bytes(4, "big")
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 6, 0, 0, 0)  # 16-bit RGBA
+        payload = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 200)) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="bit depth"):
+            decode_png(payload)
+
+    def test_property_alpha_roundtrip(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from fegis_spark.operators.multimodal import decode_png, encode_png
+
+        @settings(max_examples=15, deadline=None, derandomize=True)
+        @given(
+            w=st.integers(1, 19),
+            h=st.integers(1, 17),
+            seed=st.integers(0, 2**31 - 1),
+            nch=st.sampled_from([2, 4]),
+        )
+        def check(w, h, seed, nch):
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, (h, w, nch), dtype=np.uint8)
+            out = decode_png(encode_png(img))
+            assert out.shape == img.shape and (out == img).all()
+
+        check()
