@@ -2,9 +2,11 @@
 
 Closes the compressed-image SWAP POINTs that need no external library:
 r9 landed JPEG *header* parsing (multimodal.parse_jpeg_header); r10
-added baseline decode/encode; r11 adds PROGRESSIVE (SOF2) decode —
-the majority profile of real crawl JPEGs — plus a progressive encoder
-so the scan types are self-certifying in this container. The decoder
+added baseline 4:4:4 decode/encode; r11 adds PROGRESSIVE (SOF2)
+decode AND baseline chroma subsampling (4:2:0/4:2:2) — together the
+majority profiles of real crawl JPEGs — plus progressive and 4:2:0
+encoders so every scan/MCU shape is self-certifying in this
+container. The decoder
 is a multi-scan coefficient-domain machine (ITU-T T.81 Annex F + G):
 entropy-coded Huffman data accumulates into per-component coefficient
 arrays across scans (spectral selection Ss..Se, successive
@@ -14,7 +16,9 @@ deliberately narrow and REJECTED LOUDLY outside it (the
 decode-wrong-is-worse-than-fail rule):
 
   * baseline sequential DCT (SOF0) or progressive DCT (SOF2), 8-bit
-  * 1 (grayscale) or 3 (YCbCr 4:4:4 — no chroma subsampling) components
+  * 1 (grayscale) or 3 (YCbCr) components; sampling factors 1 or 2 —
+    4:4:4, 4:2:0 and 4:2:2 baseline decode (r11; interleaved MCUs,
+    replication chroma upsample); progressive stays 4:4:4-only
   * no restart markers (DRI/RSTn → ValueError), no APPn dependence
     (skipped), no arithmetic coding, no hierarchical (SOF5+)
 
@@ -428,6 +432,137 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
     return bytes(out)
 
 
+def _quantize_plane(plane: np.ndarray, q: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """One component plane → int64 (bh*bw, 64) zigzag coefficient grid
+    (same DCT/quant math as _quantize_components, on an arbitrary
+    per-component grid — the 4:2:0 encoder quantizes Y and the
+    downsampled chroma planes on their own grids)."""
+    h, w = plane.shape
+    # edge-replicate out to the full (possibly MCU-padded) block grid —
+    # a subsampled-chroma MCU grid can extend whole blocks past the
+    # plane, so pad once up front instead of per-tile
+    padded = np.pad(
+        plane.astype(np.float64),
+        ((0, bh * 8 - h), (0, bw * 8 - w)),
+        mode="edge",
+    )
+    out = np.zeros((bh * bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coeffs = _D @ (block - 128.0) @ _D.T
+            quant = np.sign(coeffs) * np.floor(np.abs(coeffs) / q + 0.5)
+            out[by * bw + bx] = [int(quant[r, c]) for r, c in ZIGZAG]
+    return out
+
+
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 mean downsample with edge-replicate padding to even dims —
+    the chroma reduction of the 4:2:0 encoder (float64, deterministic)."""
+    h, w = plane.shape
+    if h % 2:
+        plane = np.vstack([plane, plane[-1:]])
+    if w % 2:
+        plane = np.hstack([plane, plane[:, -1:]])
+    return (
+        plane[0::2, 0::2] + plane[0::2, 1::2]
+        + plane[1::2, 0::2] + plane[1::2, 1::2]
+    ) / 4.0
+
+
+def encode_jpeg_420(arr: np.ndarray, quality: int = 75) -> bytes:
+    """uint8 (h, w, 3) RGB → baseline 4:2:0 JPEG bytes (SOF0, Y at
+    2x2 sampling, Cb/Cr at 1x1 over 2x2-mean-downsampled planes) —
+    the majority chroma layout of real crawl JPEGs, emitted here so
+    the subsampled decode path is self-certifying. Interleaved MCUs:
+    4 Y blocks + 1 Cb + 1 Cr per 16x16 macroblock. Deterministic.
+
+    Cross-check invariant (pinned in tests): for an image with
+    CONSTANT chroma (e.g. any grayscale image stored as RGB),
+    downsampling loses nothing, so decode(encode_jpeg_420(x)) ==
+    decode(encode_jpeg(x)) bit-for-bit."""
+    if arr.ndim != 3:
+        raise ValueError("encode_jpeg_420 takes RGB input (grayscale has no chroma)")
+    h, w = arr.shape[0], arr.shape[1]
+    ycc = _rgb_to_ycbcr(arr)
+    qy = _quality_scale(QTBL_LUMA, quality)
+    qc = _quality_scale(QTBL_CHROMA, quality)
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    # Y grid: 2x2 blocks per MCU; chroma grids: 1 block per MCU
+    planes = [ycc[..., 0], _downsample2(ycc[..., 1]), _downsample2(ycc[..., 2])]
+    grids = [(mcuy * 2, mcux * 2), (mcuy, mcux), (mcuy, mcux)]
+    qsel = [qy, qc, qc]
+    coefs = [
+        _quantize_plane(planes[ci], qsel[ci], *grids[ci]) for ci in range(3)
+    ]
+    dc_codes = [_huff_codes(*t) for t in (HUFF_DC_LUMA, HUFF_DC_CHROMA)]
+    ac_codes = [_huff_codes(*t) for t in (HUFF_AC_LUMA, HUFF_AC_CHROMA)]
+    samp = [(2, 2), (1, 1), (1, 1)]
+
+    writer = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                hi, vi = samp[ci]
+                bw_i = grids[ci][1]
+                hsel = 0 if ci == 0 else 1
+                for v in range(vi):
+                    for hh in range(hi):
+                        zz = coefs[ci][(my * vi + v) * bw_i + (mx * hi + hh)]
+                        diff = int(zz[0]) - prev_dc[ci]
+                        prev_dc[ci] = int(zz[0])
+                        cat, bits = _magnitude_cat(diff)
+                        code, ln = dc_codes[hsel][cat]
+                        writer.write(code, ln)
+                        if cat:
+                            writer.write(bits, cat)
+                        run = 0
+                        for k in range(1, 64):
+                            val = int(zz[k])
+                            if val == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_codes[hsel][0xF0]
+                                writer.write(code, ln)
+                                run -= 16
+                            cat, bits = _magnitude_cat(val)
+                            code, ln = ac_codes[hsel][(run << 4) | cat]
+                            writer.write(code, ln)
+                            writer.write(bits, cat)
+                            run = 0
+                        if run:
+                            code, ln = ac_codes[hsel][0x00]
+                            writer.write(code, ln)
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")
+    for tid, q in enumerate((qy, qc)):
+        zzq = bytes(int(q[r, c]) for r, c in ZIGZAG)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zzq
+    comp_spec = b"".join(
+        bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1])
+        for ci in range(3)
+    )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3]) + comp_spec
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for tc, (bits, vals) in [
+        (0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA),
+        (0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA),
+    ]:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    scan_spec = b"".join(
+        bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in range(3)
+    )
+    sos = bytes([3]) + scan_spec + bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _ProgACWriter:
     """AC-scan emitter state for one progressive scan: EOB-run
     accumulation (T.81 G.1.2.2) plus, for refinement scans, the
@@ -639,35 +774,55 @@ def _decode_scan_sequential(
     scan_idx: list[tuple[int, int, int]],
     huff: dict,
     coefs: list[np.ndarray],
-    nblocks: int,
+    samp: list[tuple[int, int]],
+    grids: list[tuple[int, int]],
+    mcuy: int,
+    mcux: int,
 ) -> None:
     """One baseline scan: interleaved DC+AC, full band, no successive
-    approximation (T.81 Annex F), into the coefficient arrays."""
+    approximation (T.81 Annex F), into the coefficient arrays. MCU
+    order with per-component sampling sub-blocks (hi x vi data units
+    per MCU — 4:2:0/4:2:2 decode, r11; all-1x1 reduces to the flat
+    block raster)."""
     prev_dc = [0] * len(scan_idx)
-    for b in range(nblocks):
-        for si, (ci, td, ta) in enumerate(scan_idx):
-            dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
-            if dc_tab is None or ac_tab is None:
-                raise ValueError("missing Huffman table for scan")
-            co = coefs[ci][b]
-            cat = _huffman_read(reader, dc_tab)
-            diff = _extend(reader.read_bits(cat), cat) if cat else 0
-            prev_dc[si] += diff
-            co[0] = prev_dc[si]
-            k = 1
-            while k < 64:
-                rs = _huffman_read(reader, ac_tab)
-                run, cat = rs >> 4, rs & 0xF
-                if cat == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                co[k] = _extend(reader.read_bits(cat), cat)
-                k += 1
+
+    def one_block(ci: int, si: int, bidx: int, dc_tab, ac_tab) -> None:
+        co = coefs[ci][bidx]
+        cat = _huffman_read(reader, dc_tab)
+        diff = _extend(reader.read_bits(cat), cat) if cat else 0
+        prev_dc[si] += diff
+        co[0] = prev_dc[si]
+        k = 1
+        while k < 64:
+            rs = _huffman_read(reader, ac_tab)
+            run, cat = rs >> 4, rs & 0xF
+            if cat == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            co[k] = _extend(reader.read_bits(cat), cat)
+            k += 1
+
+    tabs = []
+    for si, (ci, td, ta) in enumerate(scan_idx):
+        dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
+        if dc_tab is None or ac_tab is None:
+            raise ValueError("missing Huffman table for scan")
+        tabs.append((dc_tab, ac_tab))
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for si, (ci, _td, _ta) in enumerate(scan_idx):
+                hi, vi = samp[ci]
+                bw_i = grids[ci][1]
+                for v in range(vi):
+                    for hh in range(hi):
+                        one_block(
+                            ci, si, (my * vi + v) * bw_i + (mx * hi + hh), *tabs[si]
+                        )
 
 
 def _decode_scan_dc(
@@ -866,15 +1021,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid = body[6 + 3 * ci]
                 sampling = body[7 + 3 * ci]
                 tq = body[8 + 3 * ci]
-                if sampling != 0x11:
+                hi, vi = sampling >> 4, sampling & 0xF
+                if nc == 1:
+                    hi = vi = 1  # single component: sampling is moot
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "chroma subsampling not supported (4:4:4 only)"
+                        f"sampling factor {hi}x{vi} not supported (1 or 2 only)"
                     )
-                comps.append((cid, tq))
-            sof = (h, w, comps)
-            bh, bw = (h + 7) // 8, (w + 7) // 8
-            nblocks = bh * bw
-            coefs = [np.zeros((nblocks, 64), dtype=np.int32) for _ in comps]
+                comps.append((cid, tq, hi, vi))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            if progressive and (hmax != 1 or vmax != 1):
+                raise ValueError(
+                    "progressive + chroma subsampling not supported "
+                    "(progressive decode is 4:4:4 only)"
+                )
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            grids = [(mcuy * vi, mcux * hi) for (_cid, _tq, hi, vi) in comps]
+            sof = (h, w, comps, hmax, vmax, mcux, mcuy, grids)
+            coefs = [
+                np.zeros((gy * gx, 64), dtype=np.int32) for (gy, gx) in grids
+            ]
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline SOF0 / progressive SOF2 supported")
@@ -883,10 +1051,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS — decode this scan, then keep walking
             if sof is None or coefs is None:
                 raise ValueError("SOS before SOF frame header")
-            h, w, comps = sof
+            h, w, comps, hmax, vmax, mcux, mcuy, grids = sof
+            samp = [(hi, vi) for (_cid, _tq, hi, vi) in comps]
+            nblocks = mcuy * mcux  # all-1x1 grids (the progressive path)
             ns = body[0]
             scan_idx = []
-            cid_to_ci = {cid: ci for ci, (cid, _tq) in enumerate(comps)}
+            cid_to_ci = {cid: ci for ci, (cid, *_rest) in enumerate(comps)}
             for si in range(ns):
                 cid = body[1 + 2 * si]
                 if cid not in cid_to_ci:
@@ -900,7 +1070,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_end = _find_scan_end(data, scan_start)
             reader = _BitReader(data[scan_start:scan_end])
             if not progressive:
-                _decode_scan_sequential(reader, scan_idx, huff, coefs, nblocks)
+                _decode_scan_sequential(
+                    reader, scan_idx, huff, coefs, samp, grids, mcuy, mcux
+                )
             elif ss == 0:
                 if se != 0:
                     raise ValueError("progressive DC scan must have Se=0")
@@ -928,17 +1100,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += 2 + seglen
     if sof is None or coefs is None or n_scans == 0:
         raise ValueError("no SOF frame / SOS scan found")
-    h, w, comps = sof
-    bh, bw = (h + 7) // 8, (w + 7) // 8
+    h, w, comps, hmax, vmax, mcux, mcuy, grids = sof
     planes = []
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, (_cid, tq, hi, vi) in enumerate(comps):
         q = qtbls.get(tq)
         if q is None:
             raise ValueError("missing quant table for component")
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        for by in range(bh):
-            for bx in range(bw):
-                zz = coefs[ci][by * bw + bx]
+        gy, gx = grids[ci]
+        plane = np.zeros((gy * 8, gx * 8), dtype=np.float64)
+        for by in range(gy):
+            for bx in range(gx):
+                zz = coefs[ci][by * gx + bx]
                 block = np.zeros((8, 8), dtype=np.float64)
                 for idx in range(64):
                     r, c = ZIGZAG[idx]
@@ -946,8 +1118,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     _D.T @ block @ _D + 128.0
                 )
-        planes.append(plane)
+        # crop to the component's true dims, then replication-upsample
+        # subsampled chroma back to full resolution (r11 — 4:2:0/4:2:2)
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        plane = plane[:ch, :cw]
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
     if len(comps) == 1:
-        return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
-    ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    ycc = np.stack(planes, axis=-1)
     return _ycbcr_to_rgb(ycc)

@@ -254,6 +254,22 @@ def make_jpeg_prog_real(
     return encode_jpeg_progressive(rgb, quality=quality)
 
 
+def make_jpeg_420_real(
+    width: int, height: int, seed: int = 0, quality: int = 90
+) -> bytes:
+    """Deterministic REAL baseline 4:2:0 JPEG bytes (interleaved
+    2x2-sampled MCUs; same gradient family) via
+    operators/jpegcodec.encode_jpeg_420."""
+    from fegis_spark.operators.jpegcodec import encode_jpeg_420
+
+    y, x = np.mgrid[0:height, 0:width]
+    rgb = np.stack(
+        [(x * 7 + seed) % 256, (y * 11 + seed) % 256, (x + y + seed) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_jpeg_420(rgb, quality=quality)
+
+
 def parse_png_header(data: bytes) -> dict:
     """Dependency-free PNG metadata: the IHDR chunk is mandatory-first
     (PNG spec 11.2.2), so width/height/bit depth/color type sit at a
@@ -768,8 +784,9 @@ def parse_avi(data: bytes) -> dict:
 class Codec:
     """Isolates the non-Spark decode dependency. PPM/PGM, 24-bit BMP,
     8-bit gray/RGB/palette/alpha PNG (gray+alpha and RGBA composite
-    over white, exact integer math — r11), baseline AND progressive
-    4:4:4 JPEG (operators/jpegcodec, SOF0 + SOF2 since r11), GIF and
+    over white, exact integer math — r11), baseline 4:4:4/4:2:0/4:2:2
+    AND progressive 4:4:4 JPEG (operators/jpegcodec, SOF0 + SOF2 +
+    subsampled MCUs since r11), GIF and
     PCM WAV audio decode for real (pure numpy/stdlib);
     `fake=True` additionally gives a deterministic stand-in
     (hash-derived pixels/samples) for other formats so the whole

@@ -54,7 +54,11 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         make_ppm,
     )
 
-    from fegis_spark.operators.multimodal import make_gif, make_jpeg_prog_real
+    from fegis_spark.operators.multimodal import (
+        make_gif,
+        make_jpeg_420_real,
+        make_jpeg_prog_real,
+    )
 
     # alternate codecs so the magic-byte dispatch is exercised; PNG
     # rows (r10) run the REAL zlib inflate + unfilter pixel path
@@ -66,8 +70,9 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     # LZW + palette path (decode_gif, lossless), and PROGRESSIVE JPEG
     # rows (r11) run the multi-scan SOF2 path (DC/AC first+refine
     # scans, EOB runs) end-to-end under the oracle; RGBA PNG rows
-    # (r11) run the alpha white-composite path
-    k = i % 8
+    # (r11) run the alpha white-composite path; 4:2:0 JPEG rows (r11)
+    # run the subsampled interleaved-MCU decode + chroma upsample
+    k = i % 9
     if k == 0:
         return make_ppm(16, 12, seed=i), "image/x-portable-pixmap"
     if k == 1:
@@ -82,6 +87,8 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         return make_jpeg_prog_real(16, 12, seed=i), "image/jpeg"
     if k == 6:
         return make_png(16, 12, color_type=6, seed=i), "image/png"
+    if k == 7:
+        return make_jpeg_420_real(16, 12, seed=i), "image/jpeg"
     return make_gif(16, 12, seed=i), "image/gif"
 
 

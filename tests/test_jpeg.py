@@ -341,3 +341,101 @@ class TestProgressive:
             assert (prog == base).all()
 
         check()
+
+
+class TestSubsampled420:
+    """r11: baseline 4:2:0 decode (the wild-crawl majority chroma
+    layout) + the self-certifying 4:2:0 encoder. The load-bearing
+    bit-exact check: constant-chroma images (gray stored as RGB) lose
+    NOTHING to 2x2 chroma averaging, so 420 and 444 encodings decode
+    identically — any MCU-ordering or upsample bug breaks it."""
+
+    def test_constant_chroma_identical_to_444(self):
+        from fegis_spark.operators.jpegcodec import encode_jpeg_420
+
+        rng = np.random.default_rng(9)
+        for shape in [(24, 24), (17, 19), (15, 33)]:
+            g = rng.integers(0, 256, shape, dtype=np.uint8)
+            gr = np.stack([g, g, g], -1)
+            a = decode_jpeg(encode_jpeg(gr, 85))
+            b = decode_jpeg(encode_jpeg_420(gr, 85))
+            assert a.shape == b.shape == gr.shape
+            assert (a == b).all()
+
+    def test_smooth_color_fidelity_and_size_win(self):
+        from fegis_spark.operators.jpegcodec import encode_jpeg_420
+
+        y, x = np.mgrid[0:33, 0:41]
+        img = np.stack(
+            [(x * 3 + y) % 256, (y * 2 + x) % 256, (x + y) % 256], -1
+        ).astype(np.uint8)
+        p420 = encode_jpeg_420(img, 90)
+        d = decode_jpeg(p420)
+        assert d.shape == img.shape
+        assert _psnr(img, d) > 40
+        # half the chroma blocks → smaller payload than 4:4:4
+        assert len(p420) < len(encode_jpeg(img, 90))
+
+    def test_partial_mcu_shapes(self):
+        from fegis_spark.operators.jpegcodec import encode_jpeg_420
+
+        rng = np.random.default_rng(2)
+        for shape in [(17, 19, 3), (15, 33, 3), (8, 8, 3), (1, 1, 3), (9, 40, 3)]:
+            im = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert decode_jpeg(encode_jpeg_420(im, 95)).shape == shape
+
+    def test_determinism_and_sampling_byte(self):
+        from fegis_spark.operators.jpegcodec import encode_jpeg_420
+
+        img = _gradient(20, 18, seed=4)
+        p1, p2 = encode_jpeg_420(img, 80), encode_jpeg_420(img, 80)
+        assert p1 == p2
+        # SOF0 with Y sampling 0x22
+        sof_at = p1.index(b"\xff\xc0")
+        assert p1[sof_at + 11] == 0x22  # comp 1 sampling byte
+
+    def test_codec_dispatch_decodes_420(self):
+        from fegis_spark.operators.jpegcodec import encode_jpeg_420
+        from fegis_spark.operators.multimodal import Codec
+
+        img = _gradient(16, 12, seed=6)
+        out = Codec(fake=False).decode_image(encode_jpeg_420(img, 90))
+        assert out.shape == (12, 16, 3)
+        assert _psnr(img, out) > 35
+
+    def test_progressive_subsampled_rejects(self):
+        from fegis_spark.operators.jpegcodec import encode_jpeg_420
+
+        payload = encode_jpeg_420(_gradient(16, 16), 80)
+        # flip SOF0 -> SOF2: progressive + subsampled must reject loudly
+        prog = payload.replace(b"\xff\xc0", b"\xff\xc2")
+        with pytest.raises(ValueError, match="progressive.*subsampling|subsampling.*progressive"):
+            decode_jpeg(prog)
+
+    def test_gray_rejects_in_420_encoder(self):
+        from fegis_spark.operators.jpegcodec import encode_jpeg_420
+
+        with pytest.raises(ValueError, match="RGB"):
+            encode_jpeg_420(np.zeros((8, 8), np.uint8))
+
+    def test_property_shapes_and_constant_chroma(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from fegis_spark.operators.jpegcodec import encode_jpeg_420
+
+        @settings(max_examples=10, deadline=None, derandomize=True)
+        @given(
+            w=st.integers(1, 37),
+            h=st.integers(1, 35),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(w, h, seed):
+            rng = np.random.default_rng(seed)
+            g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            gr = np.stack([g, g, g], -1)
+            a = decode_jpeg(encode_jpeg(gr, 85))
+            b = decode_jpeg(encode_jpeg_420(gr, 85))
+            assert (a == b).all()
+
+        check()
