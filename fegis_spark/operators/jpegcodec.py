@@ -456,18 +456,19 @@ def _quantize_plane(plane: np.ndarray, q: np.ndarray, bh: int, bw: int) -> np.nd
     return out
 
 
-def _downsample2(plane: np.ndarray) -> np.ndarray:
-    """2x2 mean downsample with edge-replicate padding to even dims —
-    the chroma reduction of the 4:2:0 encoder (float64, deterministic)."""
+def _downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """fy x fx mean downsample with edge-replicate padding — the chroma
+    reduction of the subsampled encoders (float64, deterministic)."""
     h, w = plane.shape
-    if h % 2:
-        plane = np.vstack([plane, plane[-1:]])
-    if w % 2:
-        plane = np.hstack([plane, plane[:, -1:]])
-    return (
-        plane[0::2, 0::2] + plane[0::2, 1::2]
-        + plane[1::2, 0::2] + plane[1::2, 1::2]
-    ) / 4.0
+    if h % fy:
+        plane = np.vstack([plane] + [plane[-1:]] * (fy - h % fy))
+    if w % fx:
+        plane = np.hstack([plane] + [plane[:, -1:]] * (fx - w % fx))
+    acc = np.zeros((plane.shape[0] // fy, plane.shape[1] // fx))
+    for dy in range(fy):
+        for dx in range(fx):
+            acc += plane[dy::fy, dx::fx]
+    return acc / (fy * fx)
 
 
 def encode_jpeg_420(arr: np.ndarray, quality: int = 75) -> bytes:
@@ -481,23 +482,41 @@ def encode_jpeg_420(arr: np.ndarray, quality: int = 75) -> bytes:
     CONSTANT chroma (e.g. any grayscale image stored as RGB),
     downsampling loses nothing, so decode(encode_jpeg_420(x)) ==
     decode(encode_jpeg(x)) bit-for-bit."""
+    return _encode_jpeg_subsampled(arr, quality, y_samp=(2, 2))
+
+
+def encode_jpeg_422(arr: np.ndarray, quality: int = 75) -> bytes:
+    """uint8 (h, w, 3) RGB → baseline 4:2:2 JPEG bytes (Y at 2x1
+    sampling — chroma halved horizontally only; 2 Y + 1 Cb + 1 Cr per
+    16x8 MCU). Same constant-chroma cross-check invariant as 4:2:0."""
+    return _encode_jpeg_subsampled(arr, quality, y_samp=(2, 1))
+
+
+def _encode_jpeg_subsampled(
+    arr: np.ndarray, quality: int, y_samp: tuple[int, int]
+) -> bytes:
     if arr.ndim != 3:
-        raise ValueError("encode_jpeg_420 takes RGB input (grayscale has no chroma)")
+        raise ValueError("subsampled encode takes RGB input (grayscale has no chroma)")
     h, w = arr.shape[0], arr.shape[1]
+    hy, vy = y_samp
     ycc = _rgb_to_ycbcr(arr)
     qy = _quality_scale(QTBL_LUMA, quality)
     qc = _quality_scale(QTBL_CHROMA, quality)
-    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
-    # Y grid: 2x2 blocks per MCU; chroma grids: 1 block per MCU
-    planes = [ycc[..., 0], _downsample2(ycc[..., 1]), _downsample2(ycc[..., 2])]
-    grids = [(mcuy * 2, mcux * 2), (mcuy, mcux), (mcuy, mcux)]
+    mcux = (w + 8 * hy - 1) // (8 * hy)
+    mcuy = (h + 8 * vy - 1) // (8 * vy)
+    planes = [
+        ycc[..., 0],
+        _downsample(ycc[..., 1], vy, hy),
+        _downsample(ycc[..., 2], vy, hy),
+    ]
+    grids = [(mcuy * vy, mcux * hy), (mcuy, mcux), (mcuy, mcux)]
     qsel = [qy, qc, qc]
     coefs = [
         _quantize_plane(planes[ci], qsel[ci], *grids[ci]) for ci in range(3)
     ]
     dc_codes = [_huff_codes(*t) for t in (HUFF_DC_LUMA, HUFF_DC_CHROMA)]
     ac_codes = [_huff_codes(*t) for t in (HUFF_AC_LUMA, HUFF_AC_CHROMA)]
-    samp = [(2, 2), (1, 1), (1, 1)]
+    samp = [(hy, vy), (1, 1), (1, 1)]
 
     writer = _BitWriter()
     prev_dc = [0, 0, 0]

@@ -439,3 +439,24 @@ class TestSubsampled420:
             assert (a == b).all()
 
         check()
+
+
+def test_422_constant_chroma_identity_and_fidelity():
+    # r11: 4:2:2 (2x1 Y sampling) — certifies the horizontal-only
+    # subsampled MCU walk the same way 4:2:0 certifies 2x2
+    from fegis_spark.operators.jpegcodec import encode_jpeg_422
+
+    rng = np.random.default_rng(13)
+    for shape in [(24, 24), (17, 19), (15, 33)]:
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        gr = np.stack([g, g, g], -1)
+        assert (
+            decode_jpeg(encode_jpeg(gr, 85)) == decode_jpeg(encode_jpeg_422(gr, 85))
+        ).all()
+    y, x = np.mgrid[0:33, 0:41]
+    img = np.stack(
+        [(x * 3 + y) % 256, (y * 2 + x) % 256, (x + y) % 256], -1
+    ).astype(np.uint8)
+    payload = encode_jpeg_422(img, 90)
+    assert _psnr(img, decode_jpeg(payload)) > 40
+    assert payload[payload.index(b"\xff\xc0") + 11] == 0x21
