@@ -277,6 +277,27 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def restart(self, n: int) -> None:
+        """Consume an RSTn marker at an MCU restart boundary (r11):
+        discard the pad bits of the current byte, skip any unconsumed
+        pad byte(s), then require FF D(n). The caller resets its DC
+        predictors."""
+        self._acc = 0
+        self._n = 0
+        # a 1-fill pad byte (possibly FF 00 stuffed) may sit unread
+        # before the marker when the previous MCU ended byte-aligned
+        while self.pos + 1 < len(self.data) and not (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos + 1] != 0xD0 + n
+        ):
+            raise ValueError("missing or out-of-sequence JPEG restart marker")
+        self.pos += 2
+
 
 def _magnitude_cat(v: int) -> tuple[int, int]:
     """(category, appended-bits value) for a DC diff / AC coefficient."""
@@ -377,9 +398,16 @@ def _emit_headers(
         out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 75, restart_interval: int = 0
+) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes
-    (SOF0, 4:4:4, Annex K tables quality-scaled). Deterministic."""
+    (SOF0, 4:4:4, Annex K tables quality-scaled). Deterministic.
+    restart_interval > 0 emits a DRI segment and RSTn markers every
+    that many MCUs with DC-predictor resets (r11 — self-certifies the
+    restart decode path). Restarts only re-base the DC differences, so
+    decode(encode(x, restart_interval=r)) is BIT-IDENTICAL to
+    decode(encode(x)) — pinned in tests."""
     coefs, qtbls, qids, h, w, bh, bw = _quantize_components(arr, quality)
     ncomp = len(qids)
     dc_codes = [_huff_codes(*t) for t in (HUFF_DC_LUMA, HUFF_DC_CHROMA)]
@@ -387,7 +415,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
 
     writer = _BitWriter()
     prev_dc = [0] * ncomp
+    rst = 0
     for b in range(bh * bw):
+        if restart_interval and b and b % restart_interval == 0:
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            prev_dc = [0] * ncomp
         for ci in range(ncomp):
             zz = coefs[ci][b]
             hsel = 0 if qids[ci] == 0 else 1
@@ -422,6 +456,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
 
     out = bytearray(b"\xff\xd8")  # SOI
     _emit_headers(out, b"\xff\xc0", qtbls, qids, h, w)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     scan_spec = b"".join(
         bytes([ci + 1, (0x00 if qids[ci] == 0 else 0x11)]) for ci in range(ncomp)
     )
@@ -768,11 +804,13 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 75) -> bytes:
 def _find_scan_end(data: bytes, start: int) -> int:
     """First byte of the marker that terminates entropy-coded data
     beginning at `start` (inside a scan, 0xFF is always stuffed with
-    0x00; an unstuffed 0xFF — including fill bytes — ends the scan)."""
+    0x00 and RSTn markers FF D0-D7 are part of the data — r11; any
+    other unstuffed 0xFF, including fill bytes, ends the scan)."""
     i = start
     n = len(data)
     while i + 1 < n:
-        if data[i] == 0xFF and data[i + 1] != 0x00:
+        nxt = data[i + 1]
+        if data[i] == 0xFF and nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
             return i
         i += 1
     return n
@@ -797,6 +835,7 @@ def _decode_scan_sequential(
     grids: list[tuple[int, int]],
     mcuy: int,
     mcux: int,
+    restart_interval: int = 0,
 ) -> None:
     """One baseline scan: interleaved DC+AC, full band, no successive
     approximation (T.81 Annex F), into the coefficient arrays. MCU
@@ -832,6 +871,9 @@ def _decode_scan_sequential(
         if dc_tab is None or ac_tab is None:
             raise ValueError("missing Huffman table for scan")
         tabs.append((dc_tab, ac_tab))
+    mcu_done = 0
+    rst = 0
+    total = mcuy * mcux
     for my in range(mcuy):
         for mx in range(mcux):
             for si, (ci, _td, _ta) in enumerate(scan_idx):
@@ -842,6 +884,18 @@ def _decode_scan_sequential(
                         one_block(
                             ci, si, (my * vi + v) * bw_i + (mx * hi + hh), *tabs[si]
                         )
+            mcu_done += 1
+            if (
+                restart_interval
+                and mcu_done % restart_interval == 0
+                and mcu_done < total
+            ):
+                # RSTn at the interval boundary: byte-align, check the
+                # cycling marker, reset the DC predictors (T.81 F.2.1.3)
+                reader.restart(rst % 8)
+                rst += 1
+                for i in range(len(prev_dc)):
+                    prev_dc[i] = 0
 
 
 def _decode_scan_dc(
@@ -986,6 +1040,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     coefs: list[np.ndarray] | None = None
     nblocks = 0
     n_scans = 0
+    restart_interval = 0
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at byte {pos}")
@@ -996,7 +1051,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += 1
             continue
         if 0xD0 <= marker <= 0xD7:
-            raise ValueError("restart intervals not supported")
+            # RSTn are consumed inside scan data; one in the marker
+            # walk means a malformed stream
+            raise ValueError("stray restart marker outside a scan")
         if marker in (0x01, 0xD8):  # TEM / repeated SOI: standalone, no length
             pos += 2
             continue
@@ -1065,8 +1122,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline SOF0 / progressive SOF2 supported")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI (r11: sequential decode honors it)
+            restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS — decode this scan, then keep walking
             if sof is None or coefs is None:
                 raise ValueError("SOS before SOF frame header")
@@ -1088,9 +1145,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_start = pos + 2 + seglen
             scan_end = _find_scan_end(data, scan_start)
             reader = _BitReader(data[scan_start:scan_end])
+            if progressive and restart_interval:
+                raise ValueError(
+                    "progressive + restart intervals not supported"
+                )
             if not progressive:
                 _decode_scan_sequential(
-                    reader, scan_idx, huff, coefs, samp, grids, mcuy, mcux
+                    reader, scan_idx, huff, coefs, samp, grids, mcuy, mcux,
+                    restart_interval,
                 )
             elif ss == 0:
                 if se != 0:

@@ -832,10 +832,11 @@ class Codec:
             except (ValueError, IndexError):
                 pass
         if (payload or b"")[:2] == b"\xff\xd8":
-            # real JPEG decode (operators/jpegcodec — baseline SOF0 r10,
-            # progressive SOF2 r11; 4:4:4 profile); out-of-profile
-            # streams (subsampled, restarts, arithmetic) fall through
-            # to the fake/SWAP-POINT path below
+            # real JPEG decode (operators/jpegcodec — baseline SOF0 r10;
+            # progressive SOF2, 4:2:0/4:2:2 subsampling and DRI/RSTn
+            # restarts r11); out-of-profile streams (arithmetic,
+            # hierarchical, progressive+subsampled/restarts) fall
+            # through to the fake/SWAP-POINT path below
             from fegis_spark.operators.jpegcodec import decode_jpeg
 
             try:
