@@ -19,8 +19,11 @@ decode-wrong-is-worse-than-fail rule):
   * 1 (grayscale) or 3 (YCbCr) components; sampling factors 1 or 2 —
     4:4:4, 4:2:0 and 4:2:2 baseline decode (r11; interleaved MCUs,
     replication chroma upsample); progressive stays 4:4:4-only
-  * no restart markers (DRI/RSTn → ValueError), no APPn dependence
-    (skipped), no arithmetic coding, no hierarchical (SOF5+)
+  * restart intervals (DRI/RSTn) decoded on BOTH paths (r11:
+    byte-align + marker check + DC-predictor reset per interval;
+    progressive scans additionally reset their EOB runs)
+  * no APPn dependence (skipped), no arithmetic coding, no
+    hierarchical (SOF5+)
 
 The encoders exist so the codec is self-certifying in this container
 (no PIL to produce test payloads): standard Annex K quantization and
@@ -652,7 +655,9 @@ class _ProgACWriter:
             self.flush_eobrun()
 
 
-def encode_jpeg_progressive(arr: np.ndarray, quality: int = 75) -> bytes:
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 75, restart_interval: int = 0
+) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB → progressive JPEG
     bytes (SOF2, 4:4:4, Annex K tables quality-scaled). Deterministic.
 
@@ -665,7 +670,10 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 75) -> bytes:
          (newly-nonzero + buffered correction bits)
     Because the script refines to Al=0, the decoded coefficients equal
     the baseline encoder's exactly — decode(encode_jpeg_progressive(x))
-    == decode(encode_jpeg(x)) bit-for-bit, pinned in tests."""
+    == decode(encode_jpeg(x)) bit-for-bit, pinned in tests.
+    restart_interval > 0 emits DRI + per-scan RSTn markers every that
+    many blocks (DC predictors and EOB runs flushed at each boundary,
+    r11) — still bit-identical to the restart-free decode."""
     coefs, qtbls, qids, h, w, bh, bw = _quantize_components(arr, quality)
     ncomp = len(qids)
     nblocks = bh * bw
@@ -676,6 +684,8 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 75) -> bytes:
     out = bytearray(b"\xff\xd8")  # SOI
     _emit_headers(out, b"\xff\xc2", qtbls, qids, h, w,
                   ac_tabs=(HUFF_AC_UNIVERSAL, HUFF_AC_UNIVERSAL))
+    if restart_interval:
+        out.extend(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
 
     def emit_sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int,
                  payload: bytes) -> None:
@@ -691,7 +701,13 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 75) -> bytes:
     # scan 1: DC first (interleaved), Al=1 ------------------------------
     wtr = _BitWriter()
     prev = [0] * ncomp
+    rst = 0
     for b in range(nblocks):
+        if restart_interval and b and b % restart_interval == 0:
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            prev = [0] * ncomp
         for ci in range(ncomp):
             v = int(coefs[ci][b, 0]) >> 1  # arithmetic shift per G.1.2.1
             diff = v - prev[ci]
@@ -708,7 +724,13 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 75) -> bytes:
     for ci in range(ncomp):
         wtr = _BitWriter()
         pw = _ProgACWriter(wtr, ac_codes[0 if qids[ci] == 0 else 1])
+        rst = 0
         for b in range(nblocks):
+            if restart_interval and b and b % restart_interval == 0:
+                pw.flush_eobrun()
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
             zz = coefs[ci][b]
             vals = [
                 (1 if int(zz[k]) >= 0 else -1) * (abs(int(zz[k])) >> 1)
@@ -741,7 +763,12 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 75) -> bytes:
 
     # scan 3: DC refinement (interleaved), Ah=1 Al=0 — raw bits ----------
     wtr = _BitWriter()
+    rst = 0
     for b in range(nblocks):
+        if restart_interval and b and b % restart_interval == 0:
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
         for ci in range(ncomp):
             wtr.write(int(coefs[ci][b, 0]) & 1, 1)
     wtr.flush()
@@ -751,7 +778,13 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 75) -> bytes:
     for ci in range(ncomp):
         wtr = _BitWriter()
         pw = _ProgACWriter(wtr, ac_codes[0 if qids[ci] == 0 else 1])
+        rst = 0
         for b in range(nblocks):
+            if restart_interval and b and b % restart_interval == 0:
+                pw.flush_eobrun()
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
             zz = coefs[ci][b]
             absv = [abs(int(zz[k])) for k in range(1, 64)]  # temp at Al=0
             # index of last NEWLY-NONZERO coefficient (temp == 1); ZRLs
@@ -906,12 +939,20 @@ def _decode_scan_dc(
     nblocks: int,
     ah: int,
     al: int,
+    restart_interval: int = 0,
 ) -> None:
     """Progressive DC scan (Ss=Se=0): first pass (Ah=0) is baseline DC
-    difference coding scaled by 2^Al; refinement appends bit Al."""
+    difference coding scaled by 2^Al; refinement appends bit Al.
+    Restart boundaries (r11) byte-align, check RSTn and reset the DC
+    predictors — for 4:4:4 progressive one MCU is one block."""
+    rst = 0
     if ah == 0:
         prev_dc = [0] * len(scan_idx)
         for b in range(nblocks):
+            if restart_interval and b and b % restart_interval == 0:
+                reader.restart(rst % 8)
+                rst += 1
+                prev_dc = [0] * len(scan_idx)
             for si, (ci, td, _ta) in enumerate(scan_idx):
                 tab = huff.get((0, td))
                 if tab is None:
@@ -922,6 +963,9 @@ def _decode_scan_dc(
                 coefs[ci][b, 0] = prev_dc[si] << al
     else:
         for b in range(nblocks):
+            if restart_interval and b and b % restart_interval == 0:
+                reader.restart(rst % 8)
+                rst += 1
             for _si, (ci, _td, _ta) in enumerate(scan_idx):
                 coefs[ci][b, 0] |= reader.read_bit() << al
 
@@ -935,11 +979,19 @@ def _decode_scan_ac_first(
     ss: int,
     se: int,
     al: int,
+    restart_interval: int = 0,
 ) -> None:
     """Progressive AC first pass (Ah=0): run/size coding over the
-    spectral band with EOBn end-of-band runs (T.81 G.2.2)."""
+    spectral band with EOBn end-of-band runs (T.81 G.2.2). Restart
+    boundaries reset the EOB run (a valid encoder never lets one span
+    a restart)."""
     eobrun = 0
+    rst = 0
     for b in range(nblocks):
+        if restart_interval and b and b % restart_interval == 0:
+            reader.restart(rst % 8)
+            rst += 1
+            eobrun = 0
         if eobrun:
             eobrun -= 1
             continue
@@ -972,13 +1024,20 @@ def _decode_scan_ac_refine(
     ss: int,
     se: int,
     al: int,
+    restart_interval: int = 0,
 ) -> None:
     """Progressive AC refinement (Ah>0): newly-nonzero coefficients are
     placed at ±2^Al; every already-nonzero coefficient passed over gets
-    a correction bit (T.81 G.2.2 / figure G.7 control)."""
+    a correction bit (T.81 G.2.2 / figure G.7 control). Restart
+    boundaries reset the EOB run."""
     p1, m1 = 1 << al, -(1 << al)
     eobrun = 0
+    rst = 0
     for b in range(nblocks):
+        if restart_interval and b and b % restart_interval == 0:
+            reader.restart(rst % 8)
+            rst += 1
+            eobrun = 0
         co = coefs[ci][b]
         k = ss
         if eobrun == 0:
@@ -1145,10 +1204,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_start = pos + 2 + seglen
             scan_end = _find_scan_end(data, scan_start)
             reader = _BitReader(data[scan_start:scan_end])
-            if progressive and restart_interval:
-                raise ValueError(
-                    "progressive + restart intervals not supported"
-                )
             if not progressive:
                 _decode_scan_sequential(
                     reader, scan_idx, huff, coefs, samp, grids, mcuy, mcux,
@@ -1157,7 +1212,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             elif ss == 0:
                 if se != 0:
                     raise ValueError("progressive DC scan must have Se=0")
-                _decode_scan_dc(reader, scan_idx, huff, coefs, nblocks, ah, al)
+                _decode_scan_dc(
+                    reader, scan_idx, huff, coefs, nblocks, ah, al,
+                    restart_interval,
+                )
             else:
                 if len(scan_idx) != 1:
                     raise ValueError("progressive AC scan must be one component")
@@ -1169,11 +1227,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("missing AC Huffman table for scan")
                 if ah == 0:
                     _decode_scan_ac_first(
-                        reader, ci, ac_tab, coefs, nblocks, ss, se, al
+                        reader, ci, ac_tab, coefs, nblocks, ss, se, al,
+                        restart_interval,
                     )
                 else:
                     _decode_scan_ac_refine(
-                        reader, ci, ac_tab, coefs, nblocks, ss, se, al
+                        reader, ci, ac_tab, coefs, nblocks, ss, se, al,
+                        restart_interval,
                     )
             n_scans += 1
             pos = scan_end

@@ -834,8 +834,8 @@ class Codec:
         if (payload or b"")[:2] == b"\xff\xd8":
             # real JPEG decode (operators/jpegcodec — baseline SOF0 r10;
             # progressive SOF2, 4:2:0/4:2:2 subsampling and DRI/RSTn
-            # restarts r11); out-of-profile streams (arithmetic,
-            # hierarchical, progressive+subsampled/restarts) fall
+            # restarts r11, both paths); out-of-profile streams
+            # (arithmetic, hierarchical, progressive+subsampled) fall
             # through to the fake/SWAP-POINT path below
             from fegis_spark.operators.jpegcodec import decode_jpeg
 

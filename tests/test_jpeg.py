@@ -506,14 +506,25 @@ class TestRestartIntervals:
         with pytest.raises(ValueError, match="restart"):
             decode_jpeg(bad)
 
-    def test_progressive_with_dri_rejects(self):
+    def test_progressive_restarts_bit_identical(self):
+        # r11 follow-up: progressive scans honor DRI too — restart
+        # boundaries reset DC predictors AND EOB runs, and remain
+        # bit-identical to the restart-free decode
         from fegis_spark.operators.jpegcodec import encode_jpeg_progressive
-        import struct
 
-        payload = encode_jpeg_progressive(_gradient(16, 16))
-        # splice a DRI segment before the first SOS
-        at = payload.index(b"\xff\xda")
-        dri = b"\xff\xdd" + struct.pack(">HH", 4, 2)
-        spliced = payload[:at] + dri + payload[at:]
-        with pytest.raises(ValueError, match="progressive.*restart|restart.*progressive"):
-            decode_jpeg(spliced)
+        rng = np.random.default_rng(31)
+        x = np.linspace(0, 255, 64)
+        smooth = np.round(np.add.outer(x, x) / 2).astype(np.uint8)
+        fixtures = [
+            rng.integers(0, 256, (24, 40, 3), dtype=np.uint8),
+            rng.integers(0, 256, (17, 19, 3), dtype=np.uint8),
+            smooth,                              # EOB-run-heavy
+            np.full((48, 56, 3), 130, np.uint8),  # pure EOB runs
+        ]
+        for img in fixtures:
+            base = decode_jpeg(encode_jpeg(img, 85))
+            for r in (1, 3, 13):
+                got = decode_jpeg(
+                    encode_jpeg_progressive(img, 85, restart_interval=r)
+                )
+                assert (got == base).all()
