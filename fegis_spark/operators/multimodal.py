@@ -221,11 +221,13 @@ def make_jpeg(
 
 
 def make_jpeg_real(
-    width: int, height: int, seed: int = 0, quality: int = 90
+    width: int, height: int, seed: int = 0, quality: int = 90,
+    restart_interval: int = 0,
 ) -> bytes:
     """Deterministic REAL baseline JPEG bytes (entropy-coded scan, the
     make_ppm/make_bmp gradient family) via operators/jpegcodec —
-    unlike make_jpeg, whose payload is metadata-only."""
+    unlike make_jpeg, whose payload is metadata-only. restart_interval
+    emits DRI/RSTn markers (r11)."""
     from fegis_spark.operators.jpegcodec import encode_jpeg
 
     y, x = np.mgrid[0:height, 0:width]
@@ -233,7 +235,7 @@ def make_jpeg_real(
         [(x * 7 + seed) % 256, (y * 11 + seed) % 256, (x + y + seed) % 256],
         axis=-1,
     ).astype(np.uint8)
-    return encode_jpeg(rgb, quality=quality)
+    return encode_jpeg(rgb, quality=quality, restart_interval=restart_interval)
 
 
 def make_jpeg_prog_real(

@@ -71,8 +71,9 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     # rows (r11) run the multi-scan SOF2 path (DC/AC first+refine
     # scans, EOB runs) end-to-end under the oracle; RGBA PNG rows
     # (r11) run the alpha white-composite path; 4:2:0 JPEG rows (r11)
-    # run the subsampled interleaved-MCU decode + chroma upsample
-    k = i % 9
+    # run the subsampled interleaved-MCU decode + chroma upsample;
+    # restart-coded JPEG rows (r11) run the DRI/RSTn boundary path
+    k = i % 10
     if k == 0:
         return make_ppm(16, 12, seed=i), "image/x-portable-pixmap"
     if k == 1:
@@ -89,6 +90,8 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         return make_png(16, 12, color_type=6, seed=i), "image/png"
     if k == 7:
         return make_jpeg_420_real(16, 12, seed=i), "image/jpeg"
+    if k == 8:
+        return make_jpeg_real(16, 12, seed=i, restart_interval=2), "image/jpeg"
     return make_gif(16, 12, seed=i), "image/gif"
 
 
