@@ -306,21 +306,39 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray) -> bytes:
+def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
     """Real, dependency-free PNG encode (r9 verdict #4 — zlib is
-    stdlib): uint8 (h, w) grayscale → color type 0, uint8 (h, w, 3)
-    RGB → color type 2, gray+alpha (h, w, 2) → color type 4, RGBA
-    (h, w, 4) → color type 6 (r11); 8-bit depth, no interlace, every
-    scanline filter type 0 (None). decode_png inverts it exactly."""
+    stdlib): (h, w) grayscale → color type 0, (h, w, 3) RGB → color
+    type 2, gray+alpha (h, w, 2) → color type 4, RGBA (h, w, 4) →
+    color type 6 (r11); uint8 input → 8-bit depth, uint16 input →
+    16-bit depth with big-endian samples (r11); interlace=True emits
+    the Adam7 7-pass layout (r11 — empty passes carry no bytes).
+    Every scanline filter type 0 (None). decode_png inverts it
+    exactly at every (depth, interlace) combination."""
     import struct
     import zlib
 
     h, w = arr.shape[0], arr.shape[1]
     nch = 1 if arr.ndim == 2 else arr.shape[2]
     color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
-    ihdr = struct.pack(">II", w, h) + bytes([8, color, 0, 0, 0])
-    raster = arr.astype(np.uint8).reshape(h, -1)
-    raw = b"".join(b"\x00" + raster[y].tobytes() for y in range(h))
+    depth = 16 if arr.dtype == np.uint16 else 8
+    ihdr = struct.pack(">II", w, h) + bytes([depth, color, 0, 0, int(interlace)])
+    a = arr.reshape(h, w, nch)
+
+    def lines(block: np.ndarray) -> bytes:
+        flat = block.astype(">u2" if depth == 16 else np.uint8).reshape(
+            block.shape[0], -1
+        )
+        return b"".join(b"\x00" + flat[y].tobytes() for y in range(block.shape[0]))
+
+    if interlace:
+        raw = b"".join(
+            lines(a[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if a[y0::dy, x0::dx].size
+        )
+    else:
+        raw = lines(a)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -329,31 +347,88 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+#: Adam7 pass grid (PNG spec 8.2): (x-origin, y-origin, x-step, y-step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int, offset: int):
+    """Undo PNG scanline filtering (spec 9.2 — all five types:
+    None/Sub/Up/Average/Paeth) over ``h`` scanlines of ``stride``
+    bytes starting at ``offset`` in the inflated stream. ``bpp`` is
+    the filter unit = channels × bytes-per-sample (so the same code
+    covers 8- and 16-bit and every color type). Returns the
+    ((h, stride) uint8 block, bytes consumed)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=base + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left recon
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0  # left
+                b = int(prev[x])  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out, h * (stride + 1)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Real, dependency-free PNG pixel decode (r9 verdict #4):
-    8-bit grayscale (color 0), truecolor (color 2), gray+alpha
-    (color 4, r11) and RGBA (color 6, r11), no interlace — chunk walk
-    → IDAT concat → zlib inflate → per-scanline unfilter (all five
-    PNG filter types: None/Sub/Up/Average/Paeth, spec 9.2; the filter
-    bpp is the channel count, so the same unfilter covers alpha).
+    grayscale (color 0), truecolor (color 2), gray+alpha (color 4,
+    r11) and RGBA (color 6, r11) at 8- OR 16-bit depth (r11), plus
+    8-bit palette (color 3, r10); sequential AND Adam7-interlaced
+    (r11 — 7-pass grid per spec 8.2, each pass unfiltered
+    independently then scattered into the full raster) — chunk walk
+    → IDAT concat → zlib inflate → per-scanline unfilter
+    (_png_unfilter, all five filter types, bpp = channels ×
+    bytes-per-sample).
     Returns uint8 (h, w) for grayscale, (h, w, 3) for RGB and for
-    palette (color 3 — PLTE lookup, r10), (h, w, 2)/(h, w, 4) RAW
-    channels for the alpha types (Codec.decode_image composites them
-    over white). 16-bit / Adam7 stay ValueError SWAP POINTs —
-    rejected loudly rather than decoded wrong."""
+    palette (PLTE lookup), (h, w, 2)/(h, w, 4) RAW channels for the
+    alpha types (Codec.decode_image composites them over white);
+    16-bit images come back as the analogous uint16 arrays
+    (big-endian samples joined, full fidelity — Codec reduces to
+    8-bit exactly via round(v/257), 65535 = 257·255)."""
     import zlib
 
     hdr = parse_png_header(data)
     if data[26] != 0 or data[27] != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if data[28] != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
-    if hdr["bit_depth"] != 8 or data[25] not in (0, 2, 3, 4, 6):
+    interlace = data[28]
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if hdr["bit_depth"] not in (8, 16) or data[25] not in (0, 2, 3, 4, 6):
         raise ValueError(
-            "only 8-bit gray/truecolor/palette/alpha PNG decode supported "
+            "only 8/16-bit gray/truecolor/palette/alpha PNG decode supported "
             f"(color type {data[25]}, bit depth {hdr['bit_depth']})"
         )
+    if hdr["bit_depth"] == 16 and data[25] == 3:
+        raise ValueError("16-bit palette PNG is spec-illegal")
     w, h, ch = hdr["width"], hdr["height"], hdr["n_components"]
+    sb = hdr["bit_depth"] // 8  # bytes per sample
+    bpp = ch * sb
     # chunk walk: length(4) type(4) body crc(4), starting past signature
     idat = bytearray()
     plte = None
@@ -377,48 +452,45 @@ def decode_png(data: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("PNG has no IDAT chunk (header-only payload)")
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG raster size mismatch after inflate")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int64)
-        if ftype == 0:  # None
-            cur = line
-        elif ftype == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left recon
-            cur = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0  # left
-                b = int(prev[x])  # up
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) // 2
-                else:
-                    c = int(prev[x - ch]) if x >= ch else 0  # upper-left
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[x] = (line[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {ftype}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG raster size mismatch after inflate")
+        plane, _ = _png_unfilter(raw, h, stride, bpp, 0)
+    else:
+        plane = np.zeros((h, w, bpp), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:  # empty pass carries no bytes (spec 8.2)
+                continue
+            sub, used = _png_unfilter(raw, ph, pw * bpp, bpp, offset)
+            offset += used
+            plane[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+        if offset != len(raw):
+            raise ValueError("PNG raster size mismatch after inflate")
+        plane = plane.reshape(h, w * bpp)
+    if sb == 2:  # join big-endian sample pairs → uint16
+        pairs = plane.reshape(h, w * ch, 2).astype(np.uint16)
+        vals = (pairs[..., 0] << 8) | pairs[..., 1]
+        return vals.reshape(h, w) if ch == 1 else vals.reshape(h, w, ch)
     if data[25] == 3:
-        idx = out.reshape(h, w)
+        idx = plane.reshape(h, w)
         if int(idx.max()) >= len(plte):
             raise ValueError("palette index out of range")
         return plte[idx]  # (h, w, 3) via palette lookup
-    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+    return plane.reshape(h, w) if ch == 1 else plane.reshape(h, w, ch)
 
 
-def make_png(width: int, height: int, color_type: int = 2, seed: int = 0) -> bytes:
+def make_png(
+    width: int,
+    height: int,
+    color_type: int = 2,
+    seed: int = 0,
+    bit_depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
     """Deterministic PNG fixture. Color types 0 (grayscale) and 2
     (RGB) carry a REAL zlib IDAT raster (the same gradient family as
     make_ppm/make_bmp — decode_png roundtrips them; r9 verdict #4);
@@ -426,6 +498,8 @@ def make_png(width: int, height: int, color_type: int = 2, seed: int = 0) -> byt
     (decode_png maps it back through the palette, r10); gray+alpha (4)
     and RGBA (6) carry real rasters with a deterministic alpha ramp
     (r11 — decode_png returns the raw channels, Codec composites).
+    bit_depth=16 (color 0/2/4/6) widens the gradient into the 16-bit
+    range; interlace=True emits the Adam7 layout (both r11).
     Other color types stay header-only metadata fixtures (signature +
     IHDR + IEND + one trailing seed byte whose VALUE varies with seed
     — size does not)."""
@@ -433,6 +507,25 @@ def make_png(width: int, height: int, color_type: int = 2, seed: int = 0) -> byt
     import zlib
 
     y, x = np.mgrid[0:height, 0:width]
+    if bit_depth == 16 and color_type in (0, 2, 4, 6):
+        # 16-bit gradients: same spatial family, ×257 keeps the 8-bit
+        # structure visible in the high byte, +x*131 varies the low
+        if color_type == 0:
+            g16 = (((x * 7 + y * 11 + seed) % 256) * 257 + x * 131) % 65536
+            return encode_png(g16.astype(np.uint16), interlace=interlace)
+        planes = [
+            ((x * 7 + seed) % 256) * 257 + (y * 131) % 257,
+            ((y * 11 + seed) % 256) * 257 + (x * 29) % 257,
+            ((x + y + seed) % 256) * 257 + ((x * y) % 257),
+            ((x * 3 + y * 5 + seed) % 256) * 257 + ((x + 2 * y) % 257),
+        ]
+        nch = {2: 3, 4: 2, 6: 4}[color_type]
+        sel = planes[:3] if color_type == 2 else (
+            [planes[0], planes[3]] if color_type == 4 else planes
+        )
+        arr = (np.stack(sel, axis=-1) % 65536).astype(np.uint16)
+        assert arr.shape[2] == nch
+        return encode_png(arr, interlace=interlace)
     if color_type == 3:
         # 16-entry deterministic palette + indexed gradient raster
         pal = np.stack(
@@ -454,26 +547,27 @@ def make_png(width: int, height: int, color_type: int = 2, seed: int = 0) -> byt
             + _png_chunk(b"IEND", b"")
         )
     if color_type == 0:
-        return encode_png(((x * 7 + y * 11 + seed) % 256).astype(np.uint8))
+        return encode_png(((x * 7 + y * 11 + seed) % 256).astype(np.uint8),
+                          interlace=interlace)
     if color_type == 2:
         rgb = np.stack(
             [(x * 7 + seed) % 256, (y * 11 + seed) % 256, (x + y + seed) % 256],
             axis=-1,
         ).astype(np.uint8)
-        return encode_png(rgb)
+        return encode_png(rgb, interlace=interlace)
     if color_type == 4:
         ga = np.stack(
             [(x * 7 + y * 11 + seed) % 256, (x * 3 + y * 5 + seed) % 256],
             axis=-1,
         ).astype(np.uint8)
-        return encode_png(ga)
+        return encode_png(ga, interlace=interlace)
     if color_type == 6:
         rgba = np.stack(
             [(x * 7 + seed) % 256, (y * 11 + seed) % 256,
              (x + y + seed) % 256, (x * 3 + y * 5 + seed) % 256],
             axis=-1,
         ).astype(np.uint8)
-        return encode_png(rgba)
+        return encode_png(rgba, interlace=interlace)
     ihdr = struct.pack(">II", width, height) + bytes([8, color_type, 0, 0, 0])
     chunk = b"IHDR" + ihdr
     out = b"\x89PNG\r\n\x1a\n"
@@ -805,14 +899,21 @@ class Codec:
         if (payload or b"")[:2] == b"BM":
             return decode_bmp(payload)
         if (payload or b"")[:4] == b"\x89PNG":
-            # out-of-profile (RGBA/16-bit/Adam7) or corrupt streams fall
-            # through to the fake/SWAP-POINT path, mirroring JPEG (r11)
+            # out-of-profile (1/2/4-bit depth) or corrupt streams fall
+            # through to the fake/SWAP-POINT path, mirroring JPEG (r11);
+            # 16-bit and Adam7-interlaced decode for real since r11
             import zlib
 
             try:
                 img = decode_png(payload)
             except (ValueError, IndexError, zlib.error):
                 img = None
+            if img is not None and img.dtype == np.uint16:
+                # exact 16→8 reduction: 65535 = 257·255, so
+                # round(v/257) is the scale-preserving map and
+                # (v+128)//257 computes it exactly (v/257 never
+                # lands on a .5 midpoint — 257·k + 128.5 ∉ ℤ)
+                img = ((img.astype(np.int64) + 128) // 257).astype(np.uint8)
             if img is not None:
                 if img.ndim == 2:
                     return np.stack([img] * 3, axis=-1)  # uniform (h, w, 3)
@@ -857,8 +958,9 @@ class Codec:
             return arr.reshape(side, side, 3)
         # SWAP POINT: real implementation = PIL.Image.open(BytesIO(payload))
         raise NotImplementedError(
-            "image decoding outside the PPM/PGM/BMP/PNG/GIF/JPEG "
-            "(baseline+progressive 4:4:4) profile requires PIL/cv2 — "
+            "image decoding outside the PPM/PGM/BMP/PNG (8/16-bit, "
+            "sequential+Adam7)/GIF/JPEG (baseline+progressive, "
+            "4:4:4/4:2:0/4:2:2, DRI) profile requires PIL/cv2 — "
             "not in container"
         )
 

@@ -72,8 +72,11 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     # scans, EOB runs) end-to-end under the oracle; RGBA PNG rows
     # (r11) run the alpha white-composite path; 4:2:0 JPEG rows (r11)
     # run the subsampled interleaved-MCU decode + chroma upsample;
-    # restart-coded JPEG rows (r11) run the DRI/RSTn boundary path
-    k = i % 10
+    # restart-coded JPEG rows (r11) run the DRI/RSTn boundary path;
+    # Adam7 PNG rows (r11) run the 7-pass interlaced scatter and
+    # 16-bit PNG rows (r11) the uint16 join + exact round(v/257)
+    # 16→8 reduction
+    k = i % 12
     if k == 0:
         return make_ppm(16, 12, seed=i), "image/x-portable-pixmap"
     if k == 1:
@@ -92,6 +95,10 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         return make_jpeg_420_real(16, 12, seed=i), "image/jpeg"
     if k == 8:
         return make_jpeg_real(16, 12, seed=i, restart_interval=2), "image/jpeg"
+    if k == 10:
+        return make_png(16, 12, color_type=2, seed=i, interlace=True), "image/png"
+    if k == 11:
+        return make_png(16, 12, color_type=0, seed=i, bit_depth=16), "image/png"
     return make_gif(16, 12, seed=i), "image/gif"
 
 

@@ -517,6 +517,73 @@ class TestPngPixelDecode:
         with pytest.raises(ValueError, match="IDAT"):
             decode_png(headeronly)
 
+    def test_adam7_interlace_roundtrip_and_parity(self):
+        """Adam7 (r11): the 7-pass grid partitions every pixel exactly
+        once, round-trips losslessly at awkward sizes (passes that are
+        empty in one dimension), and an interlaced payload decodes to
+        the same pixels as its sequential twin."""
+        import numpy as np
+
+        from fegis_spark.operators.multimodal import _ADAM7, decode_png, encode_png
+
+        for hh, ww in [(12, 16), (1, 1), (7, 5), (9, 3), (2, 2), (3, 9)]:
+            cnt = np.zeros((hh, ww), dtype=int)
+            for x0, y0, dx, dy in _ADAM7:
+                cnt[y0::dy, x0::dx] += 1
+            assert (cnt == 1).all(), (hh, ww)
+        rng = np.random.default_rng(11)
+        for shape in [(12, 16, 3), (7, 5), (9, 3, 4), (1, 1, 2)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            got = decode_png(encode_png(img, interlace=True))
+            assert (got.reshape(shape) == img).all(), shape
+        img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+        assert (
+            decode_png(encode_png(img, interlace=True))
+            == decode_png(encode_png(img))
+        ).all()
+
+    def test_16bit_roundtrip_and_exact_reduction(self):
+        """16-bit PNG (r11): big-endian uint16 samples round-trip at
+        both interlace modes; Codec reduces to 8-bit via the exact
+        round(v/257) map (65535 = 257·255, no .5 midpoints)."""
+        import numpy as np
+
+        from fegis_spark.operators.multimodal import (
+            Codec,
+            decode_png,
+            encode_png,
+            make_png,
+            parse_png_header,
+        )
+
+        rng = np.random.default_rng(13)
+        for shape in [(6, 5), (6, 5, 3), (4, 3, 4), (2, 9, 2)]:
+            img = rng.integers(0, 65536, shape).astype(np.uint16)
+            for il in (False, True):
+                got = decode_png(encode_png(img, interlace=il))
+                assert got.dtype == np.uint16
+                assert (got.reshape(shape) == img).all(), (shape, il)
+        p16 = make_png(16, 12, color_type=0, seed=5, bit_depth=16)
+        assert parse_png_header(p16)["bit_depth"] == 16
+        raw16 = decode_png(p16)
+        out = Codec(fake=False).decode_image(p16)
+        assert out.dtype == np.uint8 and out.shape == (12, 16, 3)
+        want = ((raw16.astype(np.int64) + 128) // 257).astype(np.uint8)
+        assert (out[:, :, 0] == want).all()
+        # spot-check the map is the exactly-rounded v/257
+        for v in (0, 128, 129, 257, 65535, 32896):
+            assert (v + 128) // 257 == round(v / 257)
+
+    def test_16bit_palette_rejected(self):
+        import pytest
+
+        from fegis_spark.operators.multimodal import decode_png, make_png
+
+        bad = bytearray(make_png(8, 8, color_type=3, seed=2))
+        bad[24] = 16  # IHDR bit-depth byte
+        with pytest.raises(ValueError, match="spec-illegal"):
+            decode_png(bytes(bad))
+
     def test_codec_dispatch_and_gray_uniformization(self):
         import numpy as np
 
@@ -712,13 +779,23 @@ class TestPngAlphaR11:
             img = Codec(fake=False).decode_image(payload)
             assert img.shape == (12, 16, 3)
 
-    def test_sixteen_bit_still_rejects(self):
+    def test_sixteen_bit_decodes_and_low_depth_rejects(self):
+        """r11 flip of the old rejection pin: 16-bit RGBA now decodes
+        for real (uint16 raw channels); 1/2/4-bit depths stay loud
+        ValueError SWAP POINTs."""
         import struct
         import zlib
 
+        import numpy as np
         import pytest
 
-        from fegis_spark.operators.multimodal import decode_png
+        from fegis_spark.operators.multimodal import decode_png, encode_png
+
+        rgba16 = (np.arange(4 * 4 * 4).reshape(4, 4, 4) * 999 % 65536).astype(
+            np.uint16
+        )
+        got = decode_png(encode_png(rgba16))
+        assert got.dtype == np.uint16 and (got == rgba16).all()
 
         def chunk(tag, body):
             return (
@@ -726,7 +803,7 @@ class TestPngAlphaR11:
                 + zlib.crc32(tag + body).to_bytes(4, "big")
             )
 
-        ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 6, 0, 0, 0)  # 16-bit RGBA
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # 4-bit gray
         payload = (
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(b"\x00" * 200)) + chunk(b"IEND", b"")
