@@ -347,6 +347,53 @@ def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
     )
 
 
+def encode_png_lowbit(
+    samples: np.ndarray,
+    color: int,
+    depth: int,
+    interlace: bool = False,
+    plte: np.ndarray | None = None,
+) -> bytes:
+    """Low-bit-depth PNG emit (r11): (h, w) sample values < 2^depth →
+    a 1/2/4-bit grayscale (color 0) or palette (color 3, with the
+    (n, 3) PLTE) payload, samples packed MSB-first per spec 7.2 with
+    zero-padded row tails, filter type 0, optionally Adam7-interlaced.
+    decode_png inverts it exactly (gray comes back scaled by the
+    integer 255/(2^depth−1))."""
+    import struct
+    import zlib
+
+    h, w = samples.shape
+    ihdr = struct.pack(">II", w, h) + bytes([depth, color, 0, 0, int(interlace)])
+
+    def pack_block(block: np.ndarray) -> bytes:
+        bh, bw = block.shape
+        bits = (
+            (block[..., None].astype(np.uint8)
+             >> np.arange(depth - 1, -1, -1).astype(np.uint8)) & 1
+        ).reshape(bh, bw * depth)
+        packed = np.packbits(bits, axis=1)  # zero-pads each row tail
+        return b"".join(b"\x00" + packed[y].tobytes() for y in range(bh))
+
+    if interlace:
+        raw = b"".join(
+            pack_block(samples[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if samples[y0::dy, x0::dx].size
+        )
+    else:
+        raw = pack_block(samples)
+    body = _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += _png_chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + body
+        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 #: Adam7 pass grid (PNG spec 8.2): (x-origin, y-origin, x-step, y-step)
 _ADAM7 = (
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -396,21 +443,23 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int, offset: int):
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Real, dependency-free PNG pixel decode (r9 verdict #4):
-    grayscale (color 0), truecolor (color 2), gray+alpha (color 4,
-    r11) and RGBA (color 6, r11) at 8- OR 16-bit depth (r11), plus
-    8-bit palette (color 3, r10); sequential AND Adam7-interlaced
-    (r11 — 7-pass grid per spec 8.2, each pass unfiltered
-    independently then scattered into the full raster) — chunk walk
-    → IDAT concat → zlib inflate → per-scanline unfilter
-    (_png_unfilter, all five filter types, bpp = channels ×
-    bytes-per-sample).
-    Returns uint8 (h, w) for grayscale, (h, w, 3) for RGB and for
-    palette (PLTE lookup), (h, w, 2)/(h, w, 4) RAW channels for the
-    alpha types (Codec.decode_image composites them over white);
-    16-bit images come back as the analogous uint16 arrays
-    (big-endian samples joined, full fidelity — Codec reduces to
-    8-bit exactly via round(v/257), 65535 = 257·255)."""
+    """Real, dependency-free PNG pixel decode (r9 verdict #4) — the
+    FULL spec 11.2.2 (color, depth) matrix (r11): grayscale (color 0)
+    at 1/2/4/8/16 bits, palette (color 3) at 1/2/4/8, truecolor
+    (color 2), gray+alpha (color 4) and RGBA (color 6) at 8/16;
+    sequential AND Adam7-interlaced (r11 — 7-pass grid per spec 8.2,
+    each pass unfiltered independently then scattered into the full
+    raster) — chunk walk → IDAT concat → zlib inflate → per-scanline
+    unfilter (_png_unfilter, all five filter types, bpp = max(1,
+    channels × depth // 8) per spec 9.2) → sample unpack (sub-byte
+    samples MSB-first per spec 7.2).
+    Returns uint8 (h, w) for grayscale (low-bit gray scaled by the
+    exact integer 255/(2^d−1)), (h, w, 3) for RGB and for palette
+    (PLTE lookup), (h, w, 2)/(h, w, 4) RAW channels for the alpha
+    types (Codec.decode_image composites them over white); 16-bit
+    images come back as the analogous uint16 arrays (big-endian
+    samples joined, full fidelity — Codec reduces to 8-bit exactly
+    via round(v/257), 65535 = 257·255)."""
     import zlib
 
     hdr = parse_png_header(data)
@@ -419,16 +468,36 @@ def decode_png(data: bytes) -> np.ndarray:
     interlace = data[28]
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
-    if hdr["bit_depth"] not in (8, 16) or data[25] not in (0, 2, 3, 4, 6):
+    depth, color = hdr["bit_depth"], data[25]
+    #: spec 11.2.2 legal (color, depth) combinations
+    legal = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8), 2: (8, 16),
+             4: (8, 16), 6: (8, 16)}
+    if color not in legal or depth not in legal[color]:
         raise ValueError(
-            "only 8/16-bit gray/truecolor/palette/alpha PNG decode supported "
-            f"(color type {data[25]}, bit depth {hdr['bit_depth']})"
+            "unsupported or spec-illegal PNG variant "
+            f"(color type {color}, bit depth {depth})"
         )
-    if hdr["bit_depth"] == 16 and data[25] == 3:
-        raise ValueError("16-bit palette PNG is spec-illegal")
     w, h, ch = hdr["width"], hdr["height"], hdr["n_components"]
-    sb = hdr["bit_depth"] // 8  # bytes per sample
-    bpp = ch * sb
+    # filter unit (spec 9.2: sub-byte depths filter at 1 byte)
+    bpp = max(1, (ch * depth) // 8)
+
+    def _stride(pw: int) -> int:  # packed scanline bytes for pw pixels
+        return (pw * ch * depth + 7) // 8
+
+    def _samples(block: np.ndarray, pw: int) -> np.ndarray:
+        """(ph, stride) unfiltered bytes → (ph, pw·ch) sample values
+        (uint16 at depth 16, uint8 otherwise; sub-byte samples are
+        unpacked MSB-first per spec 7.2)."""
+        if depth == 16:
+            pairs = block.reshape(block.shape[0], pw * ch, 2).astype(np.uint16)
+            return (pairs[..., 0] << 8) | pairs[..., 1]
+        if depth == 8:
+            return block[:, : pw * ch]
+        bits = np.unpackbits(block, axis=1)[:, : pw * ch * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        return (bits.reshape(block.shape[0], pw * ch, depth) * weights).sum(
+            axis=2
+        ).astype(np.uint8)
     # chunk walk: length(4) type(4) body crc(4), starting past signature
     idat = bytearray()
     plte = None
@@ -453,34 +522,38 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG has no IDAT chunk (header-only payload)")
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        stride = w * bpp
+        stride = _stride(w)
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG raster size mismatch after inflate")
         plane, _ = _png_unfilter(raw, h, stride, bpp, 0)
+        samples = _samples(plane, w)  # (h, w·ch)
     else:
-        plane = np.zeros((h, w, bpp), dtype=np.uint8)
+        samples = np.zeros(
+            (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
+        )
         offset = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:  # empty pass carries no bytes (spec 8.2)
                 continue
-            sub, used = _png_unfilter(raw, ph, pw * bpp, bpp, offset)
+            sub, used = _png_unfilter(raw, ph, _stride(pw), bpp, offset)
             offset += used
-            plane[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+            samples[y0::dy, x0::dx, :] = _samples(sub, pw).reshape(ph, pw, ch)
         if offset != len(raw):
             raise ValueError("PNG raster size mismatch after inflate")
-        plane = plane.reshape(h, w * bpp)
-    if sb == 2:  # join big-endian sample pairs → uint16
-        pairs = plane.reshape(h, w * ch, 2).astype(np.uint16)
-        vals = (pairs[..., 0] << 8) | pairs[..., 1]
-        return vals.reshape(h, w) if ch == 1 else vals.reshape(h, w, ch)
-    if data[25] == 3:
-        idx = plane.reshape(h, w)
+        samples = samples.reshape(h, w * ch)
+    if depth == 16:
+        return samples.reshape(h, w) if ch == 1 else samples.reshape(h, w, ch)
+    if color == 3:
+        idx = samples.reshape(h, w)
         if int(idx.max()) >= len(plte):
             raise ValueError("palette index out of range")
         return plte[idx]  # (h, w, 3) via palette lookup
-    return plane.reshape(h, w) if ch == 1 else plane.reshape(h, w, ch)
+    if depth < 8:  # low-bit gray: exact scale to full range
+        # 255/(2^d−1) is an integer (255, 85, 17) so this is lossless
+        samples = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return samples.reshape(h, w) if ch == 1 else samples.reshape(h, w, ch)
 
 
 def make_png(
@@ -507,6 +580,22 @@ def make_png(
     import zlib
 
     y, x = np.mgrid[0:height, 0:width]
+    if bit_depth in (1, 2, 4) and color_type in (0, 3):
+        # low-bit fixtures (r11): gray gradient over the 2^d levels,
+        # or a 2^d-entry palette + indexed gradient
+        n = 1 << bit_depth
+        idx = ((x + 2 * y + seed) % n).astype(np.uint8)
+        if color_type == 0:
+            return encode_png_lowbit(idx, 0, bit_depth, interlace=interlace)
+        pal = np.stack(
+            [
+                (np.arange(n) * 17 + seed) % 256,
+                (np.arange(n) * 31 + seed) % 256,
+                (np.arange(n) * 7 + seed) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        return encode_png_lowbit(idx, 3, bit_depth, interlace=interlace, plte=pal)
     if bit_depth == 16 and color_type in (0, 2, 4, 6):
         # 16-bit gradients: same spatial family, ×257 keeps the 8-bit
         # structure visible in the high byte, +x*131 varies the low
@@ -688,21 +777,23 @@ def _gif_lzw_decode(data: bytes, mcs: int) -> list[int]:
 
 
 def decode_gif(data: bytes) -> np.ndarray:
-    """Real, dependency-free GIF decode (r10): global color table +
-    first image descriptor + LZW frame data → uint8 (h, w, 3).
-    Extensions are skipped; interlaced frames and local-color-table
-    frames beyond the global palette are rejected loudly."""
+    """Real, dependency-free GIF decode (r10): color table + first
+    image descriptor + LZW frame data → uint8 (h, w, 3). Extensions
+    are skipped. A frame-local color table overrides the global one
+    (r11 — a GIF with neither is rejected), and interlaced frames are
+    de-interlaced via the 4-pass row order of spec appendix E
+    (rows 0::8, 4::8, 2::4, 1::2; r11)."""
     hdr = parse_gif_header(data)
     w, h = hdr["width"], hdr["height"]
     flags = data[10]
-    if not flags & 0x80:
-        raise ValueError("GIF without a global color table not supported")
-    gct_n = 2 << (flags & 0x07)
     pos = 13
-    palette = np.frombuffer(
-        data, dtype=np.uint8, count=gct_n * 3, offset=pos
-    ).reshape(-1, 3)
-    pos += gct_n * 3
+    palette = None
+    if flags & 0x80:
+        gct_n = 2 << (flags & 0x07)
+        palette = np.frombuffer(
+            data, dtype=np.uint8, count=gct_n * 3, offset=pos
+        ).reshape(-1, 3)
+        pos += gct_n * 3
     while pos < len(data):
         b = data[pos]
         if b == 0x21:  # extension: label + length-prefixed sub-blocks
@@ -714,11 +805,15 @@ def decode_gif(data: bytes) -> np.ndarray:
             iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
             ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
             iflags = data[pos + 9]
-            if iflags & 0x80:
-                raise ValueError("GIF local color tables not supported")
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF not supported")
             pos += 10
+            if iflags & 0x80:  # local color table overrides global (r11)
+                lct_n = 2 << (iflags & 0x07)
+                palette = np.frombuffer(
+                    data, dtype=np.uint8, count=lct_n * 3, offset=pos
+                ).reshape(-1, 3)
+                pos += lct_n * 3
+            if palette is None:
+                raise ValueError("GIF frame has neither global nor local color table")
             mcs = data[pos]
             pos += 1
             lzw = bytearray()
@@ -730,6 +825,14 @@ def decode_gif(data: bytes) -> np.ndarray:
             if len(indices) < iw * ih:
                 raise ValueError("GIF frame shorter than descriptor")
             idx = np.array(indices[: iw * ih], dtype=np.int64).reshape(ih, iw)
+            if iflags & 0x40:  # de-interlace (r11): stored pass-major
+                order = np.concatenate([
+                    np.arange(0, ih, 8), np.arange(4, ih, 8),
+                    np.arange(2, ih, 4), np.arange(1, ih, 2),
+                ])
+                deint = np.empty_like(idx)
+                deint[order] = idx
+                idx = deint
             if int(idx.max()) >= len(palette):
                 raise ValueError("GIF index out of palette range")
             return palette[idx].astype(np.uint8)
@@ -740,35 +843,56 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("GIF truncated before trailer")
 
 
-def make_gif(width: int, height: int, seed: int = 0) -> bytes:
-    """Deterministic REAL GIF fixture (89a): 16-color global palette +
-    one LZW-compressed frame (the make_png palette gradient family) —
-    decode_gif roundtrips it exactly (GIF is lossless)."""
+def make_gif(
+    width: int,
+    height: int,
+    seed: int = 0,
+    interlace: bool = False,
+    local_palette: bool = False,
+) -> bytes:
+    """Deterministic REAL GIF fixture (89a): 16-color palette + one
+    LZW-compressed frame (the make_png palette gradient family) —
+    decode_gif roundtrips it exactly (GIF is lossless).
+    interlace=True stores the rows in the spec appendix-E 4-pass
+    order with the interlace flag set; local_palette=True carries the
+    table on the image descriptor instead of the screen descriptor
+    (no global table at all, and a shifted palette so a decoder that
+    wrongly used a global table would be caught) — both r11."""
+    shift = 5 if local_palette else 0  # distinguishable local table
     pal = np.stack(
         [
-            (np.arange(16) * 17 + seed) % 256,
-            (np.arange(16) * 31 + seed) % 256,
-            (np.arange(16) * 7 + seed) % 256,
+            (np.arange(16) * 17 + seed + shift) % 256,
+            (np.arange(16) * 31 + seed + shift) % 256,
+            (np.arange(16) * 7 + seed + shift) % 256,
         ],
         axis=-1,
     ).astype(np.uint8)
     y, x = np.mgrid[0:height, 0:width]
-    idx = ((x + y + seed) % 16).astype(np.uint8).ravel()
+    idx = ((x + y + seed) % 16).astype(np.uint8)
+    if interlace:  # store pass-major (spec appendix E)
+        order = np.concatenate([
+            np.arange(0, height, 8), np.arange(4, height, 8),
+            np.arange(2, height, 4), np.arange(1, height, 2),
+        ])
+        idx = idx[order]
     mcs = 4  # 16-color palette
-    lzw = _gif_lzw_encode(idx, mcs)
+    lzw = _gif_lzw_encode(idx.ravel(), mcs)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
         blocks += bytes([len(chunk)]) + chunk
     blocks += b"\x00"
+    screen_flags = 0x70 if local_palette else (0x80 | 0x70 | 0x03)
+    iflags = (0x80 | 0x03 if local_palette else 0) | (0x40 if interlace else 0)
     return (
         b"GIF89a"
         + width.to_bytes(2, "little")
         + height.to_bytes(2, "little")
-        + bytes([0x80 | 0x70 | 0x03, 0, 0])  # global table, 16 entries
-        + pal.tobytes()
+        + bytes([screen_flags, 0, 0])
+        + (b"" if local_palette else pal.tobytes())
         + b"\x2c" + bytes(4) + width.to_bytes(2, "little")
-        + height.to_bytes(2, "little") + b"\x00"
+        + height.to_bytes(2, "little") + bytes([iflags])
+        + (pal.tobytes() if local_palette else b"")
         + bytes([mcs]) + bytes(blocks)
         + b"\x3b"
     )
@@ -899,9 +1023,9 @@ class Codec:
         if (payload or b"")[:2] == b"BM":
             return decode_bmp(payload)
         if (payload or b"")[:4] == b"\x89PNG":
-            # out-of-profile (1/2/4-bit depth) or corrupt streams fall
-            # through to the fake/SWAP-POINT path, mirroring JPEG (r11);
-            # 16-bit and Adam7-interlaced decode for real since r11
+            # corrupt streams fall through to the fake/SWAP-POINT path,
+            # mirroring JPEG (r11); the full spec (color, depth) matrix
+            # incl. 16-bit, low-bit and Adam7 decodes for real since r11
             import zlib
 
             try:
@@ -929,7 +1053,8 @@ class Codec:
                     return comp
                 return img
         elif (payload or b"")[:3] == b"GIF":
-            # local-palette/interlaced/truncated GIFs fall through (r11)
+            # truncated/corrupt GIFs fall through (r11); local-palette
+            # and interlaced frames decode for real since r11
             try:
                 return decode_gif(payload)
             except (ValueError, IndexError):

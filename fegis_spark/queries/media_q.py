@@ -75,8 +75,11 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     # restart-coded JPEG rows (r11) run the DRI/RSTn boundary path;
     # Adam7 PNG rows (r11) run the 7-pass interlaced scatter and
     # 16-bit PNG rows (r11) the uint16 join + exact round(v/257)
-    # 16→8 reduction
-    k = i % 12
+    # 16→8 reduction; low-bit PNG rows (r11) run the sub-byte
+    # MSB-first unpack (4-bit palette Adam7 + 1-bit gray); GIF
+    # variant rows (r11) run the 4-pass de-interlace and the
+    # local-color-table override
+    k = i % 16
     if k == 0:
         return make_ppm(16, 12, seed=i), "image/x-portable-pixmap"
     if k == 1:
@@ -99,6 +102,17 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         return make_png(16, 12, color_type=2, seed=i, interlace=True), "image/png"
     if k == 11:
         return make_png(16, 12, color_type=0, seed=i, bit_depth=16), "image/png"
+    if k == 12:
+        return (
+            make_png(16, 12, color_type=3, seed=i, bit_depth=4, interlace=True),
+            "image/png",
+        )
+    if k == 13:
+        return make_png(16, 12, color_type=0, seed=i, bit_depth=1), "image/png"
+    if k == 14:
+        return make_gif(16, 12, seed=i, interlace=True), "image/gif"
+    if k == 15:
+        return make_gif(16, 12, seed=i, local_palette=True), "image/gif"
     return make_gif(16, 12, seed=i), "image/gif"
 
 

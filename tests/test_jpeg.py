@@ -243,11 +243,13 @@ class TestGifLzw:
 
         from fegis_spark.operators.multimodal import decode_gif
 
-        # header-only payload (the pre-r10 fixture shape): no frame
+        # header-only payload (the pre-r10 fixture shape): no frame.
+        # Since r11 a missing GLOBAL table alone is fine (a frame may
+        # carry a local one), so this now fails at the trailer instead
         headeronly = (b"GIF89a" + (8).to_bytes(2, "little")
                       + (8).to_bytes(2, "little") + bytes([0x70, 0, 0])
                       + b"\x3b")
-        with pytest.raises(ValueError, match="global color table"):
+        with pytest.raises(ValueError, match="no image frame"):
             decode_gif(headeronly)
         with pytest.raises(ValueError, match="not a GIF"):
             decode_gif(b"PNG...")

@@ -574,6 +574,72 @@ class TestPngPixelDecode:
         for v in (0, 128, 129, 257, 65535, 32896):
             assert (v + 128) // 257 == round(v / 257)
 
+    def test_low_bit_depth_decode(self):
+        """1/2/4-bit PNG (r11): MSB-first sub-byte unpack, exact
+        integer gray scaling (255/(2^d−1) ∈ {255, 85, 17}), low-bit
+        palette lookup, both interlace modes, odd widths (padded row
+        tails)."""
+        import numpy as np
+
+        from fegis_spark.operators.multimodal import (
+            decode_png,
+            encode_png_lowbit,
+            make_png,
+        )
+
+        rng = np.random.default_rng(29)
+        for d in (1, 2, 4):
+            n = 1 << d
+            scale = 255 // (n - 1)
+            for hh, ww in [(12, 16), (7, 5), (1, 1), (3, 11)]:
+                s = rng.integers(0, n, (hh, ww)).astype(np.uint8)
+                pal = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+                for il in (False, True):
+                    gray = decode_png(encode_png_lowbit(s, 0, d, interlace=il))
+                    assert (gray == s * scale).all(), (d, hh, ww, il)
+                    rgb = decode_png(
+                        encode_png_lowbit(s, 3, d, interlace=il, plte=pal)
+                    )
+                    assert (rgb == pal[s]).all(), (d, hh, ww, il)
+        # make_png low-bit fixture rows decode through the same path
+        assert decode_png(
+            make_png(16, 12, color_type=3, seed=7, bit_depth=4, interlace=True)
+        ).shape == (12, 16, 3)
+        g1 = decode_png(make_png(16, 12, color_type=0, seed=7, bit_depth=1))
+        assert set(np.unique(g1)) <= {0, 255}
+
+    def test_gif_interlace_and_local_palette(self):
+        """GIF (r11): 4-pass de-interlace is pixel-identical to the
+        sequential twin at every height parity; a local color table
+        overrides/replaces the global one (fixture shifts the local
+        palette so misrouting is caught)."""
+        import numpy as np
+
+        from fegis_spark.operators.multimodal import Codec, decode_gif, make_gif
+
+        for hh in (1, 2, 3, 5, 8, 9, 12):
+            a = decode_gif(make_gif(7, hh, seed=3))
+            b = decode_gif(make_gif(7, hh, seed=3, interlace=True))
+            assert (a == b).all(), hh
+        loc = decode_gif(make_gif(16, 12, seed=9, local_palette=True))
+        both = decode_gif(
+            make_gif(16, 12, seed=9, local_palette=True, interlace=True)
+        )
+        assert (loc == both).all()
+        assert not (loc == decode_gif(make_gif(16, 12, seed=9))).all()
+        out = Codec(fake=False).decode_image(
+            make_gif(16, 12, seed=1, interlace=True, local_palette=True)
+        )
+        assert out.shape == (12, 16, 3)
+        # a frame with neither global nor local table is rejected
+        import pytest
+
+        raw = bytearray(make_gif(8, 8, seed=0, local_palette=True))
+        assert raw[13] == 0x2C
+        raw[22] &= ~0x80  # clear the local-table flag
+        with pytest.raises(ValueError, match="color table"):
+            decode_gif(bytes(raw))
+
     def test_16bit_palette_rejected(self):
         import pytest
 
@@ -779,10 +845,10 @@ class TestPngAlphaR11:
             img = Codec(fake=False).decode_image(payload)
             assert img.shape == (12, 16, 3)
 
-    def test_sixteen_bit_decodes_and_low_depth_rejects(self):
+    def test_sixteen_bit_decodes_and_illegal_combo_rejects(self):
         """r11 flip of the old rejection pin: 16-bit RGBA now decodes
-        for real (uint16 raw channels); 1/2/4-bit depths stay loud
-        ValueError SWAP POINTs."""
+        for real (uint16 raw channels); spec-ILLEGAL (color, depth)
+        combinations stay loud ValueError SWAP POINTs."""
         import struct
         import zlib
 
@@ -803,10 +869,19 @@ class TestPngAlphaR11:
                 + zlib.crc32(tag + body).to_bytes(4, "big")
             )
 
-        ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # 4-bit gray
+        # 4-bit truecolor is illegal (spec 11.2.2: color 2 allows 8/16)
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)
         payload = (
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(b"\x00" * 200)) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="bit depth"):
+            decode_png(payload)
+        # depth 3 is illegal everywhere
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 3, 0, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + chunk(b"IEND", b"")
         )
         with pytest.raises(ValueError, match="bit depth"):
             decode_png(payload)
