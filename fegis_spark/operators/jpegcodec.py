@@ -3,10 +3,10 @@
 Closes the compressed-image SWAP POINTs that need no external library:
 r9 landed JPEG *header* parsing (multimodal.parse_jpeg_header); r10
 added baseline 4:4:4 decode/encode; r11 adds PROGRESSIVE (SOF2)
-decode AND baseline chroma subsampling (4:2:0/4:2:2) — together the
-majority profiles of real crawl JPEGs — plus progressive and 4:2:0
-encoders so every scan/MCU shape is self-certifying in this
-container. The decoder
+decode AND chroma subsampling (4:2:0/4:2:2) on both paths — together
+the majority profiles of real crawl JPEGs — plus progressive (4:4:4
+AND subsampled) and 4:2:0/4:2:2 encoders so every scan/MCU shape is
+self-certifying in this container. The decoder
 is a multi-scan coefficient-domain machine (ITU-T T.81 Annex F + G):
 entropy-coded Huffman data accumulates into per-component coefficient
 arrays across scans (spectral selection Ss..Se, successive
@@ -17,8 +17,10 @@ decode-wrong-is-worse-than-fail rule):
 
   * baseline sequential DCT (SOF0) or progressive DCT (SOF2), 8-bit
   * 1 (grayscale) or 3 (YCbCr) components; sampling factors 1 or 2 —
-    4:4:4, 4:2:0 and 4:2:2 baseline decode (r11; interleaved MCUs,
-    replication chroma upsample); progressive stays 4:4:4-only
+    4:4:4, 4:2:0 and 4:2:2 decode on BOTH the baseline and the
+    progressive path (r11; interleaved MCUs, replication chroma
+    upsample; progressive AC scans walk each component's own
+    block raster per T.81 A.2.2)
   * restart intervals (DRI/RSTn) decoded on BOTH paths (r11:
     byte-align + marker check + DC-predictor reset per interval;
     progressive scans additionally reset their EOB runs)
@@ -378,18 +380,22 @@ def _emit_headers(
     h: int,
     w: int,
     ac_tabs: tuple | None = None,
+    samp: list[tuple[int, int]] | None = None,
 ) -> None:
     """DQT + SOFn + DHT segments (all tables the scans reference are
     emitted up front, which is legal for both modes). Baseline uses the
     Annex K AC tables; progressive passes HUFF_AC_UNIVERSAL (the Annex
-    K AC tables lack EOBn symbols)."""
+    K AC tables lack EOBn symbols). ``samp`` carries per-component
+    (hi, vi) sampling factors into the SOF (r11 — defaults to 4:4:4)."""
     ncomp = len(qids)
     ac0, ac1 = ac_tabs or (HUFF_AC_LUMA, HUFF_AC_CHROMA)
     for tid, q in enumerate(qtbls):
         zzq = bytes(int(q[r, c]) for r, c in ZIGZAG)
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zzq
+    samp = samp or [(1, 1)] * ncomp
     comp_spec = b"".join(
-        bytes([ci + 1, 0x11, qids[ci]]) for ci in range(ncomp)
+        bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
+        for ci in range(ncomp)
     )
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp]) + comp_spec
     out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
@@ -656,10 +662,16 @@ class _ProgACWriter:
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quality: int = 75, restart_interval: int = 0
+    arr: np.ndarray,
+    quality: int = 75,
+    restart_interval: int = 0,
+    y_samp: tuple[int, int] = (1, 1),
 ) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB → progressive JPEG
-    bytes (SOF2, 4:4:4, Annex K tables quality-scaled). Deterministic.
+    bytes (SOF2, Annex K tables quality-scaled). Deterministic.
+    y_samp=(2,2)/(2,1) emits PROGRESSIVE 4:2:0/4:2:2 (r11): the DC
+    scans interleave hi×vi data units per MCU, the AC scans walk each
+    component's own block raster (T.81 A.2.2).
 
     Scan script (2-level successive approximation — exercises every
     progressive scan type the decoder implements):
@@ -670,20 +682,77 @@ def encode_jpeg_progressive(
          (newly-nonzero + buffered correction bits)
     Because the script refines to Al=0, the decoded coefficients equal
     the baseline encoder's exactly — decode(encode_jpeg_progressive(x))
-    == decode(encode_jpeg(x)) bit-for-bit, pinned in tests.
+    == decode(encode_jpeg(x)) bit-for-bit at 4:4:4, and ==
+    decode(encode_jpeg_420/422(x)) at the matching y_samp (both pinned
+    in tests; the subsampled pair shares _quantize_plane/_downsample).
     restart_interval > 0 emits DRI + per-scan RSTn markers every that
-    many blocks (DC predictors and EOB runs flushed at each boundary,
-    r11) — still bit-identical to the restart-free decode."""
-    coefs, qtbls, qids, h, w, bh, bw = _quantize_components(arr, quality)
-    ncomp = len(qids)
-    nblocks = bh * bw
+    many MCUs/blocks (DC predictors and EOB runs flushed at each
+    boundary, r11) — still bit-identical to the restart-free decode."""
+    if y_samp == (1, 1):
+        coefs, qtbls, qids, h, w, bh, bw = _quantize_components(arr, quality)
+        ncomp = len(qids)
+        samp = [(1, 1)] * ncomp
+        grids = [(bh, bw)] * ncomp
+        mcuy, mcux = bh, bw
+    else:
+        if arr.ndim != 3:
+            raise ValueError(
+                "subsampled progressive encode takes RGB input "
+                "(grayscale has no chroma)"
+            )
+        h, w = arr.shape[0], arr.shape[1]
+        hy, vy = y_samp
+        ycc = _rgb_to_ycbcr(arr)
+        qtbls = [
+            _quality_scale(QTBL_LUMA, quality),
+            _quality_scale(QTBL_CHROMA, quality),
+        ]
+        qids = [0, 1, 1]
+        ncomp = 3
+        mcux = (w + 8 * hy - 1) // (8 * hy)
+        mcuy = (h + 8 * vy - 1) // (8 * vy)
+        planes = [
+            ycc[..., 0],
+            _downsample(ycc[..., 1], vy, hy),
+            _downsample(ycc[..., 2], vy, hy),
+        ]
+        grids = [(mcuy * vy, mcux * hy), (mcuy, mcux), (mcuy, mcux)]
+        samp = [(hy, vy), (1, 1), (1, 1)]
+        coefs = [
+            _quantize_plane(planes[ci], qtbls[qids[ci]], *grids[ci])
+            for ci in range(3)
+        ]
+    # data-unit walks mirroring the decoder: MCU-major interleave for
+    # the DC scans, per-component true block raster for the AC scans
+    hmax = max(si[0] for si in samp)
+    vmax = max(si[1] for si in samp)
+    comp_blocks: list[list[int]] = []
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        cbh = (((h * vi + vmax - 1) // vmax) + 7) // 8
+        cbw = (((w * hi + hmax - 1) // hmax) + 7) // 8
+        gx = grids[ci][1]
+        comp_blocks.append(
+            [by * gx + bx for by in range(cbh) for bx in range(cbw)]
+        )
+    mcu_units: list[list[tuple[int, int]]] = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu = []
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                gx = grids[ci][1]
+                for v in range(vi):
+                    for hh in range(hi):
+                        mcu.append((ci, (my * vi + v) * gx + (mx * hi + hh)))
+            mcu_units.append(mcu)
     dc_codes = [_huff_codes(*t) for t in (HUFF_DC_LUMA, HUFF_DC_CHROMA)]
     ac_univ = _huff_codes(*HUFF_AC_UNIVERSAL)
     ac_codes = [ac_univ, ac_univ]
 
     out = bytearray(b"\xff\xd8")  # SOI
     _emit_headers(out, b"\xff\xc2", qtbls, qids, h, w,
-                  ac_tabs=(HUFF_AC_UNIVERSAL, HUFF_AC_UNIVERSAL))
+                  ac_tabs=(HUFF_AC_UNIVERSAL, HUFF_AC_UNIVERSAL), samp=samp)
     if restart_interval:
         out.extend(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
 
@@ -702,14 +771,14 @@ def encode_jpeg_progressive(
     wtr = _BitWriter()
     prev = [0] * ncomp
     rst = 0
-    for b in range(nblocks):
-        if restart_interval and b and b % restart_interval == 0:
+    for m, mcu in enumerate(mcu_units):
+        if restart_interval and m and m % restart_interval == 0:
             wtr.flush()
             wtr.out += bytes([0xFF, 0xD0 + rst % 8])
             rst += 1
             prev = [0] * ncomp
-        for ci in range(ncomp):
-            v = int(coefs[ci][b, 0]) >> 1  # arithmetic shift per G.1.2.1
+        for ci, bidx in mcu:
+            v = int(coefs[ci][bidx, 0]) >> 1  # arithmetic shift per G.1.2.1
             diff = v - prev[ci]
             prev[ci] = v
             cat, bits = _magnitude_cat(diff)
@@ -725,8 +794,8 @@ def encode_jpeg_progressive(
         wtr = _BitWriter()
         pw = _ProgACWriter(wtr, ac_codes[0 if qids[ci] == 0 else 1])
         rst = 0
-        for b in range(nblocks):
-            if restart_interval and b and b % restart_interval == 0:
+        for n, b in enumerate(comp_blocks[ci]):
+            if restart_interval and n and n % restart_interval == 0:
                 pw.flush_eobrun()
                 wtr.flush()
                 wtr.out += bytes([0xFF, 0xD0 + rst % 8])
@@ -764,13 +833,13 @@ def encode_jpeg_progressive(
     # scan 3: DC refinement (interleaved), Ah=1 Al=0 — raw bits ----------
     wtr = _BitWriter()
     rst = 0
-    for b in range(nblocks):
-        if restart_interval and b and b % restart_interval == 0:
+    for m, mcu in enumerate(mcu_units):
+        if restart_interval and m and m % restart_interval == 0:
             wtr.flush()
             wtr.out += bytes([0xFF, 0xD0 + rst % 8])
             rst += 1
-        for ci in range(ncomp):
-            wtr.write(int(coefs[ci][b, 0]) & 1, 1)
+        for ci, bidx in mcu:
+            wtr.write(int(coefs[ci][bidx, 0]) & 1, 1)
     wtr.flush()
     emit_sos(list(range(ncomp)), 0, 0, 1, 0, bytes(wtr.out))
 
@@ -779,8 +848,8 @@ def encode_jpeg_progressive(
         wtr = _BitWriter()
         pw = _ProgACWriter(wtr, ac_codes[0 if qids[ci] == 0 else 1])
         rst = 0
-        for b in range(nblocks):
-            if restart_interval and b and b % restart_interval == 0:
+        for n, b in enumerate(comp_blocks[ci]):
+            if restart_interval and n and n % restart_interval == 0:
                 pw.flush_eobrun()
                 wtr.flush()
                 wtr.out += bytes([0xFF, 0xD0 + rst % 8])
@@ -936,38 +1005,46 @@ def _decode_scan_dc(
     scan_idx: list[tuple[int, int, int]],
     huff: dict,
     coefs: list[np.ndarray],
-    nblocks: int,
+    units: list[list[tuple[int, int]]],
     ah: int,
     al: int,
     restart_interval: int = 0,
 ) -> None:
     """Progressive DC scan (Ss=Se=0): first pass (Ah=0) is baseline DC
     difference coding scaled by 2^Al; refinement appends bit Al.
+    ``units`` is the scan's MCU list, each MCU a list of (si, bidx)
+    data units — one block per MCU for non-interleaved scans, the
+    hi×vi sub-block walk for interleaved subsampled scans (r11).
     Restart boundaries (r11) byte-align, check RSTn and reset the DC
-    predictors — for 4:4:4 progressive one MCU is one block."""
+    predictors."""
     rst = 0
     if ah == 0:
         prev_dc = [0] * len(scan_idx)
-        for b in range(nblocks):
-            if restart_interval and b and b % restart_interval == 0:
+        tabs = []
+        for si, (_ci, td, _ta) in enumerate(scan_idx):
+            tab = huff.get((0, td))
+            if tab is None:
+                raise ValueError("missing DC Huffman table for scan")
+            tabs.append(tab)
+        for m, mcu in enumerate(units):
+            if restart_interval and m and m % restart_interval == 0:
                 reader.restart(rst % 8)
                 rst += 1
                 prev_dc = [0] * len(scan_idx)
-            for si, (ci, td, _ta) in enumerate(scan_idx):
-                tab = huff.get((0, td))
-                if tab is None:
-                    raise ValueError("missing DC Huffman table for scan")
-                cat = _huffman_read(reader, tab)
+            for si, bidx in mcu:
+                ci = scan_idx[si][0]
+                cat = _huffman_read(reader, tabs[si])
                 diff = _extend(reader.read_bits(cat), cat) if cat else 0
                 prev_dc[si] += diff
-                coefs[ci][b, 0] = prev_dc[si] << al
+                coefs[ci][bidx, 0] = prev_dc[si] << al
     else:
-        for b in range(nblocks):
-            if restart_interval and b and b % restart_interval == 0:
+        for m, mcu in enumerate(units):
+            if restart_interval and m and m % restart_interval == 0:
                 reader.restart(rst % 8)
                 rst += 1
-            for _si, (ci, _td, _ta) in enumerate(scan_idx):
-                coefs[ci][b, 0] |= reader.read_bit() << al
+            for si, bidx in mcu:
+                ci = scan_idx[si][0]
+                coefs[ci][bidx, 0] |= reader.read_bit() << al
 
 
 def _decode_scan_ac_first(
@@ -975,20 +1052,23 @@ def _decode_scan_ac_first(
     ci: int,
     ac_tab,
     coefs: list[np.ndarray],
-    nblocks: int,
+    block_ids: list[int],
     ss: int,
     se: int,
     al: int,
     restart_interval: int = 0,
 ) -> None:
     """Progressive AC first pass (Ah=0): run/size coding over the
-    spectral band with EOBn end-of-band runs (T.81 G.2.2). Restart
-    boundaries reset the EOB run (a valid encoder never lets one span
-    a restart)."""
+    spectral band with EOBn end-of-band runs (T.81 G.2.2). AC scans
+    are always non-interleaved, so ``block_ids`` walks the
+    component's OWN block raster (cbh x cbw, T.81 A.2.2 — the padded
+    MCU grid's extra blocks are skipped for subsampled frames, r11).
+    Restart boundaries reset the EOB run (a valid encoder never lets
+    one span a restart)."""
     eobrun = 0
     rst = 0
-    for b in range(nblocks):
-        if restart_interval and b and b % restart_interval == 0:
+    for n, b in enumerate(block_ids):
+        if restart_interval and n and n % restart_interval == 0:
             reader.restart(rst % 8)
             rst += 1
             eobrun = 0
@@ -1020,7 +1100,7 @@ def _decode_scan_ac_refine(
     ci: int,
     ac_tab,
     coefs: list[np.ndarray],
-    nblocks: int,
+    block_ids: list[int],
     ss: int,
     se: int,
     al: int,
@@ -1028,13 +1108,14 @@ def _decode_scan_ac_refine(
 ) -> None:
     """Progressive AC refinement (Ah>0): newly-nonzero coefficients are
     placed at ±2^Al; every already-nonzero coefficient passed over gets
-    a correction bit (T.81 G.2.2 / figure G.7 control). Restart
-    boundaries reset the EOB run."""
+    a correction bit (T.81 G.2.2 / figure G.7 control). ``block_ids``
+    walks the component's own raster (see _decode_scan_ac_first).
+    Restart boundaries reset the EOB run."""
     p1, m1 = 1 << al, -(1 << al)
     eobrun = 0
     rst = 0
-    for b in range(nblocks):
-        if restart_interval and b and b % restart_interval == 0:
+    for n, b in enumerate(block_ids):
+        if restart_interval and n and n % restart_interval == 0:
             reader.restart(rst % 8)
             rst += 1
             eobrun = 0
@@ -1085,8 +1166,9 @@ def _decode_scan_ac_refine(
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB.
     Profile: baseline SOF0 or progressive SOF2, 8-bit, 1 or 3
-    components, 4:4:4, no restarts — anything else raises ValueError
-    (see module doc). Multi-scan coefficient-domain decode: every scan
+    components, sampling factors 1-2 (4:4:4/4:2:0/4:2:2, both modes),
+    DRI/RSTn restarts — anything else raises ValueError (see module
+    doc). Multi-scan coefficient-domain decode: every scan
     accumulates into per-component zigzag coefficient arrays; one
     dequantize + IDCT pass at the end (identical math for both modes)."""
     if data[:2] != b"\xff\xd8":
@@ -1097,7 +1179,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     sof = None
     progressive = False
     coefs: list[np.ndarray] | None = None
-    nblocks = 0
     n_scans = 0
     restart_interval = 0
     while pos + 2 <= len(data):
@@ -1166,11 +1247,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append((cid, tq, hi, vi))
             hmax = max(c[2] for c in comps)
             vmax = max(c[3] for c in comps)
-            if progressive and (hmax != 1 or vmax != 1):
-                raise ValueError(
-                    "progressive + chroma subsampling not supported "
-                    "(progressive decode is 4:4:4 only)"
-                )
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             grids = [(mcuy * vi, mcux * hi) for (_cid, _tq, hi, vi) in comps]
@@ -1188,7 +1264,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF frame header")
             h, w, comps, hmax, vmax, mcux, mcuy, grids = sof
             samp = [(hi, vi) for (_cid, _tq, hi, vi) in comps]
-            nblocks = mcuy * mcux  # all-1x1 grids (the progressive path)
+
+            def comp_block_ids(ci: int) -> list[int]:
+                """Grid indices of the component's OWN block raster in
+                raster order (T.81 A.2.2 — non-interleaved scans skip
+                the padded MCU grid's extra blocks)."""
+                _cid, _tq, hi, vi = comps[ci]
+                ch_ = (h * vi + vmax - 1) // vmax
+                cw_ = (w * hi + hmax - 1) // hmax
+                cbh, cbw = (ch_ + 7) // 8, (cw_ + 7) // 8
+                gx = grids[ci][1]
+                return [by * gx + bx for by in range(cbh) for bx in range(cbw)]
+
             ns = body[0]
             scan_idx = []
             cid_to_ci = {cid: ci for ci, (cid, *_rest) in enumerate(comps)}
@@ -1212,8 +1299,30 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             elif ss == 0:
                 if se != 0:
                     raise ValueError("progressive DC scan must have Se=0")
+                if len(scan_idx) > 1:
+                    # interleaved DC: MCU-major, hi×vi data units per
+                    # component per MCU (subsampled progressive, r11)
+                    units = []
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            mcu = []
+                            for si, (ci, _td, _ta) in enumerate(scan_idx):
+                                hi, vi = samp[ci]
+                                gx = grids[ci][1]
+                                for v in range(vi):
+                                    for hh in range(hi):
+                                        mcu.append(
+                                            (si, (my * vi + v) * gx
+                                             + (mx * hi + hh))
+                                        )
+                            units.append(mcu)
+                else:
+                    # non-interleaved DC: the component's own raster
+                    units = [
+                        [(0, b)] for b in comp_block_ids(scan_idx[0][0])
+                    ]
                 _decode_scan_dc(
-                    reader, scan_idx, huff, coefs, nblocks, ah, al,
+                    reader, scan_idx, huff, coefs, units, ah, al,
                     restart_interval,
                 )
             else:
@@ -1227,13 +1336,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("missing AC Huffman table for scan")
                 if ah == 0:
                     _decode_scan_ac_first(
-                        reader, ci, ac_tab, coefs, nblocks, ss, se, al,
-                        restart_interval,
+                        reader, ci, ac_tab, coefs, comp_block_ids(ci),
+                        ss, se, al, restart_interval,
                     )
                 else:
                     _decode_scan_ac_refine(
-                        reader, ci, ac_tab, coefs, nblocks, ss, se, al,
-                        restart_interval,
+                        reader, ci, ac_tab, coefs, comp_block_ids(ci),
+                        ss, se, al, restart_interval,
                     )
             n_scans += 1
             pos = scan_end

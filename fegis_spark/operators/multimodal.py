@@ -238,6 +238,20 @@ def make_jpeg_real(
     return encode_jpeg(rgb, quality=quality, restart_interval=restart_interval)
 
 
+def make_jpeg_prog420_real(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic real PROGRESSIVE 4:2:0 JPEG (r11): SOF2 multi-scan
+    with interleaved subsampled DC scans + per-component AC scans —
+    the combined profile that was the codec's last named stub."""
+    from fegis_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    y, x = np.mgrid[0:height, 0:width]
+    rgb = np.stack(
+        [(x * 7 + seed) % 256, (y * 11 + seed) % 256, (x + y + seed) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_jpeg_progressive(rgb, y_samp=(2, 2))
+
+
 def make_jpeg_prog_real(
     width: int, height: int, seed: int = 0, quality: int = 90
 ) -> bytes:
@@ -1061,10 +1075,10 @@ class Codec:
                 pass
         if (payload or b"")[:2] == b"\xff\xd8":
             # real JPEG decode (operators/jpegcodec — baseline SOF0 r10;
-            # progressive SOF2, 4:2:0/4:2:2 subsampling and DRI/RSTn
-            # restarts r11, both paths); out-of-profile streams
-            # (arithmetic, hierarchical, progressive+subsampled) fall
-            # through to the fake/SWAP-POINT path below
+            # progressive SOF2, 4:2:0/4:2:2 subsampling on BOTH paths
+            # and DRI/RSTn restarts, r11); out-of-profile streams
+            # (arithmetic, hierarchical) fall through to the
+            # fake/SWAP-POINT path below
             from fegis_spark.operators.jpegcodec import decode_jpeg
 
             try:
@@ -1083,8 +1097,8 @@ class Codec:
             return arr.reshape(side, side, 3)
         # SWAP POINT: real implementation = PIL.Image.open(BytesIO(payload))
         raise NotImplementedError(
-            "image decoding outside the PPM/PGM/BMP/PNG (8/16-bit, "
-            "sequential+Adam7)/GIF/JPEG (baseline+progressive, "
+            "image decoding outside the PPM/PGM/BMP/PNG (full spec "
+            "matrix)/GIF/JPEG (baseline+progressive x "
             "4:4:4/4:2:0/4:2:2, DRI) profile requires PIL/cv2 — "
             "not in container"
         )

@@ -57,6 +57,7 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     from fegis_spark.operators.multimodal import (
         make_gif,
         make_jpeg_420_real,
+        make_jpeg_prog420_real,
         make_jpeg_prog_real,
     )
 
@@ -78,8 +79,9 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     # 16→8 reduction; low-bit PNG rows (r11) run the sub-byte
     # MSB-first unpack (4-bit palette Adam7 + 1-bit gray); GIF
     # variant rows (r11) run the 4-pass de-interlace and the
-    # local-color-table override
-    k = i % 16
+    # local-color-table override; progressive 4:2:0 JPEG rows (r11)
+    # run the combined multi-scan + interleaved-subsampled-MCU path
+    k = i % 17
     if k == 0:
         return make_ppm(16, 12, seed=i), "image/x-portable-pixmap"
     if k == 1:
@@ -113,6 +115,8 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         return make_gif(16, 12, seed=i, interlace=True), "image/gif"
     if k == 15:
         return make_gif(16, 12, seed=i, local_palette=True), "image/gif"
+    if k == 16:
+        return make_jpeg_prog420_real(16, 12, seed=i), "image/jpeg"
     return make_gif(16, 12, seed=i), "image/gif"
 
 

@@ -92,9 +92,9 @@ def test_rejections():
     # metadata-only fixture: valid headers, no scan
     with pytest.raises(ValueError):
         decode_jpeg(make_jpeg(16, 12))
-    # progressive SOF2 is DECODED since r11; the header-only fixture
-    # still rejects (its SOF declares 4:2:0 subsampling — out of profile)
-    with pytest.raises(ValueError, match="subsampling"):
+    # progressive SOF2 — and since r11 progressive+4:2:0 too — is
+    # DECODED; the header-only fixture still rejects (no scan data)
+    with pytest.raises(ValueError, match="scan"):
         decode_jpeg(make_jpeg(16, 12, progressive=True))
     # a REAL progressive payload truncated before any SOS also rejects
     from fegis_spark.operators.jpegcodec import encode_jpeg_progressive
@@ -261,6 +261,82 @@ class TestGifLzw:
         assert img.shape == (6, 10, 3)
 
 
+class TestProgressiveSubsampled:
+    """r11: progressive (SOF2) + chroma subsampling combined — the
+    codec's last named JPEG stub. Interleaved subsampled DC scans
+    (hi×vi data units per MCU), AC scans over each component's own
+    block raster (T.81 A.2.2). The cross-check: the progressive and
+    baseline subsampled encoders share one quantization, so their
+    decodes must be BIT-IDENTICAL."""
+
+    def test_prog420_equals_baseline420(self):
+        import numpy as np
+
+        from fegis_spark.operators.jpegcodec import (
+            decode_jpeg,
+            encode_jpeg_420,
+            encode_jpeg_422,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(41)
+        # odd sizes exercise partial MCUs and the padded-grid skip in
+        # the AC scans (luma grid wider than its true block raster)
+        for shape in [(24, 40, 3), (17, 23, 3), (8, 8, 3), (9, 25, 3),
+                      (12, 16, 3)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert (
+                decode_jpeg(encode_jpeg_progressive(img, y_samp=(2, 2)))
+                == decode_jpeg(encode_jpeg_420(img))
+            ).all(), shape
+            assert (
+                decode_jpeg(encode_jpeg_progressive(img, y_samp=(2, 1)))
+                == decode_jpeg(encode_jpeg_422(img))
+            ).all(), shape
+
+    def test_prog420_with_restarts(self):
+        import numpy as np
+
+        from fegis_spark.operators.jpegcodec import (
+            decode_jpeg,
+            encode_jpeg_420,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(43)
+        img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+        want = decode_jpeg(encode_jpeg_420(img))
+        for ri in (1, 2, 3):
+            got = decode_jpeg(
+                encode_jpeg_progressive(img, y_samp=(2, 2), restart_interval=ri)
+            )
+            assert (got == want).all(), ri
+
+    def test_fixture_header_and_determinism(self):
+        from fegis_spark.operators.jpegcodec import decode_jpeg
+        from fegis_spark.operators.multimodal import (
+            make_jpeg_prog420_real,
+            parse_jpeg_header,
+        )
+
+        p = make_jpeg_prog420_real(16, 12, seed=5)
+        hdr = parse_jpeg_header(p)
+        assert hdr["progressive"] and (hdr["width"], hdr["height"]) == (16, 12)
+        assert p == make_jpeg_prog420_real(16, 12, seed=5)
+        assert decode_jpeg(p).shape == (12, 16, 3)
+
+    def test_grayscale_subsampled_encode_rejected(self):
+        import numpy as np
+        import pytest
+
+        from fegis_spark.operators.jpegcodec import encode_jpeg_progressive
+
+        with pytest.raises(ValueError, match="RGB"):
+            encode_jpeg_progressive(
+                np.zeros((8, 8), dtype=np.uint8), y_samp=(2, 2)
+            )
+
+
 class TestProgressive:
     """r11: SOF2 progressive decode + the self-certifying progressive
     encoder (2-level successive approximation). The load-bearing
@@ -405,13 +481,17 @@ class TestSubsampled420:
         assert out.shape == (12, 16, 3)
         assert _psnr(img, out) > 35
 
-    def test_progressive_subsampled_rejects(self):
+    def test_sof2_flip_of_baseline_scan_rejects(self):
+        """Progressive + subsampled DECODES since r11 (see
+        TestProgressiveSubsampled) — but marker-flipping a BASELINE
+        4:2:0 stream to SOF2 must still reject: its single interleaved
+        full-band scan (Ss=0, Se=63) is an invalid progressive scan
+        script."""
         from fegis_spark.operators.jpegcodec import encode_jpeg_420
 
         payload = encode_jpeg_420(_gradient(16, 16), 80)
-        # flip SOF0 -> SOF2: progressive + subsampled must reject loudly
         prog = payload.replace(b"\xff\xc0", b"\xff\xc2")
-        with pytest.raises(ValueError, match="progressive.*subsampling|subsampling.*progressive"):
+        with pytest.raises(ValueError, match="Se=0"):
             decode_jpeg(prog)
 
     def test_gray_rejects_in_420_encoder(self):
