@@ -84,6 +84,133 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "group_split_leakage",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source,
+             {_SPLIT_CASE} AS doc_split,
+             {_SPLIT_CASE.replace('bucket', 'gbucket')} AS grp_split
+      FROM (
+        SELECT source,
+               {_hash_bucket_sql('doc_id')} AS bucket,
+               {_hash_bucket_sql('source')} AS gbucket
+        FROM documents
+      )
+    ), per_source AS (
+      SELECT source,
+             (MIN(doc_split) <> MAX(doc_split)) AS doc_leaks,
+             (MIN(grp_split) <> MAX(grp_split)) AS grp_leaks,
+             MIN(grp_split) AS grp_split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN doc_split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS d_train,
+             CAST(SUM(CASE WHEN doc_split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS d_val,
+             CAST(SUM(CASE WHEN doc_split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS d_test
+      FROM assigned
+      GROUP BY source
+    ), wide AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN doc_leaks THEN 1 ELSE 0 END) AS BIGINT) AS doc_leaky,
+             CAST(SUM(CASE WHEN grp_leaks THEN 1 ELSE 0 END) AS BIGINT) AS grp_leaky,
+             CAST(SUM(d_train) AS BIGINT) AS doc_train,
+             CAST(SUM(d_val) AS BIGINT) AS doc_val,
+             CAST(SUM(d_test) AS BIGINT) AS doc_test,
+             CAST(SUM(CASE WHEN grp_split = 'train' THEN n_docs ELSE 0 END) AS BIGINT) AS grp_train,
+             CAST(SUM(CASE WHEN grp_split = 'val' THEN n_docs ELSE 0 END) AS BIGINT) AS grp_val,
+             CAST(SUM(CASE WHEN grp_split = 'test' THEN n_docs ELSE 0 END) AS BIGINT) AS grp_test
+      FROM per_source
+    )
+    SELECT 'doc_hash' AS strategy, doc_leaky AS leaky_groups, n_groups,
+           doc_train AS train_docs, doc_val AS val_docs, doc_test AS test_docs
+    FROM wide
+    UNION ALL
+    SELECT 'group_hash' AS strategy, grp_leaky AS leaky_groups, n_groups,
+           grp_train AS train_docs, grp_val AS val_docs, grp_test AS test_docs
+    FROM wide
+    """,
+    covers=("[EXT]-group-split",),
+)
+def group_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] group-aware (leakage-free) splitting vs the per-document
+    hash split, measured side by side. Splitting by md5(doc_id) puts
+    near-identical documents from the same provenance group (source /
+    domain / author) on BOTH sides of the train/eval boundary — the
+    classic eval-leakage failure; splitting by md5(GROUP KEY) keeps
+    every group whole. The query assigns both strategies in one
+    corpus pass and reports, per strategy, the number of groups whose
+    documents straddle >1 split (leaky_groups — computed, not
+    asserted: ~all groups leak under doc_hash, structurally 0 under
+    group_hash) plus the achieved split sizes, which is the honest
+    cost of group splitting: coarse groups quantize the 80/10/10
+    target.
+
+    Plan shape for 100 TB: one scan → one hash-agg shuffle on the
+    group key (domains are ~10^7 at web scale — well-distributed) →
+    a |groups|-row second agg; the two output strategy rows come from
+    ONE wide row via explode, so the corpus is never rescanned."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    doc_bucket = _hash_bucket(F.col("doc_id"))
+    grp_bucket = _hash_bucket(F.col("source"))
+
+    def split_of(bucket: F.Column) -> F.Column:
+        return (
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        )
+
+    assigned = docs.select(
+        "source",
+        split_of(doc_bucket).alias("doc_split"),
+        split_of(grp_bucket).alias("grp_split"),
+    )
+    # "straddles >1 split" == min != max (3 split values) — avoids the
+    # countDistinct Expand (3x map-side rows + an extra exchange)
+    per_source = assigned.groupBy("source").agg(
+        (F.min("doc_split") != F.max("doc_split")).alias("doc_leaks"),
+        (F.min("grp_split") != F.max("grp_split")).alias("grp_leaks"),
+        F.min("grp_split").alias("grp_split"),
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("doc_split") == "train").cast("int")).alias("d_train"),
+        F.sum((F.col("doc_split") == "val").cast("int")).alias("d_val"),
+        F.sum((F.col("doc_split") == "test").cast("int")).alias("d_test"),
+    )
+    wide = per_source.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.col("doc_leaks").cast("int")).alias("doc_leaky"),
+        F.sum(F.col("grp_leaks").cast("int")).alias("grp_leaky"),
+        F.sum("d_train").alias("doc_train"),
+        F.sum("d_val").alias("doc_val"),
+        F.sum("d_test").alias("doc_test"),
+        F.sum(
+            F.when(F.col("grp_split") == "train", F.col("n_docs")).otherwise(0)
+        ).alias("grp_train"),
+        F.sum(
+            F.when(F.col("grp_split") == "val", F.col("n_docs")).otherwise(0)
+        ).alias("grp_val"),
+        F.sum(
+            F.when(F.col("grp_split") == "test", F.col("n_docs")).otherwise(0)
+        ).alias("grp_test"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("doc_hash").alias("strategy"),
+            F.col("doc_leaky").alias("leaky_groups"),
+            F.col("n_groups").alias("n_groups"),
+            F.col("doc_train").alias("train_docs"),
+            F.col("doc_val").alias("val_docs"),
+            F.col("doc_test").alias("test_docs"),
+        ),
+        F.struct(
+            F.lit("group_hash").alias("strategy"),
+            F.col("grp_leaky").alias("leaky_groups"),
+            F.col("n_groups").alias("n_groups"),
+            F.col("grp_train").alias("train_docs"),
+            F.col("grp_val").alias("val_docs"),
+            F.col("grp_test").alias("test_docs"),
+        ),
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
 #: chars per pack — stand-in for a token budget (documents carry
 #: n_chars; swap in a token-count column for real corpora).
 PACK_BUDGET = 16_384

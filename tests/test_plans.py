@@ -373,3 +373,16 @@ def test_bt_ranking_iterates_off_corpus(spark, cat):
 def test_mixture_quota_is_bounded_after_count(spark, cat):
     p = formatted_plan(spark, cat, "mixture_quota_plan")
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_group_split_leakage_single_scan_no_expand(spark, cat):
+    """Both split strategies are assigned in one corpus pass: exactly
+    one parquet scan, no Expand (the min!=max leak test replaces
+    countDistinct), and the strategy rows come from ONE wide agg row
+    (a second scan would double the corpus cost at 100 TB)."""
+    p = formatted_plan(spark, cat, "group_split_leakage")
+    # formatted plans print each node twice (tree + detail) — count
+    # scans by their unique Location: lines
+    assert p.count("Location:") == 1, p
+    assert "Expand" not in p, p
+    assert "Join" not in p, p
