@@ -426,26 +426,33 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     ngram: int = 3,
     threshold: float = 0.2,
+    payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """K9 exact n-gram Jaccard within blocks: explode distinct shingles,
     equi-join on (block, shingle), count intersections, Jaccard from
     the inclusion-exclusion sizes. Fully oracle-checkable; the blocked
-    self-join is quadratic only within a block."""
+    self-join is quadratic only within a block. ``payload_cols``
+    (r11) carries extra per-doc columns through to the pair output as
+    a_<col>/b_<col> — consumers like split_leakage_neardup tag pairs
+    without a join back to the corpus."""
     from pyspark.ml.feature import NGram
 
+    extra = [c for c in payload_cols if c not in block_cols]
     base0 = df.select(
         F.col(id_col).alias("doc"),
         *[F.col(c) for c in block_cols],
+        *[F.col(c) for c in extra],
         tokens(F.col(text_col)).alias("tok"),
     )
+    carry = list(block_cols) + extra
     base = (
         NGram(n=ngram, inputCol="tok", outputCol="__sh")
         .transform(base0)
-        .select("doc", *block_cols, F.array_distinct("__sh").alias("sh"))
+        .select("doc", *carry, F.array_distinct("__sh").alias("sh"))
         .withColumn("n_sh", F.size("sh"))
         .filter(F.col("n_sh") > 0)
     )
-    ex = base.select("doc", *block_cols, "n_sh", F.explode("sh").alias("g"))
+    ex = base.select("doc", *carry, "n_sh", F.explode("sh").alias("g"))
     # band-ok: unbounded shingle keyspace (no fixed band space to
     # saturate); hot-gram skew is AQE skew-split territory
     # (evidence/skew_smj_r7.json) and distinct-gram collapse bounds
@@ -454,6 +461,12 @@ def ngram_jaccard_pairs(
     join_cond = (F.col("l.g") == F.col("r.g")) & (F.col("l.doc") < F.col("r.doc"))
     for c in block_cols:
         join_cond = join_cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    pay = []
+    for c in payload_cols:
+        pay += [
+            F.col(f"l.{c}").alias(f"a_{c}"),
+            F.col(f"r.{c}").alias(f"b_{c}"),
+        ]
     inter = (
         l.join(r, join_cond)
         .groupBy(
@@ -461,6 +474,7 @@ def ngram_jaccard_pairs(
             F.col("r.doc").alias("b"),
             F.col("l.n_sh").alias("na"),
             F.col("r.n_sh").alias("nb"),
+            *pay,
         )
         .agg(F.count("*").alias("inter"))
     )
@@ -469,7 +483,11 @@ def ngram_jaccard_pairs(
             "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "a", "b", F.round("jaccard", 6).alias("jaccard"),
+            *[f"a_{c}" for c in payload_cols],
+            *[f"b_{c}" for c in payload_cols],
+        )
     )
 
 

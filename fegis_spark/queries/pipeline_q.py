@@ -40,6 +40,18 @@ def _hash_bucket_sql(col: str, buckets: int = 100) -> str:
 _SPLIT_CASE = "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
 
 
+def _split_case_sql(col: str) -> str:
+    """DuckDB split assignment straight from a column (md5 bucket
+    inlined) — the oracle twin of _split_of(_hash_bucket(col))."""
+    b = _hash_bucket_sql(col)
+    return f"CASE WHEN {b} < 80 THEN 'train' WHEN {b} < 90 THEN 'val' ELSE 'test' END"
+
+
+def _split_of(bucket: F.Column) -> F.Column:
+    """80/10/10 split from an md5 bucket in [0, 100)."""
+    return F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+
 @register(
     "train_test_split",
     oracle=f"""
@@ -149,18 +161,10 @@ def group_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     a |groups|-row second agg; the two output strategy rows come from
     ONE wide row via explode, so the corpus is never rescanned."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    doc_bucket = _hash_bucket(F.col("doc_id"))
-    grp_bucket = _hash_bucket(F.col("source"))
-
-    def split_of(bucket: F.Column) -> F.Column:
-        return (
-            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-        )
-
     assigned = docs.select(
         "source",
-        split_of(doc_bucket).alias("doc_split"),
-        split_of(grp_bucket).alias("grp_split"),
+        _split_of(_hash_bucket(F.col("doc_id"))).alias("doc_split"),
+        _split_of(_hash_bucket(F.col("source"))).alias("grp_split"),
     )
     # "straddles >1 split" == min != max (3 split values) — avoids the
     # countDistinct Expand (3x map-side rows + an extra exchange)
@@ -206,6 +210,101 @@ def group_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("grp_train").alias("train_docs"),
             F.col("grp_val").alias("val_docs"),
             F.col("grp_test").alias("test_docs"),
+        ),
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@register(
+    "split_leakage_neardup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS doc, lang, source,
+             list_distinct(list_transform(range(0, len(tok)-2),
+                           i -> array_to_string(list_slice(tok, i+1, i+3), ' '))) AS sh
+      FROM (SELECT *, {duck_tokens('text')} AS tok FROM documents)
+      WHERE len(tok) >= 3
+    ), ex AS (
+      SELECT doc, lang, source, len(sh) AS n_sh, unnest(sh) AS g FROM base
+    ), pairs AS (
+      SELECT a, b, a_source, b_source FROM (
+        SELECT l.doc AS a, r.doc AS b,
+               l.source AS a_source, r.source AS b_source,
+               count(*)::DOUBLE / (l.n_sh + r.n_sh - count(*)) AS jaccard
+        FROM ex l JOIN ex r
+          ON l.g = r.g AND l.doc < r.doc AND l.lang = r.lang
+        GROUP BY l.doc, r.doc, l.n_sh, r.n_sh, l.source, r.source
+      ) WHERE jaccard >= 0.5
+    ), tagged AS (
+      SELECT ({_split_case_sql('a')} <> {_split_case_sql('b')}) AS doc_cross,
+             ({_split_case_sql('a_source')} <> {_split_case_sql('b_source')}) AS grp_cross
+      FROM pairs
+    ), wide AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(SUM(CASE WHEN doc_cross THEN 1 ELSE 0 END), 0) AS BIGINT) AS doc_cross,
+             CAST(COALESCE(SUM(CASE WHEN grp_cross THEN 1 ELSE 0 END), 0) AS BIGINT) AS grp_cross
+      FROM tagged
+    )
+    SELECT 'doc_hash' AS strategy, doc_cross AS cross_pairs,
+           n_pairs - doc_cross AS within_pairs
+    FROM wide
+    UNION ALL
+    SELECT 'group_hash' AS strategy, grp_cross AS cross_pairs,
+           n_pairs - grp_cross AS within_pairs
+    FROM wide
+    """,
+    covers=("[EXT]-split-leakage",),
+)
+def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] how much near-duplicate content LEAKS across the
+    train/eval boundary, per split strategy. Near-dup pairs (exact
+    3-gram Jaccard >= 0.5 within language blocks — the oracle-checked
+    verifier tier of the dedup family) are tagged with each side's
+    split under (a) the per-document md5 split and (b) the group-aware
+    source split, then counted as cross-split (leaking) vs within.
+    Group splitting kills all WITHIN-source leakage structurally, but
+    the measurement is honest about the residual: near-dup pairs that
+    span two sources (syndicated/boilerplate text) can still straddle
+    a group split — both numbers are computed from the same pair set,
+    not asserted.
+
+    Plan shape for 100 TB: the pair generator is the blocked gram
+    equi-join (distinct-gram collapse bounds boilerplate; AQE
+    skew-split covers hot grams — same story as dedup_ngram_jaccard);
+    split tags are pure md5 projections of the pair's OWN columns
+    (payload_cols carries source through the generator), so no join
+    back to the corpus. At production scale the exact-Jaccard pair
+    source swaps for the capped MinHash tier (dedup_minhash_capped)
+    with this same tagging aggregation on top."""
+    from fegis_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    # band-ok: unbounded shingle keyspace; AQE skew-split covers hot grams
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang"],
+        ngram=3, threshold=0.5, payload_cols=("source",),
+    )
+    doc_cross = _split_of(_hash_bucket(F.col("a"))) != _split_of(
+        _hash_bucket(F.col("b"))
+    )
+    grp_cross = _split_of(_hash_bucket(F.col("a_source"))) != _split_of(
+        _hash_bucket(F.col("b_source"))
+    )
+    wide = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.coalesce(F.sum(doc_cross.cast("int")), F.lit(0)).alias("doc_cross"),
+        F.coalesce(F.sum(grp_cross.cast("int")), F.lit(0)).alias("grp_cross"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("doc_hash").alias("strategy"),
+            F.col("doc_cross").alias("cross_pairs"),
+            (F.col("n_pairs") - F.col("doc_cross")).alias("within_pairs"),
+        ),
+        F.struct(
+            F.lit("group_hash").alias("strategy"),
+            F.col("grp_cross").alias("cross_pairs"),
+            (F.col("n_pairs") - F.col("grp_cross")).alias("within_pairs"),
         ),
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*")
