@@ -572,3 +572,119 @@ def ann_ivf_portable(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable product quantization (PQ-ADC) twin — md5-derived ±1 codebooks,
+# exact-integer encode + asymmetric-distance scoring, fully
+# oracle-checkable (the same certification pattern ivfp gives IVF).
+
+#: dim 64 split into PQ_M subspaces of PQ_DSUB dims, PQ_K codewords
+#: each (3-bit codes — demonstration scale; production PQ uses K=256).
+PQ_M = 8
+PQ_DSUB = 8
+PQ_K = 8
+
+
+def pq_codebooks(m: int = PQ_M, k: int = PQ_K, dsub: int = PQ_DSUB):
+    """Deterministic ±1 codeword matrix per subspace from md5 parity
+    (namespaced 'pq', independent of the SRP/ivfp draws). Because
+    every codeword has the SAME norm (all entries ±1), nearest-
+    codeword assignment under L2 reduces EXACTLY to argmax dot
+    product, and the ADC distance ranking reduces to ranking by the
+    summed query·codeword dots — so the whole encode/score path runs
+    on exact integers (quantized vectors at IVFP_SCALE against ±1
+    literals: |dot| <= 8e6 per subspace, 6.4e7 summed, far inside
+    2^53) and DuckDB replays it value-for-value. These are not
+    trained codebooks — this twin certifies the PQ *machinery*
+    (subspace encode → code array → LUT join → ADC top-k); trained
+    codebooks would slot into the same expressions as literals."""
+    import hashlib
+
+    return [
+        [
+            [
+                1
+                if int(hashlib.md5(f"pq:{mm}:{j}:{d}".encode()).hexdigest()[0], 16)
+                % 2 == 0
+                else -1
+                for d in range(dsub)
+            ]
+            for j in range(k)
+        ]
+        for mm in range(m)
+    ]
+
+
+def _pq_sub(vec_col: str, mm: int, spark: bool) -> str:
+    """Quantized subvector mm (exact-integer, shared recipe with
+    ivfp_quant_expr) in the target engine's spelling."""
+    a = mm * PQ_DSUB + 1
+    if spark:
+        return (
+            f"transform(slice({vec_col}, {a}, {PQ_DSUB}), "
+            f"x -> CAST(round(CAST(x AS DOUBLE) * {IVFP_SCALE}.0) AS BIGINT))"
+        )
+    return (
+        f"list_transform(list_slice({vec_col}, {a}, {a + PQ_DSUB - 1}), "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {IVFP_SCALE}.0) AS BIGINT))"
+    )
+
+
+def _pq_dots(vec_col: str, mm: int, spark: bool) -> str:
+    """Array of the PQ_K exact-integer codeword dots for subspace mm."""
+    books = pq_codebooks()
+    sub = _pq_sub(vec_col, mm, spark)
+    if spark:
+        dots = [
+            f"aggregate(zip_with({sub}, array({','.join(map(str, row))}), "
+            f"(a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            for row in books[mm]
+        ]
+        return "array(" + ",".join(dots) + ")"
+    dots = [
+        f"list_dot_product({sub}, [{','.join(map(str, row))}])"
+        for row in books[mm]
+    ]
+    return "[" + ",".join(dots) + "]"
+
+
+def pq_codes_expr(vec_col: str, spark: bool = True) -> str:
+    """Engine expression: array of PQ_M code indices (0-based), one
+    per subspace — argmax codeword dot with first-max tiebreak
+    (array_position / list_position semantics agree). ONE generated
+    string (driver-side plan-cost fast path, CLAUDE.md)."""
+    pos, mx = ("array_position", "array_max") if spark else (
+        "list_position", "list_max")
+    codes = []
+    for mm in range(PQ_M):
+        d = _pq_dots(vec_col, mm, spark)
+        codes.append(f"CAST({pos}({d}, {mx}({d})) - 1 AS INT)")
+    body = ",".join(codes)
+    return f"array({body})" if spark else f"[{body}]"
+
+
+def pq_luts_expr(vec_col: str, spark: bool = True) -> str:
+    """Engine expression: nested array of the PQ_M per-subspace
+    codeword-dot LUTs for a QUERY vector — ADC scores a corpus code
+    array by summing luts[m][code[m]]."""
+    luts = ",".join(_pq_dots(vec_col, mm, spark) for mm in range(PQ_M))
+    return f"array({luts})" if spark else f"[{luts}]"
+
+
+#: Spark ADC score over a (codes, luts) pair — exact-integer sum of
+#: the coded LUT entries (rank-equivalent to the L2 ADC distance for
+#: constant-norm codebooks; see pq_codebooks).
+PQ_ADC_EXPR = (
+    "aggregate(zip_with(codes, luts, (c, l) -> element_at(l, c + 1)), "
+    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+
+
+def pq_adc_sql(codes_qual: str, luts_qual: str) -> str:
+    """DuckDB ADC score: unrolled luts[m][codes[m] + 1] sum (nested
+    list indexing; 1-based)."""
+    return " + ".join(
+        f"{luts_qual}[{mm + 1}][{codes_qual}[{mm + 1}] + 1]"
+        for mm in range(PQ_M)
+    )

@@ -1265,3 +1265,177 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sumsq_q").alias("max_sumsq_q"),
         F.sum("sumsq_q").cast("bigint").alias("total_sumsq_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable product quantization ([EXT]-ann-pq, K1-approx)
+
+
+def _pq_adc_oracle() -> str:
+    """DuckDB restatement of ann_pq_adc: the SAME md5-derived ±1
+    codebooks (operators/knn.pq_codebooks), exact-integer subspace
+    encode (argmax codeword dot, first-max list_position tiebreak),
+    nested-list LUT indexing for the ADC sum, (adc DESC, corpus_id)
+    total order. Every compared quantity is an exact integer, so code
+    arrays AND ADC scores — not just the top-k survivors — are
+    bit-identical cross-engine."""
+    from fegis_spark.operators.knn import pq_adc_sql, pq_codes_expr, pq_luts_expr
+
+    codes = pq_codes_expr("embedding", spark=False)
+    luts = pq_luts_expr("embedding", spark=False)
+    score = pq_adc_sql("c.codes", "q.luts")
+    return f"""
+    WITH corp AS MATERIALIZED (
+      SELECT vec_id, {codes} AS codes FROM embeddings
+    ), qs AS MATERIALIZED (
+      SELECT vec_id, {luts} AS luts FROM embeddings WHERE vec_id < 3
+    )
+    SELECT query_id, corpus_id, adc, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             CAST({score} AS BIGINT) AS adc,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY ({score}) DESC, c.vec_id) AS rank
+      FROM corp c CROSS JOIN qs q
+    ) WHERE rank <= 3
+    """
+
+
+@register(
+    "ann_pq_adc",
+    oracle=_pq_adc_oracle(),
+    covers=("K1-approx", "[EXT]-ann-pq"),
+)
+def ann_pq_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] product-quantization ANN with asymmetric-distance (ADC)
+    scoring — the IVF family's industry-standard compression partner,
+    certified the ivfp way: md5-derived ±1 codebooks embedded as
+    literals in BOTH engines. dim 64 splits into 8 subspaces of 8
+    dims; each corpus vector encodes to 8 small code indices (3-bit
+    here; 32x/256x-style compression is the production point of PQ),
+    each query precomputes one 8x8 LUT of exact-integer codeword
+    dots, and the ADC score is the summed coded LUT entries — for
+    constant-norm codebooks this ranking is EXACTLY the L2 ADC
+    ranking (see pq_codebooks).
+
+    100 TB posture: corpus codes are 8 ints per vector (the corpus
+    scan that matters reads codes, not floats), query LUTs broadcast
+    (bounded panel), scoring is a pure projection, and the only
+    shuffle is the per-query top-k window over candidates. Trained
+    codebooks slot into the same expressions as literals (the
+    memoized driver round-trip pattern, bm25._STATS_MEMO)."""
+    from fegis_spark.operators.knn import PQ_ADC_EXPR, pq_codes_expr, pq_luts_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.expr(pq_codes_expr("embedding")).alias("codes"),
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(pq_luts_expr("embedding")).alias("luts"),
+    )
+    cand = corpus.crossJoin(F.broadcast(qs))  # bcast-ok: 3 panel query LUTs
+    scored = cand.withColumn("adc", F.expr(PQ_ADC_EXPR))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "corpus_id", "adc",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _pq_recall_oracle() -> str:
+    """DuckDB restatement of ann_pq_recall_audit — unlike the trained
+    IVF audit (k-means not replayable), the PQ twin's codebooks are
+    literals, so BOTH the ADC and the exact-cosine top-10 sets replay
+    and the per-query hit counts are value-checked."""
+    from fegis_spark.operators.knn import pq_adc_sql, pq_codes_expr, pq_luts_expr
+
+    codes = pq_codes_expr("embedding", spark=False)
+    luts = pq_luts_expr("embedding", spark=False)
+    score = pq_adc_sql("c.codes", "q.luts")
+    cos = _cos_pair("c.embedding", "q.embedding")
+    return f"""
+    WITH corp AS MATERIALIZED (
+      SELECT vec_id, embedding, {codes} AS codes FROM embeddings
+    ), qs AS MATERIALIZED (
+      SELECT vec_id, embedding, {luts} AS luts FROM embeddings WHERE vec_id < 8
+    ), scored AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             CAST({score} AS BIGINT) AS adc,
+             {cos} AS cos
+      FROM corp c CROSS JOIN qs q
+    ), ranked AS (
+      SELECT query_id, corpus_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, corpus_id) AS ra,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, corpus_id) AS rc
+      FROM scored
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           CAST(10 AS BIGINT) AS k
+    FROM qs q LEFT JOIN (
+      SELECT query_id, COUNT(*) AS hits FROM ranked
+      WHERE ra <= 10 AND rc <= 10 GROUP BY query_id
+    ) h ON q.vec_id = h.query_id
+    """
+
+
+@register(
+    "ann_pq_recall_audit",
+    oracle=_pq_recall_oracle(),
+    covers=("K1-approx", "[EXT]-ann-pq"),
+)
+def ann_pq_recall_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] recall@10 audit for the PQ-ADC path: per panel query
+    (8 queries), how many of the exact-cosine top-10 the ADC top-10
+    recovers. Fully value-checked on both sides (literal codebooks —
+    see _pq_recall_oracle); the hit counts measure what 3-bit random
+    ±1 codebooks actually buy, honestly — the MACHINERY is the
+    certified artifact, trained codebooks raise recall without
+    changing a single expression shape. One cross join computes both
+    scores; two windows share the per-query partitioning (one
+    shuffle)."""
+    from fegis_spark.functions.vector import cosine
+    from fegis_spark.operators.knn import PQ_ADC_EXPR, pq_codes_expr, pq_luts_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("cv"),
+        F.expr(pq_codes_expr("embedding")).alias("codes"),
+    )
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(pq_luts_expr("embedding")).alias("luts"),
+    )
+    cand = corpus.crossJoin(F.broadcast(qs))  # bcast-ok: 8 panel queries
+    scored = cand.select(
+        "query_id", "corpus_id",
+        F.expr(PQ_ADC_EXPR).alias("adc"),
+        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("corpus_id"))
+    wc = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("corpus_id"))
+    hits = (
+        scored.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rc", F.row_number().over(wc))
+        .filter((F.col("ra") <= 10) & (F.col("rc") <= 10))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        qs.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("hits"),
+            F.lit(10).cast("bigint").alias("k"),
+        )
+    )

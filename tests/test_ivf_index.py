@@ -185,3 +185,89 @@ def test_compaction_reduces_files_preserves_rows(spark, ivf_index, tmp_path_fact
             f for f in os.listdir(f"{path}/corpus/{d}") if f.endswith(".parquet")
         ]
         assert len(files_in_list) == 1, (d, files_in_list)
+
+
+class TestPortablePQ:
+    """r11: product-quantization twin — numpy cross-checks of the
+    generated Spark/DuckDB expressions' semantics (codes = per-subspace
+    argmax codeword dot on quantized ints; ADC = summed coded LUT
+    entries; constant-norm codebooks make both EXACTLY the L2 forms)."""
+
+    def _ref_codes(self, vec):
+        import numpy as np
+
+        from fegis_spark.operators.knn import (
+            IVFP_SCALE,
+            PQ_DSUB,
+            PQ_M,
+            pq_codebooks,
+        )
+
+        books = pq_codebooks()
+        q = np.round(np.asarray(vec, dtype=np.float64) * IVFP_SCALE).astype(
+            np.int64
+        )
+        codes = []
+        for m in range(PQ_M):
+            sub = q[m * PQ_DSUB : (m + 1) * PQ_DSUB]
+            dots = [int(sub @ np.array(row)) for row in books[m]]
+            codes.append(dots.index(max(dots)))  # first-max tiebreak
+        return codes, q
+
+    def test_codes_and_adc_match_duckdb(self):
+        import duckdb
+        import numpy as np
+
+        from fegis_spark.operators.knn import (
+            PQ_DSUB,
+            PQ_M,
+            pq_adc_sql,
+            pq_codebooks,
+            pq_codes_expr,
+            pq_luts_expr,
+        )
+
+        rng = np.random.default_rng(17)
+        vecs = rng.uniform(-1, 1, (6, PQ_M * PQ_DSUB)).astype(np.float32)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+            + ",".join(
+                f"({i}, {list(map(float, v))})" for i, v in enumerate(vecs)
+            )
+            + ") t(vec_id, embedding)"
+        )
+        got = con.sql(
+            f"SELECT vec_id, {pq_codes_expr('embedding', spark=False)} AS c "
+            "FROM embeddings ORDER BY vec_id"
+        ).fetchall()
+        books = pq_codebooks()
+        for i, (vid, c) in enumerate(got):
+            ref, _q = self._ref_codes(vecs[i])
+            assert list(c) == ref, (i, c, ref)
+        # ADC against brute-force reconstruction: summed query-sub ·
+        # codeword dots for the corpus row's codes
+        adc = con.sql(
+            f"""
+            WITH corp AS (SELECT vec_id, {pq_codes_expr('embedding', spark=False)} AS codes FROM embeddings),
+                 qs AS (SELECT vec_id, {pq_luts_expr('embedding', spark=False)} AS luts FROM embeddings WHERE vec_id = 0)
+            SELECT c.vec_id, CAST({pq_adc_sql('c.codes', 'q.luts')} AS BIGINT)
+            FROM corp c CROSS JOIN qs q ORDER BY c.vec_id
+            """
+        ).fetchall()
+        _codes0, q0 = self._ref_codes(vecs[0])
+        for vid, a in adc:
+            ref_codes, _ = self._ref_codes(vecs[vid])
+            want = 0
+            for m in range(PQ_M):
+                sub = q0[m * PQ_DSUB : (m + 1) * PQ_DSUB]
+                want += int(sub @ np.array(books[m][ref_codes[m]]))
+            assert a == want, (vid, a, want)
+
+    def test_codebooks_deterministic_and_pm1(self):
+        from fegis_spark.operators.knn import PQ_DSUB, PQ_K, PQ_M, pq_codebooks
+
+        b1, b2 = pq_codebooks(), pq_codebooks()
+        assert b1 == b2
+        assert len(b1) == PQ_M and len(b1[0]) == PQ_K and len(b1[0][0]) == PQ_DSUB
+        assert {v for m in b1 for row in m for v in row} <= {1, -1}
