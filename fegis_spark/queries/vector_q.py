@@ -1439,3 +1439,123 @@ def ann_pq_recall_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(10).cast("bigint").alias("k"),
         )
     )
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB restatement of ann_ivfpq_portable: ivfp routing
+    (exact-integer dots, first-max assignment, top-n_probe probes)
+    composed with PQ-ADC scoring over the probed lists only — the
+    candidate sets AND the ADC scores are exact integers, so the
+    whole composed index replays value-for-value."""
+    from fegis_spark.operators.knn import (
+        IVFP_LISTS,
+        IVFP_PROBE,
+        ivfp_dots_sql,
+        pq_adc_sql,
+        pq_codes_expr,
+        pq_luts_expr,
+    )
+
+    dots = ivfp_dots_sql("embedding", 64)
+    codes = pq_codes_expr("embedding", spark=False)
+    luts = pq_luts_expr("embedding", spark=False)
+    score = pq_adc_sql("c.codes", "p.luts")
+    return f"""
+    WITH cq AS MATERIALIZED (
+      SELECT vec_id, embedding, {dots} AS dots FROM embeddings
+    ), corp AS MATERIALIZED (
+      SELECT vec_id AS corpus_id,
+             CAST(list_position(dots, list_max(dots)) - 1 AS INT) AS list_id,
+             {codes} AS codes
+      FROM cq
+    ), probes AS MATERIALIZED (
+      SELECT query_id, luts, list_id FROM (
+        SELECT vec_id AS query_id, {luts} AS luts,
+               CAST(r.range AS INT) AS list_id,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY dots[CAST(r.range AS INT) + 1] DESC,
+                          CAST(r.range AS INT)) AS rn
+        FROM cq CROSS JOIN range(0, {IVFP_LISTS}) r
+        WHERE vec_id < 3
+      ) WHERE rn <= {IVFP_PROBE}
+    )
+    SELECT query_id, corpus_id, adc, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT p.query_id, c.corpus_id,
+             CAST({score} AS BIGINT) AS adc,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY ({score}) DESC, c.corpus_id) AS rank
+      FROM corp c JOIN probes p USING (list_id)
+    ) WHERE rank <= 3
+    """
+
+
+@register(
+    "ann_ivfpq_portable",
+    oracle=_ivfpq_oracle(),
+    covers=("K1-approx", "[EXT]-ann-pq", "[EXT]-ann"),
+)
+def ann_ivfpq_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the composed production index: IVF routing + PQ-ADC
+    scoring (IVF-PQ — what FAISS/Qdrant/Milvus actually run at
+    scale). Corpus rows carry (list_id, codes): the inverted-list
+    assignment prunes the scan to n_probe/n_lists of the corpus, and
+    within the probed lists scoring touches only the 8-int PQ codes —
+    the two independent scale levers (scan fraction x bytes-per-
+    vector) composed. Both halves use their certified portable twins
+    (ivfp routing, pq codebooks), every compared quantity is an exact
+    integer, and the oracle replays candidate sets and scores
+    value-for-value.
+
+    100 TB posture: list_id is the partition layout (partition-pruned
+    candidate fetch, see build_ivf_index), codes replace float
+    vectors in the scanned bytes (~32x), query probe-LUT pairs
+    broadcast, per-query top-k window over candidates only. Trained
+    centroids/codebooks slot in as literals without changing the
+    plan."""
+    from fegis_spark.operators.knn import (
+        IVFP_LISTS,
+        IVFP_PROBE,
+        PQ_ADC_EXPR,
+        ivfp_dots_expr,
+        pq_codes_expr,
+        pq_luts_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dots = ivfp_dots_expr("embedding", 64)
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.expr(dots).alias("__dots"),
+        F.expr(pq_codes_expr("embedding")).alias("codes"),
+    ).select(
+        "corpus_id", "codes",
+        F.expr(
+            "CAST(array_position(__dots, array_max(__dots)) - 1 AS INT)"
+        ).alias("list_id"),
+    )
+    qd = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(pq_luts_expr("embedding")).alias("luts"),
+        F.expr(dots).alias("__dots"),
+    )
+    pr = qd.select(
+        "query_id", "luts", F.posexplode("__dots").alias("list_id", "__dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__dot"), F.col("list_id"))
+    probes = (
+        pr.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= IVFP_PROBE)
+        .select("query_id", "luts", F.col("list_id").cast("int").alias("list_id"))
+    )
+    cand = corpus.join(F.broadcast(probes), "list_id")  # bcast-ok: n_probe probe rows per panel query
+    scored = cand.withColumn("adc", F.expr(PQ_ADC_EXPR))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "corpus_id", "adc",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
