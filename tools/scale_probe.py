@@ -399,11 +399,131 @@ def ivf_ab(spark, factor: int = 16) -> dict:
     return out
 
 
+
+
+def pq_ab(spark, factor: int = 16) -> dict:
+    """r11: PQ-ADC over a materialized codes table vs brute-force
+    float-cosine KNN, at 1x and factorx. Quantifies the two claims the
+    ann_pq_* docstrings make: (1) the scanned bytes shrink (codes
+    parquet vs float-embedding parquet, reported exactly), (2) the
+    ADC probe stays a broadcast-projection plan whose wall scales with
+    the (smaller) scan. Also reports recall@3 of ADC against the
+    exact truth (32 spread queries, untrained +-1 codebooks - the
+    machinery datapoint, not a quality claim)."""
+    import os
+
+    from fegis_spark.operators.knn import (
+        PQ_ADC_EXPR,
+        knn_join,
+        pq_codes_expr,
+        pq_luts_expr,
+    )
+    from pyspark.sql import Window
+
+    out: dict = {
+        "probe": "PQ-ADC codes-scan vs brute-force float cosine (r11)",
+        "factor": factor,
+        "k": 3,
+        "legs": {},
+    }
+
+    def timed_best2(make_df) -> float:
+        best = None
+        for _ in range(2):
+            df = make_df()
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache(); clear_memos()
+        return round(best, 3)
+
+    def tree_bytes(d: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, files in os.walk(d)
+            for f in files
+        )
+
+    with tempfile.TemporaryDirectory(prefix="pq_ab_") as tmp:
+        for leg, fac in (("x1", 1), (f"x{factor}", factor)):
+            d = f"{tmp}/{leg}"
+            replicate(spark, d, fac)
+            emb = spark.read.parquet(f"{d}/embeddings.parquet")
+            n = emb.count()
+            step = max(n // 32, 1)
+            queries = emb.filter(F.col("vec_id") % step == 0).limit(32)
+
+            t0 = time.time()
+            emb.select(
+                F.col("vec_id").alias("corpus_id"),
+                F.expr(pq_codes_expr("embedding")).alias("codes"),
+            ).write.mode("overwrite").parquet(f"{d}/pqcodes.parquet")
+            build_s = round(time.time() - t0, 3)
+            spark.catalog.clearCache(); clear_memos()
+
+            qluts = queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.expr(pq_luts_expr("embedding")).alias("luts"),
+            )
+
+            def exact_df():
+                return knn_join(
+                    queries, spark.read.parquet(f"{d}/embeddings.parquet"),
+                    "vec_id", "vec_id", k=3,
+                )
+
+            def adc_df():
+                codes = spark.read.parquet(f"{d}/pqcodes.parquet")
+                # bcast-ok: 32 query LUT rows
+                cand = codes.crossJoin(F.broadcast(qluts))
+                scored = cand.withColumn("adc", F.expr(PQ_ADC_EXPR))
+                w = Window.partitionBy("query_id").orderBy(
+                    F.desc("adc"), F.col("corpus_id")
+                )
+                return (
+                    scored.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= 3)
+                    .select("query_id", "corpus_id")
+                )
+
+            exact_df().write.format("noop").mode("overwrite").save()
+            adc_df().write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache(); clear_memos()
+            t_exact = timed_best2(exact_df)
+            t_adc = timed_best2(adc_df)
+            truth = {(r.query_id, r.corpus_id) for r in exact_df().collect()}
+            got = {(r.query_id, r.corpus_id) for r in adc_df().collect()}
+            out["legs"][leg] = {
+                "n_vectors": n,
+                "codes_build_s": build_s,
+                "embeddings_bytes": tree_bytes(f"{d}/embeddings.parquet"),
+                "codes_bytes": tree_bytes(f"{d}/pqcodes.parquet"),
+                "exact_s": t_exact,
+                "adc_s": t_adc,
+                "speedup": round(t_exact / t_adc, 2),
+                "recall_at_3": round(len(truth & got) / len(truth), 4),
+            }
+            spark.catalog.clearCache(); clear_memos()
+    x1, xn = out["legs"]["x1"], out["legs"][f"x{factor}"]
+    out["exact_scale_ratio"] = round(xn["exact_s"] / x1["exact_s"], 2)
+    out["adc_scale_ratio"] = round(xn["adc_s"] / x1["adc_s"], 2)
+    out["bytes_ratio"] = round(
+        xn["embeddings_bytes"] / max(xn["codes_bytes"], 1), 2
+    )
+    return out
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ivf":
         factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
         spark = configure_for_oracle(get_spark("scale_probe"))
         print(json.dumps(ivf_ab(spark, factor)))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "pq":
+        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        spark = configure_for_oracle(get_spark("scale_probe"))
+        print(json.dumps(pq_ab(spark, factor)))
         return
     args = [a for a in sys.argv[1:]]
     only = None
