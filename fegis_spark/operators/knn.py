@@ -688,3 +688,81 @@ def pq_adc_sql(codes_qual: str, luts_qual: str) -> str:
         f"{luts_qual}[{mm + 1}][{codes_qual}[{mm + 1}] + 1]"
         for mm in range(PQ_M)
     )
+
+
+def build_ivfpq_index(
+    corpus_df: DataFrame,
+    path: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Index-once half of the production IVF-PQ flow (r11): assign
+    every corpus vector to its ivfp routing list AND encode it to PQ
+    codes, then write ``{path}/corpus`` as a parquet of
+    (corpus_id, codes) PARTITIONED BY list_id. The stored rows carry
+    the 8-int codes INSTEAD of the float vector — the two scale
+    levers composed at rest: probing prunes to n_probe/n_lists of the
+    DIRECTORIES, and what those directories hold is ~32x smaller than
+    float embeddings (measured: evidence/pq_adc_ab_r11.json).
+    Routing centroids and codebooks are the md5-derived portable
+    literals; a trained deployment swaps them into the same
+    expressions (the literal-hoist pattern, bm25._STATS_MEMO)."""
+    dots = ivfp_dots_expr(vec_col, 64)
+    assigned = corpus_df.select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.expr(dots).alias("__dots"),
+        F.expr(pq_codes_expr(vec_col)).alias("codes"),
+    ).select(
+        "corpus_id", "codes",
+        F.expr(
+            "CAST(array_position(__dots, array_max(__dots)) - 1 AS INT)"
+        ).alias("list_id"),
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/corpus"
+    )
+
+
+def ann_ivfpq_indexed(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    query_id: str,
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = IVFP_PROBE,
+) -> DataFrame:
+    """Query-many half (r11): probe the stored IVF-PQ index. The
+    probe set joins the codes table on its PARTITION column, so
+    dynamic partition pruning restricts the scan to n_probe
+    directories per query batch, and scoring is the exact-integer ADC
+    LUT sum over the stored codes — no float vectors are read at all.
+    Identical candidate sets and ranking to ann_ivfpq_portable with
+    equal parameters (same literal centroids/codebooks)."""
+    corpus = spark.read.parquet(f"{path}/corpus")
+    dots = ivfp_dots_expr(vec_col, 64)
+    qd = queries_df.select(
+        F.col(query_id).alias("query_id"),
+        F.expr(pq_luts_expr(vec_col)).alias("luts"),
+        F.expr(dots).alias("__dots"),
+    )
+    pr = qd.select(
+        "query_id", "luts", F.posexplode("__dots").alias("list_id", "__dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__dot"), F.col("list_id"))
+    probes = (
+        pr.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "luts", F.col("list_id").cast("int").alias("list_id"))
+    )
+    cand = corpus.join(F.broadcast(probes), "list_id")  # bcast-ok: n_probe probe rows per query
+    scored = cand.withColumn("adc", F.expr(PQ_ADC_EXPR))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "corpus_id", "adc",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

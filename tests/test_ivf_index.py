@@ -271,3 +271,36 @@ class TestPortablePQ:
         assert b1 == b2
         assert len(b1) == PQ_M and len(b1[0]) == PQ_K and len(b1[0][0]) == PQ_DSUB
         assert {v for m in b1 for row in m for v in row} <= {1, -1}
+
+
+class TestIvfPqIndexed:
+    """r11: the stored IVF-PQ index (build once, query many). The
+    invariant: identical candidate sets/ranks to ann_ivfpq_portable
+    (same literal centroids + codebooks), with the probe scan pruned
+    to the probed list_id partitions and no float vectors read."""
+
+    def test_indexed_equals_portable_and_prunes(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from fegis_spark.catalog import catalog
+        from fegis_spark.model import load_table
+        from fegis_spark.operators.knn import (
+            ann_ivfpq_indexed,
+            build_ivfpq_index,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        emb = load_table(spark, sf, "embeddings")
+        build_ivfpq_index(emb, str(tmp_path), "vec_id")
+        got = ann_ivfpq_indexed(
+            spark, str(tmp_path), emb.filter(F.col("vec_id") < 3), "vec_id", k=3
+        )
+        want = catalog()["ann_ivfpq_portable"].builder(spark, sf)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan, plan[:1500]
+        # the stored corpus carries codes, not float vectors
+        stored = spark.read.parquet(str(tmp_path) + "/corpus")
+        assert set(stored.columns) == {"corpus_id", "codes", "list_id"}
