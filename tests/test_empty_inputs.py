@@ -142,3 +142,37 @@ def test_degenerate_group_variance_is_null_not_throw(spark):
     }
     assert out["solo"] is None  # NULL, not DIVIDE_BY_ZERO
     assert out["pair"] == 2.0
+
+
+def test_r11_split_and_pq_operators_empty(spark):
+    """r11 additions: the split-leakage aggregations and the PQ
+    encode/ADC expressions must survive empty inputs (empty pair set →
+    two strategy rows with zero counts; empty corpus → empty index)."""
+    from pyspark.sql import functions as F
+
+    from fegis_spark.operators.dedup import ngram_jaccard_pairs
+    from fegis_spark.operators.knn import (
+        PQ_ADC_EXPR,
+        pq_codes_expr,
+        pq_luts_expr,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, lang string, source string, text string"
+    )
+    pairs = ngram_jaccard_pairs(
+        empty_docs, "text", "doc_id", ["lang"],
+        ngram=3, threshold=0.5, payload_cols=("source",),
+    )
+    assert pairs.count() == 0
+    assert set(pairs.columns) == {"a", "b", "jaccard", "a_source", "b_source"}
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    codes = empty_emb.select(F.expr(pq_codes_expr("embedding")).alias("codes"))
+    assert codes.count() == 0
+    luts = empty_emb.select(F.expr(pq_luts_expr("embedding")).alias("luts"))
+    assert luts.count() == 0
+    joined = codes.crossJoin(luts).withColumn(  # bcast-ok: empty-by-empty test frame
+        "adc", F.expr(PQ_ADC_EXPR)
+    )
+    assert joined.count() == 0

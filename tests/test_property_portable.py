@@ -420,3 +420,67 @@ def test_percentile_interpolation_engine_agreement(spark, vals):
         return struct.pack("<d", v + 0.0 if v == 0 else v)
 
     assert [norm(a) for a in sv] == [norm(b) for b in dv]
+
+
+VEC64 = st.lists(
+    st.floats(min_value=-0.875, max_value=0.875, allow_nan=False, width=32),
+    min_size=64,
+    max_size=64,
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(VEC64, min_size=3, max_size=6))
+def test_pq_codes_and_adc_engine_agreement(spark, vecs):
+    """PQ encode (per-subspace argmax codeword dot) and the ADC LUT
+    sum must agree across engines on arbitrary float32 vectors — the
+    whole path is exact-integer after quantization, so any
+    disagreement is a recipe bug, not float noise (r11)."""
+    from fegis_spark.operators.knn import (
+        PQ_ADC_EXPR,
+        pq_adc_sql,
+        pq_codes_expr,
+        pq_luts_expr,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    sdf = spark.createDataFrame(rows, "i int, embedding array<float>")
+    got_s = {
+        r["i"]: tuple(r["codes"])
+        for r in sdf.select(
+            "i", F.expr(pq_codes_expr("embedding")).alias("codes")
+        ).collect()
+    }
+    corpus = sdf.select(
+        F.col("i").alias("ci"), F.expr(pq_codes_expr("embedding")).alias("codes")
+    )
+    qs = sdf.filter(F.col("i") == 0).select(
+        F.expr(pq_luts_expr("embedding")).alias("luts")
+    )
+    adc_s = {
+        r["ci"]: r["adc"]
+        for r in corpus.crossJoin(qs)  # bcast-ok: 1-row query side (test)
+        .withColumn("adc", F.expr(PQ_ADC_EXPR))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (i INTEGER, embedding FLOAT[])")
+    con.executemany("INSERT INTO v VALUES (?, ?)", rows)
+    got_d = {
+        r[0]: tuple(r[1])
+        for r in con.execute(
+            f"SELECT i, {pq_codes_expr('embedding', spark=False)} FROM v"
+        ).fetchall()
+    }
+    assert got_s == got_d
+    adc_d = dict(
+        con.execute(
+            f"""
+            WITH c AS (SELECT i, {pq_codes_expr('embedding', spark=False)} AS codes FROM v),
+                 q AS (SELECT {pq_luts_expr('embedding', spark=False)} AS luts FROM v WHERE i = 0)
+            SELECT c.i, CAST({pq_adc_sql('c.codes', 'q.luts')} AS BIGINT)
+            FROM c CROSS JOIN q
+            """
+        ).fetchall()
+    )
+    assert adc_s == adc_d
