@@ -766,3 +766,105 @@ def ann_ivfpq_indexed(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def train_pq_codebooks(
+    corpus_df: DataFrame,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dsub: int = PQ_DSUB,
+    iters: int = 10,
+):
+    """Deterministic per-subspace Euclidean k-means for PQ (r11):
+    the same bounded md5-bucket sample _train_centroids uses
+    (≤ 512 rows collected), k-means++ init + Lloyd steps per
+    subspace, seed 42, dead clusters reseeded to the worst-served
+    point. Returns INT-QUANTIZED codebooks (entries round(c·1e6)) so
+    the trained expressions run on exact integers like the portable
+    twin — same sample, same seed ⇒ same codebooks run-over-run.
+    Sample-based by design: PQ codebooks are k·m tiny centroids; at
+    100 TB you still train them on a bounded sample (FAISS does the
+    same), so there is no distributed-training route to miss."""
+    import numpy as np
+
+    target = max(k * 32, 512)
+    sample = ivf_training_sample(corpus_df, corpus_id, vec_col, target).collect()
+    sample.sort(key=lambda r: (r["__h"], r["__id"]))
+    X = np.array([r["v"] for r in sample[:target]], dtype=np.float64)
+    rng = np.random.default_rng(42)
+    books = []
+    for mm in range(m):
+        S = X[:, mm * dsub : (mm + 1) * dsub]
+        kk = min(k, len(S))
+        cent = np.empty((kk, dsub), dtype=np.float64)
+        cent[0] = S[int(rng.integers(len(S)))]
+        d2 = ((S - cent[0]) ** 2).sum(1)
+        for j in range(1, kk):
+            tot = d2.sum()
+            idx = (
+                int(rng.choice(len(S), p=d2 / tot))
+                if tot > 0
+                else int(rng.integers(len(S)))
+            )
+            cent[j] = S[idx]
+            d2 = np.minimum(d2, ((S - cent[j]) ** 2).sum(1))
+        for _ in range(iters):
+            dists = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(2)
+            assign = dists.argmin(1)
+            worst = dists.min(1)
+            for j in range(kk):
+                pts = S[assign == j]
+                if len(pts):
+                    cent[j] = pts.mean(0)
+                else:
+                    cent[j] = S[int(worst.argmax())]
+        books.append(
+            [[int(round(c * IVFP_SCALE)) for c in row] for row in cent]
+        )
+    return books
+
+
+def _pq_trained_dists(books, vec_col: str, mm: int, spark: bool) -> str:
+    """Array of the K exact-integer L2-form distances
+    (C·C − 2·X·C — the rank-equivalent of ||X−C||², since X·X is
+    constant across codewords) for subspace mm against TRAINED
+    int-quantized codewords."""
+    sub = _pq_sub(vec_col, mm, spark)
+    terms = []
+    for row in books[mm]:
+        cc = sum(c * c for c in row)
+        lit = ",".join(map(str, row))
+        if spark:
+            dot = (
+                f"aggregate(zip_with({sub}, array({lit}), "
+                f"(a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+        else:
+            dot = f"list_dot_product({sub}, [{lit}])"
+        terms.append(f"(CAST({cc} AS BIGINT) - 2 * ({dot}))")
+    return ("array(" if spark else "[") + ",".join(terms) + (")" if spark else "]")
+
+
+def pq_trained_codes_expr(books, vec_col: str, spark: bool = True) -> str:
+    """Trained-PQ encode: per-subspace argmin L2-form distance
+    (first-min tiebreak). Exact integers throughout — trained
+    codebooks slot into the same certified machinery as literals."""
+    pos, mn = ("array_position", "array_min") if spark else (
+        "list_position", "list_min")
+    codes = []
+    for mm in range(len(books)):
+        d = _pq_trained_dists(books, vec_col, mm, spark)
+        codes.append(f"CAST({pos}({d}, {mn}({d})) - 1 AS INT)")
+    body = ",".join(codes)
+    return f"array({body})" if spark else f"[{body}]"
+
+
+def pq_trained_luts_expr(books, vec_col: str, spark: bool = True) -> str:
+    """Trained-PQ query LUTs: the per-subspace L2-form distance
+    arrays; ADC ranks by the summed coded entries ASCENDING."""
+    luts = ",".join(
+        _pq_trained_dists(books, vec_col, mm, spark) for mm in range(len(books))
+    )
+    return f"array({luts})" if spark else f"[{luts}]"

@@ -1559,3 +1559,111 @@ def ann_ivfpq_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+#: ann_pq_rerank geometry: ADC shortlist size and final k
+PQ_RERANK_SHORTLIST = 100
+PQ_RERANK_K = 10
+
+
+def _pq_rerank_oracle() -> str:
+    """DuckDB restatement of ann_pq_rerank: exact-integer ADC
+    shortlist (rank <= shortlist with the (adc DESC, corpus_id) total
+    order), then the established sequential-fold cosine re-rank over
+    ONLY the shortlisted ids. Both stages replay value-for-value."""
+    from fegis_spark.operators.knn import pq_adc_sql, pq_codes_expr, pq_luts_expr
+
+    codes = pq_codes_expr("embedding", spark=False)
+    luts = pq_luts_expr("embedding", spark=False)
+    score = pq_adc_sql("c.codes", "q.luts")
+    cos = _cos_pair("f.cv", "f.qv")
+    return f"""
+    WITH corp AS MATERIALIZED (
+      SELECT vec_id, {codes} AS codes FROM embeddings
+    ), qs AS MATERIALIZED (
+      SELECT vec_id, embedding, {luts} AS luts FROM embeddings WHERE vec_id < 3
+    ), short AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY ({score}) DESC, c.vec_id) AS rs
+        FROM corp c CROSS JOIN qs q
+      ) WHERE rs <= {PQ_RERANK_SHORTLIST}
+    ), fetched AS (
+      SELECT s.query_id, s.corpus_id, e.embedding AS cv, q.embedding AS qv
+      FROM short s
+      JOIN embeddings e ON s.corpus_id = e.vec_id
+      JOIN qs q ON s.query_id = q.vec_id
+    )
+    SELECT query_id, corpus_id, round(cos_score, 6) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT f.query_id, f.corpus_id, {cos} AS cos_score,
+             row_number() OVER (PARTITION BY f.query_id
+                                ORDER BY {cos} DESC, f.corpus_id) AS rank
+      FROM fetched f
+    ) WHERE rank <= {PQ_RERANK_K}
+    """
+
+
+@register(
+    "ann_pq_rerank",
+    oracle=_pq_rerank_oracle(),
+    covers=("K1-approx", "[EXT]-ann-pq"),
+)
+def ann_pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the PRODUCTION PQ operating mode: codes build an ADC
+    shortlist, exact cosine re-ranks only the shortlist — PQ as a
+    pruning device for exact work, not a ranking replacement. The
+    evidence for why this is the right shape is measured, not argued:
+    on a topic-clustered corpus flat/residual codes alone rank
+    within-cluster noise at recall ~0.16-0.26, while an ADC shortlist
+    of 1.25% of the corpus re-ranked exactly reaches 0.90 and 3%
+    reaches 1.00 (evidence/pq_rerank_r11.json).
+
+    100 TB posture: stage 1 scans the 8-int codes table (31.8x
+    smaller, evidence/pq_adc_ab_r11.json) with broadcast query LUTs;
+    stage 2 fetches shortlist×queries vectors via a broadcast id join
+    against the float table — the exact-distance work drops from
+    |corpus| to |shortlist| per query. Both stages are deterministic
+    (exact-integer ADC + the established cosine recipe), so the
+    composed two-stage plan is fully oracle-checked."""
+    from fegis_spark.functions.vector import cosine
+    from fegis_spark.operators.knn import PQ_ADC_EXPR, pq_codes_expr, pq_luts_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.expr(pq_codes_expr("embedding")).alias("codes"),
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(pq_luts_expr("embedding")).alias("luts"),
+    )
+    cand = corpus.crossJoin(F.broadcast(qs.select("query_id", "luts")))  # bcast-ok: 3 panel query LUTs
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc(F.expr(PQ_ADC_EXPR)), F.col("corpus_id")
+    )
+    short = (
+        cand.withColumn("rs", F.row_number().over(ws))
+        .filter(F.col("rs") <= PQ_RERANK_SHORTLIST)
+        .select("query_id", "corpus_id")
+    )
+    fetch = (
+        emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv"))
+        .join(F.broadcast(short), "corpus_id")  # bcast-ok: shortlist×panel id pairs
+        .join(F.broadcast(qs.select("query_id", "qv")), "query_id")  # bcast-ok: 3 panel query vectors
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qv"), F.col("cv"))), F.col("corpus_id")
+    )
+    return (
+        fetch.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= PQ_RERANK_K)
+        .select(
+            "query_id", "corpus_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -304,3 +304,56 @@ class TestIvfPqIndexed:
         # the stored corpus carries codes, not float vectors
         stored = spark.read.parquet(str(tmp_path) + "/corpus")
         assert set(stored.columns) == {"corpus_id", "codes", "list_id"}
+
+
+class TestTrainedPQ:
+    """r11: trained PQ codebooks (library tier — data-dependent, so no
+    static oracle; the catalog ships the certified md5-book queries
+    and the shortlist+rerank recipe instead, see
+    evidence/pq_rerank_r11.json for the honest recall findings)."""
+
+    def test_trained_books_deterministic_and_expressions_agree(self, spark):
+        import duckdb
+        import numpy as np
+
+        from fegis_spark.model import load_table
+        from fegis_spark.operators.knn import (
+            pq_trained_codes_expr,
+            pq_trained_luts_expr,
+            train_pq_codebooks,
+        )
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        emb = load_table(spark, sf, "embeddings")
+        b1 = train_pq_codebooks(emb, "vec_id")
+        b2 = train_pq_codebooks(emb, "vec_id")
+        assert b1 == b2  # same sample, same seed ⇒ same books
+        # Spark and DuckDB spellings of the trained encode agree
+        sub = emb.filter(F.col("vec_id") < 12)
+        got_s = {
+            r["vec_id"]: tuple(r["c"])
+            for r in sub.select(
+                "vec_id",
+                F.expr(pq_trained_codes_expr(b1, "embedding")).alias("c"),
+            ).collect()
+        }
+        rows = [
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in sub.select("vec_id", "embedding").collect()
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE v (vec_id BIGINT, embedding FLOAT[])")
+        con.executemany("INSERT INTO v VALUES (?, ?)", rows)
+        got_d = {
+            r[0]: tuple(r[1])
+            for r in con.execute(
+                f"SELECT vec_id, {pq_trained_codes_expr(b1, 'embedding', spark=False)} FROM v"
+            ).fetchall()
+        }
+        assert got_s == got_d
+        # LUT expression produces PQ_M arrays of PQ_K ints
+        lut = sub.select(
+            F.expr(pq_trained_luts_expr(b1, "embedding")).alias("l")
+        ).first()["l"]
+        assert len(lut) == len(b1) and len(lut[0]) == len(b1[0])
