@@ -37,7 +37,17 @@ def _hash_bucket_sql(col: str, buckets: int = 100) -> str:
     )
 
 
-_SPLIT_CASE = "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
+def _split_case(bucket_col: str = "bucket") -> str:
+    """80/10/10 split CASE over a named bucket column (parameterized —
+    textual .replace on the shared constant silently breaks if the
+    template ever gains another 'bucket' substring; r11 ADVICE)."""
+    return (
+        f"CASE WHEN {bucket_col} < 80 THEN 'train' "
+        f"WHEN {bucket_col} < 90 THEN 'val' ELSE 'test' END"
+    )
+
+
+_SPLIT_CASE = _split_case()
 
 
 def _split_case_sql(col: str) -> str:
@@ -102,7 +112,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH assigned AS (
       SELECT source,
              {_SPLIT_CASE} AS doc_split,
-             {_SPLIT_CASE.replace('bucket', 'gbucket')} AS grp_split
+             {_split_case('gbucket')} AS grp_split
       FROM (
         SELECT source,
                {_hash_bucket_sql('doc_id')} AS bucket,

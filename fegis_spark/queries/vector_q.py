@@ -1595,7 +1595,7 @@ def _pq_rerank_oracle() -> str:
       JOIN embeddings e ON s.corpus_id = e.vec_id
       JOIN qs q ON s.query_id = q.vec_id
     )
-    SELECT query_id, corpus_id, round(cos_score, 6) AS score,
+    SELECT query_id, corpus_id, cos_score AS score,
            CAST(rank AS BIGINT) AS rank
     FROM (
       SELECT f.query_id, f.corpus_id, {cos} AS cos_score,
@@ -1663,7 +1663,12 @@ def ann_pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PQ_RERANK_K)
         .select(
             "query_id", "corpus_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            # UNROUNDED by the r8 rule: the sequential-fold cosine's
+            # operands are identical cross-engine (float32 entries
+            # upcast to double, left fold, sqrt/div correctly rounded),
+            # so the quotient is bit-identical — round(x, 6) would
+            # reintroduce the .5e-6 midpoint tie-break class (ADVICE r11)
+            cosine(F.col("qv"), F.col("cv")).alias("score"),
             F.col("rank").cast("bigint").alias("rank"),
         )
     )

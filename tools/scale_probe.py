@@ -349,7 +349,18 @@ def ivf_ab(spark, factor: int = 16) -> dict:
             emb = spark.read.parquet(f"{d}/embeddings.parquet")
             n = emb.count()
             step = max(n // 32, 1)
-            queries = emb.filter(F.col("vec_id") % step == 0).limit(32)
+            # materialize the panel ids ONCE: LIMIT without ORDER BY is
+            # not stable across jobs, and every leg (exact truth vs
+            # approximate) must score the SAME 32 queries (r11 ADVICE)
+            qids = [
+                r[0]
+                for r in emb.filter(F.col("vec_id") % step == 0)
+                .select("vec_id")
+                .orderBy("vec_id")
+                .limit(32)
+                .collect()
+            ]
+            queries = emb.filter(F.col("vec_id").isin(qids))
 
             t0 = time.time()
             build_ivf_index(emb, f"{d}/ivf", "vec_id", n_lists=64, kmeans_iters=2)
@@ -452,7 +463,18 @@ def pq_ab(spark, factor: int = 16) -> dict:
             emb = spark.read.parquet(f"{d}/embeddings.parquet")
             n = emb.count()
             step = max(n // 32, 1)
-            queries = emb.filter(F.col("vec_id") % step == 0).limit(32)
+            # materialize the panel ids ONCE: LIMIT without ORDER BY is
+            # not stable across jobs, and every leg (exact truth vs
+            # approximate) must score the SAME 32 queries (r11 ADVICE)
+            qids = [
+                r[0]
+                for r in emb.filter(F.col("vec_id") % step == 0)
+                .select("vec_id")
+                .orderBy("vec_id")
+                .limit(32)
+                .collect()
+            ]
+            queries = emb.filter(F.col("vec_id").isin(qids))
 
             t0 = time.time()
             emb.select(
