@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fegis_spark.functions.vector import cosine
+from fegis_spark.operators.topk import grouped_topk
 
 
 def knn_join(
@@ -49,11 +50,12 @@ def knn_join(
         .withColumn("score", cosine(F.col("__qv"), F.col("__cv")))
         .drop("__qv", "__cv")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    # window-free per-group top-k (r11 verdict #1): a
+    # Window.partitionBy(query_id) here funnels the corpus-proportional
+    # candidate set into <= |panel| tasks; grouped_topk's two-stage
+    # aggregate keeps the same (score DESC, corpus_id) total order with
+    # parallelism that scales with the input partition count
+    return grouped_topk(scored, "query_id", "score", "corpus_id", k)
 
 
 def knn_join_lsh(
@@ -91,18 +93,15 @@ def knn_join_lsh(
     )
     model = lsh.fit(c)
     pairs = model.approxSimilarityJoin(c, q, max_distance, distCol="dist")
-    w = Window.partitionBy("datasetB.query_id").orderBy(
-        F.asc("dist"), F.col("datasetA.corpus_id")
+    flat = pairs.select(
+        F.col("datasetB.query_id").alias("query_id"),
+        F.col("datasetA.corpus_id").alias("corpus_id"),
+        F.col("dist"),
     )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("datasetB.query_id").alias("query_id"),
-            F.col("datasetA.corpus_id").alias("corpus_id"),
-            F.col("dist"),
-            F.col("rank"),
-        )
+    # window-free per-group top-k over the (corpus-proportional) LSH
+    # candidate pairs — ascending: nearest Euclidean distance first
+    return grouped_topk(
+        flat, "query_id", "dist", "corpus_id", k, ascending=True
     )
 
 
@@ -181,11 +180,14 @@ def ann_ivf(
     cand = corpus_assigned.join(query_probes, "list_id").withColumn(
         "score", cosine(F.col(vec_col), F.col("__qv"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(corpus_id))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col(corpus_id).alias("corpus_id"), "score", "rank")
+    # probed candidates are still corpus-proportional (n_probe/n_lists
+    # of the corpus) — window-free per-group top-k (r11 verdict #1)
+    return grouped_topk(
+        cand.select("query_id", F.col(corpus_id).alias("corpus_id"), "score"),
+        "query_id",
+        "score",
+        "corpus_id",
+        k,
     )
 
 
@@ -355,11 +357,13 @@ def ann_ivf_indexed(
     cand = corpus.join(F.broadcast(probes), "list_id").withColumn(  # bcast-ok: n_probe probe list ids
         "score", cosine(F.col(vec_col), F.col("__qv"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(corpus_id))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col(corpus_id).alias("corpus_id"), "score", "rank")
+    # probed candidates are corpus-proportional — window-free top-k
+    return grouped_topk(
+        cand.select("query_id", F.col(corpus_id).alias("corpus_id"), "score"),
+        "query_id",
+        "score",
+        "corpus_id",
+        k,
     )
 
 
@@ -566,11 +570,13 @@ def ann_ivf_portable(
     cand = c.join(F.broadcast(probes), "list_id").withColumn(  # bcast-ok: n_probe probe list ids
         "score", cosine(F.col("__qv"), F.col("__cv"))
     )
-    wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("corpus_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "corpus_id", "score", "rank")
+    # probed candidates are corpus-proportional — window-free top-k
+    return grouped_topk(
+        cand.select("query_id", "corpus_id", "score"),
+        "query_id",
+        "score",
+        "corpus_id",
+        k,
     )
 
 
@@ -757,14 +763,13 @@ def ann_ivfpq_indexed(
     )
     cand = corpus.join(F.broadcast(probes), "list_id")  # bcast-ok: n_probe probe rows per query
     scored = cand.withColumn("adc", F.expr(PQ_ADC_EXPR))
-    wk = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "corpus_id", "adc",
-            F.col("rank").cast("bigint").alias("rank"),
-        )
+    # probed codes are corpus-proportional — window-free top-k
+    return grouped_topk(
+        scored.select("query_id", "corpus_id", "adc"),
+        "query_id",
+        "adc",
+        "corpus_id",
+        k,
     )
 
 

@@ -1,4 +1,5 @@
-"""Window-free global top-k with ranks.
+"""Window-free top-k with ranks — global (ranked_topk) and per-group
+(grouped_topk).
 
 ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY plans a
 single-partition WindowExec — the whole input funnels through one task,
@@ -12,9 +13,18 @@ with nothing single-partition at corpus size:
 
 Only k rows ever leave the TakeOrdered, so the array/posexplode stage
 is O(k) regardless of corpus size.
+
+The PER-GROUP analog of the same funnel (r11 verdict #1) is
+``Window.partitionBy(panel_key)`` where the panel has 1-100 distinct
+values but the window input is corpus-proportional (a KNN/ADC candidate
+set): every candidate row shuffles into <= |panel| tasks, each doing a
+single-task O(n log n) sort to keep k rows — WindowExec cannot do
+partial top-k. ``grouped_topk`` is the window-free form.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,4 +52,77 @@ def ranked_topk(
         F.col("e.id").alias(id_col),
         (-F.col("e.neg")).alias(value_col),
         (F.col("pos") + 1).cast("bigint").alias(rank_name),
+    )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int,
+    payload_cols: Sequence[str] = (),
+    ascending: bool = False,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Per-group top-k by (value DESC, id ASC) — or ASC/ASC with
+    ``ascending=True`` — with 1-based ranks: row-for-row identical to
+    ``row_number() OVER (PARTITION BY group ORDER BY value [DESC], id)``
+    filtered to ``rank <= k``, but with NO WindowExec anywhere.
+
+    Two-stage aggregate top-k (r11 verdict #1):
+
+    * stage 1 groups on (group, ``spark_partition_id()``) and keeps a
+      bounded ``slice(sort_array(collect_list(struct)), 1, k)`` per
+      input partition — |groups| x |input partitions| parallel keys, so
+      no task ever sorts more than one partition's share and the
+      parallelism scales AUTOMATICALLY with the input (more corpus =>
+      more partitions => more stage-1 keys), unlike a bounded-panel
+      window whose task count is frozen at |panel|;
+    * stage 2 merges the <= k x |partitions| survivors per group with
+      the same slice(sort_array(flatten)) and posexplodes ranks —
+      bounded input by construction.
+
+    The exchange between the stages still carries every candidate row
+    once (as any groupBy does — project df down to (groups, value, id,
+    payload) before calling); what this kills is the |panel|-task sort
+    funnel. At true corpus scale prefer pruning candidates FIRST (IVF
+    probing, banded LSH) and use this for the surviving top-k.
+
+    Memory: each stage-1 buffer holds one group's rows from ONE input
+    partition before the slice (bounded by
+    ``spark.sql.files.maxPartitionBytes`` worth of (value, id, payload)
+    structs); collect_list's ObjectHashAggregate falls back to
+    sort-based aggregation past the key threshold rather than OOM.
+
+    Requirements: ``value_col`` and ``id_col`` non-null, ``id_col``
+    unique within a group (it is the total-order tiebreak, always
+    ascending). ``payload_cols`` ride along with the winning rows and
+    do not affect ordering. Output: group cols, id, value, payloads,
+    rank — value round-trips bit-exactly (double negation is sign-flip
+    only; bigints stay far from the overflow edge).
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    v = F.col(value_col) if ascending else (-F.col(value_col))
+    s = F.struct(
+        v.alias("v"),
+        F.col(id_col).alias("i"),
+        *[F.col(p).alias(p) for p in payload_cols],
+    )
+    part = df.groupBy(
+        *groups, F.spark_partition_id().alias("__gtk_part")
+    ).agg(F.slice(F.sort_array(F.collect_list(s)), 1, k).alias("__gtk_a"))
+    merged = part.groupBy(*groups).agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("__gtk_a"))), 1, k
+        ).alias("__gtk_a")
+    )
+    ex = merged.select(*groups, F.posexplode("__gtk_a").alias("__gtk_pos", "__gtk_e"))
+    val = F.col("__gtk_e.v") if ascending else (-F.col("__gtk_e.v"))
+    return ex.select(
+        *groups,
+        F.col("__gtk_e.i").alias(id_col),
+        val.alias(value_col),
+        *[F.col(f"__gtk_e.{p}").alias(p) for p in payload_cols],
+        (F.col("__gtk_pos") + 1).cast("bigint").alias(rank_name),
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from fegis_spark.catalog import register
 from fegis_spark.model import load_table
 from fegis_spark.operators.knn import ann_ivf, knn_join
+from fegis_spark.operators.topk import grouped_topk
 from fegis_spark.plans.search import basic_search, by_id_search, filtered_search
 
 # DuckDB: explicit sequential-fold cosine (list_cosine_similarity's
@@ -1336,14 +1337,16 @@ def ann_pq_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = corpus.crossJoin(F.broadcast(qs))  # bcast-ok: 3 panel query LUTs
     scored = cand.withColumn("adc", F.expr(PQ_ADC_EXPR))
-    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "query_id", "corpus_id", "adc",
-            F.col("rank").cast("bigint").alias("rank"),
-        )
+    # window-free per-group top-k (r11 verdict #1): the candidate set
+    # is the full codes table x panel — a bounded-panel window here is
+    # the <=3-task funnel; grouped_topk keeps the identical
+    # (adc DESC, corpus_id) order with input-scaling parallelism
+    return grouped_topk(
+        scored.select("query_id", "corpus_id", "adc"),
+        "query_id",
+        "adc",
+        "corpus_id",
+        3,
     )
 
 
@@ -1421,14 +1424,33 @@ def ann_pq_recall_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(PQ_ADC_EXPR).alias("adc"),
         cosine(F.col("qv"), F.col("cv")).alias("cos"),
     )
-    wa = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("corpus_id"))
-    wc = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("corpus_id"))
-    hits = (
-        scored.withColumn("ra", F.row_number().over(wa))
-        .withColumn("rc", F.row_number().over(wc))
-        .filter((F.col("ra") <= 10) & (F.col("rc") <= 10))
-        .groupBy("query_id")
-        .agg(F.count("*").alias("h"))
+    # BOTH top-10 sets in ONE window-free pass (r11 verdict #1): the
+    # two bounded-panel windows funneled corpus x panel into <=8 tasks
+    # twice; here one (query, input-partition) aggregation keeps a
+    # bounded (adc, id) and (cos, id) slice per partition, the merge
+    # sees <= 10 x partitions rows per query, and the hit count is the
+    # intersection of the two id arrays — same (DESC, corpus_id)
+    # total order as row_number on both rankings
+    sa = F.struct((-F.col("adc")).alias("v"), F.col("corpus_id").alias("i"))
+    sc = F.struct((-F.col("cos")).alias("v"), F.col("corpus_id").alias("i"))
+    part = scored.groupBy(
+        "query_id", F.spark_partition_id().alias("__p")
+    ).agg(
+        F.slice(F.sort_array(F.collect_list(sa)), 1, 10).alias("aa"),
+        F.slice(F.sort_array(F.collect_list(sc)), 1, 10).alias("ac"),
+    )
+    merged = part.groupBy("query_id").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("aa"))), 1, 10).alias("aa"),
+        F.slice(F.sort_array(F.flatten(F.collect_list("ac"))), 1, 10).alias("ac"),
+    )
+    hits = merged.select(
+        "query_id",
+        F.size(
+            F.array_intersect(
+                F.expr("transform(aa, x -> x.i)"),
+                F.expr("transform(ac, x -> x.i)"),
+            )
+        ).alias("h"),
     )
     return (
         qs.select("query_id")
@@ -1550,14 +1572,13 @@ def ann_ivfpq_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = corpus.join(F.broadcast(probes), "list_id")  # bcast-ok: n_probe probe rows per panel query
     scored = cand.withColumn("adc", F.expr(PQ_ADC_EXPR))
-    wk = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "query_id", "corpus_id", "adc",
-            F.col("rank").cast("bigint").alias("rank"),
-        )
+    # probed codes are corpus-proportional — window-free top-k
+    return grouped_topk(
+        scored.select("query_id", "corpus_id", "adc"),
+        "query_id",
+        "adc",
+        "corpus_id",
+        3,
     )
 
 
@@ -1642,14 +1663,18 @@ def ann_pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(pq_luts_expr("embedding")).alias("luts"),
     )
     cand = corpus.crossJoin(F.broadcast(qs.select("query_id", "luts")))  # bcast-ok: 3 panel query LUTs
-    ws = Window.partitionBy("query_id").orderBy(
-        F.desc(F.expr(PQ_ADC_EXPR)), F.col("corpus_id")
-    )
-    short = (
-        cand.withColumn("rs", F.row_number().over(ws))
-        .filter(F.col("rs") <= PQ_RERANK_SHORTLIST)
-        .select("query_id", "corpus_id")
-    )
+    # stage 1 shortlist: window-free per-group top-k over the full
+    # codes table x panel (r11 verdict #1 — the bounded-panel window
+    # here was the funnel shape)
+    short = grouped_topk(
+        cand.withColumn("adc", F.expr(PQ_ADC_EXPR)).select(
+            "query_id", "corpus_id", "adc"
+        ),
+        "query_id",
+        "adc",
+        "corpus_id",
+        PQ_RERANK_SHORTLIST,
+    ).select("query_id", "corpus_id")
     fetch = (
         emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv"))
         .join(F.broadcast(short), "corpus_id")  # bcast-ok: shortlist×panel id pairs

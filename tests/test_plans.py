@@ -386,3 +386,37 @@ def test_group_split_leakage_single_scan_no_expand(spark, cat):
     assert p.count("Location:") == 1, p
     assert "Expand" not in p, p
     assert "Join" not in p, p
+
+
+def _window_nodes(p: str) -> int:
+    """WindowExec node count from the formatted detail section —
+    '(N) Window' appears once per node ('Window' alone appears twice:
+    tree + detail; WindowGroupLimit is a different node)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Window(?:\s|$)", p))
+
+
+def test_panel_topk_is_window_free(spark, cat):
+    """r11 verdict #1 pin: per-query top-k over corpus-proportional
+    candidates (KNN cross-score, PQ-ADC codes scan) must be the
+    grouped_topk two-stage aggregate, NEVER a bounded-panel WindowExec
+    — a |panel|-key window over a corpus-scale input funnels every
+    candidate row into <= |panel| tasks at 100 TB."""
+    for name in ("knn_join_batch", "ann_pq_adc", "ann_pq_recall_audit"):
+        p = formatted_plan(spark, cat, name)
+        assert _window_nodes(p) == 0, (name, p)
+
+
+def test_panel_topk_remaining_windows_are_bounded(spark, cat):
+    """The windows these plans keep are over BOUNDED derived inputs
+    only: probe selection (|panel| x n_lists posexploded rows) and the
+    ann_pq_rerank stage-2 re-rank (shortlist x panel rows). The
+    corpus-proportional candidate top-k is grouped_topk in all three."""
+    for name, n in (
+        ("ann_pq_rerank", 1),      # stage-2 re-rank over the shortlist
+        ("ann_ivfpq_portable", 1), # probe selection
+        ("ann_ivf_portable", 1),   # probe selection
+    ):
+        p = formatted_plan(spark, cat, name)
+        assert _window_nodes(p) == n, (name, p)
