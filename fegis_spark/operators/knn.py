@@ -23,7 +23,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fegis_spark.functions.vector import cosine
-from fegis_spark.operators.topk import grouped_topk
 
 
 def knn_join(
@@ -50,12 +49,18 @@ def knn_join(
         .withColumn("score", cosine(F.col("__qv"), F.col("__cv")))
         .drop("__qv", "__cv")
     )
-    # window-free per-group top-k (r11 verdict #1): a
-    # Window.partitionBy(query_id) here funnels the corpus-proportional
-    # candidate set into <= |panel| tasks; grouped_topk's two-stage
-    # aggregate keeps the same (score DESC, corpus_id) total order with
-    # parallelism that scales with the input partition count
-    return grouped_topk(scored, "query_id", "score", "corpus_id", k)
+    # panel-ok: row_number + filter(rank <= k) plans
+    # WindowGroupLimit(Partial) BELOW the exchange — each map task
+    # emits only top-k per (query, partition), so the exchange carries
+    # <= k x partitions x |panel| rows and there is NO corpus funnel.
+    # The grouped_topk two-stage aggregate was A/B'd here and measured
+    # 0.59-0.82x of this form (evidence/topk_ab_r12.json); pinned in
+    # tests/test_plans.py::test_panel_topk_partial_group_limit.
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def knn_join_lsh(
@@ -98,10 +103,12 @@ def knn_join_lsh(
         F.col("datasetA.corpus_id").alias("corpus_id"),
         F.col("dist"),
     )
-    # window-free per-group top-k over the (corpus-proportional) LSH
-    # candidate pairs — ascending: nearest Euclidean distance first
-    return grouped_topk(
-        flat, "query_id", "dist", "corpus_id", k, ascending=True
+    # panel-ok: WindowGroupLimit(Partial) below the exchange bounds the
+    # shuffled candidates to k per (query, map partition) — see knn_join
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.col("corpus_id"))
+    return (
+        flat.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -180,14 +187,13 @@ def ann_ivf(
     cand = corpus_assigned.join(query_probes, "list_id").withColumn(
         "score", cosine(F.col(vec_col), F.col("__qv"))
     )
-    # probed candidates are still corpus-proportional (n_probe/n_lists
-    # of the corpus) — window-free per-group top-k (r11 verdict #1)
-    return grouped_topk(
-        cand.select("query_id", F.col(corpus_id).alias("corpus_id"), "score"),
-        "query_id",
-        "score",
-        "corpus_id",
-        k,
+    # panel-ok: WindowGroupLimit(Partial) below the exchange bounds the
+    # shuffled probed candidates to k per (query, map partition)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(corpus_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(corpus_id).alias("corpus_id"), "score", "rank")
     )
 
 
@@ -357,13 +363,13 @@ def ann_ivf_indexed(
     cand = corpus.join(F.broadcast(probes), "list_id").withColumn(  # bcast-ok: n_probe probe list ids
         "score", cosine(F.col(vec_col), F.col("__qv"))
     )
-    # probed candidates are corpus-proportional — window-free top-k
-    return grouped_topk(
-        cand.select("query_id", F.col(corpus_id).alias("corpus_id"), "score"),
-        "query_id",
-        "score",
-        "corpus_id",
-        k,
+    # panel-ok: WindowGroupLimit(Partial) below the exchange bounds the
+    # shuffled probed candidates to k per (query, map partition)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(corpus_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(corpus_id).alias("corpus_id"), "score", "rank")
     )
 
 
@@ -570,13 +576,13 @@ def ann_ivf_portable(
     cand = c.join(F.broadcast(probes), "list_id").withColumn(  # bcast-ok: n_probe probe list ids
         "score", cosine(F.col("__qv"), F.col("__cv"))
     )
-    # probed candidates are corpus-proportional — window-free top-k
-    return grouped_topk(
-        cand.select("query_id", "corpus_id", "score"),
-        "query_id",
-        "score",
-        "corpus_id",
-        k,
+    # panel-ok: WindowGroupLimit(Partial) below the exchange bounds the
+    # shuffled probed candidates to k per (query, map partition)
+    wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("corpus_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
     )
 
 
@@ -763,13 +769,16 @@ def ann_ivfpq_indexed(
     )
     cand = corpus.join(F.broadcast(probes), "list_id")  # bcast-ok: n_probe probe rows per query
     scored = cand.withColumn("adc", F.expr(PQ_ADC_EXPR))
-    # probed codes are corpus-proportional — window-free top-k
-    return grouped_topk(
-        scored.select("query_id", "corpus_id", "adc"),
-        "query_id",
-        "adc",
-        "corpus_id",
-        k,
+    # panel-ok: WindowGroupLimit(Partial) below the exchange bounds the
+    # shuffled probed codes to k per (query, map partition)
+    wk = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "corpus_id", "adc",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 

@@ -14,12 +14,22 @@ with nothing single-partition at corpus size:
 Only k rows ever leave the TakeOrdered, so the array/posexplode stage
 is O(k) regardless of corpus size.
 
-The PER-GROUP analog of the same funnel (r11 verdict #1) is
-``Window.partitionBy(panel_key)`` where the panel has 1-100 distinct
-values but the window input is corpus-proportional (a KNN/ADC candidate
-set): every candidate row shuffles into <= |panel| tasks, each doing a
-single-task O(n log n) sort to keep k rows — WindowExec cannot do
-partial top-k. ``grouped_topk`` is the window-free form.
+The PER-GROUP analog (r11 verdict #1) — ``Window.partitionBy(panel)``
+over a corpus-proportional input — is MOSTLY not a funnel on Spark 4:
+for ``row_number()/rank()/dense_rank() OVER (...) <= k`` the optimizer
+inserts ``WindowGroupLimit(Partial)`` BELOW the exchange, so each map
+task pre-sorts its partition and ships only top-k per group, exactly
+the two-stage shape — measured FASTER than the aggregate form at every
+replication factor (grouped form 0.59-0.82x of the window+WGL form;
+evidence/topk_ab_r12.json, plan pinned in tests/test_plans.py).
+
+``grouped_topk`` is therefore for the shapes where the group-limit
+rule CANNOT fire: a filter bounding TWO rank columns at once (the
+dual-ranking recall audit — only the last window gets a limit, and
+above the exchange), a rank consumed without an immediate bound, or
+several rankings wanted in ONE pass (two bounded slices in one
+aggregation). For a plain per-group top-k, prefer the window + filter
+and pin WindowGroupLimit(Partial) in the plan.
 """
 
 from __future__ import annotations
@@ -70,24 +80,22 @@ def grouped_topk(
     ``row_number() OVER (PARTITION BY group ORDER BY value [DESC], id)``
     filtered to ``rank <= k``, but with NO WindowExec anywhere.
 
-    Two-stage aggregate top-k (r11 verdict #1):
+    Use this ONLY where WindowGroupLimit cannot fire (see module doc) —
+    for the plain window-expressible shape the window + filter form is
+    measured faster (evidence/topk_ab_r12.json). Two-stage aggregate:
 
     * stage 1 groups on (group, ``spark_partition_id()``) and keeps a
       bounded ``slice(sort_array(collect_list(struct)), 1, k)`` per
-      input partition — |groups| x |input partitions| parallel keys, so
-      no task ever sorts more than one partition's share and the
-      parallelism scales AUTOMATICALLY with the input (more corpus =>
-      more partitions => more stage-1 keys), unlike a bounded-panel
-      window whose task count is frozen at |panel|;
+      input partition — |groups| x |input partitions| parallel keys
+      whose count scales automatically with the input;
     * stage 2 merges the <= k x |partitions| survivors per group with
       the same slice(sort_array(flatten)) and posexplodes ranks —
       bounded input by construction.
 
     The exchange between the stages still carries every candidate row
     once (as any groupBy does — project df down to (groups, value, id,
-    payload) before calling); what this kills is the |panel|-task sort
-    funnel. At true corpus scale prefer pruning candidates FIRST (IVF
-    probing, banded LSH) and use this for the surviving top-k.
+    payload) before calling). At true corpus scale prefer pruning
+    candidates FIRST (IVF probing, banded LSH) and rank the survivors.
 
     Memory: each stage-1 buffer holds one group's rows from ONE input
     partition before the slice (bounded by

@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 from fegis_spark.catalog import register
 from fegis_spark.model import load_table
 from fegis_spark.operators.knn import ann_ivf, knn_join
-from fegis_spark.operators.topk import grouped_topk
 from fegis_spark.plans.search import basic_search, by_id_search, filtered_search
 
 # DuckDB: explicit sequential-fold cosine (list_cosine_similarity's
@@ -1337,16 +1336,19 @@ def ann_pq_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = corpus.crossJoin(F.broadcast(qs))  # bcast-ok: 3 panel query LUTs
     scored = cand.withColumn("adc", F.expr(PQ_ADC_EXPR))
-    # window-free per-group top-k (r11 verdict #1): the candidate set
-    # is the full codes table x panel — a bounded-panel window here is
-    # the <=3-task funnel; grouped_topk keeps the identical
-    # (adc DESC, corpus_id) order with input-scaling parallelism
-    return grouped_topk(
-        scored.select("query_id", "corpus_id", "adc"),
-        "query_id",
-        "adc",
-        "corpus_id",
-        3,
+    # panel-ok: row_number + filter(rank <= k) plans
+    # WindowGroupLimit(Partial) below the exchange — only top-k per
+    # (query, map partition) shuffles, no corpus funnel; the
+    # grouped_topk alternative measured 0.59-0.82x of this form
+    # (evidence/topk_ab_r12.json), plan pinned in test_plans.py
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "corpus_id", "adc",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 
@@ -1572,13 +1574,16 @@ def ann_ivfpq_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = corpus.join(F.broadcast(probes), "list_id")  # bcast-ok: n_probe probe rows per panel query
     scored = cand.withColumn("adc", F.expr(PQ_ADC_EXPR))
-    # probed codes are corpus-proportional — window-free top-k
-    return grouped_topk(
-        scored.select("query_id", "corpus_id", "adc"),
-        "query_id",
-        "adc",
-        "corpus_id",
-        3,
+    # panel-ok: WindowGroupLimit(Partial) below the exchange bounds the
+    # shuffled probed codes to k per (query, map partition)
+    wk = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "corpus_id", "adc",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 
@@ -1663,18 +1668,18 @@ def ann_pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(pq_luts_expr("embedding")).alias("luts"),
     )
     cand = corpus.crossJoin(F.broadcast(qs.select("query_id", "luts")))  # bcast-ok: 3 panel query LUTs
-    # stage 1 shortlist: window-free per-group top-k over the full
-    # codes table x panel (r11 verdict #1 — the bounded-panel window
-    # here was the funnel shape)
-    short = grouped_topk(
-        cand.withColumn("adc", F.expr(PQ_ADC_EXPR)).select(
-            "query_id", "corpus_id", "adc"
-        ),
-        "query_id",
-        "adc",
-        "corpus_id",
-        PQ_RERANK_SHORTLIST,
-    ).select("query_id", "corpus_id")
+    # panel-ok: WindowGroupLimit(Partial) below the exchange bounds the
+    # shuffled candidates to shortlist-size per (query, map partition);
+    # adc is materialized as a column so the order key is attribute-only
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.col("corpus_id")
+    )
+    short = (
+        cand.withColumn("adc", F.expr(PQ_ADC_EXPR))
+        .withColumn("rs", F.row_number().over(ws))
+        .filter(F.col("rs") <= PQ_RERANK_SHORTLIST)
+        .select("query_id", "corpus_id")
+    )
     fetch = (
         emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv"))
         .join(F.broadcast(short), "corpus_id")  # bcast-ok: shortlist×panel id pairs

@@ -536,7 +536,180 @@ def pq_ab(spark, factor: int = 16) -> dict:
     return out
 
 
+def topk_ab(spark, factor: int = 16) -> dict:
+    """r12 (r11 verdict #1 'Done' leg): three top-k forms on the same
+    corpus x panel cosine candidate set, at 1x and Nx.
+
+    (a) single-rank: row_number window + filter — Spark 4 plans
+        WindowGroupLimit(Partial) BELOW the exchange, so only top-k
+        per (query, map partition) shuffles: NOT a funnel;
+    (b) single-rank: grouped_topk two-stage aggregate — same rows
+        (asserted), object-agg overhead, measured slower than (a);
+    (c) dual-rank audit shape (filter bounds ra AND rc): the
+        group-limit rule covers only the LAST window and only ABOVE
+        the exchange, so the dual-window form shuffles the FULL
+        candidate set into <= |panel| tasks — the real funnel — vs
+        the single-pass dual-bounded-slice aggregation that replaced
+        it in ann_pq_recall_audit.
+
+    The measured ratios are the evidence for keeping the window form
+    at single-rank sites and the aggregate form at dual-rank sites."""
+    from fegis_spark.functions.vector import cosine
+    from fegis_spark.operators.topk import grouped_topk
+    from pyspark.sql import Window
+
+    out: dict = {
+        "probe": "top-k forms: window+WGL vs grouped agg; dual-rank funnel vs single-pass slices (r12)",
+        "factor": factor,
+        "k": 10,
+        "panel": 3,
+        "legs": {},
+    }
+
+    def timed_best2(make_df) -> float:
+        best = None
+        for _ in range(2):
+            df = make_df()
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache(); clear_memos()
+        return round(best, 3)
+
+    with tempfile.TemporaryDirectory(prefix="topk_ab_") as tmp:
+        for leg, fac in (("x1", 1), (f"x{factor}", factor)):
+            d = f"{tmp}/{leg}"
+            replicate(spark, d, fac)
+            emb = spark.read.parquet(f"{d}/embeddings.parquet")
+            n = emb.count()
+            qs = emb.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+            )
+
+            def scored():
+                c = spark.read.parquet(f"{d}/embeddings.parquet").select(
+                    F.col("vec_id").alias("corpus_id"),
+                    F.col("embedding").alias("cv"),
+                )
+                return (
+                    # bcast-ok: 3 panel query vectors
+                    c.crossJoin(F.broadcast(qs))
+                    .select(
+                        "query_id",
+                        "corpus_id",
+                        cosine(F.col("qv"), F.col("cv")).alias("score"),
+                    )
+                )
+
+            def window_df():
+                w = Window.partitionBy("query_id").orderBy(
+                    F.desc("score"), F.col("corpus_id")
+                )
+                return (
+                    scored()
+                    .withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= 10)
+                    .select("query_id", "corpus_id", "rank")
+                )
+
+            def grouped_df():
+                return grouped_topk(
+                    scored(), "query_id", "score", "corpus_id", 10
+                ).select("query_id", "corpus_id", "rank")
+
+            # dual-rank audit shape: second ranking on a cheap integer
+            # proxy so the probe isolates the top-k machinery cost
+            def dual_scored():
+                return scored().withColumn(
+                    "adc", F.pmod(F.xxhash64("corpus_id"), F.lit(1 << 20))
+                )
+
+            def dual_window_df():
+                wa = Window.partitionBy("query_id").orderBy(
+                    F.desc("adc"), F.col("corpus_id")
+                )
+                wc = Window.partitionBy("query_id").orderBy(
+                    F.desc("score"), F.col("corpus_id")
+                )
+                return (
+                    dual_scored()
+                    .withColumn("ra", F.row_number().over(wa))
+                    .withColumn("rc", F.row_number().over(wc))
+                    .filter((F.col("ra") <= 10) & (F.col("rc") <= 10))
+                    .groupBy("query_id")
+                    .agg(F.count("*").alias("h"))
+                )
+
+            def dual_slice_df():
+                d = dual_scored()
+                sa = F.struct(
+                    (-F.col("adc")).alias("v"), F.col("corpus_id").alias("i")
+                )
+                sc = F.struct(
+                    (-F.col("score")).alias("v"), F.col("corpus_id").alias("i")
+                )
+                part = d.groupBy(
+                    "query_id", F.spark_partition_id().alias("__p")
+                ).agg(
+                    F.slice(F.sort_array(F.collect_list(sa)), 1, 10).alias("aa"),
+                    F.slice(F.sort_array(F.collect_list(sc)), 1, 10).alias("ac"),
+                )
+                merged = part.groupBy("query_id").agg(
+                    F.slice(
+                        F.sort_array(F.flatten(F.collect_list("aa"))), 1, 10
+                    ).alias("aa"),
+                    F.slice(
+                        F.sort_array(F.flatten(F.collect_list("ac"))), 1, 10
+                    ).alias("ac"),
+                )
+                return merged.select(
+                    "query_id",
+                    F.size(
+                        F.array_intersect(
+                            F.expr("transform(aa, x -> x.i)"),
+                            F.expr("transform(ac, x -> x.i)"),
+                        )
+                    ).cast("bigint").alias("h"),
+                )
+
+            got = {(r[0], r[1], int(r[2])) for r in grouped_df().collect()}
+            want = {(r[0], r[1], int(r[2])) for r in window_df().collect()}
+            assert got == want, "grouped_topk diverged from the window form"
+            # the window form omits zero-hit queries (groupBy after
+            # filter); the slice form emits h=0 rows — compare on the
+            # positive-hit set
+            dg = {(r[0], int(r[1])) for r in dual_slice_df().collect() if r[1]}
+            dw = {(r[0], int(r[1])) for r in dual_window_df().collect()}
+            assert dg == dw, "dual-slice diverged from the dual-window form"
+            spark.catalog.clearCache(); clear_memos()
+            out["legs"][leg] = {
+                "n_vectors": n,
+                "rows_identical": True,
+                "window_s": timed_best2(window_df),
+                "grouped_s": timed_best2(grouped_df),
+                "dual_window_s": timed_best2(dual_window_df),
+                "dual_slice_s": timed_best2(dual_slice_df),
+            }
+    x1, xn = out["legs"]["x1"], out["legs"][f"x{factor}"]
+    out["window_scale_ratio"] = round(xn["window_s"] / x1["window_s"], 2)
+    out["grouped_scale_ratio"] = round(xn["grouped_s"] / x1["grouped_s"], 2)
+    out["grouped_over_window_at_xN"] = round(
+        xn["window_s"] / xn["grouped_s"], 2
+    )
+    out["dual_slice_speedup_at_xN"] = round(
+        xn["dual_window_s"] / xn["dual_slice_s"], 2
+    )
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "topk":
+        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        spark = configure_for_oracle(get_spark("scale_probe"))
+        print(json.dumps(topk_ab(spark, factor)))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf":
         factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
         spark = configure_for_oracle(get_spark("scale_probe"))
