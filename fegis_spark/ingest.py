@@ -171,6 +171,7 @@ def ingest_batch(
         "document",
         document_text(F.col("content"), F.col("tool"), F.to_json(F.col("frames"))),
     )
+    # grpwin-ok: session_id cardinality scales with input
     w = Window.partitionBy("session_id").orderBy(*(order_cols or ["ts"]))
     step = step.withColumn("sequence_order", F.row_number().over(w))
     # The reference mints uuid4 per memory (T6, storage.py:171). Batch

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 
 def _dedupe_right(right: DataFrame, key: str, right_ts: str, payload: list[str]) -> DataFrame:
+    # grpwin-ok: (key, right_ts) cardinality scales with the right table
     w = Window.partitionBy(key, right_ts).orderBy(*[F.desc(c) for c in payload])
     return (
         right.withColumn("__rn", F.row_number().over(w))
@@ -87,7 +88,7 @@ def asof_join_union(
     )
     u = l.unionByName(r)
     w = (
-        Window.partitionBy(key)
+        Window.partitionBy(key)  # grpwin-ok: as-of key cardinality scales with input
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )

@@ -181,6 +181,7 @@ def banded_candidate_pairs(
     # star path) are identical subplans over one exchange, so
     # ReusedExchange computes the sketch once. min over a struct keeps
     # the representative's payload without a doc-level join-back.
+    # grpwin-ok: (band, bh) bucket keyspace scales; hot buckets routed by the cap
     w = Window.partitionBy("band", "bh")
     sized = banded.withColumn("bucket_size", F.count("*").over(w)).withColumn(
         "rep", F.min(F.struct("doc", *pay)).over(w)

@@ -170,6 +170,7 @@ def ann_ivf(
         scored = df.crossJoin(F.broadcast(cent_df)).withColumn(  # bcast-ok: n_lists centroids
             "__sim", cosine(F.col(vec_col), F.col("centroid"))
         )
+        # grpwin-ok: per-row id partition key — count scales with input
         w = Window.partitionBy(id_alias).orderBy(F.desc("__sim"), F.col("list_id"))
         return (
             scored.withColumn("__r", F.row_number().over(w))
@@ -293,6 +294,7 @@ def _nearest_lists(df: DataFrame, cent_df: DataFrame, vec_col: str, id_alias: st
     scored = df.crossJoin(F.broadcast(cent_df)).withColumn(  # bcast-ok: n_lists centroids
         "__sim", cosine(F.col(vec_col), F.col("centroid"))
     )
+    # grpwin-ok: per-row id partition key — count scales with input
     w = Window.partitionBy(id_alias).orderBy(F.desc("__sim"), F.col("list_id"))
     return (
         scored.withColumn("__r", F.row_number().over(w))
@@ -567,6 +569,7 @@ def ann_ivf_portable(
     pr = qd.select(
         "query_id", "__qv", F.posexplode("__dots").alias("list_id", "__dot")
     )
+    # panel-ok: input is |query panel| x n_lists posexploded rows — bounded
     w = Window.partitionBy("query_id").orderBy(F.desc("__dot"), F.col("list_id"))
     probes = (
         pr.withColumn("__r", F.row_number().over(w))
@@ -761,6 +764,7 @@ def ann_ivfpq_indexed(
     pr = qd.select(
         "query_id", "luts", F.posexplode("__dots").alias("list_id", "__dot")
     )
+    # panel-ok: input is |query panel| x n_lists posexploded rows — bounded
     w = Window.partitionBy("query_id").orderBy(F.desc("__dot"), F.col("list_id"))
     probes = (
         pr.withColumn("__r", F.row_number().over(w))

@@ -55,6 +55,7 @@ def latest_per_key_window(
     ordering = [F.desc(order)]
     if tiebreak is not None:
         ordering.append(F.col(tiebreak))
+    # grpwin-ok: caller key (user/session id) — cardinality scales with input
     w = Window.partitionBy(key).orderBy(*ordering)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -69,12 +70,14 @@ def assign_sequence(df: DataFrame, key: str, order: str, out: str = "sequence_or
     The reference does a read-modify-write round trip per invocation
     (fegis/storage.py:132-139); batch form is one window pass.
     """
+    # grpwin-ok: caller key (user/session id) — cardinality scales with input
     w = Window.partitionBy(key).orderBy(order)
     return df.withColumn(out, F.row_number().over(w))
 
 
 def with_preceding(df: DataFrame, key: str, order: str, id_col: str, out: str = "preceding_id") -> DataFrame:
     """W2: reproduce the reference's ``preceding_memory_id`` via lag."""
+    # grpwin-ok: caller key (user/session id) — cardinality scales with input
     w = Window.partitionBy(key).orderBy(order)
     return df.withColumn(out, F.lag(id_col).over(w))
 

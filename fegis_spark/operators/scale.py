@@ -108,6 +108,7 @@ def pack_greedy_sharded(
     )
     base = df.withColumn("shard", shard)
     w = (
+        # grpwin-ok: (key, shard) — n_shards is the scale knob of the md5 sub-stream sharding (docstring)
         Window.partitionBy(*key_cols, "shard")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -122,6 +123,7 @@ def pack_greedy_sharded(
         (F.max("local_pack") + 1).alias("n_packs")
     )
     woff = (
+        # panel-ok: input is the n_shards-row per-key shard summary — bounded derived table
         Window.partitionBy(*key_cols)
         .orderBy("shard")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -285,7 +285,7 @@ def winnow_match_pairs(
     else:
         from pyspark.sql import Window
 
-        w = Window.partitionBy("h")
+        w = Window.partitionBy("h")  # grpwin-ok: fingerprint-hash bucket keyspace scales with input
         sized = ex.withColumn("bucket_size", F.count("*").over(w)).withColumn(
             "rep", F.min(F.struct("doc_id", "n_fp")).over(w)
         )

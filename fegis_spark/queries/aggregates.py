@@ -275,9 +275,11 @@ def rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank ties on exact price (decimal-cast so both engines tie
     identically); ntile/lead orders carry the key tiebreak."""
     orders = load_table(spark, sf_dir, "orders")
+    # panel-ok: WindowGroupLimit pushdown pinned (test_rank_filter_family_pushes_window_group_limit)
     w_price = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").cast("decimal(18,2)").desc()
     )
+    # panel-ok: WindowGroupLimit pushdown pinned (rank-filter family)
     w_tb = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.col("o_orderkey")
     )
@@ -606,7 +608,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-ratio division (no dsum needed), emitted unrounded —
     the IEEE divide is bit-identical cross-engine."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
+    w = Window.partitionBy("user_id").orderBy(  # grpwin-ok: user_id cardinality scales with input
         F.col("ts").cast("timestamp"), F.col("event_id")
     )
     seq = e.select(
@@ -678,6 +680,7 @@ def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries values forward. Both windows are user-partitioned; nothing
     global. Values pass through unmodified (no summation → no dsum)."""
     e = load_table(spark, sf_dir, "events")
+    # grpwin-ok: (user_id, day) cardinality scales with input
     w_pick = Window.partitionBy("user_id", "day").orderBy(
         F.col("ts").cast("timestamp").desc(), F.col("event_id").desc()
     )
@@ -695,7 +698,7 @@ def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
     )
     w_locf = (
-        Window.partitionBy("user_id")
+        Window.partitionBy("user_id")  # grpwin-ok: user_id cardinality scales with input
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -734,7 +737,7 @@ def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-order-free set). User-partitioned, never global."""
     e = load_table(spark, sf_dir, "events")
     w = (
-        Window.partitionBy("user_id")
+        Window.partitionBy("user_id")  # grpwin-ok: user_id cardinality scales with input
         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
@@ -874,6 +877,7 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec), and rn=1 collapses to one row per user. Values pass through
     untouched — no arithmetic, no rounding needed."""
     e = load_table(spark, sf_dir, "events")
+    # grpwin-ok: user_id cardinality scales with input
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     noncl = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(

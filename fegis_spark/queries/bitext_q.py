@@ -129,6 +129,7 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     xc = emb.filter(F.col("label") < 5).select(
         F.col("vec_id").alias("x_id"), F.col("embedding").alias("__xx")
     )
+    # grpwin-ok: a_id is the corpus-side row id — partition count scales
     wf = Window.partitionBy("a_id").orderBy(F.desc("cos"), F.col("b_id"))
     fwd = (
         yc.crossJoin(F.broadcast(xb))  # bcast-ok: BITEXT_BATCH-row batch panel
@@ -149,6 +150,7 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         fwd.select("b_id").distinct().join(yc, "b_id")
     )  # ≤ batch·k rows, with embeddings
+    # panel-ok: WindowGroupLimit(Partial) below the exchange (row_number + immediate filter)
     wb = Window.partitionBy("b_id").orderBy(F.desc("cos"), F.col("x_id"))
     bwd = (
         xc.crossJoin(F.broadcast(cand))  # bcast-ok: <= batch*k candidate panel
@@ -171,6 +173,7 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cos") / F.nullif(denom, F.lit(0.0))).alias("margin"),
         )
     )
+    # grpwin-ok: a_id is the corpus-side row id — partition count scales
     wm = Window.partitionBy("a_id").orderBy(F.desc("margin"), F.col("b_id"))
     return (
         scored.withColumn("mrk", F.row_number().over(wm))

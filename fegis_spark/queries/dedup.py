@@ -483,7 +483,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    w = Window.partitionBy("doc").orderBy("pos")
+    w = Window.partitionBy("doc").orderBy("pos")  # grpwin-ok: doc cardinality scales with input
     runs = (
         flagged.filter("dup")
         .withColumn("grp", F.col("pos") - F.row_number().over(w))

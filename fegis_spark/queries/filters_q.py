@@ -70,6 +70,7 @@ def filter_is_not_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     MatchExcept keeps points lacking the field) — exercised on the
     lineage chain whose heads have NULL preceding ids."""
     ev = _events(spark, sf_dir)
+    # grpwin-ok: user_id cardinality scales with input
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     chain = ev.withColumn("preceding_event_id", F.lag("event_id").over(w))
     pred = compile_filters(

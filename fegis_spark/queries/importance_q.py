@@ -182,6 +182,7 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = counts.withColumn(
         "base", F.coalesce(F.sum("n").over(woff), F.lit(0)).cast("long")
     ).select("bucket", "base")
+    # panel-ok: 256-bucket radix decomposition — bucket count is the parallelism knob (docstring)
     win = Window.partitionBy("bucket").orderBy("k", "doc_id")
     return (
         base.join(F.broadcast(offsets), "bucket")  # bcast-ok: B-row bucket offsets
@@ -224,6 +225,7 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply — it cannot split window partitions.) The pushdown is pinned
     in tests/test_plans.py for the whole rank-filter family."""
     docs = load_table(spark, sf_dir, "documents")
+    # grpwin-ok: source (domain) cardinality scales with the corpus
     w = Window.partitionBy("source").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
     )

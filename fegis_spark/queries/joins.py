@@ -84,6 +84,7 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-local heap, single shuffle on the group key."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # panel-ok: WindowGroupLimit pushdown pinned (rank-filter family)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("o_totalprice"), F.col("o_orderkey")
     )
@@ -210,6 +211,7 @@ def moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame order → identical IEEE result on both engines; the unbounded
     running sum goes through decimal."""
     ev = load_table(spark, sf_dir, "events")
+    # grpwin-ok: user_id cardinality scales with input
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "event_id",
@@ -742,7 +744,7 @@ _SCD2_CTE = """changes AS (
 def _scd2_frame(e: DataFrame) -> DataFrame:
     """Spark twin of _SCD2_CTE: (user_id, event_type, valid_from,
     valid_to, is_current)."""
-    w = Window.partitionBy("user_id").orderBy(
+    w = Window.partitionBy("user_id").orderBy(  # grpwin-ok: user_id cardinality scales with input
         F.col("ts").cast("timestamp"), F.col("event_id")
     )
     changes = (
@@ -756,6 +758,7 @@ def _scd2_frame(e: DataFrame) -> DataFrame:
         .where(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
         .drop("prev")
     )
+    # grpwin-ok: user_id cardinality scales with input
     w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w2)
     return changes.select(

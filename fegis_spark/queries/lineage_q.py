@@ -36,6 +36,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pick total-ordered (ts collisions exist in the data).
     """
     events = load_table(spark, sf_dir, "events")
+    # grpwin-ok: user_id cardinality scales with input
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         events.withColumn("rn", F.row_number().over(w))
@@ -57,6 +58,7 @@ def sequence_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: contiguous 1-based per-session sequence assignment — the batch
     form of the reference's per-call read-modify-write (storage.py:132-139)."""
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # grpwin-ok: user_id cardinality scales with input
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.withColumn(
         "sequence_order", F.row_number().over(w).cast("bigint")
@@ -76,6 +78,7 @@ def lineage_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: reproduce the reference's preceding_memory_id chain
     (storage.py:181) with lag() — NULL for chain heads."""
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # grpwin-ok: user_id cardinality scales with input
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.withColumn("preceding_event_id", F.lag("event_id").over(w)).select(
         "event_id", "user_id", "preceding_event_id"
@@ -107,6 +110,7 @@ def lineage_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
+    # grpwin-ok: user_id cardinality scales with input
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     chain = events.withColumn("preceding_event_id", F.lag("event_id").over(w))
     resolved = resolve_predecessors(

@@ -354,6 +354,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (narrow per-language state, no global sort), one agg shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     w = (
+        # panel-ok: per-lang running total is the demo form; scale path is pack_greedy_sharded (operators/scale.py)
         Window.partitionBy("lang")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -786,6 +787,7 @@ def stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the md5 rank-and-filter pushes k rows per stratum out of
     each partition before the final per-stratum merge."""
     docs = load_table(spark, sf_dir, "documents")
+    # panel-ok: WindowGroupLimit(Partial) — md5 rank + filter pushes k per partition (docstring)
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
@@ -1761,6 +1763,7 @@ def packing_vs_padding_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(_pad_bucket_sql("n_chars"))).cast("bigint").alias("padded"),
     )
     w = (
+        # panel-ok: per-lang running total — sharded twin is the scale path (operators/scale.py)
         Window.partitionBy("lang")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -123,7 +123,7 @@ def preference_bt_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
+    w = Window.partitionBy("user_id").orderBy(  # grpwin-ok: user_id cardinality scales with input
         F.col("ts").cast("timestamp"), F.col("event_id")
     )
     seq = e.select(

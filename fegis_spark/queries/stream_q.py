@@ -50,6 +50,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fegis_spark.streaming.sessionize import sessionize_batch
 
+    # grpwin-ok: user_id cardinality scales with input
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     is_brk = (
@@ -497,7 +498,7 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("m")
     late = ev.select("user_id", "event_id", m)
     w = (
-        Window.partitionBy("user_id")
+        Window.partitionBy("user_id")  # grpwin-ok: user_id cardinality scales with input
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -877,6 +877,7 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc", "t", "tf", (F.col("tf") * F.col("idf")).alias("score")
     )
+    # grpwin-ok: doc cardinality scales with input
     w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("t"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -985,6 +986,7 @@ def quality_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", "source", quality_score_expr("text").alias("quality")
     )
+    # grpwin-ok: source (domain) cardinality scales with the corpus
     w = Window.partitionBy("source").orderBy("quality", "doc_id")
     # UNROUNDED: percent_rank is (rank-1)/(n-1) on exact integers —
     # bit-identical IEEE divide on both engines (midpoint class)

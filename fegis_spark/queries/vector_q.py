@@ -564,6 +564,7 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("embedding"), F.col("__qv")).alias("raw"),
         )
     )
+    # panel-ok: WindowGroupLimit(Partial) below the exchange (row_number + immediate filter)
     w = Window.partitionBy("anchor_id").orderBy(F.desc("raw"), F.col("neg_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1002,6 +1003,7 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("__qv"),
         "__dots",
     )
+    # panel-ok: input is |panel| x n_lists posexploded rows — bounded
     wpr = Window.partitionBy("query_id").orderBy(F.desc("__dot"), F.col("list_id"))
     pr = (
         panel.select(
@@ -1010,6 +1012,7 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("probe_rank", F.row_number().over(wpr))
         .select("query_id", F.col("list_id").cast("int").alias("list_id"), "probe_rank")
     )
+    # panel-ok: WindowGroupLimit(Partial); input pruned to probed lists
     wt = Window.partitionBy("query_id").orderBy(
         F.desc("__score"), F.col("corpus_id")
     )
@@ -1171,6 +1174,7 @@ def label_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("d", F.expr(d_ab))
     )
+    # panel-ok: input is the |labels|^2 centroid-pair table — bounded
     wn = Window.partitionBy("la").orderBy("d", "lb")
     nearest = (
         pairs.withColumn("rn", F.row_number().over(wn))
@@ -1566,6 +1570,7 @@ def ann_ivfpq_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = qd.select(
         "query_id", "luts", F.posexplode("__dots").alias("list_id", "__dot")
     )
+    # panel-ok: input is |panel| x n_lists posexploded rows — bounded
     w = Window.partitionBy("query_id").orderBy(F.desc("__dot"), F.col("list_id"))
     probes = (
         pr.withColumn("__r", F.row_number().over(w))
@@ -1685,6 +1690,7 @@ def ann_pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(short), "corpus_id")  # bcast-ok: shortlist×panel id pairs
         .join(F.broadcast(qs.select("query_id", "qv")), "query_id")  # bcast-ok: 3 panel query vectors
     )
+    # panel-ok: input is shortlist x panel rows — bounded
     wk = Window.partitionBy("query_id").orderBy(
         F.desc(cosine(F.col("qv"), F.col("cv"))), F.col("corpus_id")
     )

@@ -33,6 +33,7 @@ def sessionize_batch(
     """Gaps-and-islands sessionization: a session breaks when the gap
     from the previous event exceeds `gap_minutes`. session_id =
     cumulative count of breaks per user (1-based)."""
+    # grpwin-ok: user key cardinality scales with input
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = gap_minutes * 60
     prev = F.lag(ts_col).over(w)

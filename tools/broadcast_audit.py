@@ -43,6 +43,27 @@ r11 additions (r10 verdict #1/#3, mechanized):
     may declare that bound instead of capping. Manual bucket
     self-joins (the ``alias("l")`` pattern) need the same marker.
 
+r12 addition (r11 verdict #2, mechanized — resolved by measurement,
+evidence/topk_ab_r12.json):
+
+  * every ``Window.partitionBy(`` site must state its scale posture
+    with one of two markers:
+      - ``# grpwin-ok: <scaling argument>`` — the partition key's
+        cardinality scales with the input (per-doc, per-user,
+        per-bucket windows): no funnel because task count grows with
+        the data;
+      - ``# panel-ok: <mechanism or bound>`` — the partition key is a
+        BOUNDED panel (1-100 query ids, strategy names, ...); the
+        marker must name why this is not a <= |panel|-task funnel:
+        either the window input is itself bounded (probe lists,
+        shortlists), or the plan gets WindowGroupLimit(Partial) below
+        the exchange (row_number + immediate filter — pinned in
+        tests/test_plans.py). A bounded-panel window whose input is
+        corpus-proportional and whose filter the group-limit rule
+        cannot cover (e.g. bounding TWO rank columns at once) must be
+        rewritten as the single-pass bounded-slice aggregation
+        (grouped_topk / ann_pq_recall_audit pattern) instead.
+
 Like oracle_lint, this is a static text scan: it cannot prove the
 marker's claim, but it guarantees every hint site states its bound for
 review, and any new unmarked hint fails CI. Exit 1 on findings.
@@ -61,6 +82,9 @@ CALL = re.compile(r"F\.broadcast\(")
 MARKER = re.compile(r"#\s*bcast-ok:\s*\S")
 GLOBAL_WINDOW = re.compile(r"\bWindow\.orderBy\(")
 WINDOW_MARKER = re.compile(r"#\s*window-ok:\s*\S")
+PART_WINDOW = re.compile(r"\bWindow\.partitionBy\(")
+#: either marker satisfies the partitioned-window rule
+PART_WINDOW_MARKER = re.compile(r"#\s*(?:grpwin-ok|panel-ok):\s*\S")
 CROSSJOIN = re.compile(r"\.crossJoin\(")
 BAND_MARKER = re.compile(r"#\s*band-ok:\s*\S")
 #: candidate-pair generators: a call must cap (non-None
@@ -119,10 +143,22 @@ def call_span(lines: list[str], i: int, start_col: int) -> str:
 
 def audit() -> int:
     findings: list[str] = []
-    n_raw = n_gated = n_windows = n_cross = n_band = 0
+    n_raw = n_gated = n_windows = n_cross = n_band = n_pwindows = 0
     for path in sorted(PKG.rglob("*.py")):
         lines = path.read_text().splitlines()
+        in_doc = False
         for i, line in enumerate(lines):
+            # crude docstring tracker: prose mentions of patterns
+            # (module docs describing the rules) are not call sites.
+            # Only triple-double-quote blocks are tracked; a line that
+            # opens and closes one stays "code".
+            tq = line.count('"""')
+            if in_doc:
+                if tq % 2 == 1:
+                    in_doc = False
+                continue
+            if tq % 2 == 1:
+                in_doc = True
             if line.lstrip().startswith("#"):
                 continue
             n_gated += line.count("maybe_broadcast(")
@@ -171,6 +207,18 @@ def audit() -> int:
                         f"structural bound, or use model.maybe_broadcast for "
                         f"a corpus-proportional side\n    {line.strip()}"
                     )
+            for _ in PART_WINDOW.finditer(line):
+                n_pwindows += 1
+                if not site_is_marked(lines, i, PART_WINDOW_MARKER):
+                    findings.append(
+                        f"{path.relative_to(ROOT)}:{i + 1}: partitioned "
+                        f"window without a '# grpwin-ok: <scaling arg>' or "
+                        f"'# panel-ok: <mechanism/bound>' marker — say whether "
+                        f"the partition count scales with the input, or why a "
+                        f"bounded panel over this input is not a funnel "
+                        f"(WindowGroupLimit(Partial) / bounded input)\n"
+                        f"    {line.strip()}"
+                    )
             for _ in GLOBAL_WINDOW.finditer(line):
                 n_windows += 1
                 if not site_is_marked(lines, i, WINDOW_MARKER):
@@ -188,6 +236,7 @@ def audit() -> int:
     print(
         f"broadcast_audit: {n_raw} raw hint sites, {n_gated} size-gated "
         f"maybe_broadcast sites, {n_windows} global-window sites, "
+        f"{n_pwindows} partitioned-window sites, "
         f"{n_cross} crossJoin sites, {n_band} band-generator sites, "
         f"{len(findings)} findings"
     )
