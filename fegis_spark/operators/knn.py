@@ -844,6 +844,201 @@ def train_pq_codebooks(
     return books
 
 
+# ---------------------------------------------------------------------------
+# r12: PORTABLE trained-PQ — an rng-free, integer-exact per-subspace
+# Lloyd trainer whose every step is replayable in ANSI SQL, so a
+# catalog query can ship TRAINED codebooks and the DuckDB oracle
+# RETRAINS them from the same table and matches value-for-value.
+
+#: bounded training-sample size (the FAISS posture: PQ codebooks train
+#: on a sample at any corpus scale; same md5-bucket recipe as IVF)
+PQT_TARGET = 512
+#: unrolled Lloyd iterations (each is ~4 CTEs in the oracle)
+PQT_ITERS = 2
+
+
+def _rha(x: float) -> int:
+    """round-half-away-from-zero on a double — EXACTLY what Spark's
+    round(double) (shortest-repr HALF_UP == binary half-away for
+    integer targets < 2^51) and DuckDB's round(double) compute. x -
+    floor(x) is exact for |x| < 2^53, so the tie test is exact."""
+    import math
+
+    f = math.floor(x)
+    r = x - f
+    if r > 0.5:
+        return int(f) + 1
+    if r < 0.5:
+        return int(f)
+    return int(f) + 1 if x > 0 else int(f)
+
+
+def train_pq_books_portable(
+    corpus_df: DataFrame,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dsub: int = PQ_DSUB,
+    iters: int = PQT_ITERS,
+):
+    """Deterministic, rng-free, INTEGER-EXACT per-subspace Lloyd
+    trainer (r11 verdict #3): unlike train_pq_codebooks (numpy floats,
+    rng seeds — library tier), every step here is integer arithmetic
+    replayable in SQL, which is what lets ann_pq_rerank_trained's
+    oracle RETRAIN the books and certify the trained path end-to-end:
+
+    * sample: ivf_training_sample's md5-bucket recipe, sorted by
+      (hash, id), first PQT_TARGET rows;
+    * quantize: round(x * 1e6) as int64 (the SRP recipe — both
+      engines round doubles half-away-from-zero);
+    * init: k evenly-spaced rows in hash order (rank 1 + j*step,
+      step = floor(n/k), j < k) — deterministic spread, no rng;
+    * Lloyd x iters: assign by argmin of the L2 form
+      sum_d(c^2 - 2*q*c) (X.X constant per row — same argmin), ties
+      to the lowest codeword index; update = per-dim
+      round-half-away(sum/count) via the pure-integer formula
+      (2s + n) // (2n); empty clusters keep their codeword.
+
+    Returns int codebooks shaped like train_pq_codebooks's output —
+    they slot straight into pq_trained_codes_expr/pq_trained_luts_expr.
+    """
+    rows = ivf_training_sample(corpus_df, corpus_id, vec_col, PQT_TARGET).collect()
+    rows.sort(key=lambda r: (r["__h"], r["__id"]))
+    rows = rows[:PQT_TARGET]
+    ns = len(rows)
+    step = max(ns // k, 1)
+    sel = list(range(0, ns, step))[:k]
+    books = []
+    for mm in range(m):
+        S = [
+            [_rha(float(v) * 1000000.0) for v in r["v"][mm * dsub : (mm + 1) * dsub]]
+            for r in rows
+        ]
+        cent = [list(S[i]) for i in sel if i < ns]
+        for _ in range(iters):
+            assign = []
+            for qv in S:
+                best_j, best_lv = 0, None
+                for j, c in enumerate(cent):
+                    lv = sum(cc * cc - 2 * qq * cc for qq, cc in zip(qv, c))
+                    if best_lv is None or lv < best_lv:
+                        best_j, best_lv = j, lv
+                assign.append(best_j)
+            new = []
+            for j in range(len(cent)):
+                pts = [S[i] for i in range(ns) if assign[i] == j]
+                if pts:
+                    cnt = len(pts)
+                    entry = []
+                    for d in range(dsub):
+                        s = sum(p[d] for p in pts)
+                        entry.append(
+                            (2 * s + cnt) // (2 * cnt)
+                            if s >= 0
+                            else -((-2 * s + cnt) // (2 * cnt))
+                        )
+                    new.append(entry)
+                else:
+                    new.append(cent[j])
+            cent = new
+        books.append(cent)
+    return books
+
+
+def pq_trained_books_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dsub: int = PQ_DSUB,
+    iters: int = PQT_ITERS,
+) -> str:
+    """DuckDB CTE chain that RETRAINS train_pq_books_portable's
+    codebooks from the live table — ends with ``pqt_books(m, j, d, c)``.
+    Every arithmetic step mirrors the Python trainer exactly: the md5
+    cutoff (double multiply + floor == int()), the (hash, id) sort and
+    LIMIT, round(x*1e6) quantization, evenly-spaced seed ranks, the
+    L2-form argmin with (lv, j) tie order, and the centroid update
+    floor((2s+n)/(2n)) — exact because the quotient's rational grid
+    (spacing 1/(2n), n <= 512) is ~1e7 x wider than a double ulp at
+    the codeword magnitude, so the correctly-rounded double quotient
+    never crosses an integer boundary."""
+    dim = m * dsub
+    parts = [f"""
+    pqt_n AS (SELECT COUNT(*) AS n FROM {table}),
+    pqt_cut AS (
+      SELECT CAST(floor(LEAST(1.0, (1.2 * {PQT_TARGET}.0) / GREATEST(n, 1))
+                        * 4294967295.0) AS BIGINT) AS cut
+      FROM pqt_n
+    ),
+    pqt_samp AS MATERIALIZED (
+      SELECT id, v FROM (
+        SELECT CAST({id_col} AS VARCHAR) AS id,
+               CAST({vec_col} AS DOUBLE[]) AS v,
+               CAST(('0x' || substr(md5('ivf-sample:' || CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM {table}
+      ), pqt_cut WHERE h <= cut ORDER BY h, id LIMIT {PQT_TARGET}
+    ),
+    pqt_ns AS (SELECT COUNT(*) AS ns FROM pqt_samp),
+    pqt_step AS (SELECT GREATEST(ns // {k}, 1) AS st FROM pqt_ns),
+    pqt_rn AS MATERIALIZED (
+      SELECT id, v, row_number() OVER (ORDER BY h2, id) AS rn FROM (
+        SELECT id, v,
+               CAST(('0x' || substr(md5('ivf-sample:' || id), 1, 8)) AS BIGINT) AS h2
+        FROM pqt_samp
+      )
+    ),
+    pqt_q AS MATERIALIZED (
+      SELECT rn, CAST(g1.range AS INT) AS m, CAST(g2.range AS INT) AS d,
+             CAST(round(v[CAST(g1.range AS INT) * {dsub} + CAST(g2.range AS INT) + 1] * 1000000.0) AS BIGINT) AS q
+      FROM pqt_rn CROSS JOIN range(0, {m}) g1 CROSS JOIN range(0, {dsub}) g2
+    ),
+    pqt_b0 AS MATERIALIZED (
+      SELECT s.m, CAST((s.rn - 1) // t.st AS INT) AS j, s.d, s.q AS c
+      FROM pqt_q s, pqt_step t
+      WHERE (s.rn - 1) % t.st = 0 AND (s.rn - 1) // t.st < {k}
+    )"""]
+    prev = "pqt_b0"
+    for it in range(1, iters + 1):
+        parts.append(f""",
+    pqt_d{it} AS MATERIALIZED (
+      SELECT s.rn, s.m, b.j, SUM(b.c * b.c - 2 * s.q * b.c) AS lv
+      FROM pqt_q s JOIN {prev} b ON s.m = b.m AND s.d = b.d
+      GROUP BY s.rn, s.m, b.j
+    ),
+    pqt_a{it} AS MATERIALIZED (
+      SELECT rn, m, j FROM (
+        SELECT rn, m, j,
+               row_number() OVER (PARTITION BY rn, m ORDER BY lv, j) AS r
+        FROM pqt_d{it}
+      ) WHERE r = 1
+    ),
+    pqt_u{it} AS MATERIALIZED (
+      SELECT a.m, a.j, s.d, CAST(SUM(s.q) AS BIGINT) AS sq, COUNT(*) AS cnt
+      FROM pqt_a{it} a JOIN pqt_q s ON a.rn = s.rn AND a.m = s.m
+      GROUP BY a.m, a.j, s.d
+    ),
+    pqt_b{it} AS MATERIALIZED (
+      SELECT m, j, d,
+             CASE WHEN sq >= 0
+                  THEN CAST(floor((2 * sq + cnt) / (2.0 * cnt)) AS BIGINT)
+                  ELSE -CAST(floor((2 * (-sq) + cnt) / (2.0 * cnt)) AS BIGINT)
+             END AS c
+      FROM pqt_u{it}
+      UNION ALL
+      SELECT b.m, b.j, b.d, b.c FROM {prev} b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pqt_u{it} u WHERE u.m = b.m AND u.j = b.j
+      )
+    )""")
+        prev = f"pqt_b{it}"
+    parts.append(f""",
+    pqt_books AS MATERIALIZED (SELECT m, j, d, c FROM {prev})""")
+    return "".join(parts)
+
+
 def _pq_trained_dists(books, vec_col: str, mm: int, spark: bool) -> str:
     """Array of the K exact-integer L2-form distances
     (C·C − 2·X·C — the rank-equivalent of ||X−C||², since X·X is
