@@ -196,6 +196,12 @@ def probes(spark, sf_dir: str, only: set | None = None) -> dict:
         # but partial agg caps the shuffle at partitions*d*w rows —
         # wall must track the token scan, never the fan-out
         "cms_build": lambda: _cms_probe(docs),
+        # r12 (r11 verdict #4): cross-split near-dup leakage — the one
+        # new r11 corpus-pair plan with no dedicated right-tail leg.
+        # Blocked gram equi-join with distinct-gram collapse; perturbed
+        # copies have disjoint vocabularies so the pair rate stays at
+        # base level and wall must track the gram scan, not pair count
+        "split_leakage_neardup": lambda: _split_leakage_probe(spark, sf_dir),
     }
     return {
         name: t() for name, t in thunks.items() if only is None or name in only
@@ -210,6 +216,12 @@ def _cms_probe(docs):
     return cms_build(stream, "t").agg(
         F.count("*").alias("cells"), F.sum("cnt").alias("mass")
     )
+
+
+def _split_leakage_probe(spark, sf_dir: str):
+    from fegis_spark.catalog import catalog
+
+    return catalog()["split_leakage_neardup"].builder(spark, sf_dir)
 
 
 def _source_overlap_probe(spark, sf_dir: str):
