@@ -1227,6 +1227,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            # decompression-bomb guard (r12 fuzz): flipped SOF dims can
+            # reach 65535^2 blocks -> ~17 GB of coefficient arrays;
+            # lazy import, no cycle (multimodal imports jpegcodec only
+            # inside functions)
+            from fegis_spark.operators.multimodal import pixel_guard
+
+            pixel_guard(w, h, len(data))
             nc = body[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")

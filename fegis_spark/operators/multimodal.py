@@ -75,6 +75,24 @@ def _pnm_header(data: bytes, magic: bytes) -> tuple[int, int, int, int]:
     return w, h, maxval, pos
 
 
+def pixel_guard(w: int, h: int, data_len: int) -> None:
+    """Decompression-bomb guard (r12 fuzz): a bit-flipped dimension
+    field must not trigger a multi-GB raster allocation (a 2-byte GIF
+    dim reaches 65535x65535x3 = 12.9 GB; a PNG IHDR high-bit flip far
+    more) — the wild-bytes triage contract includes bounded WORK, not
+    just bounded exceptions. Legit compressed payloads stay far under
+    4096 pixels/byte (zlib tops out ~1032:1 bytes, JPEG entropy coding
+    ~1 bit per 8x8 block); anything above is a corrupt or adversarial
+    header and raises ValueError (which every decode_image branch
+    routes to the per-row fall-through)."""
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive image dimensions")
+    if w * h > max(1 << 22, data_len * 4096):
+        raise ValueError(
+            f"implausible dimensions {w}x{h} for a {data_len}-byte payload"
+        )
+
+
 def decode_ppm(data: bytes) -> np.ndarray:
     """Real, dependency-free image decode for binary PPM (P6): header
     `P6 <width> <height> <maxval>` with #-comments, one whitespace byte,
@@ -492,6 +510,7 @@ def decode_png(data: bytes) -> np.ndarray:
             f"(color type {color}, bit depth {depth})"
         )
     w, h, ch = hdr["width"], hdr["height"], hdr["n_components"]
+    pixel_guard(w, h, len(data))
     # filter unit (spec 9.2: sub-byte depths filter at 1 byte)
     bpp = max(1, (ch * depth) // 8)
 
@@ -799,6 +818,7 @@ def decode_gif(data: bytes) -> np.ndarray:
     (rows 0::8, 4::8, 2::4, 1::2; r11)."""
     hdr = parse_gif_header(data)
     w, h = hdr["width"], hdr["height"]
+    pixel_guard(w, h, len(data))
     flags = data[10]
     pos = 13
     palette = None
@@ -818,6 +838,7 @@ def decode_gif(data: bytes) -> np.ndarray:
         elif b == 0x2C:  # image descriptor
             iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
             ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            pixel_guard(iw, ih, len(data))
             iflags = data[pos + 9]
             pos += 10
             if iflags & 0x80:  # local color table overrides global (r11)
@@ -1029,13 +1050,29 @@ class Codec:
     fake: bool = True
 
     def decode_image(self, payload: bytes) -> np.ndarray:
+        import struct
+
+        # triage contract (r12 fuzz, tests/test_codec_fuzz.py): corrupt
+        # or truncated payloads of ANY recognized magic fall through
+        # per-row to the fake/SWAP-POINT path — never job-fatal. The
+        # PPM/PGM/BMP branches were the unwrapped residue (struct.error
+        # escaped on a 4-byte 'BM' stub).
         if (payload or b"")[:2] == b"P6":
-            return decode_ppm(payload)
-        if (payload or b"")[:2] == b"P5":
-            gray = decode_pgm(payload)
-            return np.stack([gray] * 3, axis=-1)  # uniform (h, w, 3)
-        if (payload or b"")[:2] == b"BM":
-            return decode_bmp(payload)
+            try:
+                return decode_ppm(payload)
+            except (ValueError, IndexError):
+                pass
+        elif (payload or b"")[:2] == b"P5":
+            try:
+                gray = decode_pgm(payload)
+                return np.stack([gray] * 3, axis=-1)  # uniform (h, w, 3)
+            except (ValueError, IndexError):
+                pass
+        elif (payload or b"")[:2] == b"BM":
+            try:
+                return decode_bmp(payload)
+            except (ValueError, IndexError, struct.error):
+                pass
         if (payload or b"")[:4] == b"\x89PNG":
             # corrupt streams fall through to the fake/SWAP-POINT path,
             # mirroring JPEG (r11); the full spec (color, depth) matrix
@@ -1083,7 +1120,10 @@ class Codec:
 
             try:
                 img = decode_jpeg(bytes(payload))
-            except ValueError:
+            except (ValueError, IndexError, struct.error):
+                # IndexError surfaced by the r12 fuzz on a 42-byte
+                # truncated header-only JPEG — normalized like the
+                # struct.error class before it (r11 ADVICE pattern)
                 img = None
             if img is not None:
                 if img.ndim == 2:
@@ -1105,8 +1145,26 @@ class Codec:
 
     def decode_audio(self, payload: bytes) -> tuple[np.ndarray, int]:
         """(samples shaped (n_frames, n_channels) int16, sample_rate)."""
+        import struct
+
         if (payload or b"")[:4] == b"RIFF" and (payload or b"")[8:12] == b"WAVE":
-            return decode_wav(payload)
+            # corrupt/truncated WAVs fall through (r12 fuzz: the wave
+            # module raises EOFError on truncation, RuntimeError and
+            # wave.Error on flipped format fields — normalized per the
+            # triage contract)
+            import wave
+
+            try:
+                return decode_wav(payload)
+            except (
+                ValueError,
+                IndexError,
+                struct.error,
+                EOFError,
+                RuntimeError,
+                wave.Error,
+            ):
+                pass
         if self.fake:
             h = hashlib.sha256(payload or b"").digest()
             raw = (h * 64)[: 1024 * 2]
@@ -1125,7 +1183,14 @@ class Codec:
         JPEG the same Codec can decode_image); deterministic fake for
         other containers, real path raises the documented SWAP POINT."""
         if (payload or b"")[:4] == b"RIFF" and (payload or b"")[8:12] == b"AVI ":
-            frames = parse_avi(payload)["frames"]
+            import struct
+
+            # corrupt/truncated AVIs fall through (r12 fuzz:
+            # struct.error on a 38-byte RIFF stub) — triage contract
+            try:
+                frames = parse_avi(payload)["frames"]
+            except (ValueError, IndexError, struct.error):
+                frames = []
             if frames:
                 k = min(n_frames, len(frames))
                 # evenly spaced, deterministic: frame floor(i*len/k)

@@ -1,0 +1,120 @@
+"""Wild-bytes codec fuzz (r11 verdict #5): image_metadata/decode accept
+arbitrary real-world payloads by contract, so every fixture truncated
+at byte boundaries and bit-flipped must keep the triage contract —
+``image_header`` returns or raises ValueError ONLY; the fake-fallback
+``Codec`` NEVER raises from decode_image / decode_audio / frame_sample
+(corrupt payloads fall through per-row, never job-fatal).
+
+The r12 fuzz surfaced and fixed: struct.error from a 4-byte 'BM' stub
+and a 38-byte RIFF/AVI stub, IndexError from a 42-byte truncated
+header-only JPEG, EOFError/RuntimeError from truncated/flipped WAVs.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fegis_spark.operators.multimodal import (
+    Codec,
+    image_header,
+    make_avi_mjpeg,
+    make_bmp,
+    make_gif,
+    make_jpeg,
+    make_jpeg_420_real,
+    make_jpeg_prog_real,
+    make_jpeg_real,
+    make_png,
+    make_wav,
+)
+
+CODEC = Codec(fake=True)
+
+FIXTURES = {
+    "bmp": make_bmp(9, 7),
+    "gif": make_gif(16, 11),
+    "png_rgb": make_png(9, 7, color_type=2),
+    "png_rgba": make_png(8, 8, color_type=6),
+    "png_gray": make_png(8, 8, color_type=0),
+    "jpeg_hdr": make_jpeg(32, 24),
+    "jpeg_real": make_jpeg_real(16, 12),
+    "jpeg_prog": make_jpeg_prog_real(16, 12),
+    "jpeg_420": make_jpeg_420_real(16, 12),
+    "avi": make_avi_mjpeg(16, 12, 3),
+    "wav": make_wav(800),
+}
+
+
+def _assert_triage(payload: bytes, ctx: str) -> None:
+    # image_header: value or ValueError, nothing else
+    try:
+        fmt = image_header(payload)
+        assert isinstance(fmt, tuple) and len(fmt) == 4, ctx
+    except ValueError:
+        pass
+    # fake-fallback codec entry points: never raise
+    img = CODEC.decode_image(payload)
+    assert isinstance(img, np.ndarray) and img.ndim == 3, ctx
+    samples, rate = CODEC.decode_audio(payload)
+    assert isinstance(samples, np.ndarray) and rate > 0, ctx
+    frames = CODEC.frame_sample(payload, 3)
+    assert isinstance(frames, list) and len(frames) >= 1, ctx
+
+
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_truncation_sweep(name):
+    fx = FIXTURES[name]
+    step = max(1, len(fx) // 60)
+    for cut in list(range(0, len(fx), step)) + [len(fx) - 1]:
+        _assert_triage(fx[:cut], f"{name} truncated to {cut}/{len(fx)}")
+
+
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_bitflip_sweep(name):
+    fx = FIXTURES[name]
+    rng = random.Random(0xC0DEC ^ hash(name))
+    for case in range(80):
+        b = bytearray(fx)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        _assert_triage(bytes(b), f"{name} flip case {case}")
+
+
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_flip_then_truncate(name):
+    # the compound class: a flipped length/dimension field followed by
+    # truncation (what a byte-range fetch of a corrupt object yields)
+    fx = FIXTURES[name]
+    rng = random.Random(0xBEEF ^ hash(name))
+    for case in range(40):
+        b = bytearray(fx)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        cut = rng.randrange(len(b))
+        _assert_triage(bytes(b[:cut]), f"{name} flip+trunc case {case}")
+
+
+MAGICS = [b"", b"BM", b"P6", b"P5", b"GIF89a", b"\x89PNG\r\n\x1a\n",
+          b"\xff\xd8\xff", b"RIFF\x20\x00\x00\x00WAVE", b"RIFF\x20\x00\x00\x00AVI "]
+
+
+@settings(max_examples=60, derandomize=True, deadline=None)
+@given(
+    magic=st.sampled_from(MAGICS),
+    junk=st.binary(min_size=0, max_size=256),
+)
+def test_magic_plus_junk(magic, junk):
+    _assert_triage(magic + junk, f"magic={magic!r} junk_len={len(junk)}")
+
+
+def test_none_and_empty_rows_route_as_unknown():
+    try:
+        image_header(b"")
+        raise AssertionError("empty payload must not parse")
+    except ValueError:
+        pass
+    assert CODEC.decode_image(b"").shape == (8, 8, 3)
