@@ -70,16 +70,31 @@ def knn_join_lsh(
     corpus_id: str,
     vec_col: str = "embedding",
     k: int = 3,
-    bucket_length: float = 2.0,
+    bucket_length: float | None = None,
     num_hash_tables: int = 3,
     max_distance: float = 10.0,
 ) -> DataFrame:
     """Approximate KNN via random-projection LSH (Euclidean proxy for
     cosine on normalized vectors). Candidate generation is a bucket
     equi-join — no cross product. Rows-only correctness (approximate
-    by construction)."""
+    by construction).
+
+    bucket_length=None (default, r12) derives sigma/2 = 0.5/sqrt(dim)
+    from the first row's dimensionality (1-row bounded driver
+    round-trip): a unit vector projects onto a random unit hyperplane
+    with std 1/sqrt(dim), so any fixed bucket length >> sigma puts
+    every row in the one or two buckets around zero and the per-table
+    equi-join degenerates to ~n^2/2 brute force (the r11 occupancy
+    find — 51% single-bucket at the old fixed 2.0-4.0 defaults;
+    sigma/2 measures max occupancy ~0.2, evidence/
+    brp_occupancy_r12.json). Pass an explicit value to override."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
+
+    if bucket_length is None:
+        first = corpus_df.select(vec_col).head()
+        dim = len(first[0]) if first is not None else 64
+        bucket_length = 0.5 / dim ** 0.5
 
     q = queries_df.select(
         F.col(query_id).alias("query_id"),
