@@ -949,6 +949,11 @@ def _decode_scan_sequential(
     def one_block(ci: int, si: int, bidx: int, dc_tab, ac_tab) -> None:
         co = coefs[ci][bidx]
         cat = _huffman_read(reader, dc_tab)
+        if cat > 15:
+            # corrupt DHT: a byte-valued symbol used as a bit count
+            # reads up to 2^255-scale ints (r12 fuzz OverflowError);
+            # spec DIFF categories are 0-11 for 8-bit baseline
+            raise ValueError(f"invalid DC category {cat}")
         diff = _extend(reader.read_bits(cat), cat) if cat else 0
         prev_dc[si] += diff
         co[0] = prev_dc[si]
@@ -1034,6 +1039,9 @@ def _decode_scan_dc(
             for si, bidx in mcu:
                 ci = scan_idx[si][0]
                 cat = _huffman_read(reader, tabs[si])
+                if cat > 15:
+                    # same corrupt-DHT bound as the sequential path
+                    raise ValueError(f"invalid DC category {cat}")
                 diff = _extend(reader.read_bits(cat), cat) if cat else 0
                 prev_dc[si] += diff
                 coefs[ci][bidx, 0] = prev_dc[si] << al

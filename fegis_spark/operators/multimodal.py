@@ -756,10 +756,17 @@ def _gif_lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
     return bytes(out)
 
 
-def _gif_lzw_decode(data: bytes, mcs: int) -> list[int]:
+def _gif_lzw_decode(data: bytes, mcs: int, max_out: int | None = None) -> list[int]:
     """Inverse of _gif_lzw_encode (GIF89a spec: LSB-first variable-
     width codes, table entry added per code, width grows with the
-    table)."""
+    table). ``max_out`` stops decoding once that many indices exist —
+    the bomb guard for corrupt streams whose dictionary entries grow
+    multiplicatively (r12 fuzz: >2 s pure-Python loops); callers only
+    consume the frame's iw*ih indices anyway."""
+    if not 1 <= mcs <= 11:
+        # spec range is 2-8; a flipped min-code-size byte would build a
+        # 2^mcs-entry base table (mcs=255 -> 2^255 — the r12 fuzz hang)
+        raise ValueError(f"invalid GIF LZW min code size {mcs}")
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     pos = bit = 0
 
@@ -801,6 +808,8 @@ def _gif_lzw_decode(data: bytes, mcs: int) -> list[int]:
         else:
             raise ValueError("invalid GIF LZW code")
         out.extend(entry)
+        if max_out is not None and len(out) >= max_out:
+            break
         if prev is not None:
             table.append(prev + entry[:1])
             if len(table) == (1 << width) and width < 12:
@@ -856,7 +865,7 @@ def decode_gif(data: bytes) -> np.ndarray:
                 ln = data[pos]
                 lzw += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
-            indices = _gif_lzw_decode(bytes(lzw), mcs)
+            indices = _gif_lzw_decode(bytes(lzw), mcs, max_out=iw * ih)
             if len(indices) < iw * ih:
                 raise ValueError("GIF frame shorter than descriptor")
             idx = np.array(indices[: iw * ih], dtype=np.int64).reshape(ih, iw)
@@ -957,18 +966,24 @@ def _riff_chunk(tag: bytes, body: bytes) -> bytes:
 
 
 def make_avi_mjpeg(
-    width: int, height: int, n_frames: int = 6, seed: int = 0, fps: int = 10
+    width: int, height: int, n_frames: int = 6, seed: int = 0, fps: int = 10,
+    restart_interval: int = 0,
 ) -> bytes:
     """Deterministic REAL MJPEG-in-AVI video fixture: a standard RIFF
     AVI container (avih + one video strl with strh/strf, a movi LIST
     of 00dc chunks) whose every frame is a baseline JPEG from
     operators/jpegcodec — per-frame seed offsets animate the gradient,
     so frames are distinct and each is a pure function of
-    (media_id, frame_idx)."""
+    (media_id, frame_idx). restart_interval > 0 (r12, r11 verdict #7)
+    emits DRI/RSTn restart-coded frames — the two r11 features (AVI
+    walk + restart boundaries) composed in one container."""
     import struct
 
     frames = [
-        make_jpeg_real(width, height, seed=seed + 7 * i) for i in range(n_frames)
+        make_jpeg_real(
+            width, height, seed=seed + 7 * i, restart_interval=restart_interval
+        )
+        for i in range(n_frames)
     ]
     max_bytes = max(len(fr) for fr in frames)
     us_per_frame = 1_000_000 // fps
@@ -1120,10 +1135,11 @@ class Codec:
 
             try:
                 img = decode_jpeg(bytes(payload))
-            except (ValueError, IndexError, struct.error):
+            except (ValueError, IndexError, struct.error, OverflowError):
                 # IndexError surfaced by the r12 fuzz on a 42-byte
-                # truncated header-only JPEG — normalized like the
-                # struct.error class before it (r11 ADVICE pattern)
+                # truncated header-only JPEG; OverflowError when a
+                # corrupt stream accumulates DC sums past int32 —
+                # normalized like the struct.error class (r11 pattern)
                 img = None
             if img is not None:
                 if img.ndim == 2:

@@ -404,8 +404,15 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _video_payload(i: int) -> bytes:
     from fegis_spark.operators.multimodal import make_avi_mjpeg
 
-    # per-id frame counts vary so the even-spacing sampler is exercised
-    return make_avi_mjpeg(16, 12, n_frames=4 + (i % 5), seed=i)
+    # per-id frame counts vary so the even-spacing sampler is
+    # exercised; every third clip carries DRI/RSTn restart-coded
+    # frames (r12, r11 verdict #7 — the multi-frame AVI walk composed
+    # with per-frame restart boundaries, both under the same
+    # sequential-reference oracle)
+    return make_avi_mjpeg(
+        16, 12, n_frames=4 + (i % 5), seed=i,
+        restart_interval=2 if i % 3 == 1 else 0,
+    )
 
 
 def _video_df(spark: SparkSession, sf_dir: str):

@@ -13,6 +13,7 @@ header-only JPEG, EOFError/RuntimeError from truncated/flipped WAVs.
 from __future__ import annotations
 
 import random
+import zlib
 
 import numpy as np
 import pytest
@@ -77,7 +78,9 @@ def test_truncation_sweep(name):
 @pytest.mark.parametrize("name", sorted(FIXTURES))
 def test_bitflip_sweep(name):
     fx = FIXTURES[name]
-    rng = random.Random(0xC0DEC ^ hash(name))
+    # crc32, NOT hash(): str hash is randomized per process, which made
+    # early runs explore different flip universes run-over-run
+    rng = random.Random(0xC0DEC ^ zlib.crc32(name.encode()))
     for case in range(80):
         b = bytearray(fx)
         for _ in range(rng.randint(1, 4)):
@@ -90,7 +93,7 @@ def test_flip_then_truncate(name):
     # the compound class: a flipped length/dimension field followed by
     # truncation (what a byte-range fetch of a corrupt object yields)
     fx = FIXTURES[name]
-    rng = random.Random(0xBEEF ^ hash(name))
+    rng = random.Random(0xBEEF ^ zlib.crc32(name.encode()))
     for case in range(40):
         b = bytearray(fx)
         b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
