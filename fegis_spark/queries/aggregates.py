@@ -275,11 +275,15 @@ def rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank ties on exact price (decimal-cast so both engines tie
     identically); ntile/lead orders carry the key tiebreak."""
     orders = load_table(spark, sf_dir, "orders")
-    # panel-ok: WindowGroupLimit pushdown pinned (test_rank_filter_family_pushes_window_group_limit)
+    # panel-ok: 5-priority panel; ntile/lead need FULL partitions by
+    # semantics, so WindowGroupLimit cannot apply (wgl=0 in PLANS.md is
+    # correct here, unlike the rank-filter-only family) — at scale,
+    # decompose per (priority, md5-bucket) with offset merge (the
+    # epoch_shuffle pattern) if full-partition rank outputs are needed
     w_price = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").cast("decimal(18,2)").desc()
     )
-    # panel-ok: WindowGroupLimit pushdown pinned (rank-filter family)
+    # panel-ok: same 5-priority panel / full-partition semantics as above
     w_tb = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.col("o_orderkey")
     )
