@@ -18,7 +18,9 @@ from fegis_spark.operators.dedup import (
     simhash_pairs,
 )
 from fegis_spark.queries.sqlfrag import (
+    HOT_BOILER,
     HOT_CAP,
+    HOT_MOD,
     duck_hot_docs,
     duck_tokens,
     spark_hot_docs,
@@ -1251,4 +1253,66 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("matches").agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.col("j").cast("decimal(38,6)")).cast("double").alias("sum_jaccard"),
+    )
+
+
+@register(
+    "dedup_soft_weights",
+    oracle=rf"""
+    WITH hot AS (
+      SELECT source,
+             CASE WHEN doc_id % {HOT_MOD} = 0 THEN '{HOT_BOILER}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    counted AS (
+      SELECT source,
+             count(*) OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             ) AS dup_count
+      FROM hot
+    )
+    SELECT source, CAST(dup_count AS BIGINT) AS dup_count,
+           COUNT(*) AS n_docs
+    FROM counted GROUP BY source, dup_count
+    """,
+    covers=("K9-exact", "[EXT]-dedup-soft"),
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SOFT deduplication accounting: instead of dropping exact
+    duplicates, each copy is down-weighted to 1/dup_count so duplicated
+    content contributes unit total mass to training (the soft
+    alternative to hard dedup — repeated boilerplate stops dominating
+    the loss without discarding the unique remainder of each page).
+    The exact weights are the rationals 1/dup_count, so the query emits
+    the integer sufficient statistic — the per-(source, dup_count)
+    document histogram — from which the effective (weighted) corpus
+    mass per source is SUM(n_docs / dup_count), computed losslessly by
+    any consumer; emitting the float sum itself would be a
+    partition-order-dependent IEEE sum (CLAUDE.md determinism rules).
+
+    The natural corpus has zero exact duplicates at every sf, so the
+    query runs over the constructed hot corpus (spark_hot_docs /
+    HOT_BOILER injection, the CLAUDE.md pin-on-constructed-corpora
+    convention): every doc_id % HOT_MOD == 0 row shares one text and
+    forms a dup class of n/HOT_MOD copies that the weighting visibly
+    collapses, while the rest stay dup_count = 1.
+
+    100 TB posture: one scan, one exchange on the content hash for the
+    count window, one hash-agg — no join-back, no corpus x corpus
+    shape; the same plan as exact dedup plus a bounded histogram agg."""
+    from fegis_spark.operators.dedup import normalize_text
+    from fegis_spark.queries.sqlfrag import spark_hot_docs
+
+    from pyspark.sql import Window
+
+    docs = spark_hot_docs(load_table(spark, sf_dir, "documents"))
+    h = F.md5(normalize_text(F.col("text")))
+    # grpwin-ok: content-hash keyspace scales with input
+    w = Window.partitionBy(h)
+    counted = docs.select(
+        "source", F.count("*").over(w).cast("bigint").alias("dup_count")
+    )
+    return counted.groupBy("source", "dup_count").agg(
+        F.count("*").alias("n_docs")
     )
