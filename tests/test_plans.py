@@ -426,3 +426,12 @@ def test_recall_audit_topk_is_window_free(spark, cat):
 
     assert not re.search(r"\(\d+\) Window(?:\s|$)", p), p
     assert "WindowGroupLimit" not in p, p
+
+
+def test_soft_dedup_is_single_pass_no_join(spark, cat):
+    """dedup_soft_weights must stay the exact-dedup shape plus a
+    bounded histogram: one parquet scan, a content-hash count window,
+    one hash-agg — never a corpus join-back."""
+    p = formatted_plan(spark, cat, "dedup_soft_weights")
+    assert p.count("Location:") == 1, p
+    assert "Join" not in p, p

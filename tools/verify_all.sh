@@ -30,8 +30,10 @@ python tools/oracle_lint.py 2>/dev/null
 # class: HUGEINT/DECIMAL oracle outputs vs Spark BIGINT/DOUBLE)
 python tools/type_audit.py 2>/dev/null | tail -1
 # every raw F.broadcast must name its structural bound (corpus-scaled
-# sides use the size-gated maybe_broadcast), and every global
-# Window.orderBy must name its bounded derived input (r9 verdict #1/#3)
+# sides use the size-gated maybe_broadcast); every global Window.orderBy
+# names its bounded derived input (r9); every crossJoin / band-generator
+# site caps or names its keyspace (r11); every Window.partitionBy states
+# its scale posture via # grpwin-ok / # panel-ok (r12)
 python tools/broadcast_audit.py
 
 echo "== 6/7 coverage + plan reports =="
