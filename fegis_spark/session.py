@@ -36,6 +36,13 @@ def get_spark(app_name: str = "fegis_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # opt-in scan-split override for replicated-corpus probes: a 4x
+    # single-FILE parquet (a few MB) is one Spark partition at the
+    # 128 MB default, pinning every map stage to one core; the probes
+    # set this low so row groups split across tasks (r12)
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", mpb)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
