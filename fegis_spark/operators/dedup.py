@@ -1157,6 +1157,29 @@ def minhash_incremental_pairs_portable(
     base_b, _sig_b, banded_b = _portable_sig_bands(
         batch, text_col, id_col, num_hashes, bands, ngram, cache_intermediate
     )
+    return minhash_incremental_pairs_precomputed(
+        banded_c.select("doc", "band", "bh"),
+        base_c.select("doc", "sh"),
+        banded_b.select("doc", "band", "bh"),
+        base_b.select("doc", "sh"),
+        jaccard_threshold,
+    )
+
+
+def minhash_incremental_pairs_precomputed(
+    banded_c: DataFrame,
+    sh_c: DataFrame,
+    banded_b: DataFrame,
+    sh_b: DataFrame,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The candidate-join + exact-Jaccard-verify tail of
+    minhash_incremental_pairs_portable over PRECOMPUTED (doc, band,
+    bh) / (doc, sh) tables — the streaming state form (r12): the
+    corpus side is the persisted index, only the batch side is
+    computed per micro-batch. Signatures/shingles are pure functions
+    of text (_portable_sig_bands), so separately-computed sides are
+    mutually consistent."""
     cand = (
         banded_c.select(F.col("doc").alias("corpus_doc"), "band", "bh")
         .join(
@@ -1166,12 +1189,12 @@ def minhash_incremental_pairs_portable(
         .select("corpus_doc", "batch_doc")
         .distinct()
     )
-    sh_c = base_c.select(F.col("doc").alias("corpus_doc"), F.col("sh").alias("sh_c"))
-    sh_b = base_b.select(F.col("doc").alias("batch_doc"), F.col("sh").alias("sh_b"))
+    shc = sh_c.select(F.col("doc").alias("corpus_doc"), F.col("sh").alias("sh_c"))
+    shb = sh_b.select(F.col("doc").alias("batch_doc"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_c", "sh_b"))
     return (
-        cand.join(sh_c, "corpus_doc")
-        .join(sh_b, "batch_doc")
+        cand.join(shc, "corpus_doc")
+        .join(shb, "batch_doc")
         .withColumn(
             "jaccard", inter / (F.size("sh_c") + F.size("sh_b") - inter)
         )

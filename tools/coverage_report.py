@@ -48,6 +48,7 @@ LIBRARY_ONLY = {
     "[EXT]-lsh-bucket-cap": ("hot-bucket candidate cap: over-cap LSH buckets route via min-doc representative", "operators/dedup.banded_candidate_pairs + band_bucket_stats (tests/test_ingest_dedup.py, scale_probe lsh_hot_bucket_capped)"),
     "[EXT]-c4-lines": ("C4-style line cleaning + Gopher line-shape rules (single-line corpus → library)", "operators/text_analysis.c4_clean_lines + line_shape_metrics (tests/test_gopher.py)"),
     "[EXT]-webdataset": ("WebDataset tar shard export (byte-deterministic, manifest-returning)", "sources/export.write_webdataset_shards (tests/test_webdataset.py)"),
+    "[EXT]-streaming-neardup": ("streaming MinHash near-dup dedup (foreachBatch band-index state; within-batch min-id rep)", "streaming/neardup.py (tests/test_neardup_stream.py)"),
     "§2.10-cdc": ("streaming CDC merge into pointer-committed parquet snapshots (idempotent epoch replay)", "streaming/cdc.py (tests/test_cdc_stream.py)"),
     "§2.10-drift": ("per-key CUSUM drift detection (applyInPandasWithState; transformWithState twin import-gated on protobuf)", "streaming/drift.py (tests/test_drift_stream.py)"),
 }
