@@ -970,7 +970,17 @@ def minhash_lsh_pairs_portable(
         df, text_col, id_col, num_hashes, bands, ngram, cache_intermediate
     )
     cand = banded_candidate_pairs(banded, max_bucket_size=max_bucket_size)
-    sh = base.select("doc", "sh")
+    return minhash_verify_pairs(cand, base.select("doc", "sh"), jaccard_threshold)
+
+
+def minhash_verify_pairs(
+    cand: DataFrame, sh: DataFrame, jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (a, b) against a
+    shingle table (doc, sh) — the tail of minhash_lsh_pairs_portable,
+    factored out (r13) so callers holding PRECOMPUTED bands/shingles
+    (the streaming near-dup body) generate within-set pairs without
+    recomputing signatures. Output: (a, b, jaccard) at >= threshold."""
     return (
         cand.join(sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b")), "b")
@@ -1135,6 +1145,7 @@ def minhash_incremental_pairs_portable(
     ngram: int = 3,
     jaccard_threshold: float = 0.5,
     cache_intermediate: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """K9 incremental NEAR-dup: which new-batch documents are near-
     duplicates of the indexed corpus — the daily-ingest analog of
@@ -1163,6 +1174,7 @@ def minhash_incremental_pairs_portable(
         banded_b.select("doc", "band", "bh"),
         base_b.select("doc", "sh"),
         jaccard_threshold,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -1172,6 +1184,7 @@ def minhash_incremental_pairs_precomputed(
     banded_b: DataFrame,
     sh_b: DataFrame,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The candidate-join + exact-Jaccard-verify tail of
     minhash_incremental_pairs_portable over PRECOMPUTED (doc, band,
@@ -1179,13 +1192,41 @@ def minhash_incremental_pairs_precomputed(
     corpus side is the persisted index, only the batch side is
     computed per micro-batch. Signatures/shingles are pure functions
     of text (_portable_sig_bands), so separately-computed sides are
-    mutually consistent."""
+    mutually consistent.
+
+    ``max_bucket_size`` caps the CORPUS-side bucket fan-out (r13, the
+    repo-wide band-cap rule applied to the incremental form): a
+    (band, bh) bucket holding more than the cap of indexed docs —
+    boilerplate template families, which only GROW as the index
+    admits docs — keeps only its min-id representative in the probe,
+    so per-batch candidate volume is bounded by cap × |batch bands|
+    instead of growing with state occupancy. Batch docs landing in a
+    hot bucket still exact-verify against the representative (the
+    member every template-cluster doc matches); same recall contract
+    as banded_candidate_pairs' star routing. Self-pairs
+    (corpus_doc == batch_doc — possible when a crash-replayed batch
+    probes state containing its own rows, or a doc id is re-sent) are
+    excluded: "duplicate of itself" is never a meaningful verdict.
+    """
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        # grpwin-ok: (band, bh) bucket keyspace scales with the index;
+        # hot buckets are exactly what the cap routes
+        w = Window.partitionBy("band", "bh")
+        sized = banded_c.withColumn("_bs", F.count("*").over(w)).withColumn(
+            "_rep", F.min("doc").over(w)
+        )
+        banded_c = sized.filter(
+            (F.col("_bs") <= max_bucket_size) | (F.col("doc") == F.col("_rep"))
+        ).select("doc", "band", "bh")
     cand = (
         banded_c.select(F.col("doc").alias("corpus_doc"), "band", "bh")
         .join(
             banded_b.select(F.col("doc").alias("batch_doc"), "band", "bh"),
             ["band", "bh"],
         )
+        .filter(F.col("corpus_doc") != F.col("batch_doc"))
         .select("corpus_doc", "batch_doc")
         .distinct()
     )

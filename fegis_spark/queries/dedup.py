@@ -850,12 +850,104 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint") % 100
     )
     docs = docs.withColumn("bucket", bucket)
+    # band-ok: 2^60 md5 band keyspace, oracle replays the uncapped
+    # candidate set exactly (see dedup_minhash_portable); the capped
+    # incremental form is exercised by the streaming sink (NEARDUP_CAP)
     return minhash_incremental_pairs_portable(
         docs.filter(F.col("bucket") < 50),
         docs.filter(F.col("bucket") >= 50),
         "text",
         "doc_id",
     )
+
+
+@register(
+    "dedup_streaming_replay",
+    oracle=rf"""
+    WITH {_mh_pipeline_cte("documents", "MATERIALIZED ")}, ids AS MATERIALIZED (
+      SELECT doc_id AS doc,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS INT) AS chunk
+      FROM documents
+    ), cand AS (
+      SELECT DISTINCT l.doc AS a, r.doc AS b
+      FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc < r.doc
+    ), np AS MATERIALIZED (
+      SELECT c.a, c.b FROM cand c
+      JOIN base ba ON ba.doc = c.a
+      JOIN base bb ON bb.doc = c.b
+      WHERE len(list_intersect(ba.sh, bb.sh))::DOUBLE
+            / (len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh))) >= 0.5
+    ), sp AS MATERIALIZED (
+      SELECT a AS x, b AS y FROM np UNION ALL SELECT b AS x, a AS y FROM np
+    ), v0 AS MATERIALIZED (
+      SELECT i.doc,
+             MIN(CASE WHEN q.chunk = 0 AND s.x < i.doc THEN s.x END) AS rep_within
+      FROM (SELECT doc FROM ids WHERE chunk = 0) i
+      LEFT JOIN sp s ON s.y = i.doc
+      LEFT JOIN ids q ON q.doc = s.x
+      GROUP BY i.doc
+    ), adm0 AS MATERIALIZED (SELECT doc FROM v0 WHERE rep_within IS NULL),
+    v1 AS MATERIALIZED (
+      SELECT i.doc,
+             MIN(CASE WHEN a.doc IS NOT NULL THEN s.x END) AS rep_corpus,
+             MIN(CASE WHEN q.chunk = 1 AND s.x < i.doc THEN s.x END) AS rep_within
+      FROM (SELECT doc FROM ids WHERE chunk = 1) i
+      LEFT JOIN sp s ON s.y = i.doc
+      LEFT JOIN ids q ON q.doc = s.x
+      LEFT JOIN adm0 a ON a.doc = s.x
+      GROUP BY i.doc
+    ), adm1 AS MATERIALIZED (
+      SELECT doc FROM adm0
+      UNION ALL
+      SELECT doc FROM v1 WHERE rep_corpus IS NULL AND rep_within IS NULL
+    ), v2 AS MATERIALIZED (
+      SELECT i.doc,
+             MIN(CASE WHEN a.doc IS NOT NULL THEN s.x END) AS rep_corpus,
+             MIN(CASE WHEN q.chunk = 2 AND s.x < i.doc THEN s.x END) AS rep_within
+      FROM (SELECT doc FROM ids WHERE chunk = 2) i
+      LEFT JOIN sp s ON s.y = i.doc
+      LEFT JOIN ids q ON q.doc = s.x
+      LEFT JOIN adm1 a ON a.doc = s.x
+      GROUP BY i.doc
+    )
+    SELECT doc, 0 AS chunk, (rep_within IS NOT NULL) AS is_near_dup,
+           rep_within AS rep
+    FROM v0
+    UNION ALL
+    SELECT doc, 1 AS chunk,
+           (rep_corpus IS NOT NULL OR rep_within IS NOT NULL) AS is_near_dup,
+           COALESCE(rep_corpus, rep_within) AS rep
+    FROM v1
+    UNION ALL
+    SELECT doc, 2 AS chunk,
+           (rep_corpus IS NOT NULL OR rep_within IS NOT NULL) AS is_near_dup,
+           COALESCE(rep_corpus, rep_within) AS rep
+    FROM v2
+    """,
+    covers=("[EXT]-streaming-neardup", "K9-minhash", "§2.10-dedup"),
+)
+def dedup_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup verdict algebra, oracle-checked end-to-end
+    (r13, promoting [EXT]-streaming-neardup from library-only): the
+    corpus is split into 3 deterministic md5 chunks replayed in order
+    as micro-batches through the SAME verdict core the foreachBatch
+    sink runs (streaming/neardup.neardup_verdicts) — each chunk probes
+    the MinHash-band state of everything ADMITTED by earlier chunks,
+    within-chunk dups collapse to the min-id representative, and only
+    novel docs grow the state. The oracle unrolls the 3-epoch fold in
+    SQL (MATERIALIZED step CTEs — the iterative-oracle rule) over the
+    shared portable-minhash pipeline, replicating the admit recursion
+    exactly; the file/commit/crash-replay plumbing on top of this
+    algebra is pinned by tests/test_neardup_stream.py."""
+    from fegis_spark.streaming.neardup import neardup_replay_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunk = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 3
+    ).cast("int")
+    docs = docs.withColumn("chunk3", chunk)
+    return neardup_replay_chunks(spark, docs, "text", "doc_id", "chunk3", 3)
 
 
 @register(

@@ -1,14 +1,19 @@
 """Streaming near-dup dedup (streaming/neardup.py): micro-batches
 checked against the persisted MinHash-band state — corpus matches
 point at the admitted doc, within-batch duplicates collapse to the
-min-id representative, and only novel docs grow the state.
+min-id representative, and only novel docs grow the state. Replay
+tests (r13) drive the crash-between-writes scenarios from the r12
+verdict: a retried epoch must never re-flag its own docs as
+duplicates of themselves.
 """
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
-from fegis_spark.streaming.neardup import neardup_stream_batch, run_neardup_sink
+from fegis_spark.streaming.neardup import neardup_sink, run_neardup_sink
 
 
 def _doc(i: int, n_words: int = 60, changed: int | None = None, like: int | None = None) -> str:
@@ -93,6 +98,61 @@ def test_streaming_neardup_three_chunks(spark, dirs):
         .collect()
     }
     assert admitted == {1, 2, 3, 5, 6}
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_replay_of_committed_epoch_is_noop(spark, dirs):
+    """Replaying an epoch whose pointer already committed must change
+    neither verdicts nor state (the foreachBatch at-least-once
+    contract)."""
+    sink = neardup_sink(dirs["state"], dirs["out"])
+    sink(_batch(spark, [(1, _doc(1)), (2, _doc(2))]), 0)
+    v = _verdicts(spark, dirs)
+    assert v == {1: (False, None), 2: (False, None)}
+    sink(_batch(spark, [(1, _doc(1)), (2, _doc(2))]), 0)  # replay
+    assert _verdicts(spark, dirs) == v
+    admitted = {
+        r["doc"]
+        for r in spark.read.parquet(dirs["state"] + "/bands")
+        .select("doc").distinct().collect()
+    }
+    assert admitted == {1, 2}
+
+
+def test_neardup_replay_is_idempotent(spark, dirs):
+    """THE r12 defect scenario: crash AFTER the state append but BEFORE
+    the epoch commit (simulated by rewinding the pointer). The retried
+    epoch probes state that physically contains its own bands — the
+    committed-epoch filter must hide them, so previously-novel docs
+    stay novel instead of self-matching at jaccard 1.0."""
+    sink = neardup_sink(dirs["state"], dirs["out"])
+    sink(_batch(spark, [(1, _doc(1)), (2, _doc(2))]), 0)
+    assert _verdicts(spark, dirs) == {1: (False, None), 2: (False, None)}
+
+    # crash-before-commit: state for epoch 0 is on disk, pointer gone
+    os.remove(os.path.join(dirs["state"], "_epoch"))
+    sink(_batch(spark, [(1, _doc(1)), (2, _doc(2))]), 0)  # retry
+    assert _verdicts(spark, dirs) == {1: (False, None), 2: (False, None)}
+
+    # next epoch still sees docs 1/2 as admitted corpus
+    sink(_batch(spark, [(3, _doc(3, changed=7, like=1))]), 1)
+    assert _verdicts(spark, dirs)[3] == (True, 1)
+
+    # and the same crash on a LATER epoch: rewind 1 -> 0, retry epoch 1
+    with open(os.path.join(dirs["state"], "_epoch"), "w") as f:
+        f.write("0")
+    sink(_batch(spark, [(3, _doc(3, changed=7, like=1))]), 1)
+    v = _verdicts(spark, dirs)
+    assert v[3] == (True, 1)
+    admitted = {
+        r["doc"]
+        for r in spark.read.parquet(dirs["state"] + "/bands")
+        .select("doc").distinct().collect()
+    }
+    assert admitted == {1, 2}
 
 
 def test_exact_duplicate_is_flagged_across_batches(spark, dirs):

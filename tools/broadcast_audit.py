@@ -93,7 +93,9 @@ PAIR_GENERATORS = re.compile(
     r"\b(banded_candidate_pairs|minhash_lsh_pairs|simhash_pairs"
     r"|minhash_lsh_pairs_portable|simhash_pairs_portable"
     r"|ngram_jaccard_pairs|embedding_neardup_pairs"
-    r"|embedding_neardup_pairs_lsh)\("
+    r"|embedding_neardup_pairs_lsh"
+    r"|minhash_incremental_pairs_portable"
+    r"|minhash_incremental_pairs_precomputed)\("
 )
 MANUAL_SELF_JOIN = re.compile(r"\.alias\(\"l\"\)")
 CAP_ARG = re.compile(r"max_bucket_size\s*=\s*(?!None\b)\S")
