@@ -30,11 +30,20 @@ above the exchange), a rank consumed without an immediate bound, or
 several rankings wanted in ONE pass (two bounded slices in one
 aggregation). For a plain per-group top-k, prefer the window + filter
 and pin WindowGroupLimit(Partial) in the plan.
+
+``grouped_ntile`` / ``grouped_lead`` (r13) cover the OTHER
+WGL-uncoverable family: window functions that need the FULL partition
+by semantics (ntile, lead) over a group whose partition size scales
+with the corpus. Both use the epoch_shuffle bucket offset-merge
+decomposition — local windows per (group, order-range bucket), merged
+with bounded panel offsets (evidence/ntile_ab_r13.json: the native
+window's wall grows with data under a |groups|-task parallelism cap,
+the decomposition's with cluster parallelism).
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -134,3 +143,158 @@ def grouped_topk(
         *[F.col(f"__gtk_e.{p}").alias(p) for p in payload_cols],
         (F.col("__gtk_pos") + 1).cast("bigint").alias(rank_name),
     )
+
+
+def _as_list(cols: str | Sequence[str]) -> list[str]:
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    order_cols: str | Sequence[str],
+    bucket_col: str,
+    ns: Mapping[str, int],
+) -> DataFrame:
+    """``ntile(n) OVER (PARTITION BY group ORDER BY order_cols)``
+    without ever materializing a full group in one task — the r12
+    verdict's open window family: WindowGroupLimit NEVER fires for
+    ntile (it needs the whole partition by semantics), so the plain
+    window form funnels a corpus-scaling hot group through one task.
+
+    Decomposition (the epoch_shuffle offset-merge pattern, per group):
+
+    * the caller supplies ``bucket_col``: an integer column that is a
+      NON-DECREASING function of the first order column (a range
+      radix — fixed-width value buckets here, quantile-derived splits
+      at production scale). Monotonicity makes global (order) order
+      == (bucket, order) order, so per-bucket local ranks merge by
+      adding per-bucket base offsets;
+    * per-(group, bucket) row counts prefix-sum into base offsets and
+      the group total — a window over the bounded per-group bucket
+      panel;
+    * the local rank window partitions by (group, bucket): each task
+      holds 1/|buckets| of a group. The bucket fan-out is the
+      parallelism knob — widen the radix until a slice fits a task;
+    * global rank = base + local rank; ntile is then a PURE integer
+      function of (rank, group count, n): with q = cnt DIV n and
+      r = cnt % n, the first r tiles get q+1 rows, so
+      tile = ceil(rank/(q+1)) while rank <= r*(q+1), else
+      r + ceil((rank - r*(q+1))/q) — exactly the SQL-standard ntile
+      bucket sizes, all in exact BIGINT arithmetic (cross-engine
+      portable; the DuckDB oracle runs native ntile).
+
+    ``ns`` maps output column name -> n (rank and counts are computed
+    once; each requested tile is one projection). ``order_cols`` are
+    ascending and must be a total order within a group (append an id).
+    Output: df's columns plus one BIGINT column per ``ns`` entry.
+    """
+    from pyspark.sql import Window
+
+    groups = _as_list(group_cols)
+    orders = _as_list(order_cols)
+    counts = df.groupBy(*groups, bucket_col).agg(F.count("*").alias("__gn_n"))
+    woff = (
+        # panel-ok: counts is <= |bucket radix| rows per group (the
+        # caller's bounded bucket_col keyspace) — a panel window
+        Window.partitionBy(*groups)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = (
+        # panel-ok: same bounded per-group bucket panel (one WindowExec:
+        # same partition/order spec, different frame)
+        Window.partitionBy(*groups)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offs = counts.select(
+        *groups,
+        bucket_col,
+        F.coalesce(F.sum("__gn_n").over(woff), F.lit(0))
+        .cast("long")
+        .alias("__gn_base"),
+        F.sum("__gn_n").over(wall).cast("long").alias("__gn_cnt"),
+    )
+    # panel-ok: partition key is (group, bucket) — each slice is
+    # 1/|radix| of a group; the bucket fan-out is the parallelism knob
+    # (docstring), NOT a full-group funnel
+    wloc = Window.partitionBy(*groups, bucket_col).orderBy(*orders)
+    ranked = df.withColumn("__gn_lr", F.row_number().over(wloc))
+    # join key == the window's partition key: the big side reuses its
+    # exchange/sort; only the panel-sized offset table moves
+    j = ranked.join(offs, [*groups, bucket_col])
+    rk = "(__gn_base + CAST(__gn_lr AS BIGINT))"
+    q = "(__gn_cnt DIV {n})"
+    r = "(__gn_cnt % {n})"
+    tile = (
+        f"CASE WHEN {rk} <= {r} * ({q} + 1) "
+        f"THEN ({rk} + {q}) DIV ({q} + 1) "
+        f"ELSE {r} + ({rk} - {r} * ({q} + 1) + {q} - 1) DIV nullif({q}, 0) "
+        f"END"
+    )
+    out = j
+    for name, n in ns.items():
+        out = out.withColumn(name, F.expr(tile.format(n=int(n))))
+    return out.drop("__gn_lr", "__gn_base", "__gn_cnt")
+
+
+def grouped_lead(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    order_cols: str | Sequence[str],
+    value_col: str,
+    bucket_col: str,
+    out_name: str = "lead",
+) -> DataFrame:
+    """``lead(value) OVER (PARTITION BY group ORDER BY order_cols)``
+    (offset 1) without a full-group window — lead, like ntile, never
+    gets a WindowGroupLimit, so the plain form funnels hot groups.
+    Same bucket decomposition as grouped_ntile (``bucket_col`` must be
+    a non-decreasing function of the first order column):
+
+    * local lead within (group, bucket) — the successor of every row
+      except each bucket's last;
+    * the per-(group, bucket) FIRST value (min_by over the order key)
+      forms a bounded panel; lead over that panel, ordered by bucket,
+      is "the first value of my next non-empty bucket" — exactly what
+      each bucket-last row needs (empty buckets don't appear in the
+      panel, so they are skipped, and the last bucket's NULL is the
+      correct no-successor answer);
+    * the boundary is decided by the lifted STRUCT being null (a
+      missing successor), never by the value itself — NULL values in
+      ``value_col`` flow through correctly.
+
+    Output: df's columns plus ``out_name`` (same type as value_col).
+    """
+    from pyspark.sql import Window
+
+    groups = _as_list(group_cols)
+    orders = _as_list(order_cols)
+    # panel-ok: partition key is (group, bucket) — 1/|radix| group
+    # slices, bucket fan-out is the parallelism knob (see grouped_ntile)
+    wloc = Window.partitionBy(*groups, bucket_col).orderBy(*orders)
+    led = df.withColumn(
+        "__gl_ld", F.lead(F.struct(F.col(value_col).alias("v"))).over(wloc)
+    )
+    firsts = df.groupBy(*groups, bucket_col).agg(
+        F.min_by(
+            F.struct(F.col(value_col).alias("v")),
+            F.struct(*[F.col(o) for o in orders]),
+        ).alias("__gl_first")
+    )
+    # panel-ok: firsts is <= |bucket radix| rows per group — the
+    # next-bucket lookup is a bounded panel window
+    wnext = Window.partitionBy(*groups).orderBy(bucket_col)
+    nxt = firsts.select(
+        *groups,
+        bucket_col,
+        F.lead("__gl_first").over(wnext).alias("__gl_nx"),
+    )
+    j = led.join(nxt, [*groups, bucket_col])
+    return j.withColumn(
+        out_name,
+        F.when(F.col("__gl_ld").isNotNull(), F.col("__gl_ld.v")).otherwise(
+            F.col("__gl_nx.v")
+        ),
+    ).drop("__gl_ld", "__gl_nx")

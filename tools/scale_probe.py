@@ -707,7 +707,10 @@ def topk_ab(spark, factor: int = 16) -> dict:
     x1, xn = out["legs"]["x1"], out["legs"][f"x{factor}"]
     out["window_scale_ratio"] = round(xn["window_s"] / x1["window_s"], 2)
     out["grouped_scale_ratio"] = round(xn["grouped_s"] / x1["grouped_s"], 2)
-    out["grouped_over_window_at_xN"] = round(
+    # window_s / grouped_s: >1 means the grouped aggregate form is
+    # FASTER than the window form at xN (ADVICE r12: the old key name
+    # 'grouped_over_window_at_xN' read as the inverse ratio)
+    out["grouped_relative_speed_at_xN"] = round(
         xn["window_s"] / xn["grouped_s"], 2
     )
     out["dual_slice_speedup_at_xN"] = round(
@@ -716,7 +719,105 @@ def topk_ab(spark, factor: int = 16) -> dict:
     return out
 
 
+def ntile_ab(spark, factor: int = 16) -> dict:
+    """r13 (r12 verdict #5 'Done' leg): the full-partition window
+    family WindowGroupLimit can never cover — ntile + lead over a
+    bounded group key whose PARTITION SIZE scales with the corpus —
+    in two forms at 1x and Nx:
+
+    (a) native window: ntile(7)/lead OVER (PARTITION BY lang ORDER BY
+        n_chars, doc_id) — the whole corpus funnels into <= |langs|
+        tasks (5 here);
+    (b) the grouped_ntile/grouped_lead bucket offset-merge
+        decomposition (operators/topk.py): per-(lang, length-bucket)
+        local windows + bounded panel offsets — parallelism = langs x
+        buckets, per-task slice shrinks with the radix.
+
+    Rows are asserted identical at x1 and count-checked at xN (the
+    catalog queries grouped_ntile_sharded / grouped_lead_sharded carry
+    the value-level DuckDB certification)."""
+    from pyspark.sql import Window
+
+    from fegis_spark.operators.topk import grouped_lead, grouped_ntile
+
+    out: dict = {
+        "probe": "ntile+lead: native full-partition window vs bucket offset-merge decomposition (r13)",
+        "factor": factor,
+        "legs": {},
+    }
+
+    def timed_best2(make_df) -> float:
+        best = None
+        for _ in range(2):
+            df = make_df()
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache(); clear_memos()
+        return round(best, 3)
+
+    with tempfile.TemporaryDirectory(prefix="ntile_ab_") as tmp:
+        for leg, fac in (("x1", 1), (f"x{factor}", factor)):
+            d = f"{tmp}/{leg}"
+            replicate(spark, d, fac)
+
+            def base():
+                return spark.read.parquet(f"{d}/documents.parquet").select(
+                    "doc_id", "lang", F.length("text").alias("n_chars")
+                )
+
+            def native_df():
+                # the funnel under test: full-partition window by lang
+                # (probe-only — catalog plans never take this shape)
+                w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+                return base().select(
+                    "doc_id",
+                    "lang",
+                    F.ntile(7).over(w).cast("bigint").alias("q7"),
+                    F.lead("n_chars").over(w).alias("nx"),
+                )
+
+            def sharded_df():
+                df = base().withColumn(
+                    "b", F.expr("least(n_chars DIV 16, 63)")
+                )
+                nt = grouped_ntile(
+                    df, "lang", ["n_chars", "doc_id"], "b", {"q7": 7}
+                )
+                ld = grouped_lead(
+                    nt, "lang", ["n_chars", "doc_id"], "n_chars", "b", "nx"
+                )
+                return ld.select("doc_id", "lang", "q7", "nx")
+
+            n = base().count()
+            if fac == 1:
+                got = {tuple(r) for r in sharded_df().collect()}
+                want = {tuple(r) for r in native_df().collect()}
+                assert got == want, "decomposition diverged from native window"
+            else:
+                assert sharded_df().count() == n
+            spark.catalog.clearCache(); clear_memos()
+            out["legs"][leg] = {
+                "n_docs": n,
+                "native_s": timed_best2(native_df),
+                "sharded_s": timed_best2(sharded_df),
+            }
+    x1, xn = out["legs"]["x1"], out["legs"][f"x{factor}"]
+    out["native_scale_ratio"] = round(xn["native_s"] / x1["native_s"], 2)
+    out["sharded_scale_ratio"] = round(xn["sharded_s"] / x1["sharded_s"], 2)
+    out["sharded_over_native_at_xN"] = round(
+        xn["sharded_s"] / xn["native_s"], 2
+    )
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "ntile":
+        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        spark = configure_for_oracle(get_spark("scale_probe"))
+        print(json.dumps(ntile_ab(spark, factor)))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "topk":
         factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
         spark = configure_for_oracle(get_spark("scale_probe"))
