@@ -127,6 +127,52 @@ def knn_join_lsh(
     )
 
 
+def lsh_bucket_stats(
+    corpus_df: DataFrame,
+    vec_col: str = "embedding",
+    bucket_length: float | None = None,
+    num_hash_tables: int = 3,
+) -> DataFrame:
+    """1-row occupancy audit of the BRP-LSH bucket layout (hash table
+    0, the same fitted model knn_join_lsh uses: bucketLength derived
+    sigma/2 unless overridden, seed 42): (n_rows, n_buckets,
+    max_bucket). The observable behind the r11/r12 degeneracy finds —
+    a fixed bucket_length >> sigma collapses the table to ~2 buckets
+    and the bucket equi-join to ~n^2/2 brute force; the derived
+    sigma/2 default measures 12-14 buckets / <=0.21 max share at every
+    sf (evidence/brp_occupancy_r12.json, ann_lsh_recall_audit)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    if bucket_length is None:
+        first = corpus_df.select(vec_col).head()
+        dim = len(first[0]) if first is not None else 64
+        bucket_length = 0.5 / dim ** 0.5
+    c = corpus_df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(c)
+    t = model.transform(c).select(
+        vector_to_array(F.col("hashes")[0])[0].cast("bigint").alias("b0")
+    )
+    return (
+        t.groupBy("b0")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+        )
+    )
+
+
 def ivf_training_sample(
     corpus_df: DataFrame, corpus_id: str, vec_col: str, target: int
 ) -> DataFrame:

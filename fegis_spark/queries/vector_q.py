@@ -221,6 +221,82 @@ def ann_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_lsh_recall_audit",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 3) AS n_queries,
+           (SELECT COUNT(*) FROM embeddings WHERE vec_id < 3)
+             * LEAST(3, (SELECT COUNT(*) FROM embeddings)) AS n_exact_pairs,
+           TRUE AS mean_recall_ge_04,
+           TRUE AS buckets_ge_8,
+           TRUE AS max_share_le_third
+    """,
+    covers=("K1-approx", "[EXT]-ann"),
+)
+def ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] error-bound audit for the MLlib BRP-LSH path (r13, the
+    ann_ivf_recall_audit pattern — the r12 verdict asked the last
+    undocumented rows-only query to carry a cross-engine-verified
+    claim): the JVM hash values cannot be replayed in DuckDB, but the
+    exact side and the acceptance claims can. Value-checks the panel
+    size and exact top-3 pair count, and pins three booleans the
+    oracle asserts literally TRUE:
+
+    * mean recall@3 >= 0.4 over the 3-query panel vs exact brute
+      force (measured 0.667/0.556/0.778 at sf0.001/0.01/0.1; the
+      structural floor is 1/3 — a panel query always retrieves itself
+      — so a pass requires genuinely finding neighbors);
+    * hash-table-0 bucket count >= 8 and max bucket share <= 1/3
+      (measured 12-14 buckets / 0.178-0.204 share): the degeneracy
+      gate — reverting the derived sigma/2 bucket_length to the old
+      fixed defaults collapses to ~2 buckets at ~0.51 share
+      (evidence/brp_occupancy_r12.json) and flips BOTH booleans.
+
+    Seeded (42) model + total-order tiebreaks make every measured
+    quantity deterministic per corpus. ann_lsh_join stays the
+    rows-only detail query; IVF / capped SRP remain the declared
+    scale paths."""
+    from fegis_spark.operators.knn import knn_join_lsh, lsh_bucket_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=3).select(
+        "query_id", "corpus_id"
+    )
+    approx = knn_join_lsh(
+        queries, emb, "vec_id", "vec_id", "embedding", k=3
+    ).select("query_id", F.col("corpus_id").alias("approx_id"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.corpus_id == approx.approx_id),
+        "left_semi",
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "n_exact",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("rec"),
+        )
+    )
+    rec = per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("n_exact").alias("n_exact_pairs"),
+        (F.avg("rec") >= 0.4).alias("mean_recall_ge_04"),
+    )
+    occ = lsh_bucket_stats(emb, "embedding").select(
+        (F.col("n_buckets") >= 8).alias("buckets_ge_8"),
+        (F.col("max_bucket") * 3 <= F.col("n_rows")).alias("max_share_le_third"),
+    )
+    # bcast-ok: both sides are 1-row aggregates
+    return rec.crossJoin(F.broadcast(occ))
+
+
 def _ivf_recall_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, n_exact, rec): recall@3 of the IVF path against
     exact brute-force KNN over the 8-query panel — the ONE definition
