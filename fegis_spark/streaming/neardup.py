@@ -270,6 +270,46 @@ def run_neardup_sink(
     )
 
 
+def compact_neardup_state(spark: SparkSession, state_dir: str) -> int:
+    """Operational state maintenance (the module doc's nightly
+    compaction): fold all committed epoch partitions into ONE
+    partition at the current pointer epoch, leaving the pointer — the
+    replay guard — untouched, so replays of already-committed epochs
+    stay no-ops and the probe's ``epoch <= committed`` filter reads
+    the compacted layout unchanged. Run while the stream is stopped.
+
+    Crash-safe by content equivalence: each table is rewritten to a
+    sibling directory and swapped in with atomic renames; a crash
+    between the two tables' swaps leaves one compacted and one not,
+    but both layouts hold exactly the committed rows, so the probe's
+    answer is identical either way. Uncommitted leftovers (epoch >
+    pointer, from a crashed batch attempt) are dropped — the retry
+    rewrites them. Returns the committed epoch (-1 = nothing to do)."""
+    import shutil
+
+    committed = _read_committed_epoch(state_dir)
+    if committed < 0:
+        return -1
+    for sub in ("bands", "shingles"):
+        src = os.path.join(state_dir, sub)
+        if not os.path.exists(src):
+            continue
+        df = (
+            spark.read.parquet(src)
+            .filter(F.col("epoch") <= committed)
+            .drop("epoch")
+        )
+        tmp = src + ".compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(f"{tmp}/epoch={committed}")
+        old = src + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+    return committed
+
+
 def neardup_replay_chunks(
     spark: SparkSession,
     docs: DataFrame,

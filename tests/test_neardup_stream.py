@@ -155,6 +155,35 @@ def test_neardup_replay_is_idempotent(spark, dirs):
     assert admitted == {1, 2}
 
 
+def test_compaction_preserves_probe_and_replay_guard(spark, dirs):
+    """Nightly compaction folds committed epoch partitions into one;
+    afterwards (a) later epochs still flag dups of pre-compaction
+    admissions, (b) replaying an already-committed epoch is still a
+    no-op, (c) the state holds one partition directory per table."""
+    import os as _os
+
+    from fegis_spark.streaming.neardup import compact_neardup_state
+
+    sink = neardup_sink(dirs["state"], dirs["out"])
+    sink(_batch(spark, [(1, _doc(1)), (2, _doc(2))]), 0)
+    sink(_batch(spark, [(3, _doc(3))]), 1)
+    assert compact_neardup_state(spark, dirs["state"]) == 1
+    for sub in ("bands", "shingles"):
+        parts = [
+            p
+            for p in _os.listdir(f"{dirs['state']}/{sub}")
+            if p.startswith("epoch=")
+        ]
+        assert parts == ["epoch=1"], parts
+    # (b) replay of committed epoch 1: still a no-op post-compaction
+    sink(_batch(spark, [(3, _doc(3))]), 1)
+    v = _verdicts(spark, dirs)
+    assert v == {1: (False, None), 2: (False, None), 3: (False, None)}
+    # (a) a new epoch probes the compacted state
+    sink(_batch(spark, [(4, _doc(4, changed=12, like=2))]), 2)
+    assert _verdicts(spark, dirs)[4] == (True, 2)
+
+
 def test_exact_duplicate_is_flagged_across_batches(spark, dirs):
     _write_chunk(spark, dirs["in"], [(10, _doc(10))])
     _drain(spark, dirs)
