@@ -193,7 +193,19 @@ def grouped_ntile(
 
     groups = _as_list(group_cols)
     orders = _as_list(order_cols)
-    counts = df.groupBy(*groups, bucket_col).agg(F.count("*").alias("__gn_n"))
+    # panel-ok: partition key is (group, bucket) — each slice is
+    # 1/|radix| of a group; the bucket fan-out is the parallelism knob
+    # (docstring), NOT a full-group funnel
+    wloc = Window.partitionBy(*groups, bucket_col).orderBy(*orders)
+    ranked = df.withColumn("__gn_lr", F.row_number().over(wloc))
+    # bucket sizes come from the WINDOWED side (max local rank), not a
+    # second pass over df: the groupBy keys equal the window's
+    # partition keys, so this aggregation plans with NO new exchange
+    # and the corpus is scanned ONCE (r13 plan-shape fix: the first
+    # draft's df.groupBy counts cost a second scan + shuffle)
+    counts = ranked.groupBy(*groups, bucket_col).agg(
+        F.max("__gn_lr").alias("__gn_n")
+    )
     woff = (
         # panel-ok: counts is <= |bucket radix| rows per group (the
         # caller's bounded bucket_col keyspace) — a panel window
@@ -216,11 +228,6 @@ def grouped_ntile(
         .alias("__gn_base"),
         F.sum("__gn_n").over(wall).cast("long").alias("__gn_cnt"),
     )
-    # panel-ok: partition key is (group, bucket) — each slice is
-    # 1/|radix| of a group; the bucket fan-out is the parallelism knob
-    # (docstring), NOT a full-group funnel
-    wloc = Window.partitionBy(*groups, bucket_col).orderBy(*orders)
-    ranked = df.withColumn("__gn_lr", F.row_number().over(wloc))
     # join key == the window's partition key: the big side reuses its
     # exchange/sort; only the panel-sized offset table moves
     j = ranked.join(offs, [*groups, bucket_col])
@@ -276,12 +283,15 @@ def grouped_lead(
     wloc = Window.partitionBy(*groups, bucket_col).orderBy(*orders)
     led = df.withColumn(
         "__gl_ld", F.lead(F.struct(F.col(value_col).alias("v"))).over(wloc)
-    )
-    firsts = df.groupBy(*groups, bucket_col).agg(
-        F.min_by(
-            F.struct(F.col(value_col).alias("v")),
-            F.struct(*[F.col(o) for o in orders]),
-        ).alias("__gl_first")
+    ).withColumn("__gl_rn", F.row_number().over(wloc))
+    # per-bucket FIRST values from the WINDOWED side (local rank 1) —
+    # same spec as the lead window, so one WindowExec / one corpus
+    # scan, no second groupBy pass (r13 plan-shape fix, see
+    # grouped_ntile's counts note)
+    firsts = led.filter(F.col("__gl_rn") == 1).select(
+        *groups,
+        bucket_col,
+        F.struct(F.col(value_col).alias("v")).alias("__gl_first"),
     )
     # panel-ok: firsts is <= |bucket radix| rows per group — the
     # next-bucket lookup is a bounded panel window
@@ -297,4 +307,4 @@ def grouped_lead(
         F.when(F.col("__gl_ld").isNotNull(), F.col("__gl_ld.v")).otherwise(
             F.col("__gl_nx.v")
         ),
-    ).drop("__gl_ld", "__gl_nx")
+    ).drop("__gl_ld", "__gl_nx", "__gl_rn")
