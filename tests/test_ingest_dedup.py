@@ -677,3 +677,58 @@ class TextEmbedding:
     assert I.fastembed_embedding_udf is not None
     probe = mod.TextEmbedding("BAAI/bge-small-en")
     assert probe.model_name == "BAAI/bge-small-en"
+
+
+def test_incremental_pairs_state_bucket_cap(spark):
+    """r13 (ADVICE r12 medium): the corpus/state side of the
+    incremental band probe routes over-cap buckets through their
+    min-id representative — per-batch candidate volume must be bounded
+    by the cap, not by state bucket occupancy. Synthetic banded/shingle
+    tables make the routing directly observable: a hot (band, bh)
+    bucket of 100 admitted docs vs one probing batch doc yields 100
+    verified pairs uncapped but exactly ONE (the rep's) capped; an
+    under-cap bucket is untouched; and self-pairs are excluded even
+    when the same doc id appears on both sides (the crash-replay
+    scenario)."""
+    from fegis_spark.operators.dedup import (
+        minhash_incremental_pairs_precomputed,
+    )
+
+    # state: docs 10..109 share hot bucket (0, 'hot'); docs 200, 201
+    # share the cold bucket (1, 'cold') with the batch doc
+    hot = [(i, 0, "hot") for i in range(10, 110)]
+    cold = [(200, 1, "cold"), (201, 1, "cold")]
+    banded_c = spark.createDataFrame(hot + cold, "doc long, band int, bh string")
+    # every doc carries identical shingles so every candidate verifies
+    sh = [[f"g{k}" for k in range(4)]]
+    sh_c = spark.createDataFrame(
+        [(i, sh[0]) for i in range(10, 110)] + [(200, sh[0]), (201, sh[0])],
+        "doc long, sh array<string>",
+    )
+    banded_b = spark.createDataFrame(
+        [(9000, 0, "hot"), (9000, 1, "cold")], "doc long, band int, bh string"
+    )
+    sh_b = spark.createDataFrame([(9000, sh[0])], "doc long, sh array<string>")
+
+    uncapped = minhash_incremental_pairs_precomputed(
+        banded_c, sh_c, banded_b, sh_b, 0.5
+    )
+    assert uncapped.count() == 102  # 100 hot + 2 cold
+
+    capped = minhash_incremental_pairs_precomputed(
+        banded_c, sh_c, banded_b, sh_b, 0.5, max_bucket_size=64
+    )
+    rows = {(r.corpus_doc, r.batch_doc) for r in capped.collect()}
+    # hot bucket collapses to the min-id representative; cold intact
+    assert rows == {(10, 9000), (200, 9000), (201, 9000)}
+
+    # self-pair exclusion: batch doc id already present in state
+    banded_b2 = spark.createDataFrame(
+        [(200, 1, "cold")], "doc long, band int, bh string"
+    )
+    sh_b2 = spark.createDataFrame([(200, sh[0])], "doc long, sh array<string>")
+    self_probe = minhash_incremental_pairs_precomputed(
+        banded_c, sh_c, banded_b2, sh_b2, 0.5
+    )
+    got = {(r.corpus_doc, r.batch_doc) for r in self_probe.collect()}
+    assert got == {(201, 200)}  # never (200, 200)
