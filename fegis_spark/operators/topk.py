@@ -246,6 +246,43 @@ def grouped_ntile(
     return out.drop("__gn_lr", "__gn_base", "__gn_cnt")
 
 
+def order_range_buckets(
+    df: DataFrame,
+    order_col: str,
+    num_buckets: int = 64,
+    bucket_name: str = "bucket",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Production bucket derivation for grouped_ntile/grouped_lead: a
+    range radix from the order column's approximate quantiles, so the
+    per-(group, bucket) slices are load-balanced even when the order
+    values are skewed (the fixed-width `v DIV w` recipe degenerates to
+    a few hot buckets on a heavy-tailed column).
+
+    approxQuantile (Greenwald-Khanna) is a bounded driver round-trip —
+    one aggregation pass, |boundaries| doubles back to the driver —
+    re-entered as literals, so the bucket column compiles to a plain
+    codegen CASE ladder (no HOF: a transform()-based searchsorted
+    would disable whole-stage codegen for the consuming projection,
+    the r9 rrf regression class). Assignment is searchsorted over the
+    interior boundaries: bucket = |{b : v > b}| — a non-decreasing
+    pure function of the order value, which is the ONLY correctness
+    requirement grouped_ntile/grouped_lead place on the bucket column
+    (boundary quality affects balance, never results; equal boundary
+    duplicates from low-cardinality columns just leave some buckets
+    empty, which both operators tolerate). NULL order values bucket
+    to -1, below every real bucket — matching NULLS FIRST ascending
+    order. Adds ``bucket_name`` (INT) to df."""
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts = df.approxQuantile(order_col, qs, relative_error)
+    v = F.col(order_col)
+    expr = F.lit(0)
+    for c in cuts:
+        expr = expr + F.when(v > F.lit(c), 1).otherwise(0)
+    bucket = F.when(v.isNull(), F.lit(-1)).otherwise(expr)
+    return df.withColumn(bucket_name, bucket.cast("int"))
+
+
 def grouped_lead(
     df: DataFrame,
     group_cols: str | Sequence[str],

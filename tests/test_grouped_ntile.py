@@ -103,6 +103,39 @@ def test_lead_null_values_and_boundaries(spark):
     assert _rows(got, cols) == _rows(want.select(*cols), cols)
 
 
+def test_order_range_buckets_skewed_and_null(spark):
+    """Quantile-derived buckets: monotone in the order column (the one
+    correctness requirement), far better balanced than fixed-width on
+    a heavy-tailed column, NULLs to bucket -1, and grouped_ntile over
+    them still equals the native window."""
+    from fegis_spark.operators.topk import order_range_buckets
+
+    # heavy tail: 90% of values in [0, 10), a few huge outliers
+    rows = [(0, i, float(i % 10)) for i in range(180)] + [
+        (0, 1000 + j, float(10 ** (j + 2))) for j in range(20)
+    ]
+    rows += [(0, 2000, None), (0, 2001, None)]
+    df = spark.createDataFrame(rows, "g int, id int, v double").repartition(5)
+    b = order_range_buckets(df, "v", num_buckets=8, bucket_name="b")
+    got = {(r["id"]): (r["v"], r["b"]) for r in b.collect()}
+    # monotone: sort by (v, id) and check bucket never decreases
+    seq = [got[i][1] for i in sorted(got, key=lambda i: (got[i][0] is not None, got[i][0], i))]
+    assert all(x <= y for x, y in zip(seq, seq[1:]))
+    assert got[2000][1] == -1 and got[2001][1] == -1
+    # balance: fixed-width (v DIV width) would put 90% of rows in one
+    # bucket; quantile buckets cap the biggest non-null bucket well below
+    from collections import Counter
+
+    sizes = Counter(v[1] for k, v in got.items() if v[1] >= 0)
+    assert max(sizes.values()) <= 0.5 * 200
+    # and the decomposition over these buckets still matches native ntile
+    got_nt = grouped_ntile(b, "g", ["v", "id"], "b", {"n4": 4})
+    w = Window.partitionBy("g").orderBy(F.asc_nulls_first("v"), "id")
+    want = b.withColumn("n4", F.ntile(4).over(w).cast("bigint"))
+    cols = ["id", "n4"]
+    assert _rows(got_nt, cols) == _rows(want.select(*cols), cols)
+
+
 def test_no_full_group_window_in_plan(spark):
     """The decomposition's whole point: no WindowExec partitioned by
     the group columns ALONE over the corpus-scaling input. Windows in
