@@ -435,3 +435,37 @@ def test_soft_dedup_is_single_pass_no_join(spark, cat):
     p = formatted_plan(spark, cat, "dedup_soft_weights")
     assert p.count("Location:") == 1, p
     assert "Join" not in p, p
+
+
+def test_grouped_ntile_lead_no_full_group_corpus_window(spark, cat):
+    """r13: grouped_ntile_sharded / grouped_lead_sharded exist BECAUSE
+    ntile/lead never get a WindowGroupLimit rescue — so their plans
+    must never contain a window partitioned by the group column alone
+    over the corpus. Pins: (a) every corpus-side window spec carries
+    the bucket column in its partition clause (panel windows — the
+    offset prefix-sum / next-bucket lookup — run over the bounded
+    counts/firsts derivation, identifiable by the internal column
+    names); (b) the lead query's firsts pass plans the
+    WindowGroupLimit(Partial) pre-exchange top-1; (c) after execution,
+    the ntile query's two consumers of the (lang, b) exchange collapse
+    to one shuffle via AQE ReusedExchange."""
+    import re
+
+    for name, internal in (
+        ("grouped_ntile_sharded", "__gn_"),
+        ("grouped_lead_sharded", "__gl_"),
+    ):
+        p = formatted_plan(spark, cat, name)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+            part = m.group(1).split("specifiedwindowframe")[0]
+            assert ("b#" in part) or (internal in p), (name, part)
+        # no native ntile/lead over a group-only partition
+        assert not re.search(r"windowspecdefinition\(lang#\d+,\s*n_chars", p), p
+
+    lead_exec = _executed_plan(spark, cat, "grouped_lead_sharded")
+    assert "WindowGroupLimit" in lead_exec and ", Partial" in lead_exec, lead_exec
+
+    df = cat["grouped_ntile_sharded"].builder(spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
