@@ -353,8 +353,12 @@ def neardup_replay_chunks(
         ).persist()  # consumers: result union + novel-state filter
         outs.append(out.withColumn("chunk", F.lit(t)))
         novel = out.filter(~F.col("is_near_dup")).select("doc")
-        nb = bands_b.join(novel, "doc")
-        ns = sh_b.join(novel, "doc")
+        # persist the admitted bands/shingles: chunk t's state is read
+        # by EVERY later chunk's probe (and rides inside their state
+        # unions) — unpersisted, chunk 0's signature aggregation would
+        # recompute once per later chunk (quadratic in n_chunks)
+        nb = bands_b.join(novel, "doc").persist()
+        ns = sh_b.join(novel, "doc").persist()
         state_bands = nb if state_bands is None else state_bands.unionByName(nb)
         state_sh = ns if state_sh is None else state_sh.unionByName(ns)
     res = outs[0]
