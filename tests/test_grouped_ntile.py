@@ -29,10 +29,14 @@ def _rows(df, cols):
 
 
 def test_ntile_matches_window_all_n(spark):
-    # group sizes 1..40 hit every (cnt % n) remainder class; v has ties
-    # so the id tiebreak must decide identically
+    # group sizes 1..12 plus 29..33 hit EVERY (cnt % n) remainder
+    # class for n in {2, 4, 7} at both q = cnt DIV n regimes (q = 0/1
+    # small groups, q >= 4 large ones) — the first draft's g*8+1 sizes
+    # were all ≡1 (mod 4), leaving the n=4 remainder classes untested;
+    # v has ties so the id tiebreak must decide identically
+    sizes = list(range(1, 13)) + list(range(29, 34))
     rows = [
-        (g, i, (i * 7) % 13) for g in range(6) for i in range(g * 8 + 1)
+        (g, i, (i * 7) % 13) for g, n in enumerate(sizes) for i in range(n)
     ]
     df = _df(spark, rows, "g int, id int, v int", "v DIV 3")
     got = grouped_ntile(df, "g", ["v", "id"], "b", {"n2": 2, "n4": 4, "n7": 7})
