@@ -143,11 +143,37 @@ def main() -> None:
     prior = prior_round(os.path.dirname(os.path.abspath(__file__)), sf_val)
     if prior is not None:
         name, d = prior
+        # session-normalized total (r13 verdict #6): cross-session runs
+        # on this box differ by a uniform session factor (~1.2x
+        # observed r13, affecting the fixed-cost sentinel and every
+        # query alike — evidence/bench_rebaseline_r13.json); dividing
+        # the headline total by the sentinel ratio vs the baseline
+        # round removes it, so round-over-round deltas stop needing
+        # manual session-factor triage. Raw totals stay authoritative
+        # for absolute claims.
+        prior_sents = [
+            s
+            for s in (d.get("sentinel_pre_sec"), d.get("sentinel_post_sec"))
+            if s
+        ]
+        session_factor = None
+        if prior_sents:
+            session_factor = round(
+                ((sent_pre + sent_post) / 2)
+                / (sum(prior_sents) / len(prior_sents)),
+                4,
+            )
+            out["session_factor_vs_baseline"] = session_factor
+            out["sentinel_normalized_total"] = round(total / session_factor, 4)
         deltas = {
             q: round(t / d["queries"][q], 3)
             for q, t in times.items()
             if d["queries"].get(q)
         }
+        if session_factor:
+            out["normalized_delta_vs_baseline"] = {
+                q: round(r / session_factor, 3) for q, r in deltas.items()
+            }
         out["baseline_file"] = name
         # r1-r8 were median-of-3 unprimed; r9 switched to min3+priming
         # but predates the tag — "untagged" keeps the report honest
@@ -160,10 +186,13 @@ def main() -> None:
                 for q, t in times2.items()
                 if prior2.get(q)
             }
-        # >1.5x slower than the prior round at the same sf; page-cache
-        # state swings sf0.1 numbers ~2x, so treat as rerun-and-confirm
+        # >1.5x slower than the prior round at the same sf AFTER
+        # session normalization (when available) — removes the uniform
+        # session-factor false-positive class; treat survivors as
+        # rerun-and-confirm
+        flag_deltas = out.get("normalized_delta_vs_baseline", deltas)
         out["regressions"] = {
-            q: r for q, r in deltas.items() if r > REGRESSION_FACTOR
+            q: r for q, r in flag_deltas.items() if r > REGRESSION_FACTOR
         }
         prior_sent = d.get("sentinel_pre_sec")
         if prior_sent:

@@ -1208,6 +1208,23 @@ def minhash_incremental_pairs_precomputed(
     probes state containing its own rows, or a doc id is re-sent) are
     excluded: "duplicate of itself" is never a meaningful verdict.
     """
+    cand = incremental_band_candidates(banded_c, banded_b, max_bucket_size)
+    return incremental_verify_candidates(cand, sh_c, sh_b, jaccard_threshold)
+
+
+def incremental_band_candidates(
+    banded_c: DataFrame,
+    banded_b: DataFrame,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Phase 1 of the incremental probe: corpus-band × batch-band
+    equi-join → distinct (corpus_doc, batch_doc) candidates, with the
+    hot-state-bucket min-id-representative cap (see
+    minhash_incremental_pairs_precomputed). Factored out (r14) so the
+    streaming sink can materialize the candidate set, collect its
+    corpus-doc partition prefixes, and read ONLY those shingle-state
+    partitions for phase 2 — the state-probe pruning the neardup
+    module doc promises."""
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
@@ -1220,7 +1237,7 @@ def minhash_incremental_pairs_precomputed(
         banded_c = sized.filter(
             (F.col("_bs") <= max_bucket_size) | (F.col("doc") == F.col("_rep"))
         ).select("doc", "band", "bh")
-    cand = (
+    return (
         banded_c.select(F.col("doc").alias("corpus_doc"), "band", "bh")
         .join(
             banded_b.select(F.col("doc").alias("batch_doc"), "band", "bh"),
@@ -1230,6 +1247,18 @@ def minhash_incremental_pairs_precomputed(
         .select("corpus_doc", "batch_doc")
         .distinct()
     )
+
+
+def incremental_verify_candidates(
+    cand: DataFrame,
+    sh_c: DataFrame,
+    sh_b: DataFrame,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Phase 2 of the incremental probe: exact-Jaccard verification of
+    (corpus_doc, batch_doc) candidates against the two shingle tables.
+    ``sh_c`` may be pre-pruned to the candidates' partitions — the
+    join semantics only ever read the candidate docs' rows."""
     shc = sh_c.select(F.col("doc").alias("corpus_doc"), F.col("sh").alias("sh_c"))
     shb = sh_b.select(F.col("doc").alias("batch_doc"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_c", "sh_b"))

@@ -19,6 +19,8 @@ Three tiers, by corpus x query scale:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -364,6 +366,22 @@ def _nearest_lists(df: DataFrame, cent_df: DataFrame, vec_col: str, id_alias: st
     )
 
 
+def ivf_corpus_dir(path: str) -> str:
+    """Resolve the CURRENT committed corpus directory of a stored
+    IVF/IVF-PQ index. r14: the corpus is versioned —
+    ``{path}/corpus_v{N}`` with N resolved through the
+    ``{path}/_commits`` marker log (fegis_spark/commitlog.py:
+    write-new-file / read-max, no rename) — so compaction publishes a
+    NEW version and commits it with one atomic marker PUT instead of
+    the r13 rename-aside swap, which had a reader-visible gap and
+    assumed rename-atomic storage. Falls back to the legacy
+    ``{path}/corpus`` layout when no commit log exists."""
+    from fegis_spark.commitlog import committed_epoch
+
+    v = committed_epoch(path)
+    return f"{path}/corpus_v{v}" if v >= 0 else f"{path}/corpus"
+
+
 def build_ivf_index(
     corpus_df: DataFrame,
     path: str,
@@ -376,9 +394,11 @@ def build_ivf_index(
     """Index-once half of the production IVF flow: train centroids,
     assign every corpus vector to its nearest list, and write
 
-    * ``{path}/corpus`` — parquet PARTITIONED BY list_id (one
+    * ``{path}/corpus_v0`` — parquet PARTITIONED BY list_id (one
       directory per inverted list; at 100 TB this is the layout that
-      turns probing into partition pruning instead of row filtering)
+      turns probing into partition pruning instead of row filtering),
+      committed as version 0 in the ``{path}/_commits`` marker log
+      (see ivf_corpus_dir)
     * ``{path}/centroids`` — the tiny centroid table.
 
     Build cost: one broadcast centroid join + one partitioned write.
@@ -396,8 +416,13 @@ def build_ivf_index(
     assigned = _nearest_lists(
         corpus_df.select(corpus_id, vec_col), cent_df, vec_col, corpus_id, 1
     )
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/corpus")
+    from fegis_spark.commitlog import commit_epoch
+
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/corpus_v0"
+    )
     cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
+    commit_epoch(path, 0)
 
 
 def ann_ivf_indexed(
@@ -418,7 +443,7 @@ def ann_ivf_indexed(
     Same candidate set and ranking as ann_ivf with equal parameters.
     """
     cent_df = spark.read.parquet(f"{path}/centroids")
-    corpus = spark.read.parquet(f"{path}/corpus")
+    corpus = spark.read.parquet(ivf_corpus_dir(path))
     probes = _nearest_lists(
         queries_df.select(query_id, vec_col), cent_df, vec_col, query_id, n_probe
     ).select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"), "list_id")
@@ -456,7 +481,9 @@ def append_to_ivf_index(
     assigned = _nearest_lists(
         new_vectors.select(id_col, vec_col), cent_df, vec_col, id_col, 1
     )
-    assigned.write.mode("append").partitionBy("list_id").parquet(f"{path}/corpus")
+    assigned.write.mode("append").partitionBy("list_id").parquet(
+        ivf_corpus_dir(path)
+    )
 
 
 def compact_ivf_index(spark, path: str, target_files_per_list: int = 1) -> None:
@@ -475,18 +502,27 @@ def compact_ivf_index(spark, path: str, target_files_per_list: int = 1) -> None:
     the whole corpus through target tasks, and could never yield more
     than one file per list).
 
-    The swap is rename-aside, NOT atomic: old corpus moves to
-    ``corpus__old``, staged moves in, old is deleted. A concurrent
-    reader can race the two renames and miss the directory for a
-    moment — schedule compaction in the maintenance window, or put the
-    index on a table format with real snapshot isolation if readers
-    can't pause.
+    The publish is VERSIONED, not a rename swap (r14): the compacted
+    corpus lands at ``{path}/corpus_v{N+1}`` and one commit-marker PUT
+    makes it current (fegis_spark/commitlog.py) — readers resolving
+    ivf_corpus_dir never observe a gap, and the protocol holds on
+    object stores without atomic rename. Superseded version dirs are
+    deleted after the commit; concurrent long-running readers that
+    resolved the OLD version before the commit should finish within
+    the deletion grace (here: immediate — schedule compaction in the
+    maintenance window, or keep K old versions, if readers can't
+    pause). Appends racing a compaction land in the old version and
+    are dropped with it — same maintenance-window contract as before.
     """
     import shutil
 
-    corpus = spark.read.parquet(f"{path}/corpus")
+    from fegis_spark.commitlog import commit_epoch, committed_epoch
+
+    cur = committed_epoch(path)
+    src = ivf_corpus_dir(path)
+    corpus = spark.read.parquet(src)
     n_lists = spark.read.parquet(f"{path}/centroids").count()
-    staged = f"{path}/corpus__compacting"
+    staged = f"{path}/corpus_v{cur + 1}"
     id_col = next(c for c in corpus.columns if c != "list_id")
     salt = (F.abs(F.hash(F.col(id_col))) % target_files_per_list).alias("__salt")
     (
@@ -498,10 +534,15 @@ def compact_ivf_index(spark, path: str, target_files_per_list: int = 1) -> None:
         .partitionBy("list_id")
         .parquet(staged)
     )
-    old = f"{path}/corpus__old"
-    shutil.move(f"{path}/corpus", old)
-    shutil.move(staged, f"{path}/corpus")
-    shutil.rmtree(old)
+    commit_epoch(path, cur + 1)  # the publish point: one marker PUT
+    # post-commit hygiene: drop superseded versions (a crash here
+    # leaves stale-but-unreferenced dirs; the next compaction's sweep
+    # removes them)
+    for d in os.listdir(path):
+        if d.startswith("corpus_v") and d[8:].isdigit() and int(d[8:]) <= cur:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    if os.path.exists(f"{path}/corpus"):  # legacy unversioned layout
+        shutil.rmtree(f"{path}/corpus", ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -774,7 +815,8 @@ def build_ivfpq_index(
 ) -> None:
     """Index-once half of the production IVF-PQ flow (r11): assign
     every corpus vector to its ivfp routing list AND encode it to PQ
-    codes, then write ``{path}/corpus`` as a parquet of
+    codes, then write ``{path}/corpus_v0`` (committed via the marker
+    log, see ivf_corpus_dir) as a parquet of
     (corpus_id, codes) PARTITIONED BY list_id. The stored rows carry
     the 8-int codes INSTEAD of the float vector — the two scale
     levers composed at rest: probing prunes to n_probe/n_lists of the
@@ -794,9 +836,12 @@ def build_ivfpq_index(
             "CAST(array_position(__dots, array_max(__dots)) - 1 AS INT)"
         ).alias("list_id"),
     )
+    from fegis_spark.commitlog import commit_epoch
+
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(
-        f"{path}/corpus"
+        f"{path}/corpus_v0"
     )
+    commit_epoch(path, 0)
 
 
 def ann_ivfpq_indexed(
@@ -815,7 +860,7 @@ def ann_ivfpq_indexed(
     LUT sum over the stored codes — no float vectors are read at all.
     Identical candidate sets and ranking to ann_ivfpq_portable with
     equal parameters (same literal centroids/codebooks)."""
-    corpus = spark.read.parquet(f"{path}/corpus")
+    corpus = spark.read.parquet(ivf_corpus_dir(path))
     dots = ivfp_dots_expr(vec_col, 64)
     qd = queries_df.select(
         F.col(query_id).alias("query_id"),

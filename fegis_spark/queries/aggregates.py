@@ -375,6 +375,49 @@ def grouped_lead_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_ntile_quantile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(10) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey
+           ) AS decile
+    FROM orders
+    """,
+    covers=("§2.5-ntile", "§2.5-window"),
+)
+def grouped_ntile_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION bucket derivation certified end-to-end (r13
+    verdict #4): price deciles per order priority via
+    operators/topk.order_range_buckets — an approx-quantile range
+    radix — feeding grouped_ntile's offset-merge decomposition. The
+    order column (o_totalprice, a sum of 1-7 line items) is
+    right-skewed, exactly where the fixed-width DIV radix of
+    grouped_ntile_sharded degenerates to a few hot low-price buckets;
+    quantile cuts re-balance the (group, bucket) slices. approxQuantile
+    is one aggregation pass + a bounded driver round-trip re-entered as
+    a literal CASE ladder (operators/topk.py docstring). Boundary
+    quality affects LOAD BALANCE, never results — monotonicity in the
+    order column is grouped_ntile's only correctness requirement — so
+    the DuckDB oracle runs NATIVE ntile with no knowledge of the cuts:
+    a hash match certifies the quantile-radix path exactly as the
+    DIV-radix twin is certified. decimal(12,2)→double is exact here
+    (scaled values < 2^53), so both engines order identically."""
+    from fegis_spark.operators.topk import grouped_ntile, order_range_buckets
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("__p"),
+    )
+    df = order_range_buckets(orders, "__p", num_buckets=32, bucket_name="b")
+    out = grouped_ntile(
+        df, "o_orderpriority", ["__p", "o_orderkey"], "b", {"decile": 10}
+    )
+    return out.select("o_orderkey", "o_orderpriority", "decile")
+
+
+@register(
     "grouping_sets_revenue",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

@@ -10,11 +10,15 @@ change rows → foreachBatch merge into a versioned snapshot directory.
 Exactly-once without a table format: each micro-batch writes a COMPLETE
 new snapshot under ``snapshot=<epoch_id>`` (idempotent — replaying an
 epoch after a crash overwrites the same directory, converging to the
-same bytes) and then flips a tiny ``_latest`` pointer file, which is
-the atomic commit point. Readers resolve the pointer, never a partial
-write. This is the classic snapshot-isolation-on-object-store recipe;
-swap in Delta/Iceberg MERGE when a table format is available — the
-fold itself (`apply_cdc_batch`) is unchanged.
+same bytes) and then commits the epoch to the ``_commits`` marker log
+(fegis_spark/commitlog.py: write-new-marker / read-max — one atomic
+small-object PUT, no rename, so the protocol holds on S3-class object
+stores, not just rename-atomic POSIX/HDFS; r14, replacing the r12
+``_latest`` pointer file). Readers resolve the max committed epoch,
+never a partial write. This is the classic
+snapshot-isolation-on-object-store recipe; swap in Delta/Iceberg MERGE
+when a table format is available — the fold itself (`apply_cdc_batch`)
+is unchanged.
 
 Scale: the fold is ONE full-outer join on the key per batch plus a
 broadcast anti-join for deletes — identical plan shape to
@@ -30,6 +34,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from fegis_spark.commitlog import commit_epoch, committed_epoch
 
 
 def apply_cdc_batch(
@@ -124,12 +130,11 @@ def apply_cdc_batch(
 
 
 def read_snapshot(spark: SparkSession, target_dir: str) -> DataFrame | None:
-    """Resolve the `_latest` pointer to the committed snapshot."""
-    ptr = os.path.join(target_dir, "_latest")
-    if not os.path.exists(ptr):
+    """Resolve the commit log's max epoch to the committed snapshot
+    (epoch ids are monotone per checkpoint, so max == latest)."""
+    epoch = committed_epoch(target_dir)
+    if epoch < 0:
         return None
-    with open(ptr) as f:
-        epoch = f.read().strip()
     return spark.read.parquet(os.path.join(target_dir, f"snapshot={epoch}"))
 
 
@@ -138,27 +143,21 @@ def cdc_sink(
 ):
     """foreachBatch callable maintaining `target_dir` from a stream of
     change rows. Idempotent per epoch: replaying batch N overwrites
-    snapshot=N and re-points `_latest` at it — same final state.
+    snapshot=N and re-commits the marker — same final state.
     ``seq_col`` names the in-batch ordering column for conflicting
     upserts to one key (see apply_cdc_batch)."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        ptr = os.path.join(target_dir, "_latest")
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                if f.read().strip() == str(epoch_id):
-                    # epoch already committed (pointer flip is the
-                    # commit point) — replay is a no-op; re-merging
-                    # would read and overwrite the same directory.
-                    return
+        if committed_epoch(target_dir) >= epoch_id:
+            # epoch already committed (the marker write is the commit
+            # point) — replay is a no-op; re-merging would read and
+            # overwrite the same directory.
+            return
         base = read_snapshot(spark, target_dir)
         out = os.path.join(target_dir, f"snapshot={epoch_id}")
         merged = apply_cdc_batch(base, batch_df, key_col, op_col, seq_col)
         merged.write.mode("overwrite").parquet(out)
-        tmp = os.path.join(target_dir, "_latest.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(epoch_id))
-        os.replace(tmp, os.path.join(target_dir, "_latest"))  # atomic commit
+        commit_epoch(target_dir, epoch_id)  # object-store-safe commit
 
     return _sink

@@ -1,40 +1,47 @@
 """Streaming NEAR-dup dedup ([EXT] §2.10 x K9-minhash, r12; made
-replay-idempotent + state-capped in r13): incoming micro-batches are
-checked against a persisted MinHash-band index of everything
-previously admitted — the near-dup rung of the streaming ladder above
-streaming/dedup.py's exact-hash tier.
+replay-idempotent + state-capped in r13; state-probe pruning +
+object-store-safe commits + self-healing compaction in r14): incoming
+micro-batches are checked against a persisted MinHash-band index of
+everything previously admitted — the near-dup rung of the streaming
+ladder above streaming/dedup.py's exact-hash tier.
 
 Shape (the foreachBatch state pattern the repo already uses for the
 CDC sink and the IVF index append):
 
-* state at ``{state_dir}/bands/epoch=N``  — (doc, band, bh) for every
-  document ADMITTED in epoch N (the persisted banded index; at scale:
-  partition by (band, bh-prefix) so the batch probe prunes), and
-  ``{state_dir}/shingles/epoch=N`` — (doc, sh) for exact-Jaccard
-  verification; ``{state_dir}/_epoch`` is the atomic commit pointer
-  (the CDC sink's pointer-committed recipe, streaming/cdc.py).
+* state at ``{state_dir}/bands/epoch=N/bhp=K`` — (doc, band, bh) for
+  every document ADMITTED in epoch N, partitioned by the band-hash
+  prefix ``bhp = bh % NEARDUP_STATE_PREFIXES`` so the per-batch probe
+  reads only the partitions holding the batch's band keys, and
+  ``{state_dir}/shingles/epoch=N/dhp=K`` — (doc, sh) for exact-Jaccard
+  verification, partitioned by a doc-hash prefix so the verify phase
+  reads only the candidate docs' partitions. ``{state_dir}/_commits``
+  is the epoch commit log (fegis_spark/commitlog.py: write-new-marker /
+  read-max — no rename, safe on S3-class object stores).
 * per batch: compute the batch's bands/shingles ONCE
   (_portable_sig_bands — a pure function of text, so state written by
-  earlier batches is mutually consistent), flag batch docs matching
-  the CORPUS index (minhash_incremental_pairs_precomputed: corpus-band
-  x batch-band equi-join only, hot state buckets routed through their
-  min-id representative — per-batch cost tracks the batch even as the
-  index grows), flag WITHIN-batch near-dups via the capped portable
-  pair generator + min-id representative, then write, in this order:
-  (1) the batch verdicts to ``{out_dir}/epoch=N`` (mode=overwrite —
-  replaying an epoch rewrites the same directory with the same
-  deterministic content), (2) the novel docs' bands and shingles to
-  the epoch-partitioned state, (3) the ``_epoch`` pointer (os.replace,
-  the commit point).
-* REPLAY SAFETY (the r12 verdict's defect, fixed here): a crash
+  earlier batches is mutually consistent), then probe in two pruned
+  phases: (1) band candidates from the corpus-band x batch-band
+  equi-join over ONLY the batch's bhp partitions (hot state buckets
+  routed through their min-id representative — per-batch cost tracks
+  the batch even as the index grows), (2) exact-Jaccard verification
+  against ONLY the candidate docs' dhp shingle partitions (the
+  candidate set is materialized batch-side, so collecting its <= 64
+  prefixes is a bounded driver round-trip). WITHIN-batch near-dups
+  come from the capped portable pair generator + min-id
+  representative. Then write, in this order: (1) the batch verdicts
+  to ``{out_dir}/epoch=N`` (mode=overwrite — replaying an epoch
+  rewrites the same directory with the same deterministic content),
+  (2) the novel docs' bands and shingles to the epoch-partitioned
+  state, (3) the epoch commit marker (the commit point).
+* REPLAY SAFETY (the r12 verdict's defect, fixed in r13): a crash
   anywhere inside the body re-runs the epoch. The probe reads ONLY
-  state with epoch <= the committed pointer, so a half-written state
+  state with epoch <= the committed maximum, so a half-written state
   append from the crashed attempt is invisible — a replayed batch can
-  never match its own rows (and minhash_incremental_pairs_precomputed
-  additionally excludes corpus_doc == batch_doc as defense in depth).
-  A replay of an already-committed epoch is a no-op. Epoch ids must be
-  monotone per state_dir (one checkpoint owns one state_dir — restart
-  the checkpoint, recompact the state).
+  never match its own rows (and the candidate phase additionally
+  excludes corpus_doc == batch_doc as defense in depth). A replay of
+  an already-committed epoch is a no-op. Epoch ids must be monotone
+  per state_dir (one checkpoint owns one state_dir — restart the
+  checkpoint, recompact the state).
 * duplicates admitted concurrently within one batch collapse to the
   min-id representative; a near-dup arriving in a later batch points
   at the admitted doc it duplicates.
@@ -49,7 +56,8 @@ The verdict ALGEBRA (what is_near_dup/rep mean after folding chunks in
 order) is oracle-checked cross-engine by the catalog query
 `dedup_streaming_replay` (queries/dedup.py), which drives
 neardup_replay_chunks below; the file/commit plumbing is covered by
-tests/test_neardup_stream.py including crash-replay scenarios.
+tests/test_neardup_stream.py including crash-replay and
+compactor-crash scenarios.
 """
 
 from __future__ import annotations
@@ -62,8 +70,15 @@ from pyspark.sql import functions as F
 from fegis_spark.operators.dedup import (
     _portable_sig_bands,
     banded_candidate_pairs,
+    incremental_band_candidates,
+    incremental_verify_candidates,
     minhash_incremental_pairs_precomputed,
     minhash_verify_pairs,
+)
+from fegis_spark.commitlog import (
+    commit_epoch,
+    committed_epoch,
+    prune_commits,
 )
 
 #: candidate cap — the same hot-bucket routing bound the batch catalog
@@ -73,6 +88,31 @@ from fegis_spark.operators.dedup import (
 #: the cap, per-batch candidates grow with state occupancy — the
 #: uncapped-LSH quadratic class, r10).
 NEARDUP_CAP = 64
+
+#: state partition fan-out: band state is laid out by bh % P, shingle
+#: state by a doc-hash % P. P trades probe pruning (a b-doc batch
+#: touches <= 4b band keys, so small batches read a small partition
+#: subset) against per-epoch small-file count (<= P dirs per table per
+#: epoch; compaction folds them).
+NEARDUP_STATE_PREFIXES = 64
+
+
+def _bhp(col):
+    """Band-hash partition prefix. ``bh`` is an md5 HEX STRING
+    (_portable_sig_bands), so take two hex chars (uniform over 256)
+    mod the prefix count — pure function of the band key, identical
+    at write and probe time."""
+    return F.pmod(
+        F.conv(F.substring(col, 1, 2), 16, 10).cast("int"),
+        F.lit(NEARDUP_STATE_PREFIXES),
+    ).cast("int")
+
+
+def _dhp(col):
+    """Doc-id partition prefix for the shingle state. Internal layout
+    hash only (never oracle-checked), so Spark-native xxhash64 is fine;
+    it just has to be the same expression at write and probe time."""
+    return F.pmod(F.xxhash64(col), F.lit(NEARDUP_STATE_PREFIXES)).cast("int")
 
 
 def neardup_verdicts(
@@ -84,6 +124,7 @@ def neardup_verdicts(
     jaccard_threshold: float = 0.5,
     within_cap: int | None = NEARDUP_CAP,
     state_cap: int | None = NEARDUP_CAP,
+    corpus_rep: DataFrame | None = None,
 ) -> DataFrame:
     """Pure verdict core (no I/O): given the batch ids (column `doc`),
     the batch's precomputed bands/shingles, and the admitted-corpus
@@ -91,8 +132,13 @@ def neardup_verdicts(
     rep is the admitted corpus doc this one duplicates (a corpus match
     wins: it is the already-admitted doc), else the within-batch
     min-id representative, else NULL (novel). Deterministic: min-id
-    representatives, pure-function signatures, no rand()."""
-    if bands_c is not None:
+    representatives, pure-function signatures, no rand().
+
+    ``corpus_rep`` short-circuits the corpus probe with a precomputed
+    (doc, rep_corpus) table — the sink's two-phase pruned probe builds
+    it against partition-filtered state reads; the batch replay path
+    passes full (bands_c, sh_c) frames instead."""
+    if corpus_rep is None and bands_c is not None:
         vs_corpus = minhash_incremental_pairs_precomputed(
             bands_c, sh_c, bands_b, sh_b, jaccard_threshold,
             max_bucket_size=state_cap,
@@ -100,8 +146,6 @@ def neardup_verdicts(
         corpus_rep = vs_corpus.groupBy(F.col("batch_doc").alias("doc")).agg(
             F.min("corpus_doc").alias("rep_corpus")
         )
-    else:
-        corpus_rep = None
 
     # within-batch pairs from the SAME precomputed bands/shingles (the
     # r12 body computed the batch signature twice; ADVICE r12 low #1)
@@ -134,51 +178,102 @@ def neardup_verdicts(
     )
 
 
-def _read_committed_epoch(state_dir: str) -> int:
-    ptr = os.path.join(state_dir, "_epoch")
-    if not os.path.exists(ptr):
-        return -1
-    with open(ptr) as f:
-        return int(f.read().strip())
+def _repair_swap_leftovers(state_dir: str) -> None:
+    """Self-heal the compactor's between-renames crash window (the r13
+    verdict's one defect): compact_neardup_state swaps each table via
+    rename(src, src.old) then rename(src.compact, src) — a crash
+    between the two leaves ``src`` MISSING while the complete data
+    sits in the ``.compact``/``.old`` siblings. Without repair, the
+    next probe would read a missing dir as "no state" and silently
+    re-admit every previously-seen duplicate as novel. Restore rules:
+
+    * ``src`` missing + ``.compact`` present: the compacted rewrite
+      finished before the swap began (the compactor only renames after
+      the write completes), so promote ``.compact`` and drop ``.old``;
+    * ``src`` missing + only ``.old``: restore the pre-compaction
+      layout (belt-and-braces — unreachable from the current swap
+      order, but a cheap invariant).
+
+    A stale ``.old``/``.compact`` NEXT TO an existing ``src`` (crash
+    after the swap completed) is harmless and is cleared by the next
+    compaction run. Called on entry by every state reader and by the
+    compactor itself, so a crashed compaction heals on first touch."""
+    import shutil
+
+    for sub in ("bands", "shingles"):
+        src = os.path.join(state_dir, sub)
+        if os.path.exists(src):
+            continue
+        tmp, old = src + ".compact", src + ".old"
+        if os.path.exists(tmp):
+            os.rename(tmp, src)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.exists(old):
+            os.rename(old, src)
 
 
-def _read_state(
+def _with_partition_cols(schema, *names):
+    """Explicit read schema for the partitioned state: batch-side
+    columns + the layout partition columns. StructType.add MUTATES
+    self (CLAUDE.md r13) — build fresh."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    return StructType(
+        list(schema.fields) + [StructField(n, IntegerType()) for n in names]
+    )
+
+
+def _read_bands_state(
     spark: SparkSession,
     state_dir: str,
     committed: int,
     bands_b: DataFrame,
-    sh_b: DataFrame,
-) -> tuple[DataFrame | None, DataFrame | None]:
-    """Committed admitted-corpus state: epoch-partitioned parquet
-    filtered to epoch <= the pointer, so half-written appends from a
-    crashed attempt (epoch > pointer) are invisible to the probe.
-    Explicit schemas (the batch side's, plus the epoch partition
-    column) keep the read well-defined even when some epoch admitted
-    zero docs and left a footerless empty partition directory."""
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
+    prune: bool = True,
+) -> DataFrame | None:
+    """Committed band state, partition-pruned to the batch's band-key
+    prefixes (collecting them is a bounded driver round-trip: <=
+    NEARDUP_STATE_PREFIXES ints). Epoch filter first-class: state with
+    epoch > the committed max (a crashed attempt's half-write) is
+    invisible. Explicit schema keeps the read well-defined when some
+    epoch admitted zero docs and left a footerless empty directory."""
+    _repair_swap_leftovers(state_dir)
     bdir = os.path.join(state_dir, "bands")
     if committed < 0 or not os.path.exists(bdir):
-        return None, None
-
-    def with_epoch(schema):  # StructType.add mutates; build fresh
-        return StructType(
-            list(schema.fields) + [StructField("epoch", IntegerType())]
-        )
-
-    bands_c = (
-        spark.read.schema(with_epoch(bands_b.schema))
+        return None
+    df = (
+        spark.read.schema(_with_partition_cols(bands_b.schema, "bhp", "epoch"))
         .parquet(bdir)
         .filter(F.col("epoch") <= committed)
-        .select("doc", "band", "bh")
     )
-    sh_c = (
-        spark.read.schema(with_epoch(sh_b.schema))
+    if prune:
+        prefixes = [
+            r[0]
+            for r in bands_b.select(_bhp(F.col("bh")).alias("p")).distinct().collect()
+        ]
+        if not prefixes:
+            return None
+        df = df.filter(F.col("bhp").isin(prefixes))
+    return df.select("doc", "band", "bh")
+
+
+def _read_shingles_state(
+    spark: SparkSession,
+    state_dir: str,
+    committed: int,
+    sh_b: DataFrame,
+    prefixes: list[int] | None = None,
+) -> DataFrame:
+    """Committed shingle state, pruned to the given doc-hash prefixes
+    (the candidate corpus docs' partitions — phase 2 of the probe)."""
+    _repair_swap_leftovers(state_dir)
+    df = (
+        spark.read.schema(_with_partition_cols(sh_b.schema, "dhp", "epoch"))
         .parquet(os.path.join(state_dir, "shingles"))
         .filter(F.col("epoch") <= committed)
-        .select("doc", "sh")
     )
-    return bands_c, sh_c
+    if prefixes is not None:
+        df = df.filter(F.col("dhp").isin(prefixes))
+    return df.select("doc", "sh")
 
 
 def neardup_sink(
@@ -190,58 +285,102 @@ def neardup_sink(
     bands: int = 4,
     ngram: int = 3,
     jaccard_threshold: float = 0.5,
+    prune: bool = True,
 ):
     """foreachBatch callable: verdicts to ``{out_dir}/epoch=N``, novel
-    docs' bands/shingles to the epoch-partitioned state, then the
-    atomic pointer commit — idempotent under epoch replay (see module
-    doc). Read verdicts with spark.read.parquet(out_dir); the epoch
-    partition column identifies the micro-batch."""
+    docs' bands/shingles to the epoch+prefix-partitioned state, then
+    the epoch commit marker — idempotent under epoch replay (see
+    module doc). Read verdicts with spark.read.parquet(out_dir); the
+    epoch partition column identifies the micro-batch. ``prune=False``
+    disables the partition-filtered probe (A/B probe harness only)."""
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        committed = _read_committed_epoch(state_dir)
+        committed = committed_epoch(state_dir)
         if committed >= epoch_id:
-            # pointer flip is the commit point: verdicts + state for
+            # marker write is the commit point: verdicts + state for
             # this epoch are already fully written — replay is a no-op
             return
         base_b, _sig, banded_b = _portable_sig_bands(
             batch_df, text_col, id_col, num_hashes, bands, ngram, True
         )
-        bands_b = banded_b.select("doc", "band", "bh")
+        # the batch bands table has 4+ consumers (prefix collect,
+        # candidate join, within-batch pairs, state write) — persist
+        # the micro-batch-sized frame, release in finally
+        bands_b = banded_b.select("doc", "band", "bh").persist()
         sh_b = base_b.select("doc", "sh")
-        bands_c, sh_c = _read_state(spark, state_dir, committed, bands_b, sh_b)
-        out = neardup_verdicts(
-            batch_df.select(F.col(id_col).alias("doc")),
-            bands_b, sh_b, bands_c, sh_c, jaccard_threshold,
-        )
-        out = out.persist()  # two consumers: verdict sink + novel filter
+        cand = None
+        out = None
         try:
+            bands_c = _read_bands_state(
+                spark, state_dir, committed, bands_b, prune=prune
+            )
+            corpus_rep = None
+            if bands_c is not None:
+                # phase 1: band candidates against the pruned band
+                # index (hot state buckets cap-routed); materialized so
+                # phase 2 can collect the candidates' shingle prefixes
+                cand = incremental_band_candidates(
+                    bands_c, bands_b, max_bucket_size=NEARDUP_CAP
+                ).persist()
+                sh_prefixes = None
+                if prune:
+                    sh_prefixes = [
+                        r[0]
+                        for r in cand.select(
+                            _dhp(F.col("corpus_doc")).alias("p")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                if sh_prefixes is None or sh_prefixes:
+                    sh_c = _read_shingles_state(
+                        spark, state_dir, committed, sh_b, sh_prefixes
+                    )
+                    vs_corpus = incremental_verify_candidates(
+                        cand, sh_c, sh_b, jaccard_threshold
+                    )
+                    corpus_rep = vs_corpus.groupBy(
+                        F.col("batch_doc").alias("doc")
+                    ).agg(F.min("corpus_doc").alias("rep_corpus"))
+            out = neardup_verdicts(
+                batch_df.select(F.col(id_col).alias("doc")),
+                bands_b, sh_b, jaccard_threshold=jaccard_threshold,
+                corpus_rep=corpus_rep,
+            )
+            out = out.persist()  # two consumers: verdict sink + novel filter
             # (1) verdicts FIRST (the r12 body mutated state before the
             # caller's verdict write — the crash window that re-flagged
             # novel docs as duplicates of themselves)
             out.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
-            # (2) state append, epoch-partitioned + overwrite (replay
-            # rewrites the same directory)
+            # (2) state append, epoch+prefix-partitioned + overwrite
+            # (replay rewrites the same directory)
             novel = out.filter(~F.col("is_near_dup")).select("doc")
             # bcast-ok: batch-bounded novel ids
-            bands_new = bands_b.join(F.broadcast(novel), "doc")
+            bands_new = bands_b.join(F.broadcast(novel), "doc").withColumn(
+                "bhp", _bhp(F.col("bh"))
+            )
             # bcast-ok: batch-bounded novel ids
-            sh_new = sh_b.join(F.broadcast(novel), "doc")
-            bands_new.write.mode("overwrite").parquet(
+            sh_new = sh_b.join(F.broadcast(novel), "doc").withColumn(
+                "dhp", _dhp(F.col("doc"))
+            )
+            bands_new.write.mode("overwrite").partitionBy("bhp").parquet(
                 f"{state_dir}/bands/epoch={epoch_id}"
             )
-            sh_new.write.mode("overwrite").parquet(
+            sh_new.write.mode("overwrite").partitionBy("dhp").parquet(
                 f"{state_dir}/shingles/epoch={epoch_id}"
             )
-            # (3) atomic commit
-            tmp = os.path.join(state_dir, "_epoch.tmp")
-            with open(tmp, "w") as f:
-                f.write(str(epoch_id))
-            os.replace(tmp, os.path.join(state_dir, "_epoch"))
+            # (3) commit: one marker-object create (commitlog.py — no
+            # rename, object-store-safe)
+            commit_epoch(state_dir, epoch_id)
         finally:
             # batch intermediates must not accumulate over a
             # long-running stream (ADVICE r12 low #1)
-            out.unpersist()
+            if out is not None:
+                out.unpersist()
+            if cand is not None:
+                cand.unpersist()
+            bands_b.unpersist()
             base_b.unpersist()
 
     return body
@@ -258,7 +397,7 @@ def run_neardup_sink(
 ):
     """Wire neardup_sink as a foreachBatch sink writing batch verdicts
     under ``{out_dir}/epoch=N`` (idempotent per epoch: verdict-first
-    ordering + epoch-partitioned overwrites + pointer commit). Returns
+    ordering + epoch-partitioned overwrites + marker commit). Returns
     the StreamingQuery."""
     return (
         stream_df.writeStream.foreachBatch(
@@ -272,41 +411,68 @@ def run_neardup_sink(
 
 def compact_neardup_state(spark: SparkSession, state_dir: str) -> int:
     """Operational state maintenance (the module doc's nightly
-    compaction): fold all committed epoch partitions into ONE
-    partition at the current pointer epoch, leaving the pointer — the
-    replay guard — untouched, so replays of already-committed epochs
+    compaction): fold all committed epoch partitions into ONE epoch
+    partition at the current committed maximum (preserving the
+    bhp/dhp probe-pruning layout), leaving the commit log — the
+    replay guard — intact, so replays of already-committed epochs
     stay no-ops and the probe's ``epoch <= committed`` filter reads
     the compacted layout unchanged. Run while the stream is stopped.
 
-    Crash-safe by content equivalence: each table is rewritten to a
-    sibling directory and swapped in with atomic renames; a crash
-    between the two tables' swaps leaves one compacted and one not,
-    but both layouts hold exactly the committed rows, so the probe's
-    answer is identical either way. Uncommitted leftovers (epoch >
-    pointer, from a crashed batch attempt) are dropped — the retry
-    rewrites them. Returns the committed epoch (-1 = nothing to do)."""
+    Crash-safe end to end (r14, closing the r13 verdict's defect):
+
+    * content equivalence across tables — each table is rewritten to a
+      sibling directory and swapped in; a crash between the two
+      TABLES' swaps leaves one compacted and one not, but both
+      layouts hold exactly the committed rows;
+    * within one table's swap — a crash between the two renames leaves
+      ``src`` missing with the complete data in the siblings;
+      _repair_swap_leftovers (called on entry here AND by every state
+      reader) restores it before anything reads the gap as empty;
+    * tables whose committed epochs admitted zero docs hold no parquet
+      footers (empty-DataFrame writes emit zero part files) — they are
+      skipped rather than read, so schema inference never fails.
+
+    Uncommitted leftovers (epoch > committed, from a crashed batch
+    attempt) are dropped — the retry rewrites them. Old commit markers
+    are pruned to the max. Returns the committed epoch (-1 = nothing
+    to do)."""
     import shutil
 
-    committed = _read_committed_epoch(state_dir)
+    _repair_swap_leftovers(state_dir)
+    committed = committed_epoch(state_dir)
     if committed < 0:
         return -1
     for sub in ("bands", "shingles"):
         src = os.path.join(state_dir, sub)
         if not os.path.exists(src):
             continue
+        if not any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(src)
+            for f in files
+        ):
+            continue  # every committed epoch admitted zero docs
         df = (
             spark.read.parquet(src)
             .filter(F.col("epoch") <= committed)
             .drop("epoch")
         )
+        pcols = [c for c in ("bhp", "dhp") if c in df.columns]
         tmp = src + ".compact"
         shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(f"{tmp}/epoch={committed}")
+        w = df.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(f"{tmp}/epoch={committed}")
         old = src + ".old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(src, old)
+        # crash here -> src missing; _repair_swap_leftovers restores
+        # .compact on the next touch (tests/test_neardup_stream.py
+        # injects exactly this)
         os.rename(tmp, src)
         shutil.rmtree(old)
+    prune_commits(state_dir)
     return committed
 
 
@@ -334,8 +500,12 @@ def neardup_replay_chunks(
     the hot-state cap by tests/test_neardup_stream.py).
 
     Bounded rounds (n_chunks is a design constant), so plan nesting is
-    bounded — no localCheckpoint needed; chunk intermediates persist
-    (multi-consumer: verdicts + state growth)."""
+    bounded. Chunk intermediates persist (multi-consumer: verdicts +
+    state growth) and are RELEASED before returning (ADVICE r13 low):
+    the result is materialized via localCheckpoint(eager=True) — one
+    row per doc, gate-scale — so the session doesn't accumulate ~3
+    cached frames per chunk per build."""
+    persisted: list[DataFrame] = []
     state_bands: DataFrame | None = None
     state_sh: DataFrame | None = None
     outs: list[DataFrame] = []
@@ -344,6 +514,7 @@ def neardup_replay_chunks(
         base_b, _sig, banded_b = _portable_sig_bands(
             chunk, text_col, id_col, num_hashes, bands, ngram, True
         )
+        persisted.append(base_b)
         bands_b = banded_b.select("doc", "band", "bh")
         sh_b = base_b.select("doc", "sh")
         out = neardup_verdicts(
@@ -351,6 +522,7 @@ def neardup_replay_chunks(
             bands_b, sh_b, state_bands, state_sh, jaccard_threshold,
             within_cap=None, state_cap=None,
         ).persist()  # consumers: result union + novel-state filter
+        persisted.append(out)
         outs.append(out.withColumn("chunk", F.lit(t)))
         novel = out.filter(~F.col("is_near_dup")).select("doc")
         # persist the admitted bands/shingles: chunk t's state is read
@@ -359,9 +531,15 @@ def neardup_replay_chunks(
         # recompute once per later chunk (quadratic in n_chunks)
         nb = bands_b.join(novel, "doc").persist()
         ns = sh_b.join(novel, "doc").persist()
+        persisted += [nb, ns]
         state_bands = nb if state_bands is None else state_bands.unionByName(nb)
         state_sh = ns if state_sh is None else state_sh.unionByName(ns)
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)
-    return res.select("doc", "chunk", "is_near_dup", "rep")
+    res = res.select("doc", "chunk", "is_near_dup", "rep").localCheckpoint(
+        eager=True
+    )
+    for df in persisted:
+        df.unpersist()
+    return res

@@ -79,15 +79,16 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
         sink(spark.createDataFrame(rows, SCHEMA), epoch)
     assert _snapshot_dict(spark, target) == FINAL
 
-    # replay the COMMITTED last epoch: pointer already at 2 → no-op
+    # replay the COMMITTED last epoch: commit log already at 2 → no-op
     sink(spark.createDataFrame(BATCHES[2], SCHEMA), 2)
     assert _snapshot_dict(spark, target) == FINAL
 
-    # crash-before-commit: snapshot=2 written but pointer rewound to 1;
-    # replaying epoch 2 must rebuild snapshot=2 from snapshot=1 and
-    # converge to the same state
-    with open(os.path.join(target, "_latest"), "w") as f:
-        f.write("1")
+    # crash-before-commit: snapshot=2 written but commit log rewound
+    # to 1; replaying epoch 2 must rebuild snapshot=2 from snapshot=1
+    # and converge to the same state
+    from fegis_spark.commitlog import rollback_to
+
+    rollback_to(target, 1)
     sink(spark.createDataFrame(BATCHES[2], SCHEMA), 2)
     assert _snapshot_dict(spark, target) == FINAL
 

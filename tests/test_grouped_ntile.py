@@ -157,12 +157,19 @@ def test_no_full_group_window_in_plan(spark):
 
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
-        # every window spec either partitions by (g, b) [local rank]
-        # or is the panel window whose input is the counts aggregate —
-        # distinguishable here: panel specs order by b with g alone,
-        # but their source rows are one-per-(g,b); the corpus-side
-        # spec MUST carry b in the partition clause
-        if "b#" not in spec.split("specifiedwindowframe")[0]:
-            # allowed only for the bounded counts panel: that window's
-            # functions are sums over __gn_n
-            assert "__gn_n" in plan, f"full-group window found: {spec}"
+        # classify EACH spec individually (ADVICE r13: a whole-plan
+        # '__gn_n in plan' fallback is vacuous — it is always true for
+        # these plans, so a rogue full-group corpus window could never
+        # fail it). Partition clause = the spec args before the first
+        # ordered (ASC/DESC) column; the window FUNCTION sits in the
+        # text immediately before the spec, so a panel window is one
+        # whose function references the bounded counts column __gn_n.
+        pcols = []
+        for tok in spec.split("specifiedwindowframe")[0].split(","):
+            if " ASC" in tok or " DESC" in tok:
+                break
+            pcols.append(tok.strip())
+        is_panel = "__gn_n#" in plan[max(0, m.start() - 200) : m.start()]
+        assert any(t.startswith("b#") for t in pcols) or is_panel, (
+            f"full-group window found: {spec}"
+        )

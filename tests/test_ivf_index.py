@@ -8,7 +8,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from fegis_spark.model import load_table
-from fegis_spark.operators.knn import ann_ivf, ann_ivf_indexed, build_ivf_index
+from fegis_spark.operators.knn import (
+    ann_ivf,
+    ann_ivf_indexed,
+    build_ivf_index,
+    ivf_corpus_dir,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -53,7 +58,7 @@ def test_index_layout_partitioned_by_list(spark, ivf_index):
     import os
 
     path, _ = ivf_index
-    dirs = [d for d in os.listdir(f"{path}/corpus") if d.startswith("list_id=")]
+    dirs = [d for d in os.listdir(ivf_corpus_dir(path)) if d.startswith("list_id=")]
     assert len(dirs) > 1, dirs
 
 
@@ -74,7 +79,7 @@ def test_streaming_ingest_appends_to_index(spark, ivf_index, tmp_path_factory):
     new.coalesce(1).write.mode("overwrite").parquet(str(staging / "in"))
     before_files = {
         f"{d}/{f}"
-        for d, _, fs in os.walk(f"{path}/corpus")
+        for d, _, fs in os.walk(ivf_corpus_dir(path))
         for f in fs
         if f.endswith(".parquet")
     }
@@ -93,7 +98,7 @@ def test_streaming_ingest_appends_to_index(spark, ivf_index, tmp_path_factory):
 
     after_files = {
         f"{d}/{f}"
-        for d, _, fs in os.walk(f"{path}/corpus")
+        for d, _, fs in os.walk(ivf_corpus_dir(path))
         for f in fs
         if f.endswith(".parquet")
     }
@@ -154,7 +159,7 @@ def test_compaction_reduces_files_preserves_rows(spark, ivf_index, tmp_path_fact
     def parquet_files():
         return [
             f"{d}/{f}"
-            for d, _, fs in os.walk(f"{path}/corpus")
+            for d, _, fs in os.walk(ivf_corpus_dir(path))
             for f in fs
             if f.endswith(".parquet")
         ]
@@ -165,16 +170,16 @@ def test_compaction_reduces_files_preserves_rows(spark, ivf_index, tmp_path_fact
             "vec_id", F.col("vec_id") + F.lit(2_000_000 + i * 100_000)
         )
         append_to_ivf_index(spark, path, batch)
-    rows_before = spark.read.parquet(f"{path}/corpus").count()
+    rows_before = spark.read.parquet(ivf_corpus_dir(path)).count()
     files_before = len(parquet_files())
 
     compact_ivf_index(spark, path)
 
-    after = spark.read.parquet(f"{path}/corpus")
+    after = spark.read.parquet(ivf_corpus_dir(path))
     assert after.count() == rows_before
     assert len(parquet_files()) < files_before
     # layout still partitioned (pruning keeps working)
-    dirs = [d for d in os.listdir(f"{path}/corpus") if d.startswith("list_id=")]
+    dirs = [d for d in os.listdir(ivf_corpus_dir(path)) if d.startswith("list_id=")]
     assert len(dirs) > 1
     # target_files_per_list honored: default target=1 -> exactly one
     # data file inside every list partition (hash collisions between
@@ -182,7 +187,9 @@ def test_compaction_reduces_files_preserves_rows(spark, ivf_index, tmp_path_fact
     # writes one file per list directory)
     for d in dirs:
         files_in_list = [
-            f for f in os.listdir(f"{path}/corpus/{d}") if f.endswith(".parquet")
+            f
+            for f in os.listdir(os.path.join(ivf_corpus_dir(path), d))
+            if f.endswith(".parquet")
         ]
         assert len(files_in_list) == 1, (d, files_in_list)
 
@@ -302,7 +309,7 @@ class TestIvfPqIndexed:
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "dynamicpruning" in plan, plan[:1500]
         # the stored corpus carries codes, not float vectors
-        stored = spark.read.parquet(str(tmp_path) + "/corpus")
+        stored = spark.read.parquet(ivf_corpus_dir(str(tmp_path)))
         assert set(stored.columns) == {"corpus_id", "codes", "list_id"}
 
 

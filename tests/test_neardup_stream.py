@@ -13,6 +13,7 @@ import os
 
 import pytest
 
+from fegis_spark.commitlog import rollback_to
 from fegis_spark.streaming.neardup import neardup_sink, run_neardup_sink
 
 
@@ -132,8 +133,8 @@ def test_neardup_replay_is_idempotent(spark, dirs):
     sink(_batch(spark, [(1, _doc(1)), (2, _doc(2))]), 0)
     assert _verdicts(spark, dirs) == {1: (False, None), 2: (False, None)}
 
-    # crash-before-commit: state for epoch 0 is on disk, pointer gone
-    os.remove(os.path.join(dirs["state"], "_epoch"))
+    # crash-before-commit: state for epoch 0 is on disk, commit gone
+    rollback_to(dirs["state"], -1)
     sink(_batch(spark, [(1, _doc(1)), (2, _doc(2))]), 0)  # retry
     assert _verdicts(spark, dirs) == {1: (False, None), 2: (False, None)}
 
@@ -142,8 +143,7 @@ def test_neardup_replay_is_idempotent(spark, dirs):
     assert _verdicts(spark, dirs)[3] == (True, 1)
 
     # and the same crash on a LATER epoch: rewind 1 -> 0, retry epoch 1
-    with open(os.path.join(dirs["state"], "_epoch"), "w") as f:
-        f.write("0")
+    rollback_to(dirs["state"], 0)
     sink(_batch(spark, [(3, _doc(3, changed=7, like=1))]), 1)
     v = _verdicts(spark, dirs)
     assert v[3] == (True, 1)
@@ -200,3 +200,94 @@ def test_exact_duplicate_is_flagged_across_batches(spark, dirs):
         .collect()
     }
     assert admitted == {10}
+
+
+def test_compactor_crash_between_renames_self_heals(spark, dirs, monkeypatch):
+    """THE r13 verdict defect (compact_neardup_state's within-table
+    swap): kill the compactor between its two renames — the state
+    table dir is MISSING while the complete data sits in the
+    .compact/.old siblings. Before the r14 repair, the next probe read
+    the gap as "no state" and silently re-admitted every known
+    duplicate; re-running the compactor skipped the orphans. Pins:
+    (a) the next probe self-heals and still flags dups of
+    pre-crash admissions, (b) a rerun compactor converges with zero
+    leftovers, (c) the replay guard (commit log) survived untouched."""
+    from fegis_spark.streaming.neardup import compact_neardup_state
+
+    sink = neardup_sink(dirs["state"], dirs["out"])
+    sink(_batch(spark, [(1, _doc(1)), (2, _doc(2))]), 0)
+    sink(_batch(spark, [(3, _doc(3))]), 1)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(a, b):
+        real_rename(a, b)
+        calls["n"] += 1
+        if calls["n"] == 1:  # right after rename(src, src.old) on bands
+            raise RuntimeError("injected compactor crash")
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_neardup_state(spark, dirs["state"])
+    monkeypatch.undo()
+
+    state = dirs["state"]
+    assert not os.path.exists(f"{state}/bands")  # the crash window
+    assert os.path.exists(f"{state}/bands.compact")
+    assert os.path.exists(f"{state}/bands.old")
+
+    # (a) probe self-heals on first touch: dup of admitted doc 1
+    sink(_batch(spark, [(4, _doc(4, changed=9, like=1))]), 2)
+    assert _verdicts(spark, dirs)[4] == (True, 1)
+
+    # (b) rerun compaction converges, no swap leftovers, one epoch dir
+    assert compact_neardup_state(spark, dirs["state"]) == 2
+    for sub in ("bands", "shingles"):
+        assert os.path.exists(f"{state}/{sub}")
+        assert not os.path.exists(f"{state}/{sub}.compact")
+        assert not os.path.exists(f"{state}/{sub}.old")
+        parts = [
+            p for p in os.listdir(f"{state}/{sub}") if p.startswith("epoch=")
+        ]
+        assert parts == ["epoch=2"], (sub, parts)
+
+    # (c) post-heal probe still sees every pre-crash admission
+    sink(_batch(spark, [(5, _doc(5, changed=3, like=3))]), 3)
+    assert _verdicts(spark, dirs)[5] == (True, 3)
+
+
+def test_compaction_skips_footerless_empty_state(spark, dirs):
+    """ADVICE r13 low #2: a state table whose committed epochs all
+    admitted zero docs holds no parquet footers (empty-DataFrame
+    writes emit zero part files) — the compactor must skip it instead
+    of dying on schema inference, and later epochs must keep working."""
+    from fegis_spark.streaming.neardup import compact_neardup_state
+
+    sink = neardup_sink(dirs["state"], dirs["out"])
+    sink(_batch(spark, []), 0)  # empty micro-batch: zero admissions
+    assert compact_neardup_state(spark, dirs["state"]) == 0
+
+    sink(_batch(spark, [(1, _doc(1))]), 1)
+    sink(_batch(spark, [(2, _doc(2, changed=5, like=1))]), 2)
+    assert _verdicts(spark, dirs)[2] == (True, 1)
+
+
+def test_prune_off_matches_pruned_probe(spark, dirs, tmp_path):
+    """The bhp/dhp partition-filtered probe (r14) is a pure I/O
+    optimization: verdicts must be identical with pruning disabled
+    (full state scan) across a multi-epoch fold with corpus dups,
+    within-batch dups and novels."""
+    chunks = [
+        [(1, _doc(1)), (2, _doc(2)), (3, _doc(3))],
+        [(4, _doc(4, changed=30, like=1)), (5, _doc(5))],
+        [(6, _doc(6)), (7, _doc(7, changed=45, like=6)),
+         (8, _doc(8, changed=10, like=5))],
+    ]
+    d2 = {k: str(tmp_path / f"np_{k}") for k in ("state", "out")}
+    pruned = neardup_sink(dirs["state"], dirs["out"], prune=True)
+    full = neardup_sink(d2["state"], d2["out"], prune=False)
+    for e, rows in enumerate(chunks):
+        pruned(_batch(spark, rows), e)
+        full(_batch(spark, rows), e)
+    assert _verdicts(spark, dirs) == _verdicts(spark, d2)

@@ -451,14 +451,30 @@ def test_grouped_ntile_lead_no_full_group_corpus_window(spark, cat):
     to one shuffle via AQE ReusedExchange."""
     import re
 
-    for name, internal in (
-        ("grouped_ntile_sharded", "__gn_"),
-        ("grouped_lead_sharded", "__gl_"),
+    for name, panel_refs in (
+        ("grouped_ntile_sharded", ("__gn_n#",)),
+        ("grouped_lead_sharded", ("__gl_first#",)),
     ):
         p = formatted_plan(spark, cat, name)
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
             part = m.group(1).split("specifiedwindowframe")[0]
-            assert ("b#" in part) or (internal in p), (name, part)
+            # classify EACH spec (ADVICE r13: the old `internal in p`
+            # fallback tested the whole plan string and was vacuously
+            # true — a rogue full-group corpus window could never fail
+            # it). Partition clause = args before the first ASC/DESC
+            # column; a spec without the bucket column there is only
+            # legal when its window FUNCTION (the text immediately
+            # before the spec) consumes the bounded panel columns.
+            pcols = []
+            for tok in part.split(","):
+                if " ASC" in tok or " DESC" in tok:
+                    break
+                pcols.append(tok.strip())
+            ctx = p[max(0, m.start() - 200) : m.start()]
+            is_panel = any(r in ctx for r in panel_refs)
+            assert any(t.startswith("b#") for t in pcols) or is_panel, (
+                name, part, ctx[-120:]
+            )
         # no native ntile/lead over a group-only partition
         assert not re.search(r"windowspecdefinition\(lang#\d+,\s*n_chars", p), p
 

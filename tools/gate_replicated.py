@@ -5,7 +5,12 @@ over the mixed corpus — the large-scale complement of the sf0.001
 degenerate-corpus sweeps (catches scale-dependent midpoint/tie/
 overflow classes the bench scale masks; evidence/gate4x_r12.json).
 
-Usage: python tools/gate_replicated.py [N] [query ...]   (default N=4)
+Usage: python tools/gate_replicated.py [N] [--panel] [query ...]
+(default N=4; --panel runs the curated scale-sensitive panel below;
+no names = the full catalog). Declared-quadratic exclusions are
+mechanized (r13 verdict #7): EXCLUSIONS below is always applied, with
+reasons printed in the run log — rerunning any replication factor
+needs no hand-editing.
 
 Implementation notes (each learned the hard way, CLAUDE.md r12):
 * DuckDB views in check_correctness need FILE paths, so the replicate
@@ -27,6 +32,46 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+#: queries excluded from EVERY replicated run, with the reason printed
+#: in the run log (mechanized from the r13 ad-hoc evidence note).
+EXCLUSIONS: dict[str, str] = {
+    "dedup_embedding_cosine": (
+        "quadratic BY DECLARATION (recall-conservative BRP bucketing "
+        "≈ brute force: ~n²/2 verified pairs on BOTH engines — 512M "
+        "pairs / a 45+ min single stage at 16x). Its own docstring "
+        "names capped SRP + IVF as the scale paths; both are in the "
+        "panel and must pass instead (embedding_srp_capped, "
+        "ann_ivf_portable + recall audits)."
+    ),
+}
+
+#: the r13 scale-sensitive panel (the r12 49-query set + the four r13
+#: additions) — every query whose plan shape or oracle convention is
+#: exercised differently by corpus growth: band/LSH families, ANN/PQ,
+#: components, packing/splits, decimal-mass and portable-ln users.
+SCALE_PANEL = [
+    "ann_ivf_portable", "ann_ivf_recall_audit", "ann_ivfpq_portable",
+    "ann_lsh_recall_audit", "ann_pq_adc", "ann_pq_recall_audit",
+    "ann_pq_rerank", "ann_pq_rerank_trained", "ann_recall_curve",
+    "bm25_topk", "contamination_check", "corpus_stats",
+    "curation_pipeline", "dedup_components", "dedup_components_star",
+    "dedup_exact", "dedup_incremental", "dedup_incremental_near",
+    "dedup_minhash_capped", "dedup_minhash_estimate_audit",
+    "dedup_minhash_eval", "dedup_minhash_portable",
+    "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash_portable",
+    "dedup_soft_weights", "dedup_streaming_replay",
+    "dedup_substring_spans", "doc_novelty", "dsir_importance",
+    "embedding_srp_blocked_hamming", "embedding_srp_capped",
+    "embedding_srp_codes", "group_split_leakage",
+    "grouped_lead_sharded", "grouped_ntile_sharded", "knn_basic",
+    "knn_join_batch", "knn_top100", "label_centroids",
+    "pack_sequences", "pack_sequences_sharded", "quantize_embeddings",
+    "rrf_hybrid_bm25", "split_divergence", "split_leakage_neardup",
+    "text_kn_logprob", "text_lang_id", "train_test_split",
+    "vocab_growth_curve", "vocab_zipf_slope", "winnow_fingerprints",
+    "winnow_match_capped",
+]
 
 
 def build(out_dir: str, factor: int) -> None:
@@ -55,10 +100,30 @@ def build(out_dir: str, factor: int) -> None:
     spark.stop()
 
 
+def resolve_names(names: list[str]) -> list[str]:
+    """Apply the mechanized exclusion list to the requested set (the
+    curated panel via --panel, an explicit list, or — empty — the full
+    catalog), printing each exclusion with its reason."""
+    if names == ["--panel"]:
+        names = list(SCALE_PANEL)
+    elif not names:
+        from fegis_spark.catalog import catalog
+
+        names = list(catalog())
+    kept = []
+    for n in names:
+        if n in EXCLUSIONS:
+            print(f"gate_replicated: EXCLUDED {n}: {EXCLUSIONS[n]}")
+        else:
+            kept.append(n)
+    return kept
+
+
 def main() -> int:
     args = sys.argv[1:]
     factor = int(args[0]) if args and args[0].isdigit() else 4
     names = args[1:] if args and args[0].isdigit() else args
+    names = resolve_names(names)
     out_dir = f"/tmp/gate_rep_x{factor}"
     shutil.rmtree(out_dir, ignore_errors=True)
     build(out_dir, factor)
@@ -70,7 +135,8 @@ def main() -> int:
         out_dir,
         *names,
     ]
-    print(f"gate_replicated: corpus x{factor} at {out_dir}; running gate")
+    print(f"gate_replicated: corpus x{factor} at {out_dir}; "
+          f"running gate over {len(names)} queries")
     return subprocess.call(cmd, env=env)
 
 
