@@ -364,12 +364,21 @@ def neardup_sink(
             sh_new = sh_b.join(F.broadcast(novel), "doc").withColumn(
                 "dhp", _dhp(F.col("doc"))
             )
-            bands_new.write.mode("overwrite").partitionBy("bhp").parquet(
-                f"{state_dir}/bands/epoch={epoch_id}"
-            )
-            sh_new.write.mode("overwrite").partitionBy("dhp").parquet(
-                f"{state_dir}/shingles/epoch={epoch_id}"
-            )
+            # repartition by the layout prefix before writing: each
+            # prefix maps to exactly one task, so every epoch adds ONE
+            # file per partition dir. Without this, partitionBy splays
+            # each of the 32 shuffle partitions across every prefix dir
+            # (~P x shuffle-partitions tiny files per epoch) and the
+            # probe's file-listing/footer cost grows ~linearly with
+            # epochs — measured as the dominant probe cost in the first
+            # r14 probe run (evidence/neardup_prune_r14.json). The
+            # micro-batch-sized extra shuffle is noise.
+            bands_new.repartition("bhp").write.mode("overwrite").partitionBy(
+                "bhp"
+            ).parquet(f"{state_dir}/bands/epoch={epoch_id}")
+            sh_new.repartition("dhp").write.mode("overwrite").partitionBy(
+                "dhp"
+            ).parquet(f"{state_dir}/shingles/epoch={epoch_id}")
             # (3) commit: one marker-object create (commitlog.py — no
             # rename, object-store-safe)
             commit_epoch(state_dir, epoch_id)
@@ -460,9 +469,15 @@ def compact_neardup_state(spark: SparkSession, state_dir: str) -> int:
         pcols = [c for c in ("bhp", "dhp") if c in df.columns]
         tmp = src + ".compact"
         shutil.rmtree(tmp, ignore_errors=True)
-        w = df.write.mode("overwrite")
         if pcols:
-            w = w.partitionBy(*pcols)
+            # one task per prefix -> ONE file per partition dir after
+            # compaction (the sink's per-epoch file-count discipline,
+            # applied to the fold)
+            w = df.repartition(*pcols).write.mode("overwrite").partitionBy(
+                *pcols
+            )
+        else:
+            w = df.write.mode("overwrite")
         w.parquet(f"{tmp}/epoch={committed}")
         old = src + ".old"
         shutil.rmtree(old, ignore_errors=True)

@@ -40,7 +40,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-BATCH = 2000
+BATCH = 250  # sf0.1 documents has 5000 rows: 16x admission + probe tail
 TRICKLE = 8
 GROWTH = (1, 4, 8, 16)
 
@@ -156,6 +156,8 @@ def main() -> None:
         novel = _mk_batch(spark, docs, BATCH * max(GROWTH) + 1, n - half)
         return dups.unionByName(novel)
 
+    from fegis_spark.streaming.neardup import compact_neardup_state
+
     results = {"batch": BATCH, "trickle": TRICKLE, "legs": []}
     admitted, epoch = 0, 0
     for g in GROWTH:
@@ -163,22 +165,42 @@ def main() -> None:
             sink(_mk_batch(spark, docs, admitted + 1, BATCH), epoch)
             admitted += BATCH
             epoch += 1
-        leg = {"state_docs": admitted}
+        epoch_dirs = len(
+            [
+                d
+                for d in os.listdir(f"{state}/bands")
+                if d.startswith("epoch=")
+            ]
+        )
+        leg = {"state_docs": admitted, "epoch_dirs_at_probe": epoch_dirs}
         for label, n in (("trickle", TRICKLE), ("full", BATCH)):
             b = mixed(n, 10_000_000)
             leg[label] = {
                 "pruned": probe(spark, state, b, True),
                 "unpruned": probe(spark, state, b, False),
             }
+        # nightly-compaction regime: fold epoch dirs, re-probe — the
+        # listing term (epoch dirs x prefix dirs, the dominant probe
+        # cost when fragmented) collapses and the wall goes flat
+        compact_neardup_state(spark, state)
+        leg["trickle_compacted"] = probe(
+            spark, state, mixed(TRICKLE, 10_000_000), True
+        )
         leg["state_band_rows"] = admitted * 4
         results["legs"].append(leg)
         print(json.dumps(leg))
 
     shutil.rmtree(tmp, ignore_errors=True)
     results["note"] = (
-        "rows-read ratio is the scale observable (wall at probe MBs is "
-        "fixed-overhead-dominated); trickle regime is where bhp pruning "
-        "bites, full batches touch every prefix by design"
+        "three regimes per leg: fragmented-pruned, fragmented-unpruned, "
+        "compacted-pruned. The fragmented probe's dominant cost is the "
+        "state-dir LISTING (epoch dirs x prefix dirs — profiled at 2.6-3.4s "
+        "per table at 16 epochs vs 0.4-0.5s compacted, candidates/verify "
+        "~0.4s constant); nightly compact_neardup_state bounds it, and the "
+        "bhp/dhp partition filters bound ROWS READ to the touched fraction "
+        "(trickle: ~39% band rows = the batch's ~25/64 prefixes, ~6-8% "
+        "shingle rows = the candidates' few prefixes). Full-size batches "
+        "touch every band prefix by design and say so in the numbers."
     )
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
