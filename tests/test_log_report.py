@@ -158,3 +158,57 @@ def test_rendering_is_deterministic(mem):
     from tools.log_report import render_tool_calls
 
     assert render_tool_calls(mem) == render_tool_calls(mem)
+
+
+GOLDEN_ADVERSARIAL = """\
+🔧 [09:00:00] TOOL CALL: EdgeTool
+  Content: 
+  Context: a b c
+  Exact80: {x80}
+  LongWord: …
+  Title: EdgeTool Invocation
+  Unicode: héllo 🌍🌍🌍🌍🌍
+
+🔧 [09:01:00] TOOL CALL: EdgeTool
+  Title: only a title
+""".replace("{x80}", "x" * 80)
+
+
+def test_tool_calls_adversarial_golden(spark):
+    """r13 verdict #8: pin _pretty/shorten edge classes one level
+    deeper than the long-word collapse the r13 goldens cover —
+    empty-string values render as empty (not dropped, not '…'),
+    exactly-width strings pass untruncated, a single word over width
+    collapses to the bare placeholder, internal whitespace runs
+    COLLAPSE (shorten re-wraps: 'a      b\\t\\tc' → 'a b c'), unicode
+    survives, a missing Title falls back to the reference's
+    '<tool> Invocation' fill, and a call whose arguments carry ONLY
+    standard fields renders with empty parameters/frames maps."""
+    import datetime as dt
+
+    from tools.log_report import render_tool_calls
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        (
+            "EdgeTool",
+            "s0",
+            t0,
+            {
+                "Content": "",
+                "Context": "a      b\t\tc",
+                "LongWord": "y" * 81,
+                "Exact80": "x" * 80,
+                "Unicode": "héllo " + "🌍" * 5,
+            },
+        ),
+        ("EdgeTool", "s0", t0 + dt.timedelta(minutes=1), {"Title": "only a title"}),
+    ]
+    calls = spark.createDataFrame(
+        rows,
+        "tool string, session_id string, ts timestamp_ntz, "
+        "arguments map<string,string>",
+    )
+    mem = ingest_batch(calls)
+    assert render_tool_calls(mem) == GOLDEN_ADVERSARIAL
