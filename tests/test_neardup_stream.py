@@ -291,3 +291,33 @@ def test_prune_off_matches_pruned_probe(spark, dirs, tmp_path):
         pruned(_batch(spark, rows), e)
         full(_batch(spark, rows), e)
     assert _verdicts(spark, dirs) == _verdicts(spark, d2)
+
+
+def test_in_sink_compaction_cadence(spark, dirs, tmp_path):
+    """compact_every folds state inside the sink post-commit: epoch
+    dirs stay bounded by the cadence, verdicts match a never-compacting
+    twin exactly, and replay of a committed epoch remains a no-op."""
+    chunks = [
+        [(1, _doc(1)), (2, _doc(2))],
+        [(3, _doc(3, changed=7, like=1))],        # corpus dup of 1
+        [(4, _doc(4))],
+        [(5, _doc(5, changed=2, like=4)), (6, _doc(6))],  # dup of 4 + novel
+        [(7, _doc(7, changed=11, like=2))],       # dup of 2 (pre-compaction)
+    ]
+    d2 = {k: str(tmp_path / f"nc_{k}") for k in ("state", "out")}
+    cadenced = neardup_sink(dirs["state"], dirs["out"], compact_every=2)
+    plain = neardup_sink(d2["state"], d2["out"], compact_every=None)
+    for e, rows in enumerate(chunks):
+        cadenced(_batch(spark, rows), e)
+        plain(_batch(spark, rows), e)
+    assert _verdicts(spark, dirs) == _verdicts(spark, d2)
+    assert _verdicts(spark, dirs)[7] == (True, 2)
+    # cadence bound: compactions fired after epochs 1 and 3 — at most
+    # (cadence) epoch dirs ever exist
+    parts = sorted(
+        p for p in os.listdir(f"{dirs['state']}/bands") if p.startswith("epoch=")
+    )
+    assert parts == ["epoch=3", "epoch=4"], parts
+    # replay of a committed epoch post-compaction: still a no-op
+    cadenced(_batch(spark, chunks[2]), 2)
+    assert _verdicts(spark, dirs) == _verdicts(spark, d2)
