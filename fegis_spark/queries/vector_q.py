@@ -9,6 +9,8 @@ rounded to 6 dp.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -878,6 +880,216 @@ def embedding_srp_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.expr("bit_count(code_l ^ code_r)").alias("hamming"))
         .groupBy("hamming")
         .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRP ranking-fidelity evaluation ([EXT]-ranking-eval)
+
+NDCG_PANEL = 8  #: evaluation query vectors (vec_id < NDCG_PANEL)
+NDCG_K = 10     #: ranking depth: graded truth top-K, system list top-K
+#: position discounts 1/log2(p+1), p = 1..K — computed ONCE driver-side
+#: and embedded as the SAME shortest-repr literal in the Spark
+#: expression ('D'-suffix parseDouble) and the DuckDB oracle (string
+#: cast): the MMR_MU convention. log2 is transcendental, so letting
+#: each engine compute it could diverge by 1 ulp; a shared literal
+#: cannot. DuckDB's BARE-decimal literal is NOT safe here — its
+#: DECIMAL->DOUBLE cast goes through a scaled double and lands 1 ulp
+#: off the correctly-rounded parse for p=5 (probed r14; the same class
+#: as the CLAUDE.md r10 decimal(38,18) finding) — hence CAST('…' AS
+#: DOUBLE) string parses on the DuckDB side.
+_NDCG_DISCOUNTS = tuple(1.0 / math.log2(p + 1) for p in range(1, NDCG_K + 1))
+
+
+def _ndcg_disc_spark() -> str:
+    return "array(" + ", ".join(f"{d!r}D" for d in _NDCG_DISCOUNTS) + ")"
+
+
+def _ndcg_disc_duck() -> str:
+    return (
+        "["
+        + ", ".join(f"CAST('{d!r}' AS DOUBLE)" for d in _NDCG_DISCOUNTS)
+        + "]"
+    )
+
+
+def _srp_ndcg_oracle() -> str:
+    """DuckDB restatement of srp_ndcg_eval: same SRP codes (exact
+    integer sign arithmetic), same hamming/cosine orderings with the
+    same (value, corpus_id) total orders, and the same position-fold
+    metric arithmetic — every float op is a product/quotient/ordered
+    sum of identical operands, so dcg/idcg/ndcg/mrr are bit-identical
+    with NO rounding at the output."""
+    from fegis_spark.operators.dedup import srp_code_sql
+
+    k, disc = NDCG_K, _ndcg_disc_duck()
+    rels = (
+        f"list_transform(range(1, {k + 1}), p -> "
+        f"CASE WHEN list_position(tids, sids[p]) > 0 "
+        f"THEN CAST({k + 1} AS BIGINT) - list_position(tids, sids[p]) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+    )
+    return f"""
+    WITH codes AS MATERIALIZED (
+      SELECT vec_id, embedding, {srp_code_sql('embedding', EMB_DIM)} AS code
+      FROM embeddings
+    ), panel AS (
+      SELECT vec_id AS query_id, embedding AS qv, code AS qcode
+      FROM codes WHERE vec_id < {NDCG_PANEL}
+    ), pairs AS MATERIALIZED (
+      SELECT p.query_id, c.vec_id AS corpus_id,
+             bit_count(xor(c.code, p.qcode)) AS ham,
+             {_cos_pair('c.embedding', 'p.qv')} AS cos
+      FROM codes c CROSS JOIN panel p
+      WHERE c.vec_id <> p.query_id
+    ), sysr AS (
+      SELECT query_id, corpus_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY ham, corpus_id) AS r
+      FROM pairs
+    ), trur AS (
+      SELECT query_id, corpus_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS r
+      FROM pairs
+    ), sl AS (
+      SELECT query_id, list(corpus_id ORDER BY r) AS sids
+      FROM sysr WHERE r <= {k} GROUP BY query_id
+    ), tl AS (
+      SELECT query_id, list(corpus_id ORDER BY r) AS tids
+      FROM trur WHERE r <= {k} GROUP BY query_id
+    ), m AS (
+      SELECT query_id, {rels} AS rels
+      FROM sl JOIN tl USING (query_id)
+    ), agg AS (
+      SELECT query_id,
+        CAST(len(list_filter(rels, r -> r > 0)) AS BIGINT) AS hits,
+        COALESCE(CAST(1 AS DOUBLE) / list_min(list_filter(
+          list_transform(range(1, {k + 1}),
+                         p -> CASE WHEN rels[p] > 0 THEN p END),
+          x -> x IS NOT NULL)), CAST(0 AS DOUBLE)) AS mrr,
+        list_aggregate(list_transform(range(1, {k + 1}),
+          p -> CAST(rels[p] AS DOUBLE) * ({disc})[p]), 'sum') AS dcg,
+        list_aggregate(list_transform(range(1, {k + 1}),
+          p -> CAST({k + 1} - p AS DOUBLE) * ({disc})[p]), 'sum') AS idcg
+      FROM m
+    )
+    SELECT query_id, hits, mrr, dcg, idcg, dcg / idcg AS ndcg
+    FROM agg ORDER BY query_id
+    """
+
+
+@register(
+    "srp_ndcg_eval",
+    oracle=_srp_ndcg_oracle(),
+    covers=("[EXT]-ranking-eval", "[EXT]-srp", "K1-approx"),
+)
+def srp_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Graded ranking-fidelity evaluation of the SRP sketch
+    ordering: for each panel query, rank the corpus by full-code
+    hamming distance (the 32-bit sketch's ORDER, not its band
+    blocking) and score that top-{NDCG_K} list against exact-cosine
+    graded truth (rel = {NDCG_K}+1-rank for the true top-{NDCG_K},
+    0 otherwise) with nDCG@{NDCG_K}, MRR and hits@{NDCG_K}. The recall
+    audits (ann_*_recall_audit) measure WHETHER true neighbors
+    survive candidate generation; this measures how faithfully a
+    cheap sketch ORDERS them — position-weighted, the metric that
+    prices a sketch ranking for retrieval/curation use.
+
+    Determinism: both orderings carry (value, corpus_id) total-order
+    tiebreaks; the log2 position discounts are shared literals (see
+    _NDCG_DISCOUNTS); dcg/idcg are position-ordered sequential folds
+    of products of identical operands, ndcg/mrr exact IEEE quotients —
+    all emitted UNROUNDED per the repo determinism rules.
+
+    Scale shape: SRP codes are computed once per corpus row (persisted
+    — two consumers: pair scan + panel extraction); the pair frame is
+    |panel| x corpus with NO corpus-side shuffle; both top-{NDCG_K}
+    lists come from ONE dual-bounded-slice two-stage aggregation
+    (operators/topk.grouped_topk's shape — a filter cannot bound two
+    rank columns under WindowGroupLimit, so the aggregate form is the
+    scale-correct plan here); everything after is {NDCG_PANEL} rows."""
+    from pyspark import StorageLevel
+
+    from fegis_spark.functions.vector import cosine
+    from fegis_spark.operators.dedup import srp_code_expr
+
+    k = NDCG_K
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(srp_code_expr("embedding", EMB_DIM)).alias("code"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    panel = codes.filter(F.col("vec_id") < NDCG_PANEL).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("code").alias("__qcode"),
+    )
+    pairs = (
+        codes.crossJoin(F.broadcast(panel))  # bcast-ok: NDCG_PANEL-row query panel
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            F.expr("bit_count(code ^ __qcode)").alias("__ham"),
+            cosine(F.col("embedding"), F.col("__qv")).alias("__cos"),
+        )
+    )
+    sys_s = F.struct(
+        F.col("__ham").cast("bigint").alias("v"), F.col("corpus_id").alias("i")
+    )
+    tru_s = F.struct((-F.col("__cos")).alias("v"), F.col("corpus_id").alias("i"))
+    part = pairs.groupBy("query_id", F.spark_partition_id().alias("__part")).agg(
+        F.slice(F.sort_array(F.collect_list(sys_s)), 1, k).alias("sa"),
+        F.slice(F.sort_array(F.collect_list(tru_s)), 1, k).alias("ta"),
+    )
+    lists = part.groupBy("query_id").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("sa"))), 1, k).alias("sa"),
+        F.slice(F.sort_array(F.flatten(F.collect_list("ta"))), 1, k).alias("ta"),
+    )
+    return _ndcg_metrics(lists).orderBy("query_id")
+
+
+def _ndcg_metrics(lists: DataFrame) -> DataFrame:
+    """Graded metrics from per-query ranked lists: input (query_id,
+    sa, ta) where sa/ta are the system/truth top-{NDCG_K} arrays of
+    (v, i) structs in rank order; output (query_id, hits, mrr, dcg,
+    idcg, ndcg). Pure projection over |panel| rows — split out so the
+    metric arithmetic is unit-testable on constructed lists
+    (tests/test_srp.py) independently of the pair scan."""
+    k, disc = NDCG_K, _ndcg_disc_spark()
+    rels = (
+        f"transform(sequence(1, {k}), p -> "
+        f"CASE WHEN array_position(tids, element_at(sids, p)) > 0 "
+        f"THEN CAST({k + 1} AS BIGINT) - array_position(tids, element_at(sids, p)) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+    )
+    return (
+        lists.withColumn("sids", F.expr("transform(sa, x -> x.i)"))
+        .withColumn("tids", F.expr("transform(ta, x -> x.i)"))
+        .withColumn("rels", F.expr(rels))
+        .select(
+            "query_id",
+            F.expr("CAST(size(filter(rels, r -> r > 0)) AS BIGINT)").alias(
+                "hits"
+            ),
+            F.expr(
+                f"coalesce(CAST(1 AS DOUBLE) / array_min(filter("
+                f"transform(sequence(1, {k}), "
+                f"p -> CASE WHEN element_at(rels, p) > 0 THEN p END), "
+                f"x -> x IS NOT NULL)), CAST(0 AS DOUBLE))"
+            ).alias("mrr"),
+            F.expr(
+                f"aggregate(transform(sequence(1, {k}), "
+                f"p -> CAST(element_at(rels, p) AS DOUBLE) * element_at({disc}, p)), "
+                f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            ).alias("dcg"),
+            F.expr(
+                f"aggregate(transform(sequence(1, {k}), "
+                f"p -> CAST({k + 1} - p AS DOUBLE) * element_at({disc}, p)), "
+                f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            ).alias("idcg"),
+        )
+        .withColumn("ndcg", F.col("dcg") / F.col("idcg"))
     )
 
 

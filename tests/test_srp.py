@@ -82,3 +82,68 @@ def test_near_duplicates_land_at_low_hamming(spark):
         float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
     )
     assert abs(h_far / SRP_BITS - angle / math.pi) < 0.35
+
+
+# ---------------------------------------------------------------------------
+# nDCG/MRR metric arithmetic (queries/vector_q._ndcg_metrics)
+
+
+def _py_metrics(sids, tids, k=10):
+    """Sequential-fold Python reference of the metric arithmetic —
+    same shared discount literals, same position order."""
+    from fegis_spark.queries.vector_q import _NDCG_DISCOUNTS
+
+    rels = [
+        (k + 1 - (tids.index(s) + 1)) if s in tids else 0 for s in sids
+    ]
+    dcg = 0.0
+    idcg = 0.0
+    for p in range(1, k + 1):
+        dcg += float(rels[p - 1]) * _NDCG_DISCOUNTS[p - 1]
+        idcg += float(k + 1 - p) * _NDCG_DISCOUNTS[p - 1]
+    hit_pos = [p for p in range(1, k + 1) if rels[p - 1] > 0]
+    mrr = 1.0 / hit_pos[0] if hit_pos else 0.0
+    return sum(1 for r in rels if r > 0), mrr, dcg, idcg, dcg / idcg
+
+
+def _metric_rows(spark, cases):
+    from pyspark.sql import Row
+
+    from fegis_spark.queries.vector_q import _ndcg_metrics
+
+    rows = [
+        Row(
+            query_id=qid,
+            sa=[Row(v=p, i=i) for p, i in enumerate(sids)],
+            ta=[Row(v=p, i=i) for p, i in enumerate(tids)],
+        )
+        for qid, sids, tids in cases
+    ]
+    out = _ndcg_metrics(spark.createDataFrame(rows)).orderBy("query_id")
+    return {r.query_id: r for r in out.collect()}
+
+
+def test_ndcg_metrics_match_python_reference(spark):
+    perfect = list(range(100, 110))          # system == truth
+    reversed_ = list(reversed(perfect))      # worst same-set order
+    disjoint = list(range(200, 210))         # no overlap at all
+    partial = [100, 999, 101, 998, 102, 997, 103, 996, 104, 995]
+    cases = [
+        (0, perfect, perfect),
+        (1, reversed_, perfect),
+        (2, disjoint, perfect),
+        (3, partial, perfect),
+    ]
+    got = _metric_rows(spark, cases)
+    for qid, sids, tids in cases:
+        hits, mrr, dcg, idcg, ndcg = _py_metrics(sids, tids)
+        r = got[qid]
+        assert r.hits == hits, (qid, r)
+        assert r.mrr == mrr, (qid, r)
+        assert r.dcg == dcg, (qid, r)          # bit-exact: same fold
+        assert r.idcg == idcg, (qid, r)
+        assert r.ndcg == ndcg, (qid, r)
+    # boundary semantics worth pinning explicitly
+    assert got[0].ndcg == 1.0 and got[0].mrr == 1.0
+    assert got[2].hits == 0 and got[2].mrr == 0.0 and got[2].ndcg == 0.0
+    assert 0.0 < got[1].ndcg < 1.0 and got[1].mrr == 1.0
