@@ -68,6 +68,7 @@ SCALE_PANEL = [
     "knn_join_batch", "knn_top100", "label_centroids",
     "pack_sequences", "pack_sequences_sharded", "quantize_embeddings",
     "rrf_hybrid_bm25", "split_divergence", "split_leakage_neardup",
+    "srp_ndcg_eval",
     "text_kn_logprob", "text_lang_id", "train_test_split",
     "vocab_growth_curve", "vocab_zipf_slope", "winnow_fingerprints",
     "winnow_match_capped",
