@@ -670,6 +670,19 @@ def semantic_dedup(
         # routing dots — persist per the repo multi-consumer rule
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return _semdedup_verdicts(base, tau)
+
+
+def _semdedup_verdicts(base: DataFrame, tau: float) -> DataFrame:
+    """The SemDeDup keep-the-outlier verdict algebra over an assigned
+    corpus: ``base`` = (vec_id, __v, list_id, __csim), persisted by the
+    caller (three consumers). Within each list, every exact-cosine >=
+    tau pair drops its higher-centroid-sim member (tie: higher id).
+    Shared verbatim by the md5-literal routing (semantic_dedup, the
+    DuckDB-oracle-checked twin) and the trained-centroid route
+    (semantic_dedup_trained) — one rule, two assigners."""
+    from fegis_spark.functions.vector import cosine
+
     # band-ok: list_id equi-join, cluster size ~ n/n_lists — the
     # SemDeDup contract scales n_lists with the corpus (k ~ sqrt(n))
     # so per-cluster pair output stays bounded
@@ -693,6 +706,61 @@ def semantic_dedup(
         F.round("__csim", 6).alias("centroid_sim"),
         F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"),
     )
+
+
+def semantic_dedup_trained(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int,
+    tau: float = 0.35,
+    kmeans_iters: int = 10,
+    distributed: bool | None = None,
+) -> DataFrame:
+    """SemDeDup with TRAINED centroids — the production scaling route
+    the fixed-literal twin documents but cannot follow: SemDeDup's own
+    answer to corpus growth is MORE clusters (50k at LAION-440M), and
+    past ~64 lists the md5-literal routing expression (n_lists inlined
+    dot folds per row) stops being a sane plan. Centroids come from
+    operators/knn._train_centroids (seeded spherical k-means on a
+    bounded sample below 64 lists, seeded MLlib k-means|| over the full
+    corpus above — nothing corpus-sized ever reaches the driver);
+    assignment is ONE broadcast join + per-row top-1 (the ann_ivf
+    shape); the keep-the-outlier verdict algebra is _semdedup_verdicts,
+    shared verbatim with the oracle-checked twin. Deterministic given
+    the seed, but float k-means is not SQL-replayable, so the
+    correctness tier is the shared-verdict library tests + the
+    dedup_semantic oracle on the routing twin; scaling evidence:
+    evidence/semdedup_scaling_r14.json (fixed n_lists grows wall
+    ~quadratically under replication, scaled n_lists tracks the
+    corpus)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from fegis_spark.functions.vector import cosine
+    from fegis_spark.operators.knn import _train_centroids
+
+    spark = df.sparkSession
+    cent_rows = _train_centroids(
+        df, id_col, vec_col, n_lists, kmeans_iters, distributed
+    )
+    cent_df = spark.createDataFrame(
+        cent_rows, "list_id int, centroid array<double>"
+    )
+    scored = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+    ).crossJoin(F.broadcast(cent_df))  # bcast-ok: n_lists centroid rows
+    # grpwin-ok: per-row vec_id partition key — count scales with input
+    w = Window.partitionBy("vec_id").orderBy(F.desc("__sim"), F.col("list_id"))
+    base = (
+        scored.withColumn("__sim", cosine(F.col("__v"), F.col("centroid")))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "__v", "list_id", F.col("__sim").alias("__csim"))
+        # three consumers (both pair-join sides + the verdict join)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return _semdedup_verdicts(base, tau)
 
 
 def _free_local_checkpoint(df: DataFrame) -> None:

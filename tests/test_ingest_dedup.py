@@ -732,3 +732,41 @@ def test_incremental_pairs_state_bucket_cap(spark):
     )
     got = {(r.corpus_doc, r.batch_doc) for r in self_probe.collect()}
     assert got == {(201, 200)}  # never (200, 200)
+
+
+def test_semantic_dedup_trained_routes_and_verdicts(spark):
+    """semantic_dedup_trained: trained-centroid assignment (both the
+    driver spherical route and the MLlib k-means|| route) feeds the
+    SAME _semdedup_verdicts algebra as the oracle-checked twin. Two
+    well-separated direction clusters: within the 3-vector cluster
+    only the 10-degree pair exceeds tau, and its closer-to-centroid
+    member is dropped (keep the outlier); the far vector and the
+    other cluster survive."""
+    import math
+
+    from fegis_spark.operators.dedup import semantic_dedup_trained
+
+    def at(deg):  # unit vector in the (e0, e2) plane
+        return [math.cos(math.radians(deg)), 0.0,
+                math.sin(math.radians(deg)), 0.0]
+
+    rows = [
+        (1, at(0.0)),    # pairs with 2 (cos 10deg = .985 >= .35)
+        (2, at(10.0)),   # closer to the ~30deg centroid -> dropped
+        (3, at(80.0)),   # cos 80deg/70deg to 1/2 -> below tau, kept
+        (9, [0.0, 1.0, 0.0, 0.0]),  # its own cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for distributed in (False, True):
+        got = {
+            r.vec_id: r
+            for r in semantic_dedup_trained(
+                df, "embedding", "vec_id", n_lists=2,
+                distributed=distributed,
+            ).collect()
+        }
+        assert len(got) == 4
+        assert got[1].list_id == got[2].list_id == got[3].list_id
+        assert got[9].list_id != got[1].list_id
+        assert got[2].is_dup, got
+        assert not got[1].is_dup and not got[3].is_dup and not got[9].is_dup

