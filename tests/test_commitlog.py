@@ -39,3 +39,36 @@ def test_commitlog_ignores_foreign_files(tmp_path):
     assert committed_epoch(d) == 5
     prune_commits(d)
     assert committed_epoch(d) == 5
+
+
+def test_commitlog_matches_set_model(tmp_path_factory):
+    """Property: under any interleaving of commit/rollback/prune, the
+    reader's answer equals max over a plain set model — prune (a
+    hygiene op) must never change what readers see, and rollback must
+    drop exactly the markers above its epoch."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    op = st.tuples(
+        st.sampled_from(["commit", "rollback", "prune"]),
+        st.integers(min_value=0, max_value=12),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(op, max_size=30))
+    def run(ops):
+        d = str(tmp_path_factory.mktemp("clog"))
+        model: set[int] = set()
+        for name, e in ops:
+            if name == "commit":
+                commit_epoch(d, e)
+                model.add(e)
+            elif name == "rollback":
+                rollback_to(d, e)
+                model = {x for x in model if x <= e}
+            else:
+                prune_commits(d)
+                model = {max(model)} if model else set()
+            assert committed_epoch(d) == (max(model) if model else -1)
+
+    run()
