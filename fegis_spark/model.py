@@ -68,6 +68,19 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _table_stamp(path: str) -> tuple:
+    """(mtime_ns, size) stamp of a parquet file-or-dir for memo keys."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return ("missing",)
+    if os.path.isdir(path):
+        # directory tables: stamp the dir itself plus entry names —
+        # part-file rewrites bump the dir mtime on POSIX
+        return (st.st_mtime_ns, tuple(sorted(os.listdir(path))))
+    return (st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst handles pushdown + pruning.
 
@@ -79,16 +92,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     passes through. The conversion is gated on the read dtype, so both
     encodings yield the same TIMESTAMP_NTZ column.
     """
+    # Memo of LOADED (analyzed, lazy) table DataFrames — a plan-object
+    # cache, NOT a data cache: nothing is materialized; executing the
+    # memoized frame re-reads the parquet from disk exactly like a
+    # fresh ``spark.read.parquet``. Rationale (r14 opt):
+    # ``spark.read.parquet`` costs ~50-100 ms of driver-side work
+    # (py4j + JVM file listing + footer schema inference) PER CALL,
+    # and multi-table queries pay it up to 5x per plan build.
+    # Staleness contract mirrors bm25._STATS_MEMO: the memo dict lives
+    # ON the session object (dies with it) and keys include the file's
+    # (mtime_ns, size), so a rewritten testdata file misses.
+    path = table_path(sf_dir, name)
+    memo = spark.__dict__.setdefault("_fegis_load_memo", {})
+    key = (os.path.abspath(path), _table_stamp(path))
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") in ("bigint", "long"):
             df = df.withColumn(
                 "ts",
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(path)
+    memo[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

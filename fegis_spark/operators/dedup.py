@@ -950,6 +950,7 @@ def _portable_sig_bands(
     bands: int,
     ngram: int,
     cache_intermediate: bool,
+    seed_bcast_bound: int | None = None,
 ):
     """Shared md5-60bit MinHash pipeline: shingle table (`base`: doc,
     sh — persisted when cache_intermediate, it feeds the signature
@@ -959,6 +960,15 @@ def _portable_sig_bands(
     family is a pure function of the text, so signatures computed in
     separate calls (e.g. corpus and batch sides of the incremental
     form) are mutually consistent. Returns (base, sig, banded).
+
+    seed_bcast_bound: byte bound for the distinct-gram seed-hash
+    table's size-gated broadcast (see the inline comment at the seeds
+    join). Callers with an sf_dir pass
+    ``32 * table_bytes(sf_dir, "documents")`` — the honest expansion
+    bound: the seeds projection is ~136 B per DISTINCT gram (gh + 16
+    bigint seeds) vs >= ~5 compressed source bytes per gram INSTANCE,
+    so 32x source bytes upper-bounds it even at dedup ratio 1.
+    None -> no hint; AQE picks the strategy from runtime sizes.
     """
     rows_per_band = num_hashes // bands
     base = with_shingles(df, text_col, id_col, ngram)
@@ -967,38 +977,71 @@ def _portable_sig_bands(
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
-    def h60(c):  # first 15 md5 hex chars → bigint, portable
-        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+    # Spark-SQL string spelling of the portable 60-bit hash (first 15
+    # md5 hex chars → bigint) — single parsed expressions instead of a
+    # py4j Column chain per seed (CLAUDE.md driver-side plan-cost rule;
+    # the Column-form build alone profiled ~0.5 s of py4j round-trips).
+    def h60s(c: str) -> str:
+        return f"CAST(conv(substring(md5({c}), 1, 15), 16, 10) AS BIGINT)"
 
-    ex = base.select("doc", F.explode("sh").alias("g")).select(
-        "doc", h60(F.col("g")).alias("gh")
+    ex = base.select("doc", F.explode("sh").alias("g")).selectExpr(
+        "doc", h60s("g") + " AS gh"
     )
-    sig = ex.groupBy("doc").agg(
-        *[
-            F.min(
-                h60(F.concat(F.col("gh").cast("string"), F.lit(f"-{i}")))
-            ).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("bh"),
+    # r14 opt (guide §1.2 "don't compute things twice" / §2.3): the
+    # num_hashes per-seed re-hashes are pure functions of gh, and the
+    # gram stream repeats each distinct gram ~10x at sf0.1 (260k
+    # instances / 27k distinct; duplicate-heavy corpora are the whole
+    # point of this operator) — so when the caller supplies a
+    # seed_bcast_bound, evaluate the seed hashes once per DISTINCT gh
+    # and attach them by a size-gated equi-join instead of paying
+    # 16 md5+conv per gram INSTANCE (profiled 12 us/row, ~3.2 s of the
+    # 4.6 s sf0.1 wall; values are bit-identical by construction).
+    # Under the gate the seeds table broadcasts (local plans keep
+    # their broadcast-only shape, ex stays doc-local so the doc
+    # partial-agg still collapses map-side); over it the hint is
+    # withheld and AQE picks from real sizes — the SMJ fallback trades
+    # one narrow gh exchange of the gram stream for 15/16 of the
+    # seed-hash CPU (~12 us vs ~0.1 us/row). seed_bcast_bound=None
+    # (tiny-side callers: streaming batch probes) keeps the inline
+    # per-instance form — on a few-doc batch the extra distinct+join
+    # stages would cost more latency than the md5s they save.
+    if seed_bcast_bound is not None:
+        from fegis_spark.model import maybe_broadcast
+
+        seeds = ex.select("gh").distinct().selectExpr(
+            "gh",
+            *[
+                h60s(f"concat(CAST(gh AS STRING), '-{i}')") + f" AS __s{i}"
+                for i in range(num_hashes)
+            ],
+        )
+        sig = (
+            ex.join(maybe_broadcast(seeds, seed_bcast_bound), "gh")
+            .groupBy("doc")
+            .agg(*[F.min(f"__s{i}").alias(f"mh{i}") for i in range(num_hashes)])
+        )
+    else:
+        sig = ex.groupBy("doc").agg(
+            *[
+                F.min(
+                    F.expr(h60s(f"concat(CAST(gh AS STRING), '-{i}')"))
+                ).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ]
+        )
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bh', md5(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{b * rows_per_band + r} AS STRING)"
+                for r in range(rows_per_band)
+            ),
         )
         for b in range(bands)
-    ]
-    banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("b")).select(
-        "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+    banded = sig.selectExpr(
+        "doc", f"explode(array({band_structs})) AS b"
+    ).selectExpr("doc", "b.band AS band", "b.bh AS bh")
     return base, sig, banded
 
 
@@ -1012,6 +1055,7 @@ def minhash_lsh_pairs_portable(
     jaccard_threshold: float = 0.5,
     cache_intermediate: bool = True,
     max_bucket_size: int | None = None,
+    seed_bcast_bound: int | None = None,
 ):
     """K9 MinHash+LSH with ENGINE-PORTABLE hashes: every hash is a
     60-bit integer from the first 15 hex chars of md5, so DuckDB can
@@ -1019,10 +1063,11 @@ def minhash_lsh_pairs_portable(
     oracle-checked twin of minhash_lsh_pairs (whose xxhash64 family is
     Spark-only and therefore rows-only at the gate). Same plan shape:
     shingle → per-seed min-agg signature → banded equi-join →
-    candidate-only exact-Jaccard verify. ~16 md5 string hashes per
-    gram instead of 1 string + 16 fixed-width xxhash64 — keep the
-    xxhash64 form on the 100 TB data path and this one as the
-    cross-engine verification surface.
+    candidate-only exact-Jaccard verify. The 16 per-seed md5s are
+    evaluated once per DISTINCT gram hash and attached by a size-gated
+    join (r14 opt; see _portable_sig_bands and seed_bcast_bound there)
+    — keep the xxhash64 form on the 100 TB data path and this one as
+    the cross-engine verification surface.
 
     cache_intermediate persists the shingle table (used by the
     signature build and both verify sides); the returned plan
@@ -1035,7 +1080,8 @@ def minhash_lsh_pairs_portable(
     would then need the mirrored star logic).
     """
     base, _sig, banded = _portable_sig_bands(
-        df, text_col, id_col, num_hashes, bands, ngram, cache_intermediate
+        df, text_col, id_col, num_hashes, bands, ngram, cache_intermediate,
+        seed_bcast_bound=seed_bcast_bound,
     )
     cand = banded_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     return minhash_verify_pairs(cand, base.select("doc", "sh"), jaccard_threshold)
@@ -1214,6 +1260,7 @@ def minhash_incremental_pairs_portable(
     jaccard_threshold: float = 0.5,
     cache_intermediate: bool = True,
     max_bucket_size: int | None = None,
+    seed_bcast_bound: int | None = None,
 ) -> DataFrame:
     """K9 incremental NEAR-dup: which new-batch documents are near-
     duplicates of the indexed corpus — the daily-ingest analog of
@@ -1230,8 +1277,11 @@ def minhash_incremental_pairs_portable(
     partitioned by (band, bh-prefix) and only the batch side is
     computed per run (same pre-bucketing note as dedup_incremental).
     """
+    # seed-dedup only on the corpus side (scale-proportional grams);
+    # the batch side keeps the inline form — see _portable_sig_bands
     base_c, _sig_c, banded_c = _portable_sig_bands(
-        corpus, text_col, id_col, num_hashes, bands, ngram, cache_intermediate
+        corpus, text_col, id_col, num_hashes, bands, ngram, cache_intermediate,
+        seed_bcast_bound=seed_bcast_bound,
     )
     base_b, _sig_b, banded_b = _portable_sig_bands(
         batch, text_col, id_col, num_hashes, bands, ngram, cache_intermediate

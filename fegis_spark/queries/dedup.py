@@ -539,6 +539,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         ngram=3,
         jaccard_threshold=0.5,
+        seed_bcast_bound=32 * table_bytes(sf_dir, "documents"),
     )
 
 
@@ -588,6 +589,9 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram=3,
         jaccard_threshold=0.5,
         max_bucket_size=HOT_CAP,
+        # hot-docs corpus = documents + a bounded constructed cluster;
+        # 32x covers the seeds projection expansion (operator docstring)
+        seed_bcast_bound=32 * table_bytes(sf_dir, "documents"),
     )
 
 
@@ -858,6 +862,7 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("bucket") >= 50),
         "text",
         "doc_id",
+        seed_bcast_bound=32 * table_bytes(sf_dir, "documents"),
     )
 
 
@@ -1035,6 +1040,7 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = minhash_lsh_pairs_portable(
         docs, "text", "doc_id", num_hashes=16, bands=4, ngram=3,
         jaccard_threshold=0.5,
+        seed_bcast_bound=32 * table_bytes(sf_dir, "documents"),
     )
     u = (
         pred.select("a", "b", F.lit(1).alias("in_pred"))
@@ -1157,6 +1163,7 @@ def dedup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs_portable(
         docs, "text", "doc_id",
         num_hashes=16, bands=4, ngram=3, jaccard_threshold=0.5,
+        seed_bcast_bound=32 * table_bytes(sf_dir, "documents"),
     )
     keep = (
         pairs.groupBy("b")
@@ -1315,6 +1322,7 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, sig, banded = _portable_sig_bands(
         docs, "text", "doc_id", num_hashes=16, bands=4, ngram=3,
         cache_intermediate=True,
+        seed_bcast_bound=32 * table_bytes(sf_dir, "documents"),
     )
     # band-ok: 2^60 md5 band keyspace + HOT_CAP routing below
     pairs = banded_candidate_pairs(banded, max_bucket_size=HOT_CAP)

@@ -1430,6 +1430,9 @@ def curation_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram=3,
         jaccard_threshold=0.5,
         max_bucket_size=HOT_CAP,
+        # kept docs subset documents; 32x covers the seeds projection
+        # expansion (operator docstring)
+        seed_bcast_bound=32 * table_bytes(sf_dir, "documents"),
     )
     drops = pairs.select(F.col("b").alias("doc_id")).distinct()
     surv = (
