@@ -290,28 +290,31 @@ def minhash_lsh_pairs(
     # 1 string hash + k fixed-width hashes (measured ~1.4x on the
     # whole pipeline at sf0.1; the HOF transform/array_min form is
     # interpreted and ~10x slower than either)
-    ex = base.select("doc", F.explode("sh").alias("g")).select(
-        "doc", F.xxhash64("g").alias("gh")
+    # single-string spellings (r14 opt): the Column-chain form of the
+    # 16 seed aggregates + 4 band structs costs ~0.3-0.4 s of py4j
+    # round-trips per plan build (CLAUDE.md driver-side plan-cost rule)
+    ex = base.select("doc", F.explode("sh").alias("g")).selectExpr(
+        "doc", "xxhash64(g) AS gh"
     )
     sig = ex.groupBy("doc").agg(
         *[
-            F.min(F.xxhash64(F.col("gh"), F.lit(i))).alias(f"mh{i}")
+            F.expr(f"min(xxhash64(gh, {i}))").alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(",", *[F.col(f"mh{b * rows_per_band + r}").cast("string")
-                                   for r in range(rows_per_band)])
-            ).alias("bh"),
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bh', xxhash64(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{b * rows_per_band + r} AS STRING)"
+                for r in range(rows_per_band)
+            ),
         )
         for b in range(bands)
-    ]
-    banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("b")).select(
-        "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+    banded = sig.selectExpr(
+        "doc", f"explode(array({band_structs})) AS b"
+    ).selectExpr("doc", "b.band AS band", "b.bh AS bh")
     cand = banded_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     sh = base.select(F.col("doc"), F.col("sh"))
     verified = (

@@ -37,6 +37,19 @@ def lexical_score(text: Column, terms: Sequence[str]) -> Column:
     return sum([occurrences(p, f" {t} ") for t in terms], F.lit(0).cast("double"))
 
 
+def lexical_score_sql(text_col: str, terms: Sequence[str]) -> str:
+    """Spark-SQL string spelling of lexical_score() — ONE parsed
+    expression instead of a py4j Column chain per term (CLAUDE.md
+    driver-side plan-cost rule). Equivalence pinned in
+    tests/test_search.py."""
+    p = f"concat(' ', lower(trim(regexp_replace({text_col}, '\\\\s+', ' '))), ' ')"
+    occs = " + ".join(
+        f"(length({p}) - length(replace({p}, ' {t} ', ''))) / {len(t) + 2}"
+        for t in terms
+    )
+    return f"CAST(0 AS DOUBLE) + {occs}" if occs else "CAST(0 AS DOUBLE)"
+
+
 def rrf_fuse(
     df: DataFrame,
     id_col: str,
@@ -78,10 +91,10 @@ def rrf_fuse(
     """
     if pool is None:
         pool = max(100, 2 * k + rrf_k + 1)
-    scored = df.select(
-        F.col(id_col).alias("id"),
-        F.expr(cosine_sql(vec_col, lit_vector_sql(query_vec))).alias("dense"),
-        lexical_score(F.col(text_col), query_terms).alias("lex"),
+    scored = df.selectExpr(
+        f"{id_col} AS id",
+        cosine_sql(vec_col, lit_vector_sql(query_vec)) + " AS dense",
+        lexical_score_sql(text_col, query_terms) + " AS lex",
     )
     if cache_intermediate:
         from pyspark import StorageLevel
@@ -151,10 +164,10 @@ def rrf_fuse_pooled(
     one scan of the persisted scored projection, which — as in
     rrf_fuse — outlives the call until LRU eviction or
     spark.catalog.clearCache()."""
-    scored = df.select(
-        F.col(id_col).alias("id"),
-        F.expr(cosine_sql(vec_col, lit_vector_sql(query_vec))).alias("dense"),
-        lexical_score(F.col(text_col), query_terms).alias("lex"),
+    scored = df.selectExpr(
+        f"{id_col} AS id",
+        cosine_sql(vec_col, lit_vector_sql(query_vec)) + " AS dense",
+        lexical_score_sql(text_col, query_terms) + " AS lex",
     )
     from pyspark import StorageLevel
 

@@ -57,21 +57,76 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan → filter (pushed to parquet) → partial agg →
     single shuffle on the 2 grouping cols → final agg. The canonical
     100 TB-safe aggregation: map-side combine shrinks shuffle volume to
-    |groups| per partition."""
+    |groups| per partition.
+
+    r14 opt (guide §2.3 "narrower types"): the decimal transit is
+    decomposed into SPLIT-LONG sums with a decimal recombination per
+    GROUP instead of per row. Per row: q = micro-unit quantization of
+    the money value as a primitive BIGINT; the group sums q's high
+    (>>21) and low (&2^21-1) halves as two plain long sums (pure
+    codegen, no per-row BigDecimal), then one decimal expression per
+    OUTPUT ROW recombines them exactly. Equality with the old
+    per-row DECIMAL(38,6) transit is bit-exact:
+
+    * quantization: CAST(x*1e6 + 0.5e0 AS BIGINT) equals the decimal
+      cast's HALF_UP quantization on every driver row — probed over
+      all 5 summed expressions x all 3 sfs, 0 mismatches
+      (evidence/pricing_quant_probe_r14.json). The +0.5-floor form
+      requires x >= 0 (money schema; probe also pins 0 negative rows).
+    * overflow: money rows are schema-bounded (|x| < ~1.8e6 units so
+      q < 2^41); sum(q>>21) <= 2^20·n and sum(q&mask) <= 2^21·n keep
+      both partial sums inside BIGINT for n up to ~4e12 rows PER GROUP
+      — beyond the 100 TB lineitem row count, which is what the old
+      single scaled-long sum (overflow at ~1e8 rows/group) failed.
+    * recombination: CAST(sh AS DECIMAL(19,0))*2097152 + sl stays
+      within DECIMAL(27..28,0) (no precision clip), the /1e6 division
+      result scale (8) holds the exact 6-dp value, and the final
+      decimal→double cast is the same correctly-rounded conversion the
+      old path ended with.
+
+    Measured (dsum docstring's ladder, same box class): plain double
+    0.34 s (disqualified, order-dependent), split-long ~0.55 s,
+    DECIMAL(38,6) 1.7 s at sf0.1."""
     li = load_table(spark, sf_dir, "lineitem")
-    d1 = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    d2 = d1 * (F.lit(1.0) + F.col("l_tax"))
+    money = {
+        "qty": "l_quantity",
+        "base": "l_extendedprice",
+        "d1": "l_extendedprice * (1.0e0 - l_discount)",
+        "d2": "l_extendedprice * (1.0e0 - l_discount) * (1.0e0 + l_tax)",
+        "disc": "l_discount",
+    }
+
+    def q(e: str) -> str:
+        return f"CAST(({e}) * 1e6 + 0.5e0 AS BIGINT)"
+
+    parts = []
+    for name, e in money.items():
+        parts.append(F.expr(f"SUM(SHIFTRIGHT({q(e)}, 21))").alias(f"__h_{name}"))
+        parts.append(F.expr(f"SUM({q(e)} & 2097151)").alias(f"__l_{name}"))
+
+    def recomb(name: str) -> str:
+        return (
+            f"CAST((CAST(__h_{name} AS DECIMAL(19,0)) * 2097152 + __l_{name})"
+            f" / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE)"
+        )
+
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+        )
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(d1).alias("sum_disc_price"),
-            dsum(d2).alias("sum_charge"),
-            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
-            (dsum("l_discount") / F.count("*")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+        .agg(*parts, F.count("*").alias("count_order"))
+        .selectExpr(
+            "l_returnflag",
+            "l_linestatus",
+            recomb("qty") + " AS sum_qty",
+            recomb("base") + " AS sum_base_price",
+            recomb("d1") + " AS sum_disc_price",
+            recomb("d2") + " AS sum_charge",
+            recomb("qty") + " / count_order AS avg_qty",
+            recomb("disc") + " / count_order AS avg_disc",
+            "count_order",
         )
     )
 

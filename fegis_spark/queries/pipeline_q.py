@@ -598,10 +598,19 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     train corpus streams through map-side, no corpus shuffle; the only
     exchange is the per-(train,eval) count aggregation, bounded by
     matching pairs, not corpus size."""
+    from pyspark import StorageLevel
+
     from fegis_spark.operators.dedup import with_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = with_shingles(docs, "text", "doc_id", n=CONTAM_NGRAM)
+    # persisted (r14 opt): the 8-gram shingle table feeds BOTH the
+    # eval (broadcast) and train sides — without the cache each
+    # consumer redoes the tokenize+NGram corpus pass (~0.8 s of the
+    # 1.3 s sf0.1 wall; same multi-consumer persist convention as
+    # minhash_lsh_pairs' shingle base)
+    sh = with_shingles(docs, "text", "doc_id", n=CONTAM_NGRAM).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ev = (
         sh.filter(F.col("doc") % EVAL_MOD == 0)
         .select("doc", F.size("sh").alias("n_grams"), F.explode("sh").alias("g"))

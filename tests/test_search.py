@@ -297,3 +297,30 @@ def test_cosine_sql_bitwise_matches_column_form(spark):
     b = df.selectExpr("id", f"{cosine_sql('embedding', lit_vector_sql(q))} AS c").collect()
     assert [r.c for r in a] == [r.c for r in b]
     assert a[1].c == 0.0
+
+
+def test_lexical_score_sql_bitwise_matches_column_form(spark):
+    """r14 single-parse fast path: lexical_score_sql must emit the same
+    padded-occurrence arithmetic as the Column form — bit-identical
+    scores, including multi-space collapse and case folding."""
+    from pyspark.sql import functions as F
+
+    from fegis_spark.operators.rrf import lexical_score, lexical_score_sql
+
+    texts = [
+        "the Data model  of the\tsystem",
+        "data data data",
+        "",
+        "  Model  ",
+        "nodata systems modeling",  # substring non-matches need the pads
+    ]
+    terms = ["data", "model", "system"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    a = df.select("id", lexical_score(F.col("text"), terms).alias("s")).collect()
+    b = df.selectExpr("id", f"{lexical_score_sql('text', terms)} AS s").collect()
+    assert [r.s for r in a] == [r.s for r in b]
+    # adjacent occurrences share the pad space, so replace() counts 2
+    # non-overlapping matches in " data data data "
+    assert a[1].s == 2.0
