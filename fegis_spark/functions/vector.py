@@ -81,6 +81,64 @@ def cosine_sql(a: str, b: str) -> str:
     )
 
 
+def dot_unrolled_sql(a: str, b: str, dim: int) -> str:
+    """Whole-stage-codegen spelling of dot() for KNOWN-dim vectors:
+    the identical left fold ((((0.0 + x0) + x1) + x2) ...) unrolled
+    over literal indices. Bit-identical to the zip_with/aggregate
+    fold by construction — same 0.0 seed, same left-association, same
+    per-element float→double widening — but with no higher-order
+    function, so the projection stays inside whole-stage codegen
+    (HOFs disable codegen for their entire projection; CLAUDE.md r9).
+
+    Callers must know the corpus dim (uniform-dim embeddings; assert
+    or sample it — a row shorter than dim yields NULL terms and a
+    NULL fold, which filters the same way the zip_with NULL pad does).
+    try_element_at keeps ANSI mode from throwing on a short row."""
+
+    def term(i: int) -> str:
+        return (
+            f"(CAST(try_element_at({a}, {i + 1}) AS DOUBLE)"
+            f" * CAST(try_element_at({b}, {i + 1}) AS DOUBLE))"
+        )
+
+    acc = "0.0D"
+    for i in range(dim):
+        acc = f"({acc} + {term(i)})"
+    return acc
+
+
+def cosine_unrolled_sql(a: str, b: str, dim: int) -> str:
+    """Codegen spelling of cosine() for known-dim vectors — the same
+    zero-norm guard and d/(na*nb) shape as cosine()/cosine_sql, with
+    every fold unrolled via dot_unrolled_sql. Bit-identical to
+    cosine(); pinned in tests/test_search.py. Prefer precomputing the
+    norms once per side (norm_unrolled_sql) when verifying many pairs
+    per vector — the value is unchanged, the work per pair is 1/3."""
+    d = dot_unrolled_sql(a, b, dim)
+    na = f"sqrt({dot_unrolled_sql(a, a, dim)})"
+    nb = f"sqrt({dot_unrolled_sql(b, b, dim)})"
+    return (
+        f"CASE WHEN {na} = 0.0D OR {nb} = 0.0D THEN 0.0D"
+        f" ELSE {d} / ({na} * {nb}) END"
+    )
+
+
+def norm_unrolled_sql(a: str, dim: int) -> str:
+    """sqrt of the unrolled self-dot — the codegen norm() twin."""
+    return f"sqrt({dot_unrolled_sql(a, a, dim)})"
+
+
+def cosine_from_parts_sql(dot: str, na: str, nb: str) -> str:
+    """cosine() recombined from a per-pair dot and PRE-COMPUTED
+    per-side norms (same expressions evaluated once per vector
+    instead of once per pair) — identical values, the guard and
+    division are the same IEEE ops in the same order as cosine()."""
+    return (
+        f"CASE WHEN {na} = 0.0D OR {nb} = 0.0D THEN 0.0D"
+        f" ELSE {dot} / ({na} * {nb}) END"
+    )
+
+
 def cosine_to_query_udf(q: Sequence[float]):
     """Arrow-batched cosine against a fixed query vector.
 

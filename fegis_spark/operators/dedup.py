@@ -564,11 +564,31 @@ def embedding_neardup_pairs_lsh(
     declared ANN scale paths — use IVF (measured recall 0.956 at 2.35×
     over brute force) or the capped SRP family. Hyperplanes are
     seed-deterministic; the shuffle is |corpus|·num_hash_tables rows
-    even when the join output is not linear."""
-    import math
+    even when the join output is not linear.
 
+    PLAN (r14 optimization): the hash family, bucket assignment and
+    therefore the CANDIDATE SET are exactly MLlib's (model.transform
+    emits the same hashes approxSimilarityJoin joins on), but the pair
+    join itself is re-expressed natively: explode to one NARROW
+    (id, table, bucket) row per hash, equi-join on (table, bucket)
+    carrying only ids, distinct, then re-attach vectors and verify
+    with the unrolled whole-stage-codegen cosine. approxSimilarityJoin
+    shuffles the full row struct (raw vector + features + 12 hash
+    vectors, ~1 KB) through the bucket join and runs its keyDistance
+    as a non-codegen Vector UDF per candidate — measured 405 s at
+    sf0.1 vs ~20 s for this shape (guide §2.3 'shuffle keys instead
+    of payloads', §8). The radius prefilter is dropped: it passes
+    every pair with cosine >= threshold - 1e-6-ish by construction
+    (||â-b̂||² = 2-2cosθ with 1e-6 slack), so the exact
+    cosine >= threshold filter alone selects the identical row set."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from fegis_spark.functions.vector import (
+        cosine_from_parts_sql,
+        dot_unrolled_sql,
+        norm_unrolled_sql,
+    )
 
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -584,17 +604,67 @@ def embedding_neardup_pairs_lsh(
         seed=seed,
     )
     model = lsh.fit(feat)
-    radius = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-6
-    pairs = model.approxSimilarityJoin(feat, feat, radius, distCol="__dist")
-    return (
-        pairs.select(
-            F.col("datasetA.id").alias("a"),
-            F.col("datasetB.id").alias("b"),
-            F.col("datasetA.v").alias("__va"),
-            F.col("datasetB.v").alias("__vb"),
+    # one narrow row per (id, hash table, bucket): ids + 2 small ints
+    # cross the bucket join instead of ~1 KB vector payloads
+    hashed = (
+        model.transform(feat)
+        .select("id", F.posexplode("hashes").alias("t", "__hv"))
+        .select(
+            "id",
+            "t",
+            vector_to_array("__hv").getItem(0).cast("bigint").alias("bkt"),
         )
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("score", cosine(F.col("__va"), F.col("__vb")))
+    )
+    # band-ok: declared correctness-tier — same candidate set as the
+    # recall-conservative MLlib BRP bucket join this re-expresses
+    # (~brute force via the giant bucket, evidence/brp_occupancy_r11);
+    # scale paths are IVF / capped SRP (docstring above)
+    cand = (
+        hashed.alias("l")  # band-ok: correctness-tier, ~brute force (above)
+        .join(
+            hashed.alias("r"),
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.bkt") == F.col("r.bkt"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    row = base.select(F.size("v").alias("d")).first()
+    if row is None:
+        return cand.select(
+            "a", "b", F.lit(0.0).alias("score")
+        ).filter(F.lit(False))
+    dim = int(row["d"])
+    # norms once per vector (value identical to folding them per pair)
+    sides = base.select(
+        "id", "v", F.expr(norm_unrolled_sql("v", dim)).alias("nrm")
+    )
+    return (
+        cand.join(
+            sides.select(
+                F.col("id").alias("a"),
+                F.col("v").alias("__va"),
+                F.col("nrm").alias("__na"),
+            ),
+            "a",
+        )
+        .join(
+            sides.select(
+                F.col("id").alias("b"),
+                F.col("v").alias("__vb"),
+                F.col("nrm").alias("__nb"),
+            ),
+            "b",
+        )
+        .withColumn(
+            "score",
+            F.expr(
+                cosine_from_parts_sql(
+                    dot_unrolled_sql("__va", "__vb", dim), "__na", "__nb"
+                )
+            ),
+        )
         .filter(F.col("score") >= threshold)
         .select("a", "b", F.round("score", 6).alias("score"))
     )

@@ -101,21 +101,48 @@ def cms_bucket_sql(col: str, row: str, w: int = CMS_W) -> str:
     )
 
 
-def cms_build(items: DataFrame, col: str = "t", d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+def cms_build(
+    items: DataFrame,
+    col: str = "t",
+    d: int = CMS_D,
+    w: int = CMS_W,
+    weight_col: str | None = None,
+) -> DataFrame:
     """Count-Min Sketch of `items[col]` as a (r, bucket, cnt) table
     (≤ d·w rows). The stream fans out ×d map-side, but partial
     aggregation caps the shuffle at partitions·d·w rows — the whole
     point of a CMS at 100 TB: corpus-size input, constant-size state.
     Deterministic (md5 hashing, integer counts) and therefore
-    oracle-checkable, unlike a seeded-RNG sketch."""
+    oracle-checkable, unlike a seeded-RNG sketch.
+
+    `weight_col` (r14 optimization): the bucket is a pure function of
+    (r, value), so a PRE-AGGREGATED (value, count) table produces the
+    bit-identical sketch — cnt(r, b) = Σ_{v: bucket(v,r)=b} count(v) —
+    while hashing each distinct value d times instead of each stream
+    INSTANCE d times (guide §1.2 / §2.3: the minhash distinct-gram
+    convention applied to the sketch build). Pass the count column
+    name to take that path; callers that already count the stream
+    (cms_heavy_hitters_audit's exact side) get the sketch nearly free."""
     spark = items.sparkSession
     rows = spark.range(d).select(F.col("id").cast("int").alias("r"))
-    stream = items.select(F.col(col).alias("t"))
+    wt = (
+        F.sum(weight_col).cast("bigint")
+        if weight_col
+        else F.count(F.lit(1)).cast("bigint")
+    )
+    cols = [F.col(col).alias("t")] + (
+        [F.col(weight_col)] if weight_col else []
+    )
+    stream = items.select(*cols)
     return (
         stream.crossJoin(F.broadcast(rows))  # bcast-ok: d hash rows
-        .select("r", cms_bucket(F.col("t"), F.col("r"), w).alias("bucket"))
+        .select(
+            "r",
+            cms_bucket(F.col("t"), F.col("r"), w).alias("bucket"),
+            *([weight_col] if weight_col else []),
+        )
         .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(wt.alias("cnt"))
     )
 
 

@@ -2157,14 +2157,18 @@ def cms_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
-    # one token-stream projection feeds BOTH the exact count and the
-    # sketch build — persist so the corpus scans once
-    stream = docs.select(F.explode(tokens(F.col("text"))).alias("t")).persist(
+    # r14: ONE vocabulary hash-agg feeds the exact top-20 AND the
+    # sketch build (cms_build weight_col path — the bucket is a pure
+    # function of the token, so summing vocab counts into buckets is
+    # bit-identical to counting stream instances while hashing 27k
+    # distinct tokens x4 instead of ~500k instances x4); persist the
+    # vocab (two consumers), not the corpus-size token stream
+    stream = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    cnt = stream.groupBy("t").agg(F.count(F.lit(1)).alias("c")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cnt = stream.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     top = ranked_topk(cnt, "c", "t", 20, "rk").drop("rk")
-    cms = cms_build(stream, "t")
+    cms = cms_build(cnt, "t", weight_col="c")
     est = cms_estimate(cms, top, "t")
     return (
         top.join(F.broadcast(est), "t")  # bcast-ok: top-20 rows

@@ -324,3 +324,57 @@ def test_lexical_score_sql_bitwise_matches_column_form(spark):
     # adjacent occurrences share the pad space, so replace() counts 2
     # non-overlapping matches in " data data data "
     assert a[1].s == 2.0
+
+
+def test_cosine_unrolled_sql_bitwise_matches_fold(spark):
+    """r14 codegen fast path: the unrolled known-dim cosine (and the
+    precomputed-norm recombination) must be bit-identical to the
+    zip_with/aggregate fold — same 0.0 seed, same left association,
+    same zero-norm guard — including negative zeros, denormals and a
+    zero-norm row."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fegis_spark.functions.vector import (
+        cosine,
+        cosine_from_parts_sql,
+        cosine_unrolled_sql,
+        dot_unrolled_sql,
+        norm_unrolled_sql,
+    )
+
+    vecs = [
+        [0.1, -2.5, 3.75, 1e-7],
+        [0.0, 0.0, 0.0, 0.0],  # zero norm -> 0.0
+        [-0.0, 0.0, -0.0, 0.0],  # negative zeros
+        [1.0, 1.0, 1.0, 1.0],
+        [math.pi, -math.e, 5e-324, 123456.789],  # denormal term
+        [1e30, -1e30, 1e-30, -1e-30],
+    ]
+    pairs = [(i, j) for i in range(len(vecs)) for j in range(len(vecs))]
+    df = spark.createDataFrame(
+        [(i, j, vecs[i], vecs[j]) for i, j in pairs],
+        "i int, j int, va array<float>, vb array<float>",
+    )
+    fold = df.select(
+        "i", "j", cosine(F.col("va"), F.col("vb")).alias("c")
+    ).collect()
+    unrolled = df.selectExpr(
+        "i", "j", f"{cosine_unrolled_sql('va', 'vb', 4)} AS c"
+    ).collect()
+    assert [r.c for r in fold] == [r.c for r in unrolled]
+    # precomputed-norm recombination path (the pair-join spelling)
+    parts = df.selectExpr(
+        "i",
+        "j",
+        f"{norm_unrolled_sql('va', 4)} AS na",
+        f"{norm_unrolled_sql('vb', 4)} AS nb",
+        "va",
+        "vb",
+    ).selectExpr(
+        "i",
+        "j",
+        f"{cosine_from_parts_sql(dot_unrolled_sql('va', 'vb', 4), 'na', 'nb')} AS c",
+    ).collect()
+    assert [r.c for r in fold] == [r.c for r in parts]
