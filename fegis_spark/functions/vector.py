@@ -11,6 +11,7 @@ path for wide fan-out (KNN join) — numpy matmul per batch.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -58,23 +59,33 @@ def lit_vector_sql(q: Sequence[float]) -> str:
     return "array(" + ", ".join(f"{float(v)!r}D" for v in q) + ")"
 
 
+def dot_sql(a: str, b: str) -> str:
+    """Spark-SQL string spelling of dot() — the identical zip_with +
+    aggregate fold DAG, one parse instead of a py4j Column chain."""
+    return (
+        f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>),"
+        f" CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    """sqrt of the self-dot fold — the SQL-string norm() twin."""
+    return f"sqrt({dot_sql(a, a)})"
+
+
 def cosine_sql(a: str, b: str) -> str:
     """Spark-SQL string spelling of cosine() — the same zip_with +
     aggregate fold DAG, one parse instead of a py4j Column chain.
     Equivalence with cosine() is pinned in tests/test_search.py.
-    Constant subfolds (a literal query vector's self-norm) are
-    collapsed by Catalyst's ConstantFolding."""
-
-    def _dot(x: str, y: str) -> str:
-        return (
-            f"aggregate(zip_with(CAST({x} AS ARRAY<DOUBLE>),"
-            f" CAST({y} AS ARRAY<DOUBLE>), (x, y) -> x * y),"
-            " 0.0D, (acc, x) -> acc + x)"
-        )
-
-    d = _dot(a, b)
-    na = f"sqrt({_dot(a, a)})"
-    nb = f"sqrt({_dot(b, b)})"
+    Evaluates THREE folds per pair (dot + both self-norms); when one
+    side is literal use cosine_lit_sql, and when many pairs share
+    vectors precompute per-side norms and recombine with
+    cosine_from_parts_sql — measured 1.4x / 1.8x cheaper per row
+    (evidence/cosine_codegen_ab_r14.json) and bit-identical."""
+    d = dot_sql(a, b)
+    na = norm_sql(a)
+    nb = norm_sql(b)
     return (
         f"CASE WHEN {na} = 0.0D OR {nb} = 0.0D THEN 0.0D"
         f" ELSE {d} / ({na} * {nb}) END"
@@ -82,18 +93,23 @@ def cosine_sql(a: str, b: str) -> str:
 
 
 def dot_unrolled_sql(a: str, b: str, dim: int) -> str:
-    """Whole-stage-codegen spelling of dot() for KNOWN-dim vectors:
-    the identical left fold ((((0.0 + x0) + x1) + x2) ...) unrolled
-    over literal indices. Bit-identical to the zip_with/aggregate
-    fold by construction — same 0.0 seed, same left-association, same
-    per-element float→double widening — but with no higher-order
-    function, so the projection stays inside whole-stage codegen
-    (HOFs disable codegen for their entire projection; CLAUDE.md r9).
+    """UNROLLED spelling of dot() for KNOWN-dim vectors: the identical
+    left fold ((((0.0 + x0) + x1) + x2) ...) over literal indices.
+    Bit-identical to the zip_with/aggregate fold by construction —
+    same 0.0 seed, same left-association, same per-element
+    float→double widening.
 
-    Callers must know the corpus dim (uniform-dim embeddings; assert
-    or sample it — a row shorter than dim yields NULL terms and a
-    NULL fold, which filters the same way the zip_with NULL pad does).
-    try_element_at keeps ANSI mode from throwing on a short row."""
+    NOT a fast path (r14, measured): at dim 64 the per-element
+    try_element_at accesses cost ~2x the JVM CPU of Spark 4.1's HOF
+    fold evaluation (evidence/cosine_codegen_ab_r14.json — the r9
+    "HOFs break codegen" heuristic does NOT make the unrolled form
+    cheaper here). Retained for the bitwise-equivalence pins and as
+    the probe baseline; production paths use dot_sql/cosine_sql/
+    cosine_lit_sql/cosine_from_parts_sql.
+
+    A row shorter than dim yields NULL terms and a NULL fold, which
+    filters the same way the zip_with NULL pad does; try_element_at
+    keeps ANSI mode from throwing on a short row."""
 
     def term(i: int) -> str:
         return (
@@ -108,12 +124,11 @@ def dot_unrolled_sql(a: str, b: str, dim: int) -> str:
 
 
 def cosine_unrolled_sql(a: str, b: str, dim: int) -> str:
-    """Codegen spelling of cosine() for known-dim vectors — the same
+    """Unrolled spelling of cosine() for known-dim vectors — the same
     zero-norm guard and d/(na*nb) shape as cosine()/cosine_sql, with
     every fold unrolled via dot_unrolled_sql. Bit-identical to
-    cosine(); pinned in tests/test_search.py. Prefer precomputing the
-    norms once per side (norm_unrolled_sql) when verifying many pairs
-    per vector — the value is unchanged, the work per pair is 1/3."""
+    cosine(); pinned in tests/test_search.py. NOT a fast path (see
+    dot_unrolled_sql) — retained for the equivalence pins/probes."""
     d = dot_unrolled_sql(a, b, dim)
     na = f"sqrt({dot_unrolled_sql(a, a, dim)})"
     nb = f"sqrt({dot_unrolled_sql(b, b, dim)})"
@@ -136,6 +151,35 @@ def cosine_from_parts_sql(dot: str, na: str, nb: str) -> str:
     return (
         f"CASE WHEN {na} = 0.0D OR {nb} = 0.0D THEN 0.0D"
         f" ELSE {dot} / ({na} * {nb}) END"
+    )
+
+
+def cosine_lit_sql(v: str, q: Sequence[float]) -> str:
+    """cosine() of column ``v`` against a LITERAL query vector with
+    the query's self-norm HOISTED to a driver-computed DOUBLE literal
+    (a HigherOrderFunction is not foldable, so the cosine_sql form
+    re-folds the constant self-norm per corpus row — a third of the
+    per-row work for zero information). The hoist is bit-exact: the
+    Python left fold below performs the identical IEEE double ops in
+    the identical order as Spark's aggregate fold, sqrt is correctly
+    rounded in both, and the shortest-repr literal round-trips the
+    bits (the r9 driver-hoist convention). Bit-identical to
+    cosine_sql(v, lit_vector_sql(q)) — pinned in tests/test_search.py
+    incl. zero query, zero/denormal rows, and length-mismatched rows
+    (both spellings fold the dot to NULL through the zip_with pad).
+    Measured 1.4x cheaper per row than the cosine_sql form and 3x
+    cheaper than a fully-unrolled known-dim spelling
+    (evidence/cosine_codegen_ab_r14.json — the unrolled form LOST;
+    see OPTIMIZATION_r14.md section 8)."""
+    acc = 0.0
+    for x in q:
+        acc = acc + float(x) * float(x)
+    nq = math.sqrt(acc)
+    d = dot_sql(v, lit_vector_sql(q))
+    na = norm_sql(v)
+    return (
+        f"CASE WHEN {na} = 0.0D OR {nq!r}D = 0.0D THEN 0.0D"
+        f" ELSE {d} / ({na} * {nq!r}D) END"
     )
 
 

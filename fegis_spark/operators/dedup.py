@@ -572,7 +572,8 @@ def embedding_neardup_pairs_lsh(
     join itself is re-expressed natively: explode to one NARROW
     (id, table, bucket) row per hash, equi-join on (table, bucket)
     carrying only ids, distinct, then re-attach vectors and verify
-    with the unrolled whole-stage-codegen cosine. approxSimilarityJoin
+    with per-side precomputed norms + one HOF dot per pair
+    (cosine_from_parts_sql — bit-identical). approxSimilarityJoin
     shuffles the full row struct (raw vector + features + 12 hash
     vectors, ~1 KB) through the bucket join and runs its keyDistance
     as a non-codegen Vector UDF per candidate — measured 405 s at
@@ -586,8 +587,8 @@ def embedding_neardup_pairs_lsh(
 
     from fegis_spark.functions.vector import (
         cosine_from_parts_sql,
-        dot_unrolled_sql,
-        norm_unrolled_sql,
+        dot_sql,
+        norm_sql,
     )
 
     base = df.select(
@@ -630,15 +631,10 @@ def embedding_neardup_pairs_lsh(
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
     )
-    row = base.select(F.size("v").alias("d")).first()
-    if row is None:
-        return cand.select(
-            "a", "b", F.lit(0.0).alias("score")
-        ).filter(F.lit(False))
-    dim = int(row["d"])
-    # norms once per vector (value identical to folding them per pair)
+    # norms once per vector (value identical to folding them per pair;
+    # HOF fold spelling — the unrolled form measured 2x the CPU, r14)
     sides = base.select(
-        "id", "v", F.expr(norm_unrolled_sql("v", dim)).alias("nrm")
+        "id", "v", F.expr(norm_sql("v")).alias("nrm")
     )
     return (
         cand.join(
@@ -661,7 +657,7 @@ def embedding_neardup_pairs_lsh(
             "score",
             F.expr(
                 cosine_from_parts_sql(
-                    dot_unrolled_sql("__va", "__vb", dim), "__na", "__nb"
+                    dot_sql("__va", "__vb"), "__na", "__nb"
                 )
             ),
         )
@@ -753,9 +749,29 @@ def _semdedup_verdicts(base: DataFrame, tau: float) -> DataFrame:
     tau pair drops its higher-centroid-sim member (tie: higher id).
     Shared verbatim by the md5-literal routing (semantic_dedup, the
     DuckDB-oracle-checked twin) and the trained-centroid route
-    (semantic_dedup_trained) — one rule, two assigners."""
-    from fegis_spark.functions.vector import cosine
+    (semantic_dedup_trained) — one rule, two assigners.
 
+    r14: the quadratic pair verify precomputes each vector's norm
+    ONCE on the cluster-join input and recombines per pair
+    (cosine_from_parts_sql over the HOF dot) — bit-identical to
+    cosine() (pinned in tests/test_search.py), measured 1.8x less
+    JVM CPU per pair at dim 64 (evidence/cosine_codegen_ab_r14.json)."""
+    from fegis_spark.functions.vector import (
+        cosine_from_parts_sql,
+        dot_sql,
+        norm_sql,
+    )
+
+    # norm once per row (cluster-join input), not once per pair
+    base = base.withColumn("__nrm", F.expr(norm_sql("__v")))
+    verify = (
+        F.expr(
+            cosine_from_parts_sql(
+                dot_sql("l.__v", "r.__v"), "l.__nrm", "r.__nrm"
+            )
+        )
+        >= tau
+    )
     # band-ok: list_id equi-join, cluster size ~ n/n_lists — the
     # SemDeDup contract scales n_lists with the corpus (k ~ sqrt(n))
     # so per-cluster pair output stays bounded
@@ -764,7 +780,7 @@ def _semdedup_verdicts(base: DataFrame, tau: float) -> DataFrame:
     li, ri = F.col("l.vec_id"), F.col("r.vec_id")
     dropped = (
         l.join(r, (F.col("l.list_id") == F.col("r.list_id")) & (li < ri))
-        .filter(cosine(F.col("l.__v"), F.col("r.__v")) >= tau)
+        .filter(verify)
         .select(
             F.when((lc > rc) | ((lc == rc) & (li > ri)), li)
             .otherwise(ri)
@@ -810,23 +826,39 @@ def semantic_dedup_trained(
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    from fegis_spark.functions.vector import cosine
+    from fegis_spark.functions.vector import (
+        cosine_from_parts_sql,
+        dot_sql,
+        norm_sql,
+    )
     from fegis_spark.operators.knn import _train_centroids
 
     spark = df.sparkSession
     cent_rows = _train_centroids(
         df, id_col, vec_col, n_lists, kmeans_iters, distributed
     )
+    # centroid norms once per centroid, row norms once per row — the
+    # n_lists-way assignment recombines per pair (bit-identical to
+    # cosine(); 1.8x less CPU, evidence/cosine_codegen_ab_r14.json)
     cent_df = spark.createDataFrame(
         cent_rows, "list_id int, centroid array<double>"
-    )
+    ).withColumn("__cn", F.expr(norm_sql("centroid")))
     scored = df.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__v"),
+        F.expr(norm_sql(vec_col)).alias("__vn"),
     ).crossJoin(F.broadcast(cent_df))  # bcast-ok: n_lists centroid rows
     # grpwin-ok: per-row vec_id partition key — count scales with input
     w = Window.partitionBy("vec_id").orderBy(F.desc("__sim"), F.col("list_id"))
     base = (
-        scored.withColumn("__sim", cosine(F.col("__v"), F.col("centroid")))
+        scored.withColumn(
+            "__sim",
+            F.expr(
+                cosine_from_parts_sql(
+                    dot_sql("__v", "centroid"), "__vn", "__cn"
+                )
+            ),
+        )
         .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
         .select("vec_id", "__v", "list_id", F.col("__sim").alias("__csim"))

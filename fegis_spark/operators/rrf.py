@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fegis_spark.functions.vector import cosine_sql, lit_vector_sql
+from fegis_spark.functions.vector import cosine_lit_sql
 from fegis_spark.operators.text_analysis import occurrences, padded
 from fegis_spark.operators.topk import ranked_topk
 
@@ -93,7 +93,7 @@ def rrf_fuse(
         pool = max(100, 2 * k + rrf_k + 1)
     scored = df.selectExpr(
         f"{id_col} AS id",
-        cosine_sql(vec_col, lit_vector_sql(query_vec)) + " AS dense",
+        cosine_lit_sql(vec_col, query_vec) + " AS dense",
         lexical_score_sql(text_col, query_terms) + " AS lex",
     )
     if cache_intermediate:
@@ -166,7 +166,7 @@ def rrf_fuse_pooled(
     spark.catalog.clearCache()."""
     scored = df.selectExpr(
         f"{id_col} AS id",
-        cosine_sql(vec_col, lit_vector_sql(query_vec)) + " AS dense",
+        cosine_lit_sql(vec_col, query_vec) + " AS dense",
         lexical_score_sql(text_col, query_terms) + " AS lex",
     )
     from pyspark import StorageLevel

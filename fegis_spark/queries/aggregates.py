@@ -230,11 +230,30 @@ def hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean flips and the gate fails. HLL++ is deterministic given the
     data, so this is a stable assertion, not a flaky one. At 100 TB
     you run exactly this audit on a slice before trusting the sketch
-    fleet-wide; one partial+final agg, both aggregates share the scan."""
+    fleet-wide.
+
+    r14 plan shape: mixing an exact DISTINCT aggregate with a
+    non-distinct one in a single agg plans the distinct via
+    RewriteDistinctAggregates — the partial HLL++ sketch state
+    (1,641 BIGINT registers, see `Results [1641]` in
+    plans/r14/hll_error_audit_before.txt) is keyed on
+    (l_returnflag, l_partkey) and carried PER DISTINCT KEY PAIR
+    through the first exchange (~200k rows x ~13 KB of sketch
+    buffer; the r11 dual-countDistinct gotcha's sibling). Both
+    values are instead computed over a pre-DISTINCT (flag, partkey)
+    projection: COUNT(*) of the distinct set IS count-distinct, and
+    HLL registers are a pure function of the value SET (duplicate
+    inserts only re-max the same register), so approx_count_distinct
+    over the distinct set is the identical sketch value. The partial
+    distinct collapses map-side and ONE sketch buffer per group
+    crosses the exchange — ~1/400 the shuffled bytes at the same
+    2-exchange count (guide §2.3/§2.4; measured 6.3 -> ~1 s at
+    sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
+    d = li.select("l_returnflag", "l_partkey").distinct()
+    g = d.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("exact_parts"),
     )
     return g.select(
         "l_returnflag",

@@ -299,7 +299,7 @@ def rrf_hybrid_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pool form (top-100 per modality, window-free ranks).
     The production-shaped successor of rrf_hybrid_search's
     occurrence-count stand-in."""
-    from fegis_spark.functions.vector import cosine_sql, lit_vector_sql
+    from fegis_spark.functions.vector import cosine_lit_sql
     from fegis_spark.operators.bm25 import bm25_scores
     from fegis_spark.operators.topk import ranked_topk
 
@@ -309,11 +309,11 @@ def rrf_hybrid_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "embedding"
     )
     qv = _query_vec(spark, sf_dir)
-    # single-parse dense leg (same fold DAG as cosine(); the py4j
-    # Column chain cost ~0.3 s of driver latency per build)
+    # single-parse dense leg, query self-norm hoisted to a literal
+    # (bitwise equal to cosine(), pinned in tests/test_search.py)
     dense = joined.selectExpr(
         "doc_id AS id",
-        f"{cosine_sql('embedding', lit_vector_sql(qv))} AS dense",
+        f"{cosine_lit_sql('embedding', qv)} AS dense",
     )
     lex = bm25_scores(joined, "text", "doc_id", _TERMS).withColumnRenamed(
         "score", "bm25"

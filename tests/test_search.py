@@ -378,3 +378,40 @@ def test_cosine_unrolled_sql_bitwise_matches_fold(spark):
         f"{cosine_from_parts_sql(dot_unrolled_sql('va', 'vb', 4), 'na', 'nb')} AS c",
     ).collect()
     assert [r.c for r in fold] == [r.c for r in parts]
+
+
+def test_cosine_lit_sql_bitwise_matches_hof_form(spark):
+    """r14 fast path for literal-query scoring: cosine_lit_sql (HOF
+    dot + corpus-side HOF norm + the query self-norm HOISTED to a
+    driver-computed double literal) must be bit-identical to the
+    cosine_sql(v, lit_vector_sql(q)) form the search plans previously
+    used — including a zero query, a zero corpus row, denormals and
+    large-magnitude cancellation. The hoist is exact because the
+    Python left fold performs the identical IEEE ops in the identical
+    order as Spark's aggregate fold."""
+    import math
+
+    from fegis_spark.functions.vector import (
+        cosine_lit_sql,
+        cosine_sql,
+        lit_vector_sql,
+    )
+
+    vecs = [
+        [0.1, -2.5, 3.75, 1e-7],
+        [0.0, 0.0, 0.0, 0.0],
+        [-0.0, 0.0, -0.0, 0.0],
+        [1.0, 1.0, 1.0, 1.0],
+        [math.pi, -math.e, 5e-324, 123456.789],
+        [1e30, -1e30, 1e-30, -1e-30],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i int, v array<float>"
+    )
+    for q in ([0.25, -1.5, 3.0, 0.125], [0.0, 0.0, 0.0, 0.0],
+              [math.pi, 2.5e-310, -1.0, 7.0]):
+        old = df.selectExpr(
+            "i", f"{cosine_sql('v', lit_vector_sql(q))} AS c"
+        ).collect()
+        new = df.selectExpr("i", f"{cosine_lit_sql('v', q)} AS c").collect()
+        assert [r.c for r in old] == [r.c for r in new], q
