@@ -24,7 +24,21 @@ import os
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from fegis_spark.functions.vector import cosine
+from fegis_spark.functions.vector import (
+    cosine_from_parts_sql,
+    dot_sql,
+    norm_sql,
+)
+
+#: per-pair cosine with per-SIDE precomputed norms — bit-identical to
+#: cosine() (pinned in tests/test_search.py) at 1 HOF dot per pair
+#: instead of 3 folds; measured 1.8x less JVM CPU per pair at dim 64
+#: (evidence/cosine_codegen_ab_r14.json). Every panel-scoring site
+#: below computes each row's norm ONCE before its join.
+
+
+def _parts(dot_a: str, dot_b: str, na: str, nb: str) -> Column:
+    return F.expr(cosine_from_parts_sql(dot_sql(dot_a, dot_b), na, nb))
 
 
 def knn_join(
@@ -41,15 +55,20 @@ def knn_join(
     break on corpus id ascending.
     """
     q = queries_df.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.expr(norm_sql(vec_col)).alias("__qn"),
     )
     c = corpus_df.select(
-        F.col(corpus_id).alias("corpus_id"), F.col(vec_col).alias("__cv")
+        F.col(corpus_id).alias("corpus_id"),
+        F.col(vec_col).alias("__cv"),
+        # corpus norm once per row, not once per (row, query)
+        F.expr(norm_sql(vec_col)).alias("__cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))  # bcast-ok: 1-row query vector
-        .withColumn("score", cosine(F.col("__qv"), F.col("__cv")))
-        .drop("__qv", "__cv")
+        .withColumn("score", _parts("__qv", "__cv", "__qn", "__cn"))
+        .drop("__qv", "__cv", "__qn", "__cn")
     )
     # panel-ok: row_number + filter(rank <= k) plans
     # WindowGroupLimit(Partial) BELOW the exchange — each map task
@@ -227,18 +246,23 @@ def ann_ivf(
         corpus_df, corpus_id, vec_col, n_lists, kmeans_iters, distributed
     )
     spark = corpus_df.sparkSession
-    cent_df = spark.createDataFrame(cent_rows, "list_id int, centroid array<double>")
+    cent_df = spark.createDataFrame(
+        cent_rows, "list_id int, centroid array<double>"
+    ).withColumn("__ctn", F.expr(norm_sql("centroid")))
 
     def nearest_lists(df: DataFrame, id_alias: str, n_keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent_df)).withColumn(  # bcast-ok: n_lists centroids
-            "__sim", cosine(F.col(vec_col), F.col("centroid"))
+        # row norm once, reused for every centroid AND the probe scan
+        scored = (
+            df.withColumn("__rn", F.expr(norm_sql(vec_col)))
+            .crossJoin(F.broadcast(cent_df))  # bcast-ok: n_lists centroids
+            .withColumn("__sim", _parts(vec_col, "centroid", "__rn", "__ctn"))
         )
         # grpwin-ok: per-row id partition key — count scales with input
         w = Window.partitionBy(id_alias).orderBy(F.desc("__sim"), F.col("list_id"))
         return (
             scored.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= n_keep)
-            .drop("centroid", "__sim", "__r")
+            .drop("centroid", "__ctn", "__sim", "__r")
         )
 
     corpus_assigned = nearest_lists(
@@ -246,10 +270,15 @@ def ann_ivf(
     )
     query_probes = nearest_lists(
         queries_df.select(query_id, vec_col), query_id, n_probe
-    ).select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"), "list_id")
+    ).select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("__rn").alias("__qn"),
+        "list_id",
+    )
 
     cand = corpus_assigned.join(query_probes, "list_id").withColumn(
-        "score", cosine(F.col(vec_col), F.col("__qv"))
+        "score", _parts(vec_col, "__qv", "__rn", "__qn")
     )
     # panel-ok: WindowGroupLimit(Partial) below the exchange bounds the
     # shuffled probed candidates to k per (query, map partition)
@@ -353,17 +382,35 @@ def _train_centroids(
     return [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
 
 
-def _nearest_lists(df: DataFrame, cent_df: DataFrame, vec_col: str, id_alias: str, n_keep: int) -> DataFrame:
-    scored = df.crossJoin(F.broadcast(cent_df)).withColumn(  # bcast-ok: n_lists centroids
-        "__sim", cosine(F.col(vec_col), F.col("centroid"))
+def _nearest_lists(
+    df: DataFrame,
+    cent_df: DataFrame,
+    vec_col: str,
+    id_alias: str,
+    n_keep: int,
+    keep_norm: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment with per-side precomputed norms
+    (row norm once per row, centroid norms once on the panel —
+    bit-identical to the cosine() fold, 1.8x less CPU per pair;
+    evidence/cosine_codegen_ab_r14.json). ``keep_norm`` retains the
+    row norm as ``__rn`` so a downstream probe scan can reuse it;
+    default False keeps output schemas (incl. the STORED index
+    corpus) unchanged."""
+    cents = cent_df.withColumn("__ctn", F.expr(norm_sql("centroid")))
+    scored = (
+        df.withColumn("__rn", F.expr(norm_sql(vec_col)))
+        .crossJoin(F.broadcast(cents))  # bcast-ok: n_lists centroids
+        .withColumn("__sim", _parts(vec_col, "centroid", "__rn", "__ctn"))
     )
     # grpwin-ok: per-row id partition key — count scales with input
     w = Window.partitionBy(id_alias).orderBy(F.desc("__sim"), F.col("list_id"))
-    return (
+    out = (
         scored.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= n_keep)
-        .drop("centroid", "__sim", "__r")
+        .drop("centroid", "__ctn", "__sim", "__r")
     )
+    return out if keep_norm else out.drop("__rn")
 
 
 def ivf_corpus_dir(path: str) -> str:
@@ -445,11 +492,20 @@ def ann_ivf_indexed(
     cent_df = spark.read.parquet(f"{path}/centroids")
     corpus = spark.read.parquet(ivf_corpus_dir(path))
     probes = _nearest_lists(
-        queries_df.select(query_id, vec_col), cent_df, vec_col, query_id, n_probe
-    ).select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"), "list_id")
+        queries_df.select(query_id, vec_col), cent_df, vec_col, query_id,
+        n_probe, keep_norm=True,
+    ).select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("__rn").alias("__qn"),
+        "list_id",
+    )
     corpus_id = [c for c in corpus.columns if c not in (vec_col, "list_id")][0]
-    cand = corpus.join(F.broadcast(probes), "list_id").withColumn(  # bcast-ok: n_probe probe list ids
-        "score", cosine(F.col(vec_col), F.col("__qv"))
+    cand = (
+        # corpus norm once per scanned row, not once per probe match
+        corpus.withColumn("__cn", F.expr(norm_sql(vec_col)))
+        .join(F.broadcast(probes), "list_id")  # bcast-ok: n_probe probe list ids
+        .withColumn("score", _parts(vec_col, "__qv", "__cn", "__qn"))
     )
     # panel-ok: WindowGroupLimit(Partial) below the exchange bounds the
     # shuffled probed candidates to k per (query, map partition)
@@ -676,10 +732,18 @@ def ann_ivf_portable(
     probes = (
         pr.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= n_probe)
-        .select("query_id", "__qv", F.col("list_id").cast("int").alias("list_id"))
+        .select(
+            "query_id",
+            "__qv",
+            F.expr(norm_sql("__qv")).alias("__qn"),
+            F.col("list_id").cast("int").alias("list_id"),
+        )
     )
-    cand = c.join(F.broadcast(probes), "list_id").withColumn(  # bcast-ok: n_probe probe list ids
-        "score", cosine(F.col("__qv"), F.col("__cv"))
+    cand = (
+        # corpus norm once per row, not once per probe match
+        c.withColumn("__cn", F.expr(norm_sql("__cv")))
+        .join(F.broadcast(probes), "list_id")  # bcast-ok: n_probe probe list ids
+        .withColumn("score", _parts("__qv", "__cv", "__qn", "__cn"))
     )
     # panel-ok: WindowGroupLimit(Partial) below the exchange bounds the
     # shuffled probed candidates to k per (query, map partition)

@@ -117,23 +117,40 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates. Output is one row per batch vector (top-1 by margin,
     b_id tiebreak) — non-vacuous at every sf regardless of how many
     pairs clear the threshold."""
-    from fegis_spark.functions.vector import cosine
+    from fegis_spark.functions.vector import (
+        cosine_from_parts_sql,
+        dot_sql,
+        norm_sql,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms once per side of each corpus x panel fanout (bit-identical
+    # to cosine(), 1.8x less CPU per pair — r14)
     xb = emb.filter((F.col("label") < 5) & (F.col("vec_id") < BITEXT_BATCH)).select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("__xa")
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("__xa"),
+        F.expr(norm_sql("embedding")).alias("__an"),
     )
     yc = emb.filter(F.col("label") >= 5).select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("__yb")
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("__yb"),
+        F.expr(norm_sql("embedding")).alias("__bn"),
     )
     xc = emb.filter(F.col("label") < 5).select(
-        F.col("vec_id").alias("x_id"), F.col("embedding").alias("__xx")
+        F.col("vec_id").alias("x_id"),
+        F.col("embedding").alias("__xx"),
+        F.expr(norm_sql("embedding")).alias("__xn"),
     )
     # grpwin-ok: a_id is the corpus-side row id — partition count scales
     wf = Window.partitionBy("a_id").orderBy(F.desc("cos"), F.col("b_id"))
     fwd = (
         yc.crossJoin(F.broadcast(xb))  # bcast-ok: BITEXT_BATCH-row batch panel
-        .withColumn("cos", cosine(F.col("__xa"), F.col("__yb")))
+        .withColumn(
+            "cos",
+            F.expr(
+                cosine_from_parts_sql(dot_sql("__xa", "__yb"), "__an", "__bn")
+            ),
+        )
         .withColumn("rk", F.row_number().over(wf))
         .filter(F.col("rk") <= BITEXT_K)
         .select("a_id", "b_id", "cos")
@@ -154,7 +171,12 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.partitionBy("b_id").orderBy(F.desc("cos"), F.col("x_id"))
     bwd = (
         xc.crossJoin(F.broadcast(cand))  # bcast-ok: <= batch*k candidate panel
-        .withColumn("cos", cosine(F.col("__xx"), F.col("__yb")))
+        .withColumn(
+            "cos",
+            F.expr(
+                cosine_from_parts_sql(dot_sql("__xx", "__yb"), "__xn", "__bn")
+            ),
+        )
         .withColumn("rk", F.row_number().over(wb))
         .filter(F.col("rk") <= BITEXT_K)
         .groupBy("b_id")

@@ -1528,17 +1528,28 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(struct(score, -eval_id)) per vector — no window sort, no
     corpus shuffle beyond the final per-vector agg (house rule:
     min/max(struct) over groupBy+join-back)."""
-    from fegis_spark.functions.vector import cosine
+    from fegis_spark.functions.vector import (
+        cosine_from_parts_sql,
+        dot_sql,
+        norm_sql,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms once per side of the corpus x panel fanout (bit-identical
+    # to cosine(), 1.8x less CPU per pair — r14)
     panel = emb.filter(F.col("vec_id") < SEMCONTAM_PANEL).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("__pv")
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("__pv"),
+        F.expr(norm_sql("embedding")).alias("__pn"),
     )
     corpus = emb.filter(F.col("vec_id") >= SEMCONTAM_PANEL).select(
-        "vec_id", F.col("embedding").alias("__cv")
+        "vec_id",
+        F.col("embedding").alias("__cv"),
+        F.expr(norm_sql("embedding")).alias("__cn"),
     )
     scored = corpus.crossJoin(F.broadcast(panel)).withColumn(  # bcast-ok: k-row query panel
-        "s", cosine(F.col("__cv"), F.col("__pv"))
+        "s",
+        F.expr(cosine_from_parts_sql(dot_sql("__cv", "__pv"), "__cn", "__pn")),
     )
     st = F.max(
         F.struct(F.col("s").alias("s"), (-F.col("eval_id")).alias("nid"))

@@ -557,18 +557,38 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the greedy phase on both sides; the mu literal matters (see
     MMR_MU); mmr_score rounds at output in Spark SQL, not in Python
     (round-half-even vs half-up)."""
-    from fegis_spark.functions.vector import cosine
+    from fegis_spark.functions.vector import (
+        cosine_from_parts_sql,
+        dot_sql,
+        norm_sql,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     pool = basic_search(emb, "embedding", _query_vec(spark, sf_dir), k=MMR_POOL).select(
         "vec_id", F.round("score", 6).alias("rel"), "embedding"
     )
-    a = pool.select(F.col("vec_id").alias("a_id"), "rel", F.col("embedding").alias("ea"))
-    b = pool.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    # norms once per pool row, reused across the O(pool^2) pair sims
+    # (bit-identical to cosine(), 1.8x less CPU per pair — r14)
+    a = pool.select(
+        F.col("vec_id").alias("a_id"), "rel",
+        F.col("embedding").alias("ea"),
+        F.expr(norm_sql("embedding")).alias("na"),
+    )
+    b = pool.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        F.expr(norm_sql("embedding")).alias("nb"),
+    )
     sims = (
         a.crossJoin(F.broadcast(b))  # bcast-ok: MMR_POOL-row candidate pool
         .where(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "rel", "b_id", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"))
+        .select(
+            "a_id", "rel", "b_id",
+            F.round(
+                F.expr(cosine_from_parts_sql(dot_sql("ea", "eb"), "na", "nb")),
+                6,
+            ).alias("sim"),
+        )
     )
     packed = sims.groupBy("a_id", "rel").agg(
         F.sort_array(F.collect_list(F.struct("b_id", "sim"))).alias("s")
@@ -623,23 +643,35 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-label rows never enter the window; per-anchor row_number over
     (score DESC, neg_id) — ranks taken on the unrounded fold, exactly
     as knn_basic orders, with the 6-dp rounding applied at output."""
-    from fegis_spark.functions.vector import cosine
+    from fegis_spark.functions.vector import (
+        cosine_from_parts_sql,
+        dot_sql,
+        norm_sql,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") < HARDNEG_QUERIES).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("embedding").alias("__qv"),
+        F.expr(norm_sql("embedding")).alias("__qn"),
     )
     scored = (
-        emb.crossJoin(F.broadcast(anchors))  # bcast-ok: HARDNEG_QUERIES-row anchor panel
+        # corpus norm once per row, not once per (row, anchor) —
+        # bit-identical to cosine(), 1.8x less CPU per pair (r14)
+        emb.withColumn("__cn", F.expr(norm_sql("embedding")))
+        .crossJoin(F.broadcast(anchors))  # bcast-ok: HARDNEG_QUERIES-row anchor panel
         .where(F.col("label") != F.col("anchor_label"))
         .select(
             "anchor_id",
             "anchor_label",
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
-            cosine(F.col("embedding"), F.col("__qv")).alias("raw"),
+            F.expr(
+                cosine_from_parts_sql(
+                    dot_sql("embedding", "__qv"), "__cn", "__qn"
+                )
+            ).alias("raw"),
         )
     )
     # panel-ok: WindowGroupLimit(Partial) below the exchange (row_number + immediate filter)
@@ -1009,20 +1041,28 @@ def srp_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-correct plan here); everything after is {NDCG_PANEL} rows."""
     from pyspark import StorageLevel
 
-    from fegis_spark.functions.vector import cosine
+    from fegis_spark.functions.vector import (
+        cosine_from_parts_sql,
+        dot_sql,
+        norm_sql,
+    )
     from fegis_spark.operators.dedup import srp_code_expr
 
     k = NDCG_K
     emb = load_table(spark, sf_dir, "embeddings")
+    # norm once per row alongside the SRP code (reused across the
+    # panel fanout — bit-identical to cosine(), 1.8x less CPU, r14)
     codes = emb.select(
         "vec_id",
         "embedding",
         F.expr(srp_code_expr("embedding", EMB_DIM)).alias("code"),
+        F.expr(norm_sql("embedding")).alias("__nrm"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     panel = codes.filter(F.col("vec_id") < NDCG_PANEL).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
         F.col("code").alias("__qcode"),
+        F.col("__nrm").alias("__qn"),
     )
     pairs = (
         codes.crossJoin(F.broadcast(panel))  # bcast-ok: NDCG_PANEL-row query panel
@@ -1031,7 +1071,11 @@ def srp_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("corpus_id"),
             F.expr("bit_count(code ^ __qcode)").alias("__ham"),
-            cosine(F.col("embedding"), F.col("__qv")).alias("__cos"),
+            F.expr(
+                cosine_from_parts_sql(
+                    dot_sql("embedding", "__qv"), "__nrm", "__qn"
+                )
+            ).alias("__cos"),
         )
     )
     sys_s = F.struct(
@@ -1273,15 +1317,21 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, truth per query is a TakeOrdered-style window over
     panel x corpus scores); everything after the truth top-k collapse
     is bounded by panel x k rows."""
-    from fegis_spark.functions.vector import cosine
+    from fegis_spark.functions.vector import (
+        cosine_from_parts_sql,
+        dot_sql,
+        norm_sql,
+    )
     from fegis_spark.operators.knn import IVFP_LISTS, ivfp_dots_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
     dots = ivfp_dots_expr("embedding", 64)
     cq = emb.select("vec_id", "embedding", F.expr(dots).alias("__dots"))
+    # norms once per side of the truth fanout (bit-identical, r14)
     corp = cq.select(
         F.col("vec_id").alias("corpus_id"),
         F.col("embedding").alias("__cv"),
+        F.expr(norm_sql("embedding")).alias("__cn"),
         F.expr(
             "CAST(array_position(__dots, array_max(__dots)) - 1 AS INT)"
         ).alias("list_id"),
@@ -1289,6 +1339,7 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = cq.filter(F.col("vec_id") < ANN_CURVE_PANEL).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
+        F.expr(norm_sql("embedding")).alias("__qn"),
         "__dots",
     )
     # panel-ok: input is |panel| x n_lists posexploded rows — bounded
@@ -1305,9 +1356,14 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("__score"), F.col("corpus_id")
     )
     truth = (
-        corp.crossJoin(F.broadcast(panel.select("query_id", "__qv")))  # bcast-ok: k-row query panel
+        corp.crossJoin(F.broadcast(panel.select("query_id", "__qv", "__qn")))  # bcast-ok: k-row query panel
         .filter(F.col("corpus_id") != F.col("query_id"))
-        .withColumn("__score", cosine(F.col("__cv"), F.col("__qv")))
+        .withColumn(
+            "__score",
+            F.expr(
+                cosine_from_parts_sql(dot_sql("__cv", "__qv"), "__cn", "__qn")
+            ),
+        )
         .withColumn("rank", F.row_number().over(wt))
         .filter(F.col("rank") <= ANN_CURVE_K)
         .select("query_id", "corpus_id", "list_id")
@@ -1698,25 +1754,35 @@ def ann_pq_recall_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     changing a single expression shape. One cross join computes both
     scores; two windows share the per-query partitioning (one
     shuffle)."""
-    from fegis_spark.functions.vector import cosine
+    from fegis_spark.functions.vector import (
+        cosine_from_parts_sql,
+        dot_sql,
+        norm_sql,
+    )
     from fegis_spark.operators.knn import PQ_ADC_EXPR, pq_codes_expr, pq_luts_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms once per side of the corpus x panel fanout (bit-identical
+    # to cosine(), 1.8x less CPU per pair — r14)
     corpus = emb.select(
         F.col("vec_id").alias("corpus_id"),
         F.col("embedding").alias("cv"),
+        F.expr(norm_sql("embedding")).alias("cn"),
         F.expr(pq_codes_expr("embedding")).alias("codes"),
     )
     qs = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        F.expr(norm_sql("embedding")).alias("qn"),
         F.expr(pq_luts_expr("embedding")).alias("luts"),
     )
     cand = corpus.crossJoin(F.broadcast(qs))  # bcast-ok: 8 panel queries
     scored = cand.select(
         "query_id", "corpus_id",
         F.expr(PQ_ADC_EXPR).alias("adc"),
-        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        F.expr(
+            cosine_from_parts_sql(dot_sql("qv", "cv"), "qn", "cn")
+        ).alias("cos"),
     )
     # BOTH top-10 sets in ONE window-free pass (r11 verdict #1): the
     # two bounded-panel windows funneled corpus x panel into <=8 tasks
@@ -1978,21 +2044,24 @@ def ann_pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(short), "corpus_id")  # bcast-ok: shortlist×panel id pairs
         .join(F.broadcast(qs.select("query_id", "qv")), "query_id")  # bcast-ok: 3 panel query vectors
     )
-    # panel-ok: input is shortlist x panel rows — bounded
+    # panel-ok: input is shortlist x panel rows — bounded. The cosine
+    # is materialized ONCE as a column (r14): the old form evaluated
+    # the 3-fold expression twice (window order key + output) and the
+    # attribute order key is also the WindowGroupLimit-friendly shape.
     wk = Window.partitionBy("query_id").orderBy(
-        F.desc(cosine(F.col("qv"), F.col("cv"))), F.col("corpus_id")
+        F.desc("score"), F.col("corpus_id")
     )
     return (
-        fetch.withColumn("rank", F.row_number().over(wk))
+        # UNROUNDED by the r8 rule: the sequential-fold cosine's
+        # operands are identical cross-engine (float32 entries
+        # upcast to double, left fold, sqrt/div correctly rounded),
+        # so the quotient is bit-identical — round(x, 6) would
+        # reintroduce the .5e-6 midpoint tie-break class (ADVICE r11)
+        fetch.withColumn("score", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= PQ_RERANK_K)
         .select(
-            "query_id", "corpus_id",
-            # UNROUNDED by the r8 rule: the sequential-fold cosine's
-            # operands are identical cross-engine (float32 entries
-            # upcast to double, left fold, sqrt/div correctly rounded),
-            # so the quotient is bit-identical — round(x, 6) would
-            # reintroduce the .5e-6 midpoint tie-break class (ADVICE r11)
-            cosine(F.col("qv"), F.col("cv")).alias("score"),
+            "query_id", "corpus_id", "score",
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
@@ -2147,17 +2216,18 @@ def ann_pq_rerank_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(short), "corpus_id")  # bcast-ok: shortlist x panel id pairs
         .join(F.broadcast(qs.select("query_id", "qv")), "query_id")  # bcast-ok: 3 panel query vectors
     )
-    # panel-ok: input is shortlist x panel rows — bounded
+    # panel-ok: input is shortlist x panel rows — bounded; cosine
+    # materialized once (r14, see ann_pq_rerank)
     wk = Window.partitionBy("query_id").orderBy(
-        F.desc(cosine(F.col("qv"), F.col("cv"))), F.col("corpus_id")
+        F.desc("score"), F.col("corpus_id")
     )
     return (
-        fetch.withColumn("rank", F.row_number().over(wk))
+        # UNROUNDED sequential-fold cosine (r8 rule / r11 ADVICE)
+        fetch.withColumn("score", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= PQ_RERANK_K)
         .select(
-            "query_id", "corpus_id", "adc",
-            # UNROUNDED sequential-fold cosine (r8 rule / r11 ADVICE)
-            cosine(F.col("qv"), F.col("cv")).alias("score"),
+            "query_id", "corpus_id", "adc", "score",
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
