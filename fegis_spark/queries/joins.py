@@ -1057,9 +1057,11 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (degree, id) rank, so each node's out-degree is O(sqrt(m)) and the
     wedge self-join is bounded by m^1.5 TOTAL regardless of hub skew —
     the id-only orientation the oracle uses for its (invariant) count
-    would square the hub degree instead. Edges persist (the basket
-    pairing scans lineitem once; degree table and orientation both
-    read it); the degree table broadcasts into the orientation.
+    would square the hub degree instead. Edges, the degree table and
+    the oriented edge list all persist (multi-consumer rule — the
+    basket pairing scans lineitem once, and o1/o2/closing share one
+    orientation join instead of re-running it); the degree table
+    broadcasts into the orientation.
     Triangle count is orientation-invariant, which is what lets the
     oracle use the simple form."""
     from pyspark import StorageLevel
@@ -1088,11 +1090,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # r14: three consumers (da, db, the stats wedge count) — persist
+    # or the degree aggregation re-executes per consumer
     deg = (
         edges.select(F.col("pa").alias("v"))
         .unionAll(edges.select(F.col("pb").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # degree table: one (v, d) row per distinct part in a frequent
     # edge — bounded by |part|, which scales with the corpus, so the
@@ -1108,11 +1113,13 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_lo = (F.col("d_a") < F.col("d_b")) | (
         (F.col("d_a") == F.col("d_b")) & (F.col("pa") < F.col("pb"))
     )
+    # r14: three consumers (o1, o2, closing) — persist or the
+    # edges-deg orientation join re-executes per consumer
     oriented = ranked.select(
         F.when(a_lo, F.col("pa")).otherwise(F.col("pb")).alias("lo"),
         F.when(a_lo, F.col("pb")).otherwise(F.col("pa")).alias("hi"),
         F.when(a_lo, F.col("d_b")).otherwise(F.col("d_a")).alias("dh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     o1 = oriented.select(
         F.col("lo"), F.col("hi").alias("h1"), F.col("dh").alias("dh1")
     )
@@ -1252,11 +1259,18 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = sym.select(F.col("src").alias("v")).distinct().persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
-    cnt = nodes.agg(F.count("*").alias("n"))
-    pr = nodes.crossJoin(F.broadcast(cnt)).select(  # bcast-ok: 1-row agg
-        "v", (F.lit(1.0) / F.col("n")).alias("pr")
+    # r14: deg has PR_ITERS consumers (one join per sweep) — without
+    # the persist the degree aggregation subtree re-executes inside
+    # every iteration of the single final action's DAG
+    deg = sym.groupBy("src").agg(F.count("*").alias("d")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    # r14: node count hoisted through a driver round-trip (the r9
+    # convention; an exact int, so 1.0/n and base/n are the identical
+    # IEEE divisions) — the 1-row agg subtree + its broadcast used to
+    # re-evaluate in all PR_ITERS+1 consumers
+    n = F.lit(nodes.count())
+    pr = nodes.select("v", (F.lit(1.0) / n).alias("pr"))
     base, damp = float(PR_BASE), float(PR_DAMP)
     for _ in range(PR_ITERS):
         contrib = (
@@ -1271,11 +1285,10 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pr = (
             nodes.join(contrib, "v", "left")
-            .crossJoin(F.broadcast(cnt))  # bcast-ok: 1-row agg
             .select(
                 "v",
                 (
-                    F.lit(base) / F.col("n")
+                    F.lit(base) / n
                     + F.lit(damp) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("pr"),
             )
