@@ -75,9 +75,18 @@ def _table_stamp(path: str) -> tuple:
     except OSError:
         return ("missing",)
     if os.path.isdir(path):
-        # directory tables: stamp the dir itself plus entry names —
-        # part-file rewrites bump the dir mtime on POSIX
-        return (st.st_mtime_ns, tuple(sorted(os.listdir(path))))
+        # directory tables: stamp per-entry (name, mtime_ns, size) —
+        # an in-place rewrite of an existing part file changes neither
+        # the dir mtime nor the name set, so the dir-level stamp alone
+        # is a staleness gap (ADVICE r14)
+        with os.scandir(path) as it:
+            entries = tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in it
+                )
+            )
+        return (st.st_mtime_ns, entries)
     return (st.st_mtime_ns, st.st_size)
 
 
@@ -104,10 +113,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (mtime_ns, size), so a rewritten testdata file misses.
     path = table_path(sf_dir, name)
     memo = spark.__dict__.setdefault("_fegis_load_memo", {})
-    key = (os.path.abspath(path), _table_stamp(path))
+    abspath = os.path.abspath(path)
+    key = (abspath, _table_stamp(path))
     hit = memo.get(key)
     if hit is not None:
         return hit
+    # evict superseded stamps for the same path so rewritten tables
+    # don't leak stale DataFrame entries for the session lifetime
+    # (ADVICE r14)
+    for k in [k for k in memo if k[0] == abspath]:
+        del memo[k]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)

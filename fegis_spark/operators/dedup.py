@@ -254,6 +254,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     cache_intermediate: bool = True,
     max_bucket_size: int | None = 512,
+    sh_bcast_bound: int | None = None,
 ) -> DataFrame:
     """K9 MinHash+LSH near-dup pairs.
 
@@ -317,6 +318,15 @@ def minhash_lsh_pairs(
     ).selectExpr("doc", "b.band AS band", "b.bh AS bh")
     cand = banded_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     sh = base.select(F.col("doc"), F.col("sh"))
+    # r15 opt (guide §3.1/§2.4): size-gated broadcast of the persisted
+    # shingle cache into the verify attach joins — under the gate the
+    # candidate table stops being shuffled once per attach key; over
+    # it (corpus-proportional) AQE decides. Same convention and bound
+    # as minhash_verify_pairs.
+    if sh_bcast_bound is not None:
+        from fegis_spark.model import maybe_broadcast
+
+        sh = maybe_broadcast(sh, sh_bcast_bound)
     verified = (
         cand.join(sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b")), "b")
@@ -431,6 +441,7 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.2,
     payload_cols: tuple[str, ...] = (),
+    shingle_base: DataFrame | None = None,
 ) -> DataFrame:
     """K9 exact n-gram Jaccard within blocks: explode distinct shingles,
     equi-join on (block, shingle), count intersections, Jaccard from
@@ -438,24 +449,40 @@ def ngram_jaccard_pairs(
     self-join is quadratic only within a block. ``payload_cols``
     (r11) carries extra per-doc columns through to the pair output as
     a_<col>/b_<col> — consumers like split_leakage_neardup tag pairs
-    without a join back to the corpus."""
+    without a join back to the corpus.
+
+    ``shingle_base`` (r15 opt, guide §1.2 "don't compute twice"):
+    callers that already hold the (doc, sh) distinct-shingle table for
+    the SAME (df, text_col, id_col, ngram) — e.g. dedup_minhash_eval,
+    whose prediction side persists it via _portable_sig_bands — pass
+    it here so the tokenize+NGram corpus pass is not rebuilt for the
+    truth side. Only valid with empty block_cols/payload_cols (the
+    precomputed table carries no extra columns); the shingle family
+    must match with_shingles(df, text_col, id_col, ngram) exactly or
+    the Jaccard values change."""
     from pyspark.ml.feature import NGram
 
     extra = [c for c in payload_cols if c not in block_cols]
-    base0 = df.select(
-        F.col(id_col).alias("doc"),
-        *[F.col(c) for c in block_cols],
-        *[F.col(c) for c in extra],
-        tokens(F.col(text_col)).alias("tok"),
-    )
     carry = list(block_cols) + extra
-    base = (
-        NGram(n=ngram, inputCol="tok", outputCol="__sh")
-        .transform(base0)
-        .select("doc", *carry, F.array_distinct("__sh").alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
-        .filter(F.col("n_sh") > 0)
-    )
+    if shingle_base is not None:
+        assert not carry, "shingle_base requires empty block/payload cols"
+        base = shingle_base.select(
+            "doc", "sh", F.size("sh").alias("n_sh")
+        ).filter(F.col("n_sh") > 0)
+    else:
+        base0 = df.select(
+            F.col(id_col).alias("doc"),
+            *[F.col(c) for c in block_cols],
+            *[F.col(c) for c in extra],
+            tokens(F.col(text_col)).alias("tok"),
+        )
+        base = (
+            NGram(n=ngram, inputCol="tok", outputCol="__sh")
+            .transform(base0)
+            .select("doc", *carry, F.array_distinct("__sh").alias("sh"))
+            .withColumn("n_sh", F.size("sh"))
+            .filter(F.col("n_sh") > 0)
+        )
     ex = base.select("doc", *carry, "n_sh", F.explode("sh").alias("g"))
     # band-ok: unbounded shingle keyspace (no fixed band space to
     # saturate); hot-gram skew is AQE skew-split territory
@@ -581,7 +608,15 @@ def embedding_neardup_pairs_lsh(
     of payloads', §8). The radius prefilter is dropped: it passes
     every pair with cosine >= threshold - 1e-6-ish by construction
     (||â-b̂||² = 2-2cosθ with 1e-6 slack), so the exact
-    cosine >= threshold filter alone selects the identical row set."""
+    cosine >= threshold filter alone selects the identical row set.
+
+    Multi-consumer persists (ADVICE r14): `hashed` feeds both sides of
+    the bucket self-join (the MLlib hash-projection UDF subtree would
+    otherwise execute twice — the two sides exchange on the same key
+    but canonicalization across the Vector-UDF projection is not
+    guaranteed to fire ReusedExchange), and `sides` feeds the a- and
+    b-verify joins whose exchanges key differently (no reuse possible)
+    — both persisted MEMORY_AND_DISK per the repo convention."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -607,6 +642,8 @@ def embedding_neardup_pairs_lsh(
     model = lsh.fit(feat)
     # one narrow row per (id, hash table, bucket): ids + 2 small ints
     # cross the bucket join instead of ~1 KB vector payloads
+    from pyspark import StorageLevel
+
     hashed = (
         model.transform(feat)
         .select("id", F.posexplode("hashes").alias("t", "__hv"))
@@ -615,6 +652,7 @@ def embedding_neardup_pairs_lsh(
             "t",
             vector_to_array("__hv").getItem(0).cast("bigint").alias("bkt"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # band-ok: declared correctness-tier — same candidate set as the
     # recall-conservative MLlib BRP bucket join this re-expresses
@@ -635,7 +673,7 @@ def embedding_neardup_pairs_lsh(
     # HOF fold spelling — the unrolled form measured 2x the CPU, r14)
     sides = base.select(
         "id", "v", F.expr(norm_sql("v")).alias("nrm")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return (
         cand.join(
             sides.select(
@@ -1161,6 +1199,7 @@ def minhash_lsh_pairs_portable(
     cache_intermediate: bool = True,
     max_bucket_size: int | None = None,
     seed_bcast_bound: int | None = None,
+    sh_bcast_bound: int | None = None,
 ):
     """K9 MinHash+LSH with ENGINE-PORTABLE hashes: every hash is a
     60-bit integer from the first 15 hex chars of md5, so DuckDB can
@@ -1183,23 +1222,50 @@ def minhash_lsh_pairs_portable(
     replays the candidate set exactly; pass a cap to get the same
     hot-bucket representative routing as the fast path (the oracle
     would then need the mirrored star logic).
+
+    sh_bcast_bound: size-gated broadcast of the shingle table into the
+    verify joins (see minhash_verify_pairs) — callers with an sf_dir
+    pass the same 32x documents bound as seed_bcast_bound.
     """
     base, _sig, banded = _portable_sig_bands(
         df, text_col, id_col, num_hashes, bands, ngram, cache_intermediate,
         seed_bcast_bound=seed_bcast_bound,
     )
     cand = banded_candidate_pairs(banded, max_bucket_size=max_bucket_size)
-    return minhash_verify_pairs(cand, base.select("doc", "sh"), jaccard_threshold)
+    return minhash_verify_pairs(
+        cand, base.select("doc", "sh"), jaccard_threshold,
+        sh_bcast_bound=sh_bcast_bound,
+    )
 
 
 def minhash_verify_pairs(
-    cand: DataFrame, sh: DataFrame, jaccard_threshold: float = 0.5
+    cand: DataFrame,
+    sh: DataFrame,
+    jaccard_threshold: float = 0.5,
+    sh_bcast_bound: int | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (a, b) against a
     shingle table (doc, sh) — the tail of minhash_lsh_pairs_portable,
     factored out (r13) so callers holding PRECOMPUTED bands/shingles
     (the streaming near-dup body) generate within-set pairs without
-    recomputing signatures. Output: (a, b, jaccard) at >= threshold."""
+    recomputing signatures. Output: (a, b, jaccard) at >= threshold.
+
+    sh_bcast_bound (r15 opt, guide §3.1/§2.4): byte bound for a
+    size-gated broadcast of the shingle table into the two attach
+    joins — under the gate the candidate-pair table stops being
+    shuffled twice (once per attach key) and both joins become
+    broadcast hash joins over the persisted shingle cache; over the
+    gate (corpus-proportional at real scale) the hint is withheld and
+    AQE decides. Callers with an sf_dir pass
+    ``32 * table_bytes(sf_dir, "documents")`` — the distinct-shingle
+    arrays are ~20 B per gram INSTANCE upper bound vs >= ~5 compressed
+    source bytes per instance, so 32x source parquet bytes bounds the
+    exploded array representation honestly. None keeps the plain
+    shuffle joins."""
+    if sh_bcast_bound is not None:
+        from fegis_spark.model import maybe_broadcast
+
+        sh = maybe_broadcast(sh, sh_bcast_bound)
     return (
         cand.join(sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b")), "b")

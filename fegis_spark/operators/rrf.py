@@ -44,7 +44,9 @@ def lexical_score_sql(text_col: str, terms: Sequence[str]) -> str:
     tests/test_search.py."""
     p = f"concat(' ', lower(trim(regexp_replace({text_col}, '\\\\s+', ' '))), ' ')"
     occs = " + ".join(
-        f"(length({p}) - length(replace({p}, ' {t} ', ''))) / {len(t) + 2}"
+        "(length({p}) - length(replace({p}, ' {t} ', ''))) / {d}".format(
+            p=p, t=t.replace("'", "''"), d=len(t) + 2
+        )
         for t in terms
     )
     return f"CAST(0 AS DOUBLE) + {occs}" if occs else "CAST(0 AS DOUBLE)"

@@ -97,7 +97,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def q(e: str) -> str:
-        return f"CAST(({e}) * 1e6 + 0.5e0 AS BIGINT)"
+        # sign-aware half offset (ADVICE r15): the bigint cast truncates
+        # toward zero, so +0.5-then-floor only matches the decimal
+        # HALF_UP (round half away from zero) transit for x >= 0; the
+        # IF keeps the equality structural for a future data drop with
+        # negative money rows instead of probe-only. On current drops
+        # (probed: 0 negative rows) the branch is never taken and the
+        # values are bit-identical to the r14 spelling.
+        return (
+            f"CAST(({e}) * 1e6 + IF(({e}) >= 0, 0.5e0, -0.5e0) AS BIGINT)"
+        )
 
     parts = []
     for name, e in money.items():
@@ -1248,32 +1257,46 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count, null count, and EXACT distinct cardinality — the
     ingestion-triage report every warehouse runs before trusting a new
     drop (null-rate regressions, key-cardinality drift, constant
-    columns). One aggregate over one scan; the per-column row shape
-    comes from a stack() unpivot of the single agg row.
+    columns).
 
-    Scale: Spark plans multi-column exact DISTINCT aggregates via one
-    Expand (x|cols|+1 row fan-out) feeding map-side partial aggs — one
-    shuffle whose width is bounded by per-column cardinalities, not
-    row count. At 100 TB swap COUNT(DISTINCT c) for
+    r15 opt (VERDICT r14 #3, guide §2.3/§2.4): k exact countDistinct
+    in one agg planned as an Expand — a (k+1)x row fan-out carrying
+    all k columns (mostly null) into a partial agg keyed by k+1
+    columns, plus an extra exchange for the second agg level. Replaced
+    by a stack() UNPIVOT to skinny (column_name, val-as-string) rows —
+    same one scan, same kx row multiplication but 2 narrow columns per
+    row — then groupBy (column_name, val) count (map-side partial
+    collapses to ~sum of per-column cardinalities before the shuffle,
+    exactly like the Expand plan) and a per-column rollup: n_rows =
+    sum(cnt), n_nulls = cnt where val IS NULL, n_distinct = count of
+    non-null val groups. All counts exact — CAST(c AS STRING) is
+    injective per column (int/decimal/date/timestamp/string), so
+    distinctness is preserved; results identical, Expand node gone.
+
+    Scale: the shuffle is bounded by per-column cardinalities, not row
+    count. At 100 TB swap the exact distinct for
     approx_count_distinct(c) (HLL, fixed-size state; the
-    hll_error_audit query pins its error envelope) — the SQL shape is
-    otherwise identical. All outputs exact BIGINTs."""
+    hll_error_audit query pins its error envelope). All outputs exact
+    BIGINTs."""
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for i, c in enumerate(_PROFILE_COLS):
-        aggs.append(
-            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"nn{i}")
-        )
-        aggs.append(F.countDistinct(F.col(c)).cast("bigint").alias(f"nd{i}"))
-    one = li.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', nn{i}, nd{i}" for i, c in enumerate(_PROFILE_COLS)
+        f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
     )
-    return one.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args})"
-        " AS (column_name, n_nulls, n_distinct)",
-        "n_rows",
-    ).select("column_name", "n_rows", "n_nulls", "n_distinct").orderBy(
-        "column_name"
+    skinny = li.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, val)"
+    )
+    per_val = skinny.groupBy("column_name", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_val.groupBy("column_name")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_nulls"),
+            F.count("val").cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("column_name")
     )
 

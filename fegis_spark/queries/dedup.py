@@ -156,6 +156,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=16,
         bands=4,
         jaccard_threshold=0.5,
+        # shingle side of the verify joins: same 32x-documents bound
+        # convention as seed_bcast_bound (operator docstrings)
+        sh_bcast_bound=32 * table_bytes(sf_dir, "documents"),
     )
 
 
@@ -540,6 +543,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram=3,
         jaccard_threshold=0.5,
         seed_bcast_bound=32 * table_bytes(sf_dir, "documents"),
+        sh_bcast_bound=32 * table_bytes(sf_dir, "documents"),
     )
 
 
@@ -592,6 +596,7 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hot-docs corpus = documents + a bounded constructed cluster;
         # 32x covers the seeds projection expansion (operator docstring)
         seed_bcast_bound=32 * table_bytes(sf_dir, "documents"),
+        sh_bcast_bound=32 * table_bytes(sf_dir, "documents"),
     )
 
 
@@ -1026,21 +1031,41 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     only within shared-gram groups, but still the expensive side: at
     100 TB this evaluation runs on a deterministic md5-bucket SAMPLE
     (the pipeline under test runs everywhere). One full-outer join of
-    two tiny pair sets feeds a single 1-row agg."""
+    two tiny pair sets feeds a single 1-row agg.
+
+    r15 opt (VERDICT r14 #1, guide §1.2): truth and pred previously
+    each rebuilt the tokenize+NGram shingle pass over the corpus
+    (pred persisted its copy; truth recomputed its own, twice-planned
+    but once-executed via ReusedExchange). Now ONE persisted shingle
+    base from _portable_sig_bands feeds the signature build, the
+    candidate verify joins AND the truth-side gram equi-join
+    (ngram_jaccard_pairs shingle_base param) — the corpus is
+    tokenized/shingled exactly once per run. Shingle family identical
+    (with_shingles, same ngram), so values are unchanged."""
     from fegis_spark.operators.dedup import (
-        minhash_lsh_pairs_portable,
+        _portable_sig_bands,
+        banded_candidate_pairs,
+        minhash_verify_pairs,
         ngram_jaccard_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    base, _sig, banded = _portable_sig_bands(
+        docs, "text", "doc_id", num_hashes=16, bands=4, ngram=3,
+        cache_intermediate=True,
+        seed_bcast_bound=32 * table_bytes(sf_dir, "documents"),
+    )
     # band-ok: eval harness over the sf corpus — unbounded gram keyspace
     # (truth) and 2^60 md5 bands (pred), both declared above
-    truth = ngram_jaccard_pairs(docs, "text", "doc_id", [], ngram=3, threshold=0.5)
+    truth = ngram_jaccard_pairs(
+        docs, "text", "doc_id", [], ngram=3, threshold=0.5,
+        shingle_base=base,
+    )
     # band-ok: 2^60 md5 band keyspace (see dedup_minhash_portable)
-    pred = minhash_lsh_pairs_portable(
-        docs, "text", "doc_id", num_hashes=16, bands=4, ngram=3,
-        jaccard_threshold=0.5,
-        seed_bcast_bound=32 * table_bytes(sf_dir, "documents"),
+    cand = banded_candidate_pairs(banded, max_bucket_size=None)
+    pred = minhash_verify_pairs(
+        cand, base.select("doc", "sh"), 0.5,
+        sh_bcast_bound=32 * table_bytes(sf_dir, "documents"),
     )
     u = (
         pred.select("a", "b", F.lit(1).alias("in_pred"))
@@ -1164,6 +1189,7 @@ def dedup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id",
         num_hashes=16, bands=4, ngram=3, jaccard_threshold=0.5,
         seed_bcast_bound=32 * table_bytes(sf_dir, "documents"),
+        sh_bcast_bound=32 * table_bytes(sf_dir, "documents"),
     )
     keep = (
         pairs.groupBy("b")
@@ -1326,15 +1352,33 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # band-ok: 2^60 md5 band keyspace + HOT_CAP routing below
     pairs = banded_candidate_pairs(banded, max_bucket_size=HOT_CAP)
-    sarr = sig.select(
+    # r15 opt (guide §2.4 "remove shuffles outright"): signature array
+    # and shingle set attach in ONE join per pair side — the previous
+    # shape joined the pair table four times (sa, sb, sh_a, sh_b),
+    # re-shuffling the pairs at every step; pre-joining (doc, s, sh)
+    # once halves the pair-table shuffles (4 -> 2 attach joins + 1
+    # doc-keyed payload build whose sig side is already partitioned
+    # by doc from its groupBy).
+    payload = sig.select(
         "doc", F.array(*[F.col(f"mh{i}") for i in range(16)]).alias("s")
-    )
-    sh = base.select("doc", "sh")
+    ).join(base.select("doc", "sh"), "doc")
     scored = (
-        pairs.join(sarr.select(F.col("doc").alias("a"), F.col("s").alias("sa")), "a")
-        .join(sarr.select(F.col("doc").alias("b"), F.col("s").alias("sb")), "b")
-        .join(sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a")), "a")
-        .join(sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b")), "b")
+        pairs.join(
+            payload.select(
+                F.col("doc").alias("a"),
+                F.col("s").alias("sa"),
+                F.col("sh").alias("sh_a"),
+            ),
+            "a",
+        )
+        .join(
+            payload.select(
+                F.col("doc").alias("b"),
+                F.col("s").alias("sb"),
+                F.col("sh").alias("sh_b"),
+            ),
+            "b",
+        )
         .select(
             F.expr(
                 "CAST(aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), "

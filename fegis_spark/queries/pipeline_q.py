@@ -1442,6 +1442,11 @@ def curation_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         # kept docs subset documents; 32x covers the seeds projection
         # expansion (operator docstring)
         seed_bcast_bound=32 * table_bytes(sf_dir, "documents"),
+        # sh_bcast_bound deliberately NOT set here: measured 6.97 ->
+        # 7.54 s solo at sf0.1 WITH it (the broadcast build adds
+        # latency while the pair table here is tiny and single-
+        # consumer); the standalone minhash queries, whose verify tail
+        # dominates, keep it (1.5-1.8x there)
     )
     drops = pairs.select(F.col("b").alias("doc_id")).distinct()
     surv = (

@@ -396,50 +396,54 @@ def cusum_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 batch twin of the streaming CUSUM drift detector
     (streaming/drift.py) — and a demonstration that even a
     NON-associative stateful fold can be oracle-checked: Spark folds
-    each user's (ts, event_id)-ordered values sequentially inside a
-    grouped applyInPandas (per-key state is the parallel unit — the
-    same shape the streaming form uses), while the oracle unrolls the
-    identical recurrence as a DuckDB recursive CTE. Both sides apply
-    the same left-associated IEEE operations in the same order with
-    literal constants, so the final statistics are bit-identical and
-    are emitted UNROUNDED (any rounding would add a third rounding
-    rule — r5 ADVICE). One shuffle on user_id; per-group work is
-    O(events of that user)."""
-    import pandas as pd
+    each user's (ts, event_id)-ordered values sequentially with a JVM
+    aggregate() HOF over sort_array(collect_list(struct(...))), while
+    the oracle unrolls the identical recurrence as a DuckDB recursive
+    CTE. Both sides apply the same left-associated IEEE operations in
+    the same order with literal constants, so the final statistics are
+    bit-identical and are emitted UNROUNDED (any rounding would add a
+    third rounding rule — r5 ADVICE). One shuffle on user_id; per-group
+    work is O(events of that user).
 
-    target, slack, h = (
-        float(CUSUM_TARGET),
-        float(CUSUM_SLACK),
-        float(CUSUM_H),
-    )
-
-    def fold(pdf):
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        pos = neg = 0.0
-        for x in pdf["value"]:
-            pos = max(0.0, pos + (x - target - slack))
-            neg = min(0.0, neg + (x - target + slack))
-        # emitted UNROUNDED: both engines fold the same left-associated
-        # IEEE ops in the same order, so the doubles are bit-identical
-        # — rounding would only reintroduce a third rounding rule
-        # (Python round is half-to-even; DuckDB/Spark round are not).
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "cusum_pos": [pos],
-                "cusum_neg": [neg],
-                "drifted": [pos > h or neg < -h],
-            }
-        )
-
+    r15 opt (guide §4.1 "prefer built-ins over applyInPandas"): the
+    previous shape was a grouped applyInPandas whose per-group cost —
+    Arrow transpose + pandas frame construct + mergesort + Python row
+    loop, ~1500 groups of ~67 rows at sf0.1 — dominated the query at
+    5+ s. The JVM fold removes the Python boundary entirely: one
+    collect_list agg (same shuffle bytes), sort_array gives the same
+    (ts, event_id) total order (event_id is unique, so the struct's
+    value tiebreak is never reached — same contract as the pandas
+    stable sort), and aggregate() folds left-associated like the
+    Python loop. greatest/least vs Python max/min: identical on these
+    inputs — the fold values can never be -0.0 (pos ≥ +0.0 always;
+    the per-event increments are sums with a ±0.5 term, so never
+    -0.0), and NaN/NULL don't occur in value. BatchEvalPython gone
+    from the plan; the HOF projection is interpreted but runs once
+    per event total, not per Python batch."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
-    return ev.groupBy("user_id").applyInPandas(
-        fold,
-        "user_id long, n_events long, cusum_pos double, cusum_neg double, "
-        "drifted boolean",
+    fold = (
+        "aggregate(sort_array(evs), "
+        "named_struct('pos', CAST(0.0 AS DOUBLE), 'neg', CAST(0.0 AS DOUBLE)), "
+        "(acc, e) -> named_struct("
+        f"'pos', greatest(CAST(0.0 AS DOUBLE), acc.pos + (e.value - {CUSUM_TARGET}D - {CUSUM_SLACK}D)), "
+        f"'neg', least(CAST(0.0 AS DOUBLE), acc.neg + (e.value - {CUSUM_TARGET}D + {CUSUM_SLACK}D))))"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.collect_list(F.struct("ts", "event_id", "value")).alias("evs"),
+        )
+        .selectExpr("user_id", "n_events", f"{fold} AS st")
+        .selectExpr(
+            "user_id",
+            "n_events",
+            "st.pos AS cusum_pos",
+            "st.neg AS cusum_neg",
+            f"(st.pos > {CUSUM_H}D OR st.neg < -{CUSUM_H}D) AS drifted",
+        )
     )
 
 

@@ -107,8 +107,15 @@ def main() -> None:
             vals[name] = build().collect()[0].s
             cpu[name].append(round(_cpu_s(jvm_pid) - c0, 1))
             wall[name].append(round(time.time() - t0, 2))
-    assert vals["pair_hof"] == vals["pair_unrolled"] == vals["pair_parts"]
-    assert vals["lit_hof"] == vals["lit_parts"]
+    # ADVICE r14: these compare global double SUMs from separate jobs —
+    # the final merge of partial aggregates is completion-order
+    # dependent for a single-group double sum, so inequality here is a
+    # WARNING, not proof of per-row divergence (the element-wise pins
+    # in tests/test_search.py are the real bit-identity evidence).
+    if not (vals["pair_hof"] == vals["pair_unrolled"] == vals["pair_parts"]):
+        print("WARNING: pair sums differ (merge-order noise possible):", vals)
+    if vals["lit_hof"] != vals["lit_parts"]:
+        print("WARNING: lit sums differ (merge-order noise possible):", vals)
     out: dict[str, object] = {
         "n_rows": N, "dim": DIM, "runs": RUNS,
         "metric": "JVM CPU seconds (min over runs; first run includes JIT)",
