@@ -123,6 +123,7 @@ def banded_candidate_pairs(
     banded: DataFrame,
     payload: tuple[str, ...] = (),
     max_bucket_size: int | None = None,
+    cache_sized: bool = False,
 ) -> DataFrame:
     """LSH banding (doc, band, bh[, *payload]) → distinct ordered
     candidate pairs (a, b) with a < b, carrying `payload` columns as
@@ -170,6 +171,12 @@ def banded_candidate_pairs(
         )
 
     if max_bucket_size is None:
+        if cache_sized:
+            # uncapped: the self-join's two sides are the two
+            # consumers — same 2x sketch recomputation, same fix
+            from pyspark import StorageLevel
+
+            banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         return _self_join(banded).distinct()
     from pyspark.sql import Window
 
@@ -177,15 +184,31 @@ def banded_candidate_pairs(
     # (band, bh) exchange every downstream consumer needs — a
     # groupBy-stats + join-back formulation costs ~4 extra shuffles
     # plus recomputation (or a persist) of the upstream sketch
-    # pipeline; here the three consumers (both self-join sides, the
-    # star path) are identical subplans over one exchange, so
-    # ReusedExchange computes the sketch once. min over a struct keeps
-    # the representative's payload without a doc-level join-back.
+    # pipeline. min over a struct keeps the representative's payload
+    # without a doc-level join-back.
     # grpwin-ok: (band, bh) bucket keyspace scales; hot buckets routed by the cap
     w = Window.partitionBy("band", "bh")
     sized = banded.withColumn("bucket_size", F.count("*").over(w)).withColumn(
         "rep", F.min(F.struct("doc", *pay)).over(w)
     )
+    if cache_sized:
+        # r15 opt (VERDICT r14 #5, guide §2.4/§5): the sized frame has
+        # THREE consumers (both self-join sides + the star path). The
+        # hoped-for ReusedExchange does NOT materialize in practice:
+        # AQE plans the self-join's build side as its own
+        # BroadcastExchange and the star path adds a second window, so
+        # without a persist the whole upstream sketch pipeline
+        # (shingle explode → seed hashes → signature agg → band
+        # explode → (band,bh) exchange → sort → window) executes once
+        # PER CONSUMER — measured 3x on dedup_minhash_capped's plan
+        # (plans/r15/). Persisting the narrow (doc, band, bh,
+        # bucket_size, rep[, payload]) rows — |docs|x|bands| of them —
+        # runs the sketch once; batch callers opt in, per-epoch
+        # streaming probes keep False (a persist per batch plan would
+        # leak cache entries across epochs).
+        from pyspark import StorageLevel
+
+        sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
     small = sized.filter(F.col("bucket_size") <= max_bucket_size).select(
         "doc", "band", "bh", *pay
     )
@@ -316,7 +339,9 @@ def minhash_lsh_pairs(
     banded = sig.selectExpr(
         "doc", f"explode(array({band_structs})) AS b"
     ).selectExpr("doc", "b.band AS band", "b.bh AS bh")
-    cand = banded_candidate_pairs(banded, max_bucket_size=max_bucket_size)
+    cand = banded_candidate_pairs(
+        banded, max_bucket_size=max_bucket_size, cache_sized=cache_intermediate
+    )
     sh = base.select(F.col("doc"), F.col("sh"))
     # r15 opt (guide §3.1/§2.4): size-gated broadcast of the persisted
     # shingle cache into the verify attach joins — under the gate the
@@ -379,6 +404,7 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 8,
     max_bucket_size: int | None = 512,
+    cache_sized: bool = True,
 ) -> DataFrame:
     """K9 SimHash near-dup: block on equal 16-bit band (4 bands — any
     pair within hamming<=3 of 64 bits shares >=1 exact band by
@@ -425,7 +451,10 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("doc", "sim", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    cand = banded_candidate_pairs(bands, payload=("sim",), max_bucket_size=max_bucket_size)
+    cand = banded_candidate_pairs(
+        bands, payload=("sim",), max_bucket_size=max_bucket_size,
+        cache_sized=cache_sized,
+    )
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
@@ -1231,7 +1260,9 @@ def minhash_lsh_pairs_portable(
         df, text_col, id_col, num_hashes, bands, ngram, cache_intermediate,
         seed_bcast_bound=seed_bcast_bound,
     )
-    cand = banded_candidate_pairs(banded, max_bucket_size=max_bucket_size)
+    cand = banded_candidate_pairs(
+        banded, max_bucket_size=max_bucket_size, cache_sized=cache_intermediate
+    )
     return minhash_verify_pairs(
         cand, base.select("doc", "sh"), jaccard_threshold,
         sh_bcast_bound=sh_bcast_bound,
@@ -1288,6 +1319,7 @@ def simhash_pairs_portable(
     id_col: str,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    cache_sized: bool = True,
 ) -> DataFrame:
     """K9 SimHash with ENGINE-PORTABLE hashes: 60-bit sketch from
     md5-derived token hashes (first 15 hex chars → bigint), blocked on
@@ -1333,7 +1365,10 @@ def simhash_pairs_portable(
             )
         ).alias("b"),
     ).select("doc", "sim", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    cand = banded_candidate_pairs(bands, payload=("sim",), max_bucket_size=max_bucket_size)
+    cand = banded_candidate_pairs(
+        bands, payload=("sim",), max_bucket_size=max_bucket_size,
+        cache_sized=cache_sized,
+    )
     return (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))

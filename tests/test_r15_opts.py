@@ -130,3 +130,29 @@ def test_minhash_verify_bcast_gate_values_identical(spark):
     )
     # the gated plan actually broadcasts
     assert "BroadcastHashJoin" in gated._jdf.queryExecution().executedPlan().toString()
+
+
+def test_banded_candidate_pairs_cache_sized_one_sketch(spark):
+    """cache_sized=True persists the post-window sized frame so the
+    upstream sketch pipeline plans ONCE — every cap-path consumer
+    (both self-join sides + the star path) scans the InMemoryRelation
+    instead of re-deriving the bands (r15 opt; without it the plan
+    carried the full signature subtree once per consumer because AQE's
+    broadcast build side defeats ReusedExchange). Values identical."""
+    from fegis_spark.operators.dedup import banded_candidate_pairs
+
+    rows = [(d, b, d // 3) for d in range(12) for b in range(2)]
+    banded = spark.createDataFrame(rows, "doc long, band int, bh long")
+    plain = banded_candidate_pairs(banded, max_bucket_size=2)
+    cached = banded_candidate_pairs(banded, max_bucket_size=2, cache_sized=True)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, cached.collect())
+    )
+    p = cached._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # all three consumers read the cached sized frame; the window that
+    # computes bucket_size/rep appears only inside the InMemoryRelation
+    assert p.count("InMemoryTableScan") >= 3
