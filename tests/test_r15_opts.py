@@ -132,27 +132,67 @@ def test_minhash_verify_bcast_gate_values_identical(spark):
     assert "BroadcastHashJoin" in gated._jdf.queryExecution().executedPlan().toString()
 
 
-def test_banded_candidate_pairs_cache_sized_one_sketch(spark):
-    """cache_sized=True persists the post-window sized frame so the
-    upstream sketch pipeline plans ONCE — every cap-path consumer
-    (both self-join sides + the star path) scans the InMemoryRelation
-    instead of re-deriving the bands (r15 opt; without it the plan
-    carried the full signature subtree once per consumer because AQE's
-    broadcast build side defeats ReusedExchange). Values identical."""
+def test_banded_candidate_pairs_capped_agg_form(spark):
+    """The capped path generates candidates map-side after ONE
+    (band, bh) groupBy (r15 opt): sort_array(collect_list) per bucket,
+    all-pairs HOF when m <= cap, min-struct star pairs when m > cap —
+    the r12 window + self-join + union form executed the upstream
+    sketch pipeline once per consumer (3x; zero ReusedExchange in the
+    executed plan). Pins value-identity against a hand-built reference
+    on small/at-cap/over-cap buckets and the one-exchange plan shape."""
     from fegis_spark.operators.dedup import banded_candidate_pairs
 
+    # doc//3 buckets of size 3 (over cap 2) plus one pair bucket
     rows = [(d, b, d // 3) for d in range(12) for b in range(2)]
+    rows += [(100, 0, 50), (101, 0, 50)]
     banded = spark.createDataFrame(rows, "doc long, band int, bh long")
-    plain = banded_candidate_pairs(banded, max_bucket_size=2)
-    cached = banded_candidate_pairs(banded, max_bucket_size=2, cache_sized=True)
-    assert sorted(map(tuple, plain.collect())) == sorted(
-        map(tuple, cached.collect())
-    )
-    p = cached._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
+    got = {
+        tuple(r)
+        for r in banded_candidate_pairs(banded, max_bucket_size=2).collect()
+    }
+    want = set()
+    from collections import defaultdict
+    buckets = defaultdict(list)
+    for d, b, h in rows:
+        buckets[(b, h)].append(d)
+    for mem in buckets.values():
+        mem = sorted(mem)
+        if len(mem) <= 2:
+            for i in range(len(mem)):
+                for j in range(i + 1, len(mem)):
+                    want.add((mem[i], mem[j]))
+        else:
+            want.update((mem[0], x) for x in mem[1:])
+    assert got == want
+    p = (
+        banded_candidate_pairs(banded, max_bucket_size=2)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
         )
     )
-    # all three consumers read the cached sized frame; the window that
-    # computes bucket_size/rep appears only inside the InMemoryRelation
-    assert p.count("InMemoryTableScan") >= 3
+    # one bucket exchange + the distinct exchange; no window, no join
+    assert p.count("(") > 0 and "Window" not in p and "Join" not in p
+
+
+def test_banded_candidate_pairs_payload_agg_form(spark):
+    """Payload columns survive the agg form: <c>_a carries the left /
+    rep side, <c>_b the right / member side, same as the join form."""
+    from fegis_spark.operators.dedup import banded_candidate_pairs
+
+    rows = [(d, 0, d // 4, d * 7) for d in range(8)]
+    banded = spark.createDataFrame(rows, "doc long, band int, bh long, sim long")
+    out = {
+        tuple(r)
+        for r in banded_candidate_pairs(
+            banded, payload=("sim",), max_bucket_size=3
+        ).collect()
+    }
+    # bucket {0..3} over cap 3 -> star to 0; bucket {4..7} over cap too
+    want = set()
+    for base in (0, 4):
+        mem = list(range(base, base + 4))
+        want.update((mem[0], x, mem[0] * 7, x * 7) for x in mem[1:])
+    assert out == want
