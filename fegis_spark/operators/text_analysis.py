@@ -248,26 +248,36 @@ def winnow_match_pairs(
     IS in this output (no MinHash-style false negatives for local
     matches).
 
-    Plan: fingerprint sets once (persisted MEMORY_AND_DISK — both
-    sides of the self-join and the size lookup read it; without the
-    cache the 3 consumers would each redo the winnowing projection),
-    explode to (doc, h), equi-join on the hash with doc_l < doc_r,
-    count shared per pair.
+    Plan: fingerprint sets → explode to (doc, h), then pairs.
+    Uncapped: sets persisted MEMORY_AND_DISK (both sides of the
+    self-join read it), equi-join on the hash with doc_l < doc_r.
 
     max_bucket_size is the same hot-bucket cap as
     banded_candidate_pairs (band = the fingerprint hash itself): a
     boilerplate fingerprint shared by m docs would emit m(m-1)/2 pairs
     out of ONE join key — the quadratic output no partitioning trick
-    can shrink. Under the cap, hashes with <= cap members self-join
-    exactly as before; over-cap hashes emit STAR rows to their min-doc
+    can shrink. Under the cap, hashes with <= cap members pair exactly
+    as before; over-cap hashes emit STAR rows to their min-doc
     representative (m-1 instead of m²/2), so per-pair n_shared counts
     only the fingerprints that actually generated the candidate.
-    Bucket size + representative come from ONE window over the same
-    per-h exchange the join needs. Capped hashes are observable via
-    winnow_bucket_stats (the no-silent-caps rule). None = exact
-    (the oracle-checked default)."""
+    r15: the capped branch folds pair generation into ONE groupBy(h)
+    (sort_array(collect_list) + per-bucket CASE emitting all-pairs or
+    star structs, multiplicity preserved — NO distinct, n_shared needs
+    one row per shared h), the same rewrite as banded_candidate_pairs:
+    the r12 window+self-join+union shape re-executed the
+    explode/exchange/sort/window once per consumer (zero ReusedExchange
+    in the executed plan). With the join gone the fingerprint subtree
+    has ONE consumer, so the capped branch drops the persist too.
+    Capped hashes are observable via winnow_bucket_stats (the
+    no-silent-caps rule). None = exact (the oracle-checked default)."""
     from pyspark import StorageLevel
 
+    # persisted in BOTH branches: beyond the uncapped join's two
+    # consumers, the winnowing projection itself (interpreted HOF +
+    # regexp chain) must materialize exactly once — without the cache
+    # the collapsed plan re-evaluates the fps expression per reference
+    # (n_fp + explode) inside a non-codegen stage, measured
+    # catastrophically slower on the hot-docs corpus (r15)
     sets = (
         winnow_fp_sets(docs, text_col, id_col)
         .select("doc_id", F.size("fps").alias("n_fp"), "fps")
@@ -283,33 +293,28 @@ def winnow_match_pairs(
         )
         cand = l.join(r, "h").filter(F.col("doc_l") < F.col("doc_r"))
     else:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("h")  # grpwin-ok: fingerprint-hash bucket keyspace scales with input
-        sized = ex.withColumn("bucket_size", F.count("*").over(w)).withColumn(
-            "rep", F.min(F.struct("doc_id", "n_fp")).over(w)
+        g = ex.filter(F.col("h").isNotNull()).groupBy("h").agg(
+            F.expr(
+                "sort_array(collect_list(named_struct('doc', doc_id, 'n', n_fp)))"
+            ).alias("ds"),
+            F.count("*").alias("m"),
         )
-        small = sized.filter(F.col("bucket_size") <= max_bucket_size)
-        l = small.select(
-            F.col("doc_id").alias("doc_l"), F.col("n_fp").alias("n_l"), "h"
-        )
-        r = small.select(
-            F.col("doc_id").alias("doc_r"), F.col("n_fp").alias("n_r"), "h"
-        )
-        star = sized.filter(
-            (F.col("bucket_size") > max_bucket_size)
-            & (F.col("doc_id") != F.col("rep.doc_id"))
-        ).select(
-            F.col("rep.doc_id").alias("doc_l"),  # rep = min ⇒ doc_l < doc_r
-            F.col("rep.n_fp").alias("n_l"),
-            F.col("doc_id").alias("doc_r"),
-            F.col("n_fp").alias("n_r"),
+        pairs_expr = (
+            f"CASE WHEN m <= {max_bucket_size} THEN "
+            "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, m), "
+            "y -> named_struct('doc_l', x.doc, 'n_l', x.n, "
+            "'doc_r', y.doc, 'n_r', y.n)))) "
+            "ELSE transform(filter(ds, x -> x.doc != ds[0].doc), x -> "
+            "named_struct('doc_l', ds[0].doc, 'n_l', ds[0].n, "
+            "'doc_r', x.doc, 'n_r', x.n)) END AS ps"
         )
         cand = (
-            l.join(r, "h")
-            .filter(F.col("doc_l") < F.col("doc_r"))
-            .drop("h")
-            .unionByName(star)
+            g.selectExpr(pairs_expr)
+            .selectExpr("explode(ps) AS p")
+            .selectExpr(
+                "p.doc_l AS doc_l", "p.n_l AS n_l",
+                "p.doc_r AS doc_r", "p.n_r AS n_r",
+            )
         )
     return (
         cand.groupBy("doc_l", "doc_r", "n_l", "n_r")
